@@ -1,0 +1,22 @@
+"""Analytics operator library: registry of (query, oracle) pairs.
+
+``QUERIES`` maps name -> (spark, sf_dir) -> DataFrame.
+``ORACLE`` maps name -> equivalent DuckDB SQL (omitted for operators
+whose semantics aren't SQL-expressible; the driver then records a
+rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import relational
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+for _mod in (relational,):
+    QUERIES.update(_mod.QUERIES)
+    ORACLE.update(_mod.ORACLE)

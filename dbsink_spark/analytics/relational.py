@@ -1,0 +1,616 @@
+"""Relational operator library over the TPC-H-ish harness tables.
+
+The reference delegates every relational capability to Postgres
+(reference: README.md:13-15 recommends PostgREST; SURVEY §2.6). Here they
+are first-class, expressed declaratively so Catalyst plans them
+(predicate pushdown, column pruning, broadcast selection, AQE).
+
+Every query function has the signature ``(spark, sf_dir) -> DataFrame``
+and a matching DuckDB oracle SQL string in ``ORACLE`` — the driver's
+correctness gate runs both and hash-compares values, so every computed
+column is aliased identically on both sides and floats are rounded at
+the output boundary to absorb summation-order ULP drift.
+
+Scale notes (100 TB):
+* Fact-fact joins (orders⋈lineitem) shuffle on the join key — at scale
+  both sides would be bucketed by orderkey to make this a co-located
+  join; AQE handles skew splitting.
+* Dimension joins (region/nation/supplier/customer) are explicitly
+  broadcast when genuinely small (region/nation always; customer only
+  at test SF — noted per query).
+* Aggregations use partial (map-side) aggregation automatically; no
+  collect()-based loops anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .tables import Tables
+
+
+# --------------------------------------------------------------------------
+# scan / filter / project
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan→filter→hash-aggregate.
+
+    Whole plan stays in WholeStageCodegen; the shipdate filter and the
+    7-column projection push down into the parquet scan.
+    """
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective filter + narrow projection — exercises pushdown/pruning."""
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("disc_revenue"),
+        )
+    )
+
+
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style single-value aggregate over a selective filter."""
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+def q03_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment: orders ⋈ broadcast(customer dim).
+
+    customer is broadcast at harness SF; at 100 TB customer is no
+    longer broadcastable and AQE would pick sort-merge — the hint is on
+    the genuinely-small projection (custkey, mktsegment) only.
+    """
+    t = Tables(spark, sf_dir)
+    cust = t.customer.select("c_custkey", "c_mktsegment")
+    return (
+        t.orders.join(F.broadcast(cust), t.orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q05_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join: local-supplier volume per nation.
+
+    region/nation are broadcast (tiny, always); customer/supplier/
+    orders/lineitem join on their keys — at scale these shuffle, with
+    lineitem⋈orders as the big pair (bucket both by orderkey).
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one high-value order (left-semi join).
+
+    Semi join never materializes the probe side's payload — at scale
+    this is a shuffle on custkey with early exit per key.
+    """
+    t = Tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    return (
+        t.customer.join(big, t.customer.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no high-value order (left-anti join)."""
+    t = Tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 250000).select("o_custkey")
+    return (
+        t.customer.join(big, t.customer.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def q09_part_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ part: shipped quantity + revenue per brand."""
+    t = Tables(spark, sf_dir)
+    part = t.part.select("p_partkey", "p_brand")
+    return (
+        t.lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregation variants
+# --------------------------------------------------------------------------
+
+def q10_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group (two-phase distinct aggregate)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — grouping-set aggregate."""
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# window functions
+# --------------------------------------------------------------------------
+
+def q13_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (rank window + filter).
+
+    The deterministic tiebreak (orderkey) makes row_number stable, so
+    the result is oracle-comparable. Single shuffle on custkey.
+    """
+    o = Tables(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+def q14_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-to-order price delta (lag window)."""
+    o = Tables(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("price_delta"),
+    )
+
+
+def q15_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer (rows-frame cumulative sum)."""
+    o = Tables(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+    )
+
+
+def q16_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders — Spark plans orderBy+limit as TakeOrdered
+    (per-partition top-k then merge, no full sort)."""
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# set operations
+# --------------------------------------------------------------------------
+
+def q17_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT composition over customer cohorts."""
+    t = Tables(spark, sf_dir)
+    building = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = t.customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    with_orders = t.orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        building.union(rich).distinct().intersect(with_orders).exceptAll(
+            t.customer.filter(F.col("c_acctbal") < 0).select("c_custkey")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events (timeseries)
+# --------------------------------------------------------------------------
+
+def q18_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate per event_type.
+
+    Batch twin of the streaming tumbling-window operator
+    (dbsink_spark.streaming): identical grouping expression, so stream
+    and batch share semantics. Hour is emitted as a formatted string to
+    keep the oracle comparison precision-stable.
+    """
+    e = Tables(spark, sf_dir).events
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q19_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + cumsum.
+
+    Classic two-window sessionizer: one shuffle on user_id, both
+    windows reuse the same partitioning (no second shuffle).
+    """
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = (
+        e.withColumn(
+            "new_session",
+            F.when(
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+            ).otherwise(F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("duration_sec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.avg("duration_sec"), 4).alias("avg_session_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q20_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``props.k`` out of a JSON string
+    column and aggregate — mirrors the reference's JSONB payload column
+    (reference: dbsink/maps.py:103)."""
+    e = Tables(spark, sf_dir).events
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q21_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue per order status (date_trunc on a timestamp)."""
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+            "o_orderstatus",
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("month", "o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB) — column names/aliases match the Spark outputs
+# --------------------------------------------------------------------------
+
+ORACLE: dict[str, str] = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                           AS sum_qty,
+               round(sum(l_extendedprice), 2)                                      AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
+               round(avg(l_quantity), 4)                                           AS avg_qty,
+               round(avg(l_extendedprice), 4)                                      AS avg_price,
+               round(avg(l_discount), 4)                                           AS avg_disc,
+               count(*)                                                            AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q02_filter_project": """
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * l_discount, 4) AS disc_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+          AND l_discount >= 0.05
+          AND l_quantity < 24
+    """,
+    "q06_revenue_forecast": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 25
+    """,
+    "q03_broadcast_join": """
+        SELECT c_mktsegment,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*)                    AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    "q05_multi_join": """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+    """,
+    "q07_semi_join": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+    """,
+    "q08_anti_join": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+    """,
+    "q09_part_brand_volume": """
+        SELECT p_brand,
+               round(sum(l_quantity), 2)                          AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)  AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    "q10_agg_distinct": """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey)   AS n_customers,
+               count(*)                    AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q11_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*)                  AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "q12_cube": """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*)                    AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "q13_window_topk_per_group": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    "q14_window_lag": """
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice - lag(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS price_delta
+        FROM orders
+    """,
+    "q15_window_running": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+        FROM orders
+    """,
+    "q16_topk_global": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q17_set_ops": """
+        SELECT c_custkey FROM (
+            (SELECT DISTINCT c_custkey FROM (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                UNION ALL
+                SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+            )
+            INTERSECT
+            SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+            EXCEPT ALL
+            SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        )
+    """,
+    "q18_events_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+               event_type,
+               count(*)             AS n_events,
+               round(sum(value), 2) AS sum_value,
+               round(avg(value), 4) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "q19_events_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800 THEN 1
+                        WHEN lag(ts) OVER w IS NULL THEN 1
+                        ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        ), per_session AS (
+            SELECT user_id, session_id, count(*) AS n_events,
+                   max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT) AS duration_sec
+            FROM numbered GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               count(*)                     AS n_sessions,
+               max(n_events)                AS max_session_events,
+               round(avg(duration_sec), 4)  AS avg_session_sec
+        FROM per_session
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "q20_events_json": """
+        SELECT event_type,
+               count(*)                                  AS n_events,
+               sum(json_extract_string(props, '$.k')::BIGINT)   AS sum_k,
+               round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q21_orders_monthly": """
+        SELECT date_trunc('month', o_orderdate)::DATE AS month,
+               o_orderstatus,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*)                    AS n_orders
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+}
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_broadcast_join": q03_broadcast_join,
+    "q05_multi_join": q05_multi_join,
+    "q06_revenue_forecast": q06_revenue_forecast,
+    "q07_semi_join": q07_semi_join,
+    "q08_anti_join": q08_anti_join,
+    "q09_part_brand_volume": q09_part_brand_volume,
+    "q10_agg_distinct": q10_agg_distinct,
+    "q11_rollup": q11_rollup,
+    "q12_cube": q12_cube,
+    "q13_window_topk_per_group": q13_window_topk_per_group,
+    "q14_window_lag": q14_window_lag,
+    "q15_window_running": q15_window_running,
+    "q16_topk_global": q16_topk_global,
+    "q17_set_ops": q17_set_ops,
+    "q18_events_hourly": q18_events_hourly,
+    "q19_events_sessionize": q19_events_sessionize,
+    "q20_events_json": q20_events_json,
+    "q21_orders_monthly": q21_orders_monthly,
+}

@@ -1,0 +1,53 @@
+"""Test-table loader for the TPC-H-ish harness tables.
+
+Tables (one parquet each): region nation customer supplier part orders
+lineitem events documents embeddings. Loaded lazily; Catalyst handles
+column pruning + predicate pushdown into the parquet scans, so loading
+"the whole table" here costs nothing until an action runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects; read nanos as long and truncate to microseconds
+        # (Spark's native timestamp precision).
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+class Tables:
+    """Lazy namespace: ``Tables(spark, sf_dir).lineitem`` etc."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name not in TABLE_NAMES:
+            raise AttributeError(name)
+        if name not in self._cache:
+            self._cache[name] = load(self._spark, self._sf_dir, name)
+        return self._cache[name]

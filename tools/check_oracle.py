@@ -1,0 +1,118 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at sf0.01, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted,
+values stringified with float rounding). Usage:
+
+    python tools/check_oracle.py [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "␀"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def table_hash(rows, colnames) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from dbsink_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = sys.argv[1:] or sorted(qs)
+    failures = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle — rows-only check)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            sh, dh = table_hash(srows, scols), table_hash(drows, dcols)
+            if sh != dh:
+                problems.append(f"valuehash spark={sh} duck={dh}")
+        dt = time.time() - t0
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            if "valuehash" in " ".join(problems) or "rowcount" in " ".join(problems):
+                so = sorted(range(len(scols)), key=lambda i: scols[i])
+                do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                sset = sorted("|".join(norm_cell(r[i]) for i in so) for r in srows)
+                dset = sorted("|".join(norm_cell(r[i]) for i in do) for r in drows)
+                sonly = [x for x in sset if x not in set(dset)][:3]
+                donly = [x for x in dset if x not in set(sset)][:3]
+                print(f"      cols={sorted(scols)}")
+                for x in sonly:
+                    print(f"      spark-only: {x}")
+                for x in donly:
+                    print(f"      duck-only:  {x}")
+        else:
+            print(f"OK    {name}: {len(srows)} rows  ({dt:.1f}s)")
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
