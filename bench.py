@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the registered analytics queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is materialized through Spark's noop sink (full execution,
+no driver-side row transfer) so the timing measures the engine, not
+collect() serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from dbsink_spark import analytics
+    from dbsink_spark.session import get_spark
+
+    spark = get_spark("dbsink-spark-bench")
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not first-touch JIT/IO setup
+    analytics.QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(analytics.QUERIES):
+        fn = analytics.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
