@@ -12,11 +12,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import relational
+from . import dedup, relational, text
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-for _mod in (relational,):
+for _mod in (relational, text, dedup):
     QUERIES.update(_mod.QUERIES)
     ORACLE.update(_mod.ORACLE)

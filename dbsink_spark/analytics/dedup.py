@@ -1,0 +1,395 @@
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+The reference's only dedup is last-writer-wins upsert on a unique key
+(reference: dbsink/listen.py:160-166); here dedup is a first-class
+batch operator family for training-data pipelines:
+
+* exact (hash groupBy)
+* MinHash + LSH banding (shingle → minhash sig → band buckets →
+  candidate join → exact-Jaccard verify)
+* SimHash (bitwise near-dup, hamming radius)
+* n-gram Jaccard (brute-force verified pairs — the small-scale oracle
+  twin of the LSH path)
+* embedding cosine near-dup (label-blocked)
+
+All hashes ride the portable md5-based ``h64`` so each operator has an
+exact DuckDB oracle (see functions/hashing.py).
+
+Scale notes (100 TB):
+* The LSH path is the scale story: candidate generation is an
+  equi-join on (band, bucket) — a shuffle keyed by bucket, never a
+  cross join. Band count / rows-per-band trade recall vs join fanout.
+* The brute-force pairwise ops (d05, d06) carry blocking keys
+  (source / label) so the quadratic term is per-block; at 100 TB you
+  would only ever run them inside LSH-generated candidate buckets.
+* Exact dedup is a single hash aggregate on a 60-bit content hash —
+  group on the hash, not the full text, so the shuffle carries 8
+  bytes per row instead of the document body.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_COEFFS, affine, affine_sql, h64, h64_sql
+from .tables import Tables
+
+MINHASH_K = 8
+BANDS = 4  # rows-per-band = MINHASH_K // BANDS = 2
+JACCARD_THRESHOLD = 0.1
+SIMHASH_BITS = 32
+SIMHASH_RADIUS = 10
+COSINE_DUP_THRESHOLD = 0.45
+
+
+def _words():
+    return F.split(F.col("text"), " ")
+
+
+def _shingles(words):
+    """Distinct word 3-shingles as an array column."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+        )
+    )
+
+
+_SHINGLES_SQL = """
+    list_distinct([string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                   || ' ' || string_split(text,' ')[i+2]
+                   for i in generate_series(1, len(string_split(text,' ')) - 2)])
+"""
+
+
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: every doc mapped to the
+    keeper (min doc_id) of its identical-text cluster."""
+    d = Tables(spark, sf_dir).documents
+    hashed = d.select("doc_id", h64(F.col("text")).alias("content_hash"))
+    clusters = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        hashed.join(clusters, "content_hash")
+        .select(
+            "doc_id",
+            "keeper_id",
+            "cluster_size",
+            (F.col("doc_id") != F.col("keeper_id")).cast("int").alias("is_dup"),
+        )
+    )
+
+
+def d02_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate report per source (distinct text hashes vs rows)."""
+    d = Tables(spark, sf_dir).documents
+    return (
+        d.select("source", h64(F.col("text")).alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            F.round(1 - F.countDistinct("h") / F.count(F.lit(1)), 4).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _one_minhash(shingle_hashes, a: int, b: int):
+    # single-arg lambda on purpose: pyspark derives HOF arity from the
+    # python signature, so coefficients must come in via closure
+    return F.array_min(F.transform(shingle_hashes, lambda h: affine(h, a, b)))
+
+
+def _minhash_sig(shingle_hashes):
+    """K minhash values from an array of shingle hashes."""
+    return [
+        _one_minhash(shingle_hashes, a, b).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:MINHASH_K])
+    ]
+
+
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, exact-Jaccard verified.
+
+    Candidate pairs come from an equi-join on (band_id, bucket) — the
+    100 TB path — then get verified with exact Jaccard on shingle sets.
+    """
+    d = Tables(spark, sf_dir).documents
+    words = _words()
+    docs = (
+        d.filter(F.size(words) >= 3)
+        .select(
+            "doc_id",
+            _shingles(words).alias("sh"),
+        )
+        .withColumn("shh", F.transform(F.col("sh"), lambda s: h64(s)))
+        .select("doc_id", "sh", *_minhash_sig(F.col("shh")))
+    )
+    rows_per_band = MINHASH_K // BANDS
+    band_cols = []
+    for b in range(BANDS):
+        # bucket key packs the band's minhash rows (values < 2^30 each)
+        bucket = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            bucket = bucket * F.lit(1000000007) + F.col(f"mh{b * rows_per_band + r}")
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), bucket.alias("bucket")))
+    banded = docs.select(
+        "doc_id", "sh", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "sh", "bb.band_id", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature over distinct word hashes;
+    pairs within hamming radius, blocked by source.
+
+    The signature is a pure column expression (nested array HOFs), the
+    pair search is a blocked self-join + bit_count — no UDFs.
+    """
+    d = Tables(spark, sf_dir).documents
+    # explode distinct words, then build the 32 majority-vote bits as
+    # literal-shift aggregate expressions in ONE groupBy (shift amounts
+    # must be python ints for shiftright/shiftleft)
+    exploded = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(_words())).alias("w")
+    ).withColumn("h", h64(F.col("w")))
+    bit_aggs = [
+        F.sum(
+            F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+        ).alias(f"vote{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = exploded.groupBy("doc_id", "source").agg(*bit_aggs)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"vote{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(term, j)
+        sig = term if sig is None else sig + term
+    sigs = votes.select("doc_id", "source", sig.alias("simhash"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_RADIUS)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force pairwise 3-gram Jaccard within source blocks — the
+    exact verifier the LSH path approximates."""
+    d = Tables(spark, sf_dir).documents
+    words = _words()
+    docs = d.filter(F.size(words) >= 3).select(
+        "doc_id", "source", _shingles(words).alias("sh")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    jaccard = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jaccard, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (IVF-style
+    pruning: at scale the block key is a coarse-quantizer cell)."""
+    e = Tables(spark, sf_dir).embeddings
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    docs = e.select("vec_id", "label", v.alias("v"))
+    a, b = docs.alias("a"), docs.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform("a.v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform("b.v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    cos = dot / (na * nb)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _minhash_sig_sql() -> str:
+    cols = ", ".join(
+        f"list_min(list_transform(shh, h -> {affine_sql('h', a, b)})) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:MINHASH_K])
+    )
+    return cols
+
+
+def _band_rows_sql() -> str:
+    rows_per_band = MINHASH_K // BANDS
+    selects = []
+    for b in range(BANDS):
+        expr = "0::BIGINT"
+        for r in range(rows_per_band):
+            expr = f"(({expr}) * 1000000007 + mh{b * rows_per_band + r})"
+        selects.append(f"SELECT doc_id, sh, {b} AS band_id, {expr} AS bucket FROM sigs")
+    return " UNION ALL ".join(selects)
+
+
+ORACLE: dict[str, str] = {
+    "d01_dedup_exact": f"""
+        WITH hashed AS (
+            SELECT doc_id, {h64_sql('text')} AS content_hash FROM documents
+        ), clusters AS (
+            SELECT content_hash, min(doc_id) AS keeper_id, count(*) AS cluster_size
+            FROM hashed GROUP BY content_hash
+        )
+        SELECT h.doc_id, c.keeper_id, c.cluster_size,
+               (h.doc_id <> c.keeper_id)::INT AS is_dup
+        FROM hashed h JOIN clusters c USING (content_hash)
+    """,
+    "d02_dedup_rate": f"""
+        SELECT source,
+               count(*)                                   AS n_docs,
+               count(DISTINCT {h64_sql('text')})          AS n_unique,
+               round(1 - count(DISTINCT {h64_sql('text')})::DOUBLE / count(*), 4) AS dup_rate
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    "d03_minhash_lsh": f"""
+        WITH docs AS (
+            SELECT doc_id, {_SHINGLES_SQL} AS sh
+            FROM documents
+            WHERE len(string_split(text,' ')) >= 3
+        ), hashed AS (
+            SELECT doc_id, sh, list_transform(sh, s -> {h64_sql('s')}) AS shh FROM docs
+        ), sigs AS (
+            SELECT doc_id, sh, {_minhash_sig_sql()} FROM hashed
+        ), banded AS (
+            {_band_rows_sql()}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), verified AS (
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(da.sh, db.sh))::DOUBLE
+                         / len(list_distinct(da.sh || db.sh)), 4) AS jaccard
+            FROM cand
+            JOIN docs da ON da.doc_id = doc_a
+            JOIN docs db ON db.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b, jaccard FROM verified
+        WHERE jaccard >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    "d04_simhash": f"""
+        WITH hashes AS (
+            SELECT doc_id, source,
+                   list_transform(list_distinct(string_split(text,' ')), w -> {h64_sql('w')}) AS hs
+            FROM documents
+        ), sigs AS (
+            SELECT doc_id, source,
+                   list_sum(list_transform(
+                       generate_series(0, {SIMHASH_BITS - 1}),
+                       j -> CASE WHEN list_sum(list_transform(hs,
+                                     h -> ((h >> j) & 1)::INT * 2 - 1)) > 0
+                                 THEN (1::BIGINT << j) ELSE 0 END
+                   ))::BIGINT AS simhash
+            FROM hashes
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sigs a JOIN sigs b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_RADIUS}
+        ORDER BY doc_a, doc_b
+    """,
+    "d05_ngram_jaccard": f"""
+        WITH docs AS (
+            SELECT doc_id, source, {_SHINGLES_SQL} AS sh
+            FROM documents
+            WHERE len(string_split(text,' ')) >= 3
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        FROM docs a JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(list_distinct(a.sh || b.sh)), 4) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    "d06_embedding_near_dup": f"""
+        WITH v AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(
+                 list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))])
+                 / (sqrt(list_sum([x * x for x in a.v]))
+                    * sqrt(list_sum([x * x for x in b.v]))), 4) AS cosine
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(
+                 list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))])
+                 / (sqrt(list_sum([x * x for x in a.v]))
+                    * sqrt(list_sum([x * x for x in b.v]))), 4) >= {COSINE_DUP_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """,
+}
+
+QUERIES = {
+    "d01_dedup_exact": d01_dedup_exact,
+    "d02_dedup_rate": d02_dedup_rate,
+    "d03_minhash_lsh": d03_minhash_lsh,
+    "d04_simhash": d04_simhash,
+    "d05_ngram_jaccard": d05_ngram_jaccard,
+    "d06_embedding_near_dup": d06_embedding_near_dup,
+}

@@ -1,0 +1,228 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline style text ops: per-document statistics,
+quality scoring, language identification, tokenization, and
+fingerprinting. All column-expression based (zero Python UDFs — every
+expression runs in WholeStageCodegen), all with exact DuckDB oracles.
+
+Scale notes (100 TB): every operator here is a narrow map over
+documents followed by at most one aggregation — embarrassingly
+parallel, no multi-stage shuffles. Word splitting happens once per
+query; at scale you would materialize the token array as a column
+(or bucketed intermediate table) shared across downstream ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64_sql
+from .tables import Tables
+
+# tiny per-language stopword lexicons for the n-gram-free lang-id
+# heuristic; deterministic and identical on the oracle side
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "it", "that", "for", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "dans", "est"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"],
+}
+
+def _words():
+    return F.split(F.col("text"), " ")
+
+
+def _sql_stoplist(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def t01_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics via array higher-order functions."""
+    d = Tables(spark, sf_dir).documents
+    words = _words()
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.round(
+            F.aggregate(F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x)
+            / F.size(words),
+            4,
+        ).alias("avg_word_len"),
+        F.array_max(F.transform(words, lambda w: F.length(w))).alias("max_word_len"),
+    )
+
+
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length / lexical-diversity / word-shape
+    mix) bucketed into low/medium/high, aggregated per source."""
+    d = Tables(spark, sf_dir).documents
+    words = _words()
+    n_words = F.size(words)
+    distinct_ratio = F.size(F.array_distinct(words)) / n_words
+    avg_len = (
+        F.aggregate(F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x)
+        / n_words
+    )
+    score = (
+        0.3 * F.least(n_words / F.lit(50.0), F.lit(1.0))
+        + 0.4 * distinct_ratio
+        + 0.3 * F.least(avg_len / F.lit(8.0), F.lit(1.0))
+    )
+    bucket = (
+        F.when(score >= 0.7, "high").when(score >= 0.5, "medium").otherwise("low")
+    )
+    return (
+        d.select("source", score.alias("score"), bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("score"), 4).alias("avg_score"))
+        .orderBy("source", "bucket")
+    )
+
+
+def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID; outputs the (actual, predicted)
+    confusion matrix. Ties break alphabetically; zero hits → 'und'."""
+    d = Tables(spark, sf_dir).documents
+    words = _words()
+    def stopword_hits(stoplist):
+        # nb: keep the lambda single-arg — pyspark derives HOF arity
+        # from the python signature, so a default arg would be treated
+        # as a second lambda parameter
+        return F.size(F.filter(words, lambda w: w.isin(*stoplist)))
+
+    hits = {lang: stopword_hits(STOPWORDS[lang]) for lang in sorted(STOPWORDS)}
+    best = F.greatest(*hits.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(STOPWORDS):  # alphabetical = deterministic tiebreak
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    return (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def t04_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex tokenization totals per source."""
+    d = Tables(spark, sf_dir).documents
+    re_tokens = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    return (
+        d.select(
+            "source",
+            F.size(_words()).alias("ws"),
+            F.size(re_tokens).alias("re"),
+            F.length("text").alias("nc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("re").alias("re_tokens"),
+            F.sum("nc").alias("total_chars"),
+            F.round(F.avg("ws"), 4).alias("avg_ws_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min portable-hash over word 3-shingles
+    (minhash with k=1 — the winnowing-style content fingerprint)."""
+    d = Tables(spark, sf_dir).documents
+    words = _words()
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    from ..functions.hashing import h64
+
+    fp = F.array_min(F.transform(shingles, lambda s: h64(s)))
+    return (
+        d.filter(F.size(words) >= 3)
+        .select("doc_id", "source", fp.alias("fingerprint"))
+    )
+
+
+ORACLE: dict[str, str] = {
+    "t01_doc_stats": """
+        SELECT doc_id, lang,
+               len(string_split(text, ' '))                               AS n_words,
+               len(list_distinct(string_split(text, ' ')))                AS n_distinct_words,
+               round(list_sum(list_transform(string_split(text, ' '), w -> length(w)))::DOUBLE
+                     / len(string_split(text, ' ')), 4)                   AS avg_word_len,
+               list_max(list_transform(string_split(text, ' '), w -> length(w))) AS max_word_len
+        FROM documents
+    """,
+    "t02_quality_score": """
+        WITH scored AS (
+            SELECT source,
+                   0.3 * least(len(string_split(text,' ')) / 50.0, 1.0)
+                 + 0.4 * (len(list_distinct(string_split(text,' ')))::DOUBLE / len(string_split(text,' ')))
+                 + 0.3 * least((list_sum(list_transform(string_split(text,' '), w -> length(w)))::DOUBLE
+                                / len(string_split(text,' '))) / 8.0, 1.0) AS score
+            FROM documents
+        )
+        SELECT source,
+               CASE WHEN score >= 0.7 THEN 'high'
+                    WHEN score >= 0.5 THEN 'medium'
+                    ELSE 'low' END AS bucket,
+               count(*)            AS n_docs,
+               round(avg(score),4) AS avg_score
+        FROM scored
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "t03_lang_id": f"""
+        WITH hits AS (
+            SELECT lang,
+                   len(list_filter(string_split(text,' '), w -> list_contains({_sql_stoplist('de')}, w))) AS h_de,
+                   len(list_filter(string_split(text,' '), w -> list_contains({_sql_stoplist('en')}, w))) AS h_en,
+                   len(list_filter(string_split(text,' '), w -> list_contains({_sql_stoplist('es')}, w))) AS h_es,
+                   len(list_filter(string_split(text,' '), w -> list_contains({_sql_stoplist('fr')}, w))) AS h_fr
+            FROM documents
+        ), pred AS (
+            SELECT lang,
+                   CASE WHEN greatest(h_de,h_en,h_es,h_fr) <= 0 THEN 'und'
+                        WHEN h_de = greatest(h_de,h_en,h_es,h_fr) THEN 'de'
+                        WHEN h_en = greatest(h_de,h_en,h_es,h_fr) THEN 'en'
+                        WHEN h_es = greatest(h_de,h_en,h_es,h_fr) THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM hits
+        )
+        SELECT lang, pred_lang, count(*) AS n_docs
+        FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "t04_token_count": """
+        SELECT source,
+               sum(len(string_split(text,' ')))                       AS ws_tokens,
+               sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS re_tokens,
+               sum(length(text))                                      AS total_chars,
+               round(avg(len(string_split(text,' '))), 4)             AS avg_ws_tokens
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    "t05_fingerprint": f"""
+        SELECT doc_id, source,
+               list_min(list_transform(
+                   [string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]
+                    for i in generate_series(1, len(string_split(text,' ')) - 2)],
+                   s -> {h64_sql('s')}
+               )) AS fingerprint
+        FROM documents
+        WHERE len(string_split(text,' ')) >= 3
+    """,
+}
+
+QUERIES = {
+    "t01_doc_stats": t01_doc_stats,
+    "t02_quality_score": t02_quality_score,
+    "t03_lang_id": t03_lang_id,
+    "t04_token_count": t04_token_count,
+    "t05_fingerprint": t05_fingerprint,
+}
