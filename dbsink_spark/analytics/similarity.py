@@ -1,0 +1,225 @@
+"""Similarity search over the ``embeddings`` table (array<float> dim 64).
+
+* s01: brute-force cosine top-k — the exactness baseline. Query set ×
+  corpus as a (broadcast) cross join, rank per query.
+* s02: IVF-style centroid assignment — centroids from a per-label
+  average (the coarse quantizer), every vector assigned to its nearest
+  centroid; at 100 TB this cell id becomes the blocking/bucketing key
+  that replaces brute force.
+* s03: random-hyperplane LSH bucketing (sign-of-dot-product sketch) —
+  hyperplane weights are ±1 derived from md5 parity so the DuckDB
+  oracle computes byte-identical buckets.
+
+All dot products / norms are sequential left-folds over the vector in
+both engines (Spark ``aggregate`` HOF, DuckDB ``list_sum`` of a
+comprehension), which keeps the float arithmetic order — and therefore
+the values — identical across engines (verified by the hash gate).
+
+Scale notes (100 TB): the brute-force path broadcasts the small query
+set, so the corpus is never shuffled — scan + per-row top-k heap via
+window on query_id. The LSH/IVF paths reduce candidate sets to
+per-bucket blocks; both bucket ids are plain integer columns that
+partition/bucket cleanly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .tables import Tables
+
+TOPK = 5
+N_QUERIES = 10  # vec_id < N_QUERIES form the query set
+N_PLANES = 8
+DIM = 64
+
+
+def _h64_py(s: str) -> int:
+    """Python twin of functions.hashing.h64 (md5 first 15 hex digits)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def hyperplane_weights() -> list[list[int]]:
+    """±1 weights per (plane, dim) from md5 parity — deterministic and
+    reproducible in any engine."""
+    return [
+        [1 if _h64_py(f"{p}_{d}") % 2 == 0 else -1 for d in range(DIM)]
+        for p in range(N_PLANES)
+    ]
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def _vectors(spark, sf_dir):
+    e = Tables(spark, sf_dir).embeddings
+    return e.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: queries (vec_id < N) × corpus (rest),
+    rank-per-query window, keep top 5."""
+    v = _vectors(spark, sf_dir)
+    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    corpus = v.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("corpus_id"), F.col("v").alias("cv")
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    scored = corpus.join(F.broadcast(queries)).select(
+        "query_id", "corpus_id", cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "corpus_id", F.round("cosine", 4).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def s02_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: per-label mean centroid, assign every
+    vector to the nearest centroid (L2), emit the label×cell confusion
+    counts."""
+    v = _vectors(spark, sf_dir)
+    # centroids: posexplode → avg per (label, pos) → re-assemble ordered
+    dims = v.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cent_label"), "cv")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = v.join(F.broadcast(cent)).select(
+        "vec_id", "label", "cent_label", dist2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cent_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("cent_label").alias("assigned"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("label", "assigned")
+    )
+
+
+def s03_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH: 8-bit bucket per vector from md5-
+    parity hyperplanes; emits bucket occupancy (the candidate-block
+    sizes a real ANN query would probe)."""
+    v = _vectors(spark, sf_dir)
+    planes = hyperplane_weights()
+    bucket = None
+    for p, wts in enumerate(planes):
+        wcol = F.array(*[F.lit(float(x)) for x in wts])
+        dot = _dot(F.col("v"), wcol)
+        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, p)
+        bucket = term if bucket is None else bucket + term
+    return (
+        v.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+def _weights_sql(wts: list[int]) -> str:
+    return "[" + ", ".join(f"{x}.0" for x in wts) + "]"
+
+
+def _oracle() -> dict[str, str]:
+    planes = hyperplane_weights()
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_sum([v[i] * ({_weights_sql(w)})[i] for i in generate_series(1, {DIM})]) > 0 "
+        f"THEN (1::BIGINT << {p}) ELSE 0 END)"
+        for p, w in enumerate(planes)
+    )
+    return {
+        "s01_cosine_topk": f"""
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                       list_sum([q.v[i] * c.v[i] for i in generate_series(1, {DIM})])
+                       / (sqrt(list_sum([x*x for x in q.v])) * sqrt(list_sum([x*x for x in c.v])))
+                       AS cosine
+                FROM v q CROSS JOIN v c
+                WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+            ), ranked AS (
+                SELECT query_id, corpus_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, corpus_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, corpus_id, round(cosine, 4) AS cosine, rank
+            FROM ranked WHERE rank <= {TOPK}
+            ORDER BY query_id, rank
+        """,
+        "s02_centroid_assign": """
+            WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            dims AS (
+                SELECT label, i.i AS pos, v[i.i] AS x
+                FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+            ), cent_dims AS (
+                SELECT label, pos, avg(x) AS c FROM dims GROUP BY label, pos
+            ), cent AS (
+                SELECT label AS cent_label, list(c ORDER BY pos) AS cv
+                FROM cent_dims GROUP BY label
+            ), scored AS (
+                SELECT v.vec_id, v.label, cent.cent_label,
+                       list_sum([ (v.v[i] - cent.cv[i]) * (v.v[i] - cent.cv[i]) for i in generate_series(1, 64) ]) AS d2
+                FROM v CROSS JOIN cent
+            ), best AS (
+                SELECT vec_id, label, cent_label AS assigned,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cent_label) AS rn
+                FROM scored
+            )
+            SELECT label, assigned, count(*) AS n_vectors
+            FROM best WHERE rn = 1
+            GROUP BY label, assigned
+            ORDER BY label, assigned
+        """,
+        "s03_hyperplane_lsh": f"""
+            WITH v AS (SELECT embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT ({bucket_terms}) AS bucket, count(*) AS n_vectors
+            FROM v
+            GROUP BY 1
+            ORDER BY 1
+        """,
+    }
+
+
+ORACLE = _oracle()
+
+QUERIES = {
+    "s01_cosine_topk": s01_cosine_topk,
+    "s02_centroid_assign": s02_centroid_assign,
+    "s03_hyperplane_lsh": s03_hyperplane_lsh,
+}
