@@ -1,0 +1,148 @@
+"""Geospatial helpers: WKT construction, QARTOD location quality,
+degrees+minutes conversion, GeoJSON normalization.
+
+Spark has no native geometry type; geometry travels as WKT strings and
+becomes real geometry at the database boundary
+(``ST_GeomFromText(wkt, 4326)`` in the sink's upsert SQL). The QC flag
+is a pure column expression — whole-stage codegen, no UDF (reference
+behavior: dbsink/tables.py:82-118).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+QC_GOOD = 1
+QC_SUSPECT = 3
+QC_BAD = 4
+
+
+def point_wkt(lon: Column, lat: Column) -> Column:
+    """POINT WKT from lon/lat double columns."""
+    return F.concat(F.lit("POINT ("), lon.cast("string"), F.lit(" "), lat.cast("string"), F.lit(")"))
+
+
+def location_quality(
+    lon: Column,
+    lat: Column,
+    inprecise: Column | bool = False,
+    disallow_lon: list[float] | None = None,
+    disallow_lat: list[float] | None = None,
+) -> Column:
+    """QARTOD-style location QC flag (1 good / 3 suspect / 4 bad) as a
+    nested ``when`` chain — column expression only.
+
+    Rules (reference dbsink/tables.py:82-118): both coords in (-1,1) →
+    bad; either coord exactly 0 ("null island") → bad; coord in an
+    explicit disallow list (e.g. lon 181 / lat 91 sentinels,
+    tables.py:501-506) → bad; outside both the -180..180 and 0..360
+    longitude frames → bad; imprecise source (Iridium fallback) →
+    suspect; else good.
+    """
+    if isinstance(inprecise, bool):
+        inprecise = F.lit(inprecise)
+    bad = ((lon > -1) & (lon < 1) & (lat > -1) & (lat < 1)) | (lon == 0) | (lat == 0)
+    if disallow_lon:
+        bad = bad | lon.isin(*[float(x) for x in disallow_lon])
+    if disallow_lat:
+        bad = bad | lat.isin(*[float(x) for x in disallow_lat])
+    in_180 = (lon >= -180) & (lon <= 180) & (lat >= -90) & (lat <= 90)
+    in_360 = (lon >= 0) & (lon <= 360) & (lat >= -90) & (lat <= 90)
+    bad = bad | ~(in_180 | in_360)
+    return (
+        F.when(bad, F.lit(QC_BAD))
+        .when(inprecise, F.lit(QC_SUSPECT))
+        .otherwise(F.lit(QC_GOOD))
+    )
+
+
+def location_quality_py(
+    lon: float,
+    lat: float,
+    inprecise: bool = False,
+    disallow_lon: list[float] | None = None,
+    disallow_lat: list[float] | None = None,
+) -> int:
+    """Python twin of :func:`location_quality` for the row-level
+    mapping transforms (identical rule order)."""
+    if -1 < lon < 1 and -1 < lat < 1:
+        return QC_BAD
+    if lon == 0 or lat == 0:
+        return QC_BAD
+    if disallow_lon and lon in disallow_lon:
+        return QC_BAD
+    if disallow_lat and lat in disallow_lat:
+        return QC_BAD
+    in_180 = -180 <= lon <= 180 and -90 <= lat <= 90
+    in_360 = 0 <= lon <= 360 and -90 <= lat <= 90
+    if not (in_180 or in_360):
+        return QC_BAD
+    if inprecise:
+        return QC_SUSPECT
+    return QC_GOOD
+
+
+def degmin_to_decimal(deg: float, minutes: float) -> float:
+    """Iridium header degrees+minutes → decimal degrees (reference
+    dbsink/tables.py:411-417)."""
+    return float(deg) + float(minutes) / 60
+
+
+def geojson_features(geojson) -> list[dict]:
+    """Normalize FeatureCollection / bare geometry / single Feature to
+    a feature list (reference dbsink/tables.py:247-262); accepts
+    stringified GeoJSON."""
+    import json as _json
+
+    if isinstance(geojson, str):
+        geojson = _json.loads(geojson)
+    if "features" in geojson:
+        return geojson["features"]
+    if "coordinates" in geojson:
+        return [{"type": "Feature", "properties": {}, "geometry": geojson}]
+    if "geometry" in geojson:
+        return [geojson]
+    return []
+
+
+def _coords_wkt(coords) -> str:
+    if not isinstance(coords, (list, tuple)):
+        return str(coords)
+    if coords and not isinstance(coords[0], (list, tuple)):
+        return " ".join(str(c) for c in coords)
+    return "(" + ", ".join(_coords_wkt(c) for c in coords) + ")"
+
+
+def geometry_to_wkt(geom: dict) -> str:
+    """GeoJSON geometry dict → WKT string (Point/LineString/Polygon and
+    Multi* variants)."""
+    gtype = geom["type"]
+    coords = geom["coordinates"]
+    if gtype == "Point":
+        return f"POINT ({_coords_wkt(coords)})"
+    if gtype in ("LineString", "MultiPoint"):
+        return f"{gtype.upper()} ({', '.join(_coords_wkt(c) for c in coords)})"
+    if gtype in ("Polygon", "MultiLineString"):
+        return f"{gtype.upper()} ({', '.join(_coords_wkt(c) for c in coords)})"
+    if gtype == "MultiPolygon":
+        return f"MULTIPOLYGON ({', '.join(_coords_wkt(c) for c in coords)})"
+    raise ValueError(f"unsupported geometry type {gtype}")
+
+
+def union_features_wkt(features: list[dict]) -> str | None:
+    """Merge feature geometries into one WKT.
+
+    The reference dissolves overlapping geometries with shapely
+    ``unary_union`` (dbsink/tables.py:266-269). Without a geometry
+    library we emit the lossless equivalent: the single geometry when
+    there is one feature, else a GEOMETRYCOLLECTION whose true
+    dissolve happens database-side (``ST_Union`` on insert) — the
+    boundary recommended by the survey for Spark engines without Sedona.
+    """
+    geoms = [f["geometry"] for f in features if f.get("geometry")]
+    if not geoms:
+        return None
+    if len(geoms) == 1:
+        return geometry_to_wkt(geoms[0])
+    return "GEOMETRYCOLLECTION (" + ", ".join(geometry_to_wkt(g) for g in geoms) + ")"

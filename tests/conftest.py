@@ -1,0 +1,20 @@
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+FIXTURES = "/root/reference/tests"  # read-only golden inputs
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from dbsink_spark.session import get_spark
+
+    spark = get_spark("dbsink-spark-tests", master="local[8]", shuffle_partitions=8)
+    yield spark
+
+
+def fixture_path(name: str) -> str:
+    return f"{FIXTURES}/{name}"

