@@ -1,0 +1,255 @@
+"""Batched upsert sink: the engine's replacement for the reference's
+one-SQL-round-trip-per-message insert loop (reference
+dbsink/listen.py:137-171).
+
+Key semantics preserved:
+* last-writer-wins upsert on the mapping's unique key (K6,
+  listen.py:160-166) — a micro-batch containing duplicate keys is
+  reduced to the LAST occurrence (by Kafka offset when present) before
+  ``INSERT … ON CONFLICT DO UPDATE``, because batch upserts would
+  otherwise be order-ambiguous;
+* None-omission → column defaults (F6, reference tables.py:304 etc.)
+  — applied as ``coalesce`` with the declared default at write time;
+* ``--no-do-inserts`` dry-run (K7) — transform runs, write is skipped.
+
+Execution modes:
+* ``driver`` — batch rows surface to the driver via Arrow and write
+  over a single DBAPI connection (used by tests with DuckDB, and fine
+  for modest streams; this is what ``foreachBatch`` hands us anyway).
+* ``partition`` — ``df.foreachPartition`` opens a pooled connection
+  per executor partition and writes concurrently (production Postgres
+  path; requires a picklable connection factory, e.g. psycopg2).
+
+At 100 TB the knobs that matter: micro-batch admission
+(``maxOffsetsPerTrigger``), partition count before the write
+(``coalesce`` to match the DB's write concurrency), and the upsert key
+index on the target table.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import L
+from .ddl import create_statements, quoted
+from .mappings.base import ColumnSpec, Mapping
+
+
+def _hstore_text(d: dict | None) -> str | None:
+    if d is None:
+        return None
+    parts = []
+    for k, v in d.items():
+        key = '"' + str(k).replace("\\", "\\\\").replace('"', '\\"') + '"'
+        if v is None:
+            parts.append(f"{key}=>NULL")
+        else:
+            val = '"' + str(v).replace("\\", "\\\\").replace('"', '\\"') + '"'
+            parts.append(f"{key}=>{val}")
+    return ", ".join(parts)
+
+
+@dataclass
+class SinkWriter:
+    mapping: Mapping
+    connect: Callable[[], object]  # DBAPI connection factory
+    dialect: str = "postgres"
+    schema: str | None = None
+    do_inserts: bool = True
+    mode: str = "driver"  # driver | partition
+
+    # -- DDL phase -----------------------------------------------------
+    def ensure_table(self, drop: bool = False, truncate: bool = False) -> None:
+        if not self.do_inserts:
+            return
+        conn = self.connect()
+        try:
+            for stmt in create_statements(
+                self.mapping, self.dialect, self.schema, drop=drop, truncate=truncate
+            ):
+                try:
+                    conn.execute(stmt) if self.dialect == "duckdb" else conn.cursor().execute(stmt)
+                except Exception as e:
+                    # truncate of a missing table is swallowed, as the
+                    # reference does (listen.py:115-119)
+                    if "TRUNCATE" in stmt or "DELETE FROM" in stmt:
+                        L.warning(f"truncate skipped: {e}")
+                    else:
+                        raise
+            self._commit(conn)
+        finally:
+            conn.close()
+
+    # -- write phase ---------------------------------------------------
+    def prepare_batch(self, df: DataFrame) -> DataFrame:
+        """Apply declared defaults (None-omission semantics) and reduce
+        duplicate upsert keys to the last occurrence."""
+        for c in self.mapping.columns:
+            if c.bind == "serial" or c.default is None or c.name not in df.columns:
+                continue
+            if isinstance(c.default, (dict, list)):
+                if isinstance(c.default, dict) and c.bind == "hstore":
+                    df = df.withColumn(
+                        c.name,
+                        F.coalesce(
+                            F.col(c.name),
+                            F.create_map().cast("map<string,string>"),
+                        ),
+                    )
+                else:
+                    df = df.withColumn(
+                        c.name, F.coalesce(F.col(c.name), F.lit(json.dumps(c.default)))
+                    )
+            else:
+                df = df.withColumn(c.name, F.coalesce(F.col(c.name), F.lit(c.default)))
+
+        keys = self.mapping.upsert_keys
+        if keys:
+            order_col = "offset" if "offset" in df.columns else None
+            if order_col is None:
+                df = df.withColumn("__ord", F.monotonically_increasing_id())
+                order_col = "__ord"
+            w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__ord" if "__ord" in df.columns else "__rn")
+            )
+        return df
+
+    def upsert_sql(self, n_cols_placeholder: str = "auto") -> str:
+        cols = [c for c in self.mapping.columns if c.bind != "serial"]
+        table = quoted(self.mapping.table)
+        if self.schema:
+            table = f"{quoted(self.schema)}.{table}"
+        names = ", ".join(quoted(c.name) for c in cols)
+        ph = "%s" if self.dialect == "postgres" else "?"
+        binds = []
+        for c in cols:
+            if self.dialect == "postgres":
+                if c.bind == "jsonb":
+                    binds.append(f"{ph}::jsonb")
+                elif c.bind == "hstore":
+                    binds.append(f"{ph}::hstore")
+                elif c.bind == "geometry":
+                    binds.append(f"ST_GeomFromText({ph}, 4326)")
+                else:
+                    binds.append(ph)
+            else:
+                binds.append(ph)
+        sql = f"INSERT INTO {table} ({names}) VALUES ({', '.join(binds)})"
+        keys = self.mapping.upsert_keys
+        if keys:
+            key_cols = ", ".join(quoted(k) for k in keys)
+            sets = ", ".join(
+                f"{quoted(c.name)} = excluded.{quoted(c.name)}"
+                for c in cols
+                if c.name not in keys
+            )
+            sql += f" ON CONFLICT ({key_cols}) DO UPDATE SET {sets}"
+        return sql
+
+    def _row_params(self, row, cols: list[ColumnSpec]):
+        out = []
+        for c in cols:
+            v = row[c.name]
+            if c.bind == "hstore":
+                if self.dialect == "postgres":
+                    out.append(_hstore_text(v))
+                else:
+                    out.append(None if v is None else json.dumps(v, sort_keys=True))
+            else:
+                out.append(v)
+        return out
+
+    def write_batch(self, df: DataFrame, batch_id: int | None = None) -> int:
+        """foreachBatch body: dedup, then batched upsert. Returns rows
+        written (0 in dry-run mode)."""
+        df = self.prepare_batch(df)
+        out_cols = [c for c in self.mapping.columns if c.bind != "serial"]
+        df = df.select(*[c.name for c in out_cols])
+        if not self.do_inserts:
+            n = df.count()
+            L.info(f"dry-run: {n} rows transformed, inserts skipped")
+            return 0
+        if self.mode == "partition":
+            return self._write_partitions(df, out_cols)
+        rows = df.collect()
+        if not rows:
+            return 0
+        params = [self._row_params(r, out_cols) for r in rows]
+        sql = self.upsert_sql()
+        conn = self.connect()
+        try:
+            if self.dialect == "duckdb":
+                conn.executemany(sql, params)
+            else:
+                with conn.cursor() as cur:
+                    cur.executemany(sql, params)
+            self._commit(conn)
+        finally:
+            conn.close()
+        return len(params)
+
+    def _write_partitions(self, df: DataFrame, out_cols: list[ColumnSpec]) -> int:
+        """Per-partition concurrent writes (production Postgres path)."""
+        sql = self.upsert_sql()
+        connect = self.connect
+        dialect = self.dialect
+        mapping_cols = out_cols
+        writer = self
+
+        def write_part(rows):
+            batch = [writer._row_params(r, mapping_cols) for r in rows]
+            if not batch:
+                return
+            conn = connect()
+            try:
+                with conn.cursor() as cur:
+                    cur.executemany(sql, batch)
+                conn.commit()
+            finally:
+                conn.close()
+
+        df.foreachPartition(write_part)
+        return -1  # count not tracked in distributed mode
+
+    def foreach_batch(self) -> Callable[[DataFrame, int], None]:
+        """Adapter for ``writeStream.foreachBatch``."""
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            n = self.write_batch(batch_df, batch_id)
+            L.info(f"batch {batch_id}: wrote {n} rows")
+
+        return fn
+
+    @staticmethod
+    def _commit(conn) -> None:
+        try:
+            conn.commit()
+        except Exception:
+            pass
+
+
+def duckdb_connect_factory(path: str) -> Callable[[], object]:
+    def connect():
+        import duckdb
+
+        return duckdb.connect(path)
+
+    return connect
+
+
+def postgres_connect_factory(dsn: str) -> Callable[[], object]:  # pragma: no cover
+    def connect():
+        import psycopg2  # gated optional dependency
+
+        return psycopg2.connect(dsn)
+
+    return connect

@@ -1,0 +1,135 @@
+"""Sink tests against DuckDB: DDL, upsert idempotency (the reference's
+integration sequence tests/test_dbsink.py:978-1031), in-batch
+last-writer-wins dedup, dry-run mode, hstore text building."""
+
+import json
+
+import duckdb
+import pytest
+
+from conftest import fixture_path
+
+from dbsink_spark.ddl import create_statements
+from dbsink_spark.mappings import resolve
+from dbsink_spark.sink import SinkWriter, _hstore_text, duckdb_connect_factory
+from dbsink_spark.sources import replay_source
+
+
+@pytest.fixture
+def duck_writer(tmp_path):
+    def make(lookup="GenericFloat", topic="axds-netcdf-replayer-data", **kw):
+        mapping = resolve(lookup, topic, **kw)
+        db = str(tmp_path / "sink.duckdb")
+        return (
+            SinkWriter(mapping, duckdb_connect_factory(db), dialect="duckdb"),
+            db,
+            mapping,
+        )
+
+    return make
+
+
+def table_rows(db, table):
+    con = duckdb.connect(db)
+    try:
+        return con.execute(f'SELECT * FROM "{table}"').fetchall()
+    finally:
+        con.close()
+
+
+def test_ddl_statements_postgres():
+    mapping = resolve("GenericFloat", "some.topic")
+    stmts = create_statements(mapping, "postgres", schema="myschema")
+    joined = "\n".join(stmts)
+    assert 'CREATE SCHEMA IF NOT EXISTS "myschema"' in joined
+    assert "CREATE EXTENSION IF NOT EXISTS hstore" in joined
+    assert '"some-topic"' in joined  # dots become dashes, quoted
+    assert "HSTORE" in joined and "JSONB" in joined and "geometry(POINT,4326)" in joined
+    assert "some_topic_unique_idx" in joined.lower()
+
+
+def test_upsert_idempotent_replay(spark, duck_writer):
+    # synthesized messages with fully non-null upsert keys: replaying
+    # the batch must converge (ON CONFLICT fires). NOTE: with a NULL
+    # key column (e.g. z) unique indexes treat rows as distinct — the
+    # reference has the same behavior in Postgres; our postgres dialect
+    # fixes it with NULLS NOT DISTINCT (see ddl.py), which DuckDB lacks.
+    writer, db, mapping = duck_writer()
+    writer.ensure_table(drop=True)
+    msgs = [
+        {"uid": f"u{i}", "gid": "g", "time": "2020-01-01T00:00:00Z",
+         "lat": 10.0 + i, "lon": 20.0 + i, "z": 1.5, "values": {"n": i}}
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        [("k", json.dumps(m)) for m in msgs], ["key", "value"]
+    )
+    out = mapping.transform(df)
+
+    n1 = writer.write_batch(out)
+    rows1 = table_rows(db, mapping.table)
+    # replay the same batch: upsert converges, no duplicate rows
+    n2 = writer.write_batch(out)
+    rows2 = table_rows(db, mapping.table)
+    assert n1 == n2 == 4
+    assert len(rows1) == len(rows2) == 4
+
+
+def test_in_batch_last_writer_wins(spark, duck_writer):
+    writer, db, mapping = duck_writer(lookup="GenericFieldStatistic", topic="stats")
+    writer.ensure_table(drop=True)
+    msgs = [
+        {"source": "s", "period": "daily", "starting": "2020-01-01T00:00:00Z",
+         "ending": "2020-01-02T00:00:00Z", "values": {"v": 1}},
+        {"source": "s", "period": "daily", "starting": "2020-01-01T00:00:00Z",
+         "ending": "2020-01-02T00:00:00Z", "values": {"v": 2}},
+    ]
+    df = spark.createDataFrame(
+        [("k", json.dumps(m)) for m in msgs], ["key", "value"]
+    )
+    writer.write_batch(mapping.transform(df))
+    rows = table_rows(db, mapping.table)
+    assert len(rows) == 1
+    values_col = json.loads(rows[0][-1])
+    assert values_col == {"v": 2}  # the later message won
+
+
+def test_dry_run_no_inserts(spark, duck_writer, tmp_path):
+    writer, db, mapping = duck_writer()
+    writer.do_inserts = False
+    writer.ensure_table()
+    df = replay_source(spark, fixture_path("replayer.json"))
+    n = writer.write_batch(mapping.transform(df))
+    assert n == 0
+    con = duckdb.connect(db)
+    tables = [t[0] for t in con.execute("SHOW TABLES").fetchall()]
+    con.close()
+    assert mapping.table not in tables  # DDL skipped too
+
+
+def test_defaults_applied(spark, duck_writer):
+    # gid omitted (None) → default '' lands in the table (F6 semantics)
+    writer, db, mapping = duck_writer()
+    writer.ensure_table(drop=True)
+    df = replay_source(spark, fixture_path("replayer.json"))
+    writer.write_batch(mapping.transform(df))
+    con = duckdb.connect(db)
+    gids = [r[0] for r in con.execute(f'SELECT gid FROM "{mapping.table}"').fetchall()]
+    con.close()
+    assert all(g == "" for g in gids)
+
+
+def test_hstore_text():
+    assert _hstore_text(None) is None
+    assert _hstore_text({"a": "1"}) == '"a"=>"1"'
+    assert _hstore_text({"a": None}) == '"a"=>NULL'
+    assert _hstore_text({'q"x': 'v"y'}) == '"q\\"x"=>"v\\"y"'
+
+
+def test_upsert_sql_postgres_binds():
+    mapping = resolve("GenericFloat", "t")
+    w = SinkWriter(mapping, lambda: None, dialect="postgres")
+    sql = w.upsert_sql()
+    assert "ST_GeomFromText(%s, 4326)" in sql
+    assert "%s::jsonb" in sql and "%s::hstore" in sql
+    assert "ON CONFLICT" in sql and "excluded." in sql
