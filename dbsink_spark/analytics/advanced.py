@@ -1,0 +1,261 @@
+"""Advanced relational operators: as-of join, pivot, SQL-text
+interface, correlated-style subqueries, exact percentiles, histograms,
+and the streaming operators' batch twins.
+
+Scale notes (100 TB):
+* The as-of join is the classic timeseries primitive Spark lacks as a
+  builtin. Implemented shuffle-once: union both sides tagged, one
+  window over (user_id, ts) carries the last-seen left row forward —
+  no range join explosion, state is one row per partition key.
+* Pivot uses explicit pivot values (required for a deterministic
+  schema, and avoids the extra distinct-scan job Spark otherwise runs).
+* Exact percentiles use ``percentile`` (interpolating, matching
+  DuckDB's ``quantile_cont``); the approx variants (q33) are the
+  at-scale path and are checked rows-only since sketches differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .tables import Tables, load
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    prior-or-same-time click (union + last-value-forward window).
+
+    One shuffle on user_id; both the tagging and the carry-forward ride
+    the same partitioning.
+    """
+    e = Tables(spark, sf_dir).events
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.col("event_id").alias("click_id"),
+        F.lit(0).alias("side"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("side"),
+    )
+    unioned = clicks.withColumn("purchase_id", F.lit(None).cast("long")).unionByName(
+        purchases.withColumn("click_id", F.lit(None).cast("long"))
+    )
+    # clicks sort before purchases at the same timestamp (side asc), so
+    # "prior or same time" is well-defined and deterministic
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ev_ts", "side", F.coalesce("click_id", "purchase_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("last_click", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "user_id",
+            F.col("purchase_id"),
+            F.col("last_click").alias("click_id"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+def q23_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type."""
+    e = Tables(spark, sf_dir).events
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+def q24_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text surface: register temp views, run plain ANSI SQL
+    (GROUPING SETS) through spark.sql — plans identically to the
+    DataFrame API, proving the engine's SQL front door."""
+    for name in ("lineitem",):
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+def q25_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern: customers whose total spend exceeds
+    their market segment's average (decorrelated as agg + join)."""
+    t = Tables(spark, sf_dir)
+    spend = (
+        t.orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .join(t.customer.select("c_custkey", "c_mktsegment"), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    seg_avg = spend.groupBy("c_mktsegment").agg(F.avg("spend").alias("seg_avg"))
+    return (
+        spend.join(F.broadcast(seg_avg), "c_mktsegment")
+        .filter(F.col("spend") > F.col("seg_avg"))
+        .select("c_custkey", "c_mktsegment", F.round("spend", 2).alias("spend"))
+        .orderBy("c_custkey")
+    )
+
+
+def q26_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolating percentiles per event type (matches
+    DuckDB's quantile_cont)."""
+    e = Tables(spark, sf_dir).events
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q27_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (bucket = floor(value/50))."""
+    e = Tables(spark, sf_dir).events
+    return (
+        e.groupBy(F.floor(F.col("value") / 50).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def q28_stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming tumbling-window operator run in batch mode — the
+    same ``F.window`` expression both modes share (epoch-aligned 1h
+    windows ≡ date_trunc('hour'))."""
+    from ..streaming.stateful import tumbling_aggregate
+
+    e = Tables(spark, sf_dir).events
+    out = tumbling_aggregate(e, "ts", "1 hour", ["event_type"])
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        "n_events",
+    ).orderBy("hour", "event_type")
+
+
+def q29_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (HLL distinct + approx quantiles) — the
+    100 TB path for q10/q26. Sketch internals differ per engine, so the
+    driver records a rows-only check (no oracle entry by design)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("approx_customers"),
+            F.round(F.expr("approx_percentile(o_totalprice, 0.5)"), 2).alias("approx_p50"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q22_asof_join": """
+        WITH tagged AS (
+            SELECT user_id, ts AS ev_ts,
+                   CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+                   CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_id,
+                   CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ), carried AS (
+            SELECT user_id, purchase_id, side,
+                   last_value(click_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ev_ts, side, coalesce(click_id, purchase_id)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+            FROM tagged
+        )
+        SELECT user_id, purchase_id, click_id
+        FROM carried WHERE side = 1
+        ORDER BY user_id, purchase_id
+    """,
+    "q23_pivot": """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click')    AS click,
+               count(*) FILTER (event_type = 'error')    AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup')   AS signup,
+               count(*) FILTER (event_type = 'view')     AS view
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "q24_sql_interface": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """,
+    "q25_above_segment_avg": """
+        WITH spend AS (
+            SELECT o_custkey AS c_custkey, c_mktsegment, sum(o_totalprice) AS spend
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_custkey, c_mktsegment
+        ), seg AS (
+            SELECT c_mktsegment, avg(spend) AS seg_avg FROM spend GROUP BY c_mktsegment
+        )
+        SELECT c_custkey, spend.c_mktsegment, round(spend, 2) AS spend
+        FROM spend JOIN seg ON spend.c_mktsegment = seg.c_mktsegment
+        WHERE spend > seg_avg
+        ORDER BY c_custkey
+    """,
+    "q26_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4)  AS p50,
+               round(quantile_cont(value, 0.9), 4)  AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q27_histogram": """
+        SELECT floor(value / 50)::BIGINT AS bucket, count(*) AS n
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "q28_stream_tumbling_batch": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+               event_type,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    # q29_approx_sketches: intentionally no oracle (engine-specific sketches)
+}
+
+QUERIES = {
+    "q22_asof_join": q22_asof_join,
+    "q23_pivot": q23_pivot,
+    "q24_sql_interface": q24_sql_interface,
+    "q25_above_segment_avg": q25_above_segment_avg,
+    "q26_percentiles": q26_percentiles,
+    "q27_histogram": q27_histogram,
+    "q28_stream_tumbling_batch": q28_stream_tumbling_batch,
+    "q29_approx_sketches": q29_approx_sketches,
+}

@@ -117,23 +117,56 @@ def _minhash_sig(shingle_hashes):
     ]
 
 
+def _hashed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, source, shh (distinct shingle hashes), n_sh — the shared
+    input for every shingle-based dedup operator. Hashing shingles to
+    longs once keeps all downstream joins/set-ops on 8-byte keys
+    instead of ~30-byte strings."""
+    d = Tables(spark, sf_dir).documents
+    # materialize the words array as a column first: HOF lambdas that
+    # capture a split() expression re-evaluate it per element access,
+    # which triples the shingling cost
+    dw = d.withColumn("w", _words()).filter(F.size("w") >= 3)
+    return (
+        dw.select(
+            "doc_id",
+            "source",
+            F.array_distinct(
+                F.transform(_shingles(F.col("w")), lambda s: h64(s))
+            ).alias("shh"),
+        )
+        .withColumn("n_sh", F.size("shh"))
+    )
+
+
+def _verify_jaccard(cand: DataFrame, docs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs via join-back to
+    the hashed shingle arrays (candidates are few; the array op is per
+    candidate, never per cross-pair)."""
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("shh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("shh_b"))
+    jac = F.size(F.array_intersect("shh_a", "shh_b")) / F.size(
+        F.array_union("shh_a", "shh_b")
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection, exact-Jaccard verified.
 
     Candidate pairs come from an equi-join on (band_id, bucket) — the
-    100 TB path — then get verified with exact Jaccard on shingle sets.
+    100 TB path (shuffle keyed by bucket, never a cross join) — then
+    only the candidates pay the exact-Jaccard verification.
     """
-    d = Tables(spark, sf_dir).documents
-    words = _words()
-    docs = (
-        d.filter(F.size(words) >= 3)
-        .select(
-            "doc_id",
-            _shingles(words).alias("sh"),
-        )
-        .withColumn("shh", F.transform(F.col("sh"), lambda s: h64(s)))
-        .select("doc_id", "sh", *_minhash_sig(F.col("shh")))
-    )
+    # cached: consumed three times (signatures + two verify join-backs)
+    docs = _hashed_docs(spark, sf_dir).persist()
+    sigs = docs.select("doc_id", *_minhash_sig(F.col("shh")))
     rows_per_band = MINHASH_K // BANDS
     band_cols = []
     for b in range(BANDS):
@@ -142,9 +175,9 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in range(rows_per_band):
             bucket = bucket * F.lit(1000000007) + F.col(f"mh{b * rows_per_band + r}")
         band_cols.append(F.struct(F.lit(b).alias("band_id"), bucket.alias("bucket")))
-    banded = docs.select(
-        "doc_id", "sh", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", "sh", "bb.band_id", "bb.bucket")
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band_id", "bb.bucket")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -155,20 +188,10 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        cand.select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
-    )
+    return _verify_jaccard(cand, docs)
 
 
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,22 +238,43 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force pairwise 3-gram Jaccard within source blocks — the
-    exact verifier the LSH path approximates."""
-    d = Tables(spark, sf_dir).documents
-    words = _words()
-    docs = d.filter(F.size(words) >= 3).select(
-        "doc_id", "source", _shingles(words).alias("sh")
+    """Exact pairwise 3-gram Jaccard within source blocks via an
+    inverted shingle index — NOT a pairwise array compare.
+
+    Plan shape: explode (doc, shingle_hash) → self-equi-join on the
+    hash (co-partitioned shuffle) → count shared shingles per pair →
+    jaccard = c / (n_a + n_b − c). Pairs with zero shared shingles
+    never materialize, so cost scales with shingle co-occurrence, not
+    docs². (The first cut of this operator compared shingle arrays per
+    cross-pair and took 80 s at sf0.1; this plan runs in seconds and is
+    the shape that survives 100 TB.)
+    """
+    # cache: both join sides reference the same hashed relation; without
+    # it Spark recomputes shingling+md5 per branch
+    docs = _hashed_docs(spark, sf_dir).persist()
+    inv = docs.select(
+        "doc_id", "source", "n_sh", F.explode("shh").alias("h")
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    jaccard = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
-    return (
-        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
+    a = inv.alias("a")
+    b = inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jaccard, 4).alias("jaccard"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jaccard = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+    return (
+        shared.select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
@@ -241,18 +285,17 @@ def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning: at scale the block key is a coarse-quantizer cell)."""
     e = Tables(spark, sf_dir).embeddings
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    docs = e.select("vec_id", "label", v.alias("v"))
+    # norms computed once per vector (not per pair) — halves the
+    # per-pair flops; the pair side only pays one dot product
+    norm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    docs = e.select("vec_id", "label", v.alias("v")).withColumn("nrm", norm)
     a, b = docs.alias("a"), docs.alias("b")
     dot = F.aggregate(
         F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    na = F.sqrt(
-        F.aggregate(F.transform("a.v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    nb = F.sqrt(
-        F.aggregate(F.transform("b.v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    cos = dot / (na * nb)
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
