@@ -9,6 +9,7 @@ still register via the ``dbsink_spark.maps`` entry-point group.
 from __future__ import annotations
 
 from .base import Mapping
+from .fast_float import GenericFloatFast
 from .generic import (
     GenericFieldStatistic,
     GenericFloat,
@@ -37,6 +38,7 @@ BUILTIN: dict[str, type[Mapping]] = {
         NwicFloatReports,
         NwicFloatReportsSofar,
         GenericFieldStatistic,
+        GenericFloatFast,
     )
 }
 

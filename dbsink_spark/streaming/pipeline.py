@@ -38,3 +38,26 @@ def run_stream(
     if trigger:
         stream = stream.trigger(**trigger)
     return stream.start()
+
+
+def listen_transform(
+    source: DataFrame,
+    mapping: Mapping,
+    on_batch,
+    checkpoint: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Library API: transform-as-a-service with no database — the
+    caller's ``on_batch(df, batch_id)`` receives each transformed
+    micro-batch (the reference's ``utils.listen_unpack``,
+    dbsink/utils.py:54-95, where a user callback gets each unpacked +
+    mapped message)."""
+    transformed = mapping.transform(source)
+    stream = (
+        transformed.writeStream.outputMode("append")
+        .foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        stream = stream.trigger(**trigger)
+    return stream.start()
