@@ -12,11 +12,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import advanced, dedup, multimodal, relational, similarity, text
+from . import advanced, dedup, multimodal, relational, similarity, stats, text
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
-for _mod in (relational, advanced, text, dedup, similarity, multimodal):
+for _mod in (relational, advanced, stats, text, dedup, similarity, multimodal):
     QUERIES.update(_mod.QUERIES)
     ORACLE.update(_mod.ORACLE)

@@ -1,0 +1,179 @@
+"""Statistical operators: argmin/argmax, correlation/covariance,
+z-score anomaly detection, conditional aggregation, string functions.
+
+All deterministic (argmax ties broken by struct-lexicographic compare;
+float outputs rounded at the boundary), all with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .tables import Tables
+
+
+def q30_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top order per priority via max_by with a deterministic
+    (price, orderkey) tiebreak tuple."""
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+                "top_orderkey"
+            ),
+            F.round(F.max("o_totalprice"), 2).alias("top_price"),
+            F.expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+                "bottom_orderkey"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q31_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / stddev of value vs the JSON prop k,
+    per event type."""
+    e = Tables(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        e.select("event_type", F.col("value"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", "k"), 4).alias("corr_vk"),
+            F.round(F.covar_samp("value", "k"), 4).alias("covar_vk"),
+            F.round(F.stddev_samp("value"), 4).alias("std_value"),
+            F.round(F.var_samp("value"), 4).alias("var_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q32_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly counts per event type: |z| > 2.5 against the type's own
+    mean/std (window over the full group — one shuffle, stats and
+    scoring share the partitioning)."""
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        e.withColumn("is_anomaly", (F.abs(z) > 2.5).cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("is_anomaly").alias("n_anomalies"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q33_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: case, substring, concat, LIKE,
+    regexp_extract over part names."""
+    p = Tables(spark, sf_dir).part
+    return (
+        p.filter(F.col("p_name").like("%a%"))
+        .select(
+            "p_partkey",
+            F.upper(F.col("p_brand")).alias("brand_upper"),
+            F.substring(F.col("p_name"), 1, 5).alias("name_prefix"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+            F.regexp_extract(F.col("p_name"), "([a-z]+)$", 1).alias("last_word"),
+            F.length("p_name").alias("name_len"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q34_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER/CASE pattern): per-month order
+    stats split by status without multiple scans."""
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))).alias("_f"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))).alias("_o"),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        )
+        .select(
+            "month",
+            F.round(F.coalesce(F.col("_f"), F.lit(0.0)), 2).alias("revenue_f"),
+            F.round(F.coalesce(F.col("_o"), F.lit(0.0)), 2).alias("revenue_o"),
+            "n_urgent",
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q30_argmax": """
+        WITH ranked AS (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_top,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_bot
+            FROM orders
+        )
+        SELECT t.o_orderpriority,
+               t.o_orderkey            AS top_orderkey,
+               round(t.o_totalprice, 2) AS top_price,
+               b.o_orderkey            AS bottom_orderkey
+        FROM ranked t JOIN ranked b
+          ON t.o_orderpriority = b.o_orderpriority AND t.rn_top = 1 AND b.rn_bot = 1
+        ORDER BY t.o_orderpriority
+    """,
+    "q31_corr_stats": """
+        SELECT event_type,
+               round(corr(value, json_extract_string(props,'$.k')::DOUBLE), 4)       AS corr_vk,
+               round(covar_samp(value, json_extract_string(props,'$.k')::DOUBLE), 4) AS covar_vk,
+               round(stddev_samp(value), 4)                                          AS std_value,
+               round(var_samp(value), 4)                                             AS var_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q32_zscore_anomaly": """
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               sum((abs((value - mu) / sd) > 2.5)::INT) AS n_anomalies,
+               count(*)                                 AS n_events
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    "q33_string_funcs": """
+        SELECT p_partkey,
+               upper(p_brand)                        AS brand_upper,
+               substring(p_name, 1, 5)               AS name_prefix,
+               concat_ws('/', p_brand, p_type)       AS brand_type,
+               regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+               length(p_name)                        AS name_len
+        FROM part
+        WHERE p_name LIKE '%a%'
+        ORDER BY p_partkey
+    """,
+    "q34_conditional_agg": """
+        SELECT date_trunc('month', o_orderdate)::DATE AS month,
+               round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS revenue_f,
+               round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2) AS revenue_o,
+               count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1
+    """,
+}
+
+QUERIES = {
+    "q30_argmax": q30_argmax,
+    "q31_corr_stats": q31_corr_stats,
+    "q32_zscore_anomaly": q32_zscore_anomaly,
+    "q33_string_funcs": q33_string_funcs,
+    "q34_conditional_agg": q34_conditional_agg,
+}

@@ -12,7 +12,14 @@ SF_SMOKE = "/root/testdata/sf0.001"
 def spark():
     from dbsink_spark.session import get_spark
 
-    spark = get_spark("dbsink-spark-tests", master="local[8]", shuffle_partitions=8)
+    import tempfile
+
+    spark = get_spark(
+        "dbsink-spark-tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="dbsink-wh-")},
+    )
     yield spark
 
 

@@ -1,0 +1,79 @@
+"""Analytics regression tests: a representative operator subset
+compared against DuckDB at sf0.001 (the full 49-query gate runs via
+tools/check_oracle.py at sf0.01; this keeps the core pairs guarded by
+plain pytest)."""
+
+import math
+
+import duckdb
+import pytest
+
+from dbsink_spark import analytics
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+SUBSET = [
+    "q01_pricing_summary",
+    "q05_multi_join",
+    "q13_window_topk_per_group",
+    "q19_events_sessionize",
+    "q22_asof_join",
+    "q30_argmax",
+    "t03_lang_id",
+    "d01_dedup_exact",
+    "d03_minhash_lsh",
+    "s01_cosine_topk",
+    "m01_media_features",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def norm(v):
+    if v is None:
+        return "␀"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    return str(v)
+
+
+def rowset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = analytics.QUERIES[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(analytics.ORACLE[name])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert rowset(srows, scols) == rowset(drows, dcols)
+
+
+def test_registry_integrity():
+    # every oracle refers to a registered query; no name collisions
+    assert set(analytics.ORACLE) <= set(analytics.QUERIES)
+    assert len(analytics.QUERIES) >= 49
+    # only intentionally-sketchy operators lack an oracle
+    assert set(analytics.QUERIES) - set(analytics.ORACLE) == {"q29_approx_sketches"}
