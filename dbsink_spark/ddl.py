@@ -76,6 +76,19 @@ def create_statements(
         col_defs.append(f"{quoted(c.name)} {sql_type}")
     stmts.append(f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(col_defs)})")
 
+    # create-or-EXTEND: an existing table gains any newly-declared
+    # columns (the reference's reflect + extend_existing + create_all,
+    # listen.py:121-135). ADD COLUMN IF NOT EXISTS is a no-op when the
+    # column already exists in both dialects.
+    for c in mapping.columns:
+        if c.bind == "serial":
+            continue
+        sql_type = c.pg_type if dialect == "postgres" else _duck_type(c)
+        stmts.append(
+            f"ALTER TABLE {table} ADD COLUMN IF NOT EXISTS {quoted(c.name)} "
+            f"{sql_type.replace(' NOT NULL', '')}"
+        )
+
     if mapping.upsert_keys:
         keys = ", ".join(quoted(k) for k in mapping.upsert_keys)
         # Postgres 15+: NULLS NOT DISTINCT makes upsert idempotent even

@@ -133,3 +133,21 @@ def test_upsert_sql_postgres_binds():
     assert "ST_GeomFromText(%s, 4326)" in sql
     assert "%s::jsonb" in sql and "%s::hstore" in sql
     assert "ON CONFLICT" in sql and "excluded." in sql
+
+
+def test_schema_evolution_extends_table(spark, duck_writer, tmp_path):
+    """An existing table gains newly-declared columns on the next
+    startup (reference reflect+extend behavior)."""
+    import duckdb as _duck
+
+    writer, db, mapping = duck_writer()
+    con = _duck.connect(db)
+    # pre-create a narrower legacy table
+    con.execute(f'CREATE TABLE "{mapping.table}" (id INTEGER, uid TEXT)')
+    con.close()
+    writer.ensure_table()
+    con = _duck.connect(db)
+    cols = [r[0] for r in con.execute(f'DESCRIBE "{mapping.table}"').fetchall()]
+    con.close()
+    for expected in ("gid", "time", "lat", "lon", "geom", "values", "payload"):
+        assert expected in cols
