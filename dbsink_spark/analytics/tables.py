@@ -25,6 +25,10 @@ TABLE_NAMES = (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # defensively pin UTC: the harness may hand us a session without it,
+    # and every timestamp-rendering query (date_format/date_trunc)
+    # assumes UTC to match the DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read nanos as long and truncate to microseconds

@@ -90,3 +90,40 @@ def test_tumbling_aggregate_semantics(spark):
     out = tumbling_aggregate(df, "ts", "1 hour", ["event_type"]).collect()
     got = {(r.window_start.hour, r.event_type): r.n_events for r in out}
     assert got == {(0, "a"): 2, (1, "a"): 1, (0, "b"): 1}
+
+
+def test_lake_sink_partitioned(spark, tmp_path):
+    """Typed stream → date-partitioned parquet lake, with pruning."""
+    import os
+
+    from dbsink_spark.lake import foreach_batch_lake
+    from dbsink_spark.mappings import resolve
+
+    indir = tmp_path / "in2"
+    indir.mkdir()
+    with open(fixture_path("replayer.json")) as f:
+        messages = json.load(f)
+    with open(indir / "b0.json", "w") as f:
+        for m in messages:
+            f.write(json.dumps({"key": "k", "value": json.dumps(m)}) + "\n")
+
+    lake = str(tmp_path / "lake")
+    mapping = resolve("GenericFloat", "t")
+    from dbsink_spark.streaming.pipeline import listen_transform
+
+    q = listen_transform(
+        file_stream(spark, str(indir)),
+        mapping,
+        foreach_batch_lake(lake),
+        checkpoint=str(tmp_path / "ckpt2"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    parts = [p for p in os.listdir(lake) if p.startswith("ingest_date=")]
+    assert parts == ["ingest_date=2019-05-07"]
+    back = spark.read.parquet(lake)
+    assert back.count() == 4
+    # partition pruning: date filter reads only the matching folder
+    pruned = back.filter(back.ingest_date == "2019-05-07")
+    assert pruned.count() == 4
