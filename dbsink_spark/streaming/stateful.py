@@ -14,8 +14,13 @@ The reference's only stateful behavior is upsert-as-dedup in Postgres
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def streaming_dedup(
@@ -55,6 +60,86 @@ def tumbling_aggregate(
             *[F.col(k) for k in (keys or [])],
             "n_events",
         )
+    )
+
+
+DEVICE_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("uid", T.StringType()),
+        T.StructField("n_total", T.LongType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("n_gaps", T.LongType()),
+    ]
+)
+
+_DEVICE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_total", T.LongType()),
+        T.StructField("first_ts", T.LongType()),   # epoch µs (state must be flat)
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("n_gaps", T.LongType()),
+    ]
+)
+
+
+def device_state_tracker(
+    df: DataFrame,
+    ts_col: str = "time",
+    gap_seconds: int = 3600,
+) -> DataFrame:
+    """Custom arbitrary-stateful operator (``applyInPandasWithState``):
+    per-device running summary with dropout (gap) detection.
+
+    State per uid = (count, first/last timestamp, gap count); each
+    micro-batch updates it and emits the refreshed summary — the kind
+    of operator the builtin windowed aggregations can't express
+    (state is cross-window and output depends on previous state).
+
+    Works identically over a stream or a batch DataFrame (batch runs
+    as a single "micro-batch" with empty initial state). At 100 TB the
+    state store is keyed by uid — RocksDB state backend, one entry per
+    device, no unbounded growth.
+    """
+    import datetime as _dt
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        if state.exists:
+            n_total, first_us, last_us, n_gaps = state.get
+        else:
+            n_total, first_us, last_us, n_gaps = 0, None, None, 0
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col]))
+        ts_all.sort()
+        for t in ts_all:
+            if last_us is not None and (t - last_us) > gap_seconds * 1_000_000:
+                n_gaps += 1
+            if first_us is None or t < first_us:
+                first_us = t
+            if last_us is None or t > last_us:
+                last_us = t
+            n_total += 1
+        state.update((n_total, first_us, last_us, n_gaps))
+        yield pd.DataFrame(
+            {
+                "uid": [uid],
+                "n_total": [n_total],
+                "first_ts": [_dt.datetime.utcfromtimestamp(first_us / 1e6)],
+                "last_ts": [_dt.datetime.utcfromtimestamp(last_us / 1e6)],
+                "n_gaps": [n_gaps],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return df.groupBy("uid").applyInPandasWithState(
+        update,
+        outputStructType=DEVICE_SUMMARY_SCHEMA,
+        stateStructType=_DEVICE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

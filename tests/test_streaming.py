@@ -127,3 +127,58 @@ def test_lake_sink_partitioned(spark, tmp_path):
     # partition pruning: date filter reads only the matching folder
     pruned = back.filter(back.ingest_date == "2019-05-07")
     assert pruned.count() == 4
+
+
+def test_device_state_tracker_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches
+    (forced via maxFilesPerTrigger=1)."""
+    from dbsink_spark.streaming.stateful import device_state_tracker
+
+    indir = tmp_path / "state_in"
+    indir.mkdir()
+    # batch 1: two observations 10 min apart; batch 2: one after a 2h gap
+    b1 = [
+        {"uid": "dev1", "time": "2024-01-01T00:00:00"},
+        {"uid": "dev1", "time": "2024-01-01T00:10:00"},
+    ]
+    b2 = [{"uid": "dev1", "time": "2024-01-01T02:10:00"}]
+    with open(indir / "b1.json", "w") as f:
+        for m in b1:
+            f.write(json.dumps(m) + "\n")
+    with open(indir / "b2.json", "w") as f:
+        for m in b2:
+            f.write(json.dumps(m) + "\n")
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("uid", T.StringType()), T.StructField("time", T.TimestampType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    out = device_state_tracker(stream, "time", gap_seconds=3600)
+
+    results = []
+
+    def collect(bdf, bid):
+        results.append({r["uid"]: r.asDict() for r in bdf.collect()})
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    finals = [b["dev1"] for b in results if "dev1" in b]
+    assert finals, f"no output batches: {results}"
+    last = finals[-1]
+    assert last["n_total"] == 3          # state accumulated across batches
+    assert last["n_gaps"] == 1           # the 2h dropout detected
+    assert str(last["first_ts"]) == "2024-01-01 00:00:00"
+    assert str(last["last_ts"]) == "2024-01-01 02:10:00"
