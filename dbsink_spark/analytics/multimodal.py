@@ -149,3 +149,57 @@ QUERIES = {
     "m01_media_features": m01_media_features,
     "m02_media_meta_join": m02_media_meta_join,
 }
+
+
+FRAME_SAMPLE_EVERY = 2
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame_hash", T.LongType()),
+    ]
+)
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: chunk each blob into FRAME_BYTES frames and
+    keep every FRAME_SAMPLE_EVERY-th one (video frame-sampling shape)."""
+    rows: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_hash": []}
+    for pdf in batches:
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            for i in range(0, (len(blob) + FRAME_BYTES - 1) // FRAME_BYTES, FRAME_SAMPLE_EVERY):
+                chunk = blob[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(i)
+                rows["frame_len"].append(len(chunk))
+                rows["frame_hash"].append(int(hashlib.md5(chunk).hexdigest()[:15], 16))
+        yield pd.DataFrame(rows)
+        rows = {k: [] for k in rows}
+
+
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over binary media: every 2nd fixed-size frame per
+    payload, with per-frame hash — the video-sampling plumbing (decode
+    stubbed; chunking/batching/schema real and oracle-verified)."""
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "blob").mapInPandas(_frame_batches, FRAMES_SCHEMA)
+
+
+ORACLE["m03_frame_sample"] = f"""
+    WITH frames AS (
+        SELECT doc_id, i.i AS frame_idx,
+               substring(text, i.i * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS chunk
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, 4000)) AS i) i
+        WHERE i.i * {FRAME_BYTES} < length(text)
+          AND i.i % {FRAME_SAMPLE_EVERY} = 0
+    )
+    SELECT doc_id, frame_idx,
+           length(chunk)::BIGINT AS frame_len,
+           {h64_sql('chunk')}    AS frame_hash
+    FROM frames
+"""
+
+QUERIES["m03_frame_sample"] = m03_frame_sample

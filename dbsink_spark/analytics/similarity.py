@@ -223,3 +223,64 @@ QUERIES = {
     "s02_centroid_assign": s02_centroid_assign,
     "s03_hyperplane_lsh": s03_hyperplane_lsh,
 }
+
+
+def s04_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-scale brute-force variant of s01: the corpus streams
+    through an Arrow-batched mapInPandas worker that scores every batch
+    against the (broadcast-by-closure) query matrix with vectorized
+    numpy — the plan that replaces interpreted per-pair HOF folds when
+    the corpus is huge. Rows-only check by design (numpy pairwise
+    summation differs from a sequential fold in the last ulp); pytest
+    cross-checks its rankings against s01.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window as W
+
+    v = _vectors(spark, sf_dir)
+    qrows = v.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    q_ids = [r.vec_id for r in qrows]
+    q_mat = np.array([r.v for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("corpus_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.array(list(pdf["v"]), dtype=np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ q_mat.T  # (batch, n_queries)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n),
+                    "corpus_id": np.tile(pdf["vec_id"].values, len(q_ids)),
+                    "cosine": sims.T.reshape(-1),
+                }
+            )
+
+    scored = (
+        v.filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", "v")
+        .mapInPandas(score, out_schema)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "corpus_id", F.round("cosine", 4).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES["s04_numpy_topk"] = s04_numpy_topk

@@ -177,3 +177,33 @@ QUERIES = {
     "q33_string_funcs": q33_string_funcs,
     "q34_conditional_agg": q34_conditional_agg,
 }
+
+
+def q35_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: sorted distinct priority list per segment —
+    collect_set/sort_array surface with a list-valued oracle compare."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE["q35_array_agg"] = """
+    SELECT c_mktsegment,
+           list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+QUERIES["q35_array_agg"] = q35_array_agg

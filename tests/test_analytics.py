@@ -74,6 +74,24 @@ def test_query_matches_oracle(spark, duck, name):
 def test_registry_integrity():
     # every oracle refers to a registered query; no name collisions
     assert set(analytics.ORACLE) <= set(analytics.QUERIES)
-    assert len(analytics.QUERIES) >= 49
-    # only intentionally-sketchy operators lack an oracle
-    assert set(analytics.QUERIES) - set(analytics.ORACLE) == {"q29_approx_sketches"}
+    assert len(analytics.QUERIES) >= 52
+    # only intentionally engine-specific operators lack an oracle:
+    # q29 (sketches differ per engine), s04 (numpy pairwise summation)
+    assert set(analytics.QUERIES) - set(analytics.ORACLE) == {
+        "q29_approx_sketches",
+        "s04_numpy_topk",
+    }
+
+
+def test_numpy_topk_matches_exact_path(spark):
+    """s04 (vectorized numpy scale path) must produce the same rankings
+    as s01 (exact sequential-fold path) — sims agree to float noise."""
+    exact = analytics.QUERIES["s01_cosine_topk"](spark, SF_DIR).collect()
+    fast = analytics.QUERIES["s04_numpy_topk"](spark, SF_DIR).collect()
+    assert len(exact) == len(fast)
+    e = {(r["query_id"], r["rank"]): (r["corpus_id"], r["cosine"]) for r in exact}
+    f = {(r["query_id"], r["rank"]): (r["corpus_id"], r["cosine"]) for r in fast}
+    assert set(e) == set(f)
+    for k in e:
+        assert e[k][0] == f[k][0], k          # same neighbor
+        assert abs(e[k][1] - f[k][1]) < 1e-3  # same similarity
