@@ -53,8 +53,11 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # money/rate avgs: round the sum to input precision before
+            # dividing so both engines divide identical doubles (see
+            # q36 note on 2^a*5^b-count rounding-boundary flakes)
+            F.round(F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -192,7 +195,7 @@ def q10_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1)), 4).alias("avg_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -323,7 +326,7 @@ def q18_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias("avg_value"),
         )
         .orderBy("hour", "event_type")
     )
@@ -404,8 +407,8 @@ ORACLE: dict[str, str] = {
                round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
                round(avg(l_quantity), 4)                                           AS avg_qty,
-               round(avg(l_extendedprice), 4)                                      AS avg_price,
-               round(avg(l_discount), 4)                                           AS avg_disc,
+               round(round(sum(l_extendedprice), 2) / count(*), 4)                 AS avg_price,
+               round(round(sum(l_discount), 2) / count(*), 4)                      AS avg_disc,
                count(*)                                                            AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -473,7 +476,7 @@ ORACLE: dict[str, str] = {
         SELECT o_orderpriority,
                count(DISTINCT o_custkey)   AS n_customers,
                count(*)                    AS n_orders,
-               round(avg(o_totalprice), 4) AS avg_price
+               round(round(sum(o_totalprice), 2) / count(*), 4) AS avg_price
         FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
@@ -541,7 +544,7 @@ ORACLE: dict[str, str] = {
                event_type,
                count(*)             AS n_events,
                round(sum(value), 2) AS sum_value,
-               round(avg(value), 4) AS avg_value
+               round(round(sum(value), 2) / count(*), 4) AS avg_value
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2

@@ -207,3 +207,52 @@ ORACLE["q35_array_agg"] = """
 """
 
 QUERIES["q35_array_agg"] = q35_array_agg
+
+
+def q36_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern (hypertable rollup): minute-level
+    partials roll up to hours, hours to days — each level aggregates
+    the PREVIOUS level's partials (sum/count compose; avg derives),
+    never rescanning the raw events. At 100 TB this is the
+    materialized-rollup hierarchy; here all three levels run in one
+    plan to prove the composition is exact."""
+    e = Tables(spark, sf_dir).events
+    minute = (
+        e.groupBy(
+            F.date_trunc("minute", "ts").alias("minute"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    hour = (
+        minute.groupBy(
+            F.date_trunc("hour", "minute").alias("hour"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    # avg derives from the composed partials. The sum is rounded to the
+    # input precision (2dp) BEFORE the division: otherwise engines whose
+    # summation order differs in the last ulp can straddle a rounding
+    # boundary when count is 2^a·5^b (observed: sum/64 of 2dp money ==
+    # exactly 5 decimals == a .00005 boundary at round-4).
+    day = (
+        hour.groupBy(F.date_trunc("day", "hour").cast("date").alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.round(F.sum("sv"), 2) / F.sum("n"), 4).alias("avg_value"),
+        )
+    )
+    return day.orderBy("day", "event_type")
+
+
+ORACLE["q36_hierarchical_rollup"] = """
+    SELECT date_trunc('day', ts)::DATE AS day,
+           event_type,
+           count(*)                                  AS n_events,
+           round(round(sum(value), 2) / count(*), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+QUERIES["q36_hierarchical_rollup"] = q36_hierarchical_rollup
