@@ -132,20 +132,20 @@ def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min portable-hash over word 3-shingles
     (minhash with k=1 — the winnowing-style content fingerprint)."""
     d = Tables(spark, sf_dir).documents
-    words = _words()
+    # materialize the words array first — HOF lambdas re-evaluate a
+    # captured split() per element access (see dedup._hashed_docs)
+    dw = d.withColumn("w", _words()).filter(F.size("w") >= 3)
+    w = F.col("w")
     shingles = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 2),
+        F.sequence(F.lit(1), F.size(w) - 2),
         lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
         ),
     )
     from ..functions.hashing import h64
 
     fp = F.array_min(F.transform(shingles, lambda s: h64(s)))
-    return (
-        d.filter(F.size(words) >= 3)
-        .select("doc_id", "source", fp.alias("fingerprint"))
-    )
+    return dw.select("doc_id", "source", fp.alias("fingerprint"))
 
 
 ORACLE: dict[str, str] = {
