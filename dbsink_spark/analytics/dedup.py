@@ -282,28 +282,49 @@ def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (IVF-style
-    pruning: at scale the block key is a coarse-quantizer cell)."""
+    pruning: at scale the block key is a coarse-quantizer cell).
+
+    Each label block is scored as one vectorized numpy gram matrix
+    inside ``applyInPandas`` (float64) — the interpreted per-pair HOF
+    fold version of this operator was 5x slower at sf0.1. Numpy's
+    pairwise summation differs from a sequential fold only in the last
+    ulp; cosines of real-valued data sit on a round-4 or threshold
+    boundary with probability ~0, so the oracle comparison holds
+    (unlike decimal-money averages, which DO need the round-sum-first
+    treatment — see stats.q36).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
     e = Tables(spark, sf_dir).embeddings
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    # norms computed once per vector (not per pair) — halves the
-    # per-pair flops; the pair side only pays one dot product
-    norm = F.sqrt(
-        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    docs = e.select("vec_id", "label", v.alias("v")).withColumn("nrm", norm)
-    a, b = docs.alias("a"), docs.alias("b")
-    dot = F.aggregate(
-        F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        ids = pdf["vec_id"].values
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        # enforce vec_a < vec_b regardless of block row order
+        a_ids, b_ids = ids[ia], ids[ib]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        s = np.round(sims[ia, ib], 4)
+        keep = s >= COSINE_DUP_THRESHOLD
+        return pd.DataFrame({"vec_a": lo[keep], "vec_b": hi[keep], "cosine": s[keep]})
+
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 4).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        e.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(score_block, out_schema)
         .orderBy("vec_a", "vec_b")
     )
 

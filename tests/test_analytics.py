@@ -95,3 +95,18 @@ def test_numpy_topk_matches_exact_path(spark):
     for k in e:
         assert e[k][0] == f[k][0], k          # same neighbor
         assert abs(e[k][1] - f[k][1]) < 1e-3  # same similarity
+
+
+def test_sql_front_door(spark):
+    """analytics.sql: ANSI SQL string over registered tables."""
+    out = analytics.sql(
+        spark,
+        SF_DIR,
+        """
+        SELECT r_name, count(*) AS n_nations
+        FROM region JOIN nation ON r_regionkey = n_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """,
+    ).collect()
+    assert len(out) == 5
+    assert sum(r.n_nations for r in out) == 25
