@@ -376,7 +376,10 @@ def q20_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            # integer-exact scaled average: avg*10000 truncated. Emitting a
+            # float avg invites last-ulp drift between engines' round()
+            # implementations (BigDecimal vs multiply/divide); div is exact.
+            F.expr("(10000 * sum(k)) div count(1)").alias("avg_k_e4"),
         )
         .orderBy("event_type")
     )
@@ -579,7 +582,7 @@ ORACLE: dict[str, str] = {
         SELECT event_type,
                count(*)                                  AS n_events,
                sum(json_extract_string(props, '$.k')::BIGINT)   AS sum_k,
-               round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k
+               ((10000 * sum(json_extract_string(props, '$.k')::BIGINT)) // count(*))::BIGINT AS avg_k_e4
         FROM events
         GROUP BY event_type
         ORDER BY event_type

@@ -53,13 +53,38 @@ def q31_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q32_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomaly counts per event type: |z| > 2.5 against the type's own
-    mean/std (window over the full group — one shuffle, stats and
-    scoring share the partitioning)."""
+    sample mean/std.
+
+    The predicate is evaluated in integer-exact arithmetic: event values
+    are exact 2-decimal doubles, so ``w = round(value*100)`` is an exact
+    per-row integer and |z| > 2.5 is equivalent to
+
+        4*(w*n - S)^2 * (n-1)  >  25 * n * (n*Q - S^2)
+
+    with S = sum(w), Q = sum(w^2), n = count — all BIGINT-exact, hence
+    independent of summation order / partitioning / engine. The r01
+    float formulation flipped counts between runs when a value's |z|
+    sat within summation-order drift of 2.5. Intermediate products are
+    DECIMAL(38,0) (actual magnitudes ≤ 1e27 at sf1 — no overflow).
+    Plan shape: one partial-aggregated groupBy + a broadcast join of
+    the tiny per-type stats back onto the events — scales linearly."""
     e = Tables(spark, sf_dir).events
-    w = Window.partitionBy("event_type")
-    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    w = e.withColumn("w", F.round(F.col("value") * 100).cast("long"))
+    stats = w.groupBy("event_type").agg(
+        F.sum("w").alias("s"),
+        F.sum(F.expr("w * w")).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    d = F.expr("cast(w as decimal(38,0)) * n - s")
+    lhs = F.expr("4 * _d * _d * cast(n - 1 as decimal(38,0))")
+    rhs = F.expr(
+        "25 * cast(n as decimal(38,0))"
+        " * (cast(n as decimal(38,0)) * q - cast(s as decimal(38,0)) * s)"
+    )
     return (
-        e.withColumn("is_anomaly", (F.abs(z) > 2.5).cast("int"))
+        w.join(F.broadcast(stats), "event_type")
+        .withColumn("_d", d)
+        .withColumn("is_anomaly", (lhs > rhs).cast("int"))
         .groupBy("event_type")
         .agg(
             F.sum("is_anomaly").alias("n_anomalies"),
@@ -137,14 +162,21 @@ ORACLE: dict[str, str] = {
         ORDER BY event_type
     """,
     "q32_zscore_anomaly": """
-        WITH stats AS (
-            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
-            FROM events GROUP BY event_type
+        WITH w AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS w
+            FROM events
+        ), stats AS (
+            SELECT event_type,
+                   sum(w)::HUGEINT     AS s,
+                   sum(w * w)::HUGEINT AS q,
+                   count(*)::HUGEINT   AS n
+            FROM w GROUP BY event_type
         )
         SELECT e.event_type,
-               sum((abs((value - mu) / sd) > 2.5)::INT) AS n_anomalies,
-               count(*)                                 AS n_events
-        FROM events e JOIN stats s ON e.event_type = s.event_type
+               sum((4 * (e.w * n - s) * (e.w * n - s) * (n - 1)
+                    > 25 * n * (n * q - s * s))::INT)::BIGINT AS n_anomalies,
+               count(*) AS n_events
+        FROM w e JOIN stats USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type
     """,
@@ -181,7 +213,9 @@ QUERIES = {
 
 def q35_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: sorted distinct priority list per segment —
-    collect_set/sort_array surface with a list-valued oracle compare."""
+    collect_set/sort_array surface. Emitted as a '|'-joined string:
+    the driver's pandas canonicalizer can't hash list cells (r01
+    TypeError), and a joined string is hash-equivalent."""
     t = Tables(spark, sf_dir)
     return (
         t.orders.join(
@@ -190,7 +224,9 @@ def q35_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_mktsegment")
         .agg(
-            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.concat_ws("|", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+                "priorities"
+            ),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("c_mktsegment")
@@ -199,7 +235,7 @@ def q35_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q35_array_agg"] = """
     SELECT c_mktsegment,
-           list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
            count(*) AS n_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment

@@ -122,7 +122,10 @@ def t04_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ws").alias("ws_tokens"),
             F.sum("re").alias("re_tokens"),
             F.sum("nc").alias("total_chars"),
-            F.round(F.avg("ws"), 4).alias("avg_ws_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            # integer-exact scaled average (see q20_events_json): float
+            # round(avg) drifted a ulp between engines; div never does.
+            F.expr("(10000 * sum(ws)) div count(1)").alias("avg_ws_e4"),
         )
         .orderBy("source")
     )
@@ -202,7 +205,8 @@ ORACLE: dict[str, str] = {
                sum(len(string_split(text,' ')))                       AS ws_tokens,
                sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS re_tokens,
                sum(length(text))                                      AS total_chars,
-               round(avg(len(string_split(text,' '))), 4)             AS avg_ws_tokens
+               count(*)                                               AS n_docs,
+               ((10000 * sum(len(string_split(text,' ')))) // count(*))::BIGINT AS avg_ws_e4
         FROM documents
         GROUP BY source
         ORDER BY source
