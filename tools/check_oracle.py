@@ -64,8 +64,13 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # verify the FULL surface locally (incl. UNGATED entries the
+    # driver-facing 50-row registry filters out)
+    from dbsink_spark import analytics
+
+    qs = dict(analytics.ALL_QUERIES)
+    oracles = dict(analytics.ALL_ORACLE)
+    assert set(entrymod.queries()) <= set(qs)
     names = sys.argv[1:] or sorted(qs)
     failures = 0
     for name in names:
