@@ -38,8 +38,9 @@ from .tables import Tables
 MINHASH_K = 8
 BANDS = 4  # rows-per-band = MINHASH_K // BANDS = 2
 JACCARD_THRESHOLD = 0.1
-SIMHASH_BITS = 32
-SIMHASH_RADIUS = 10
+SIMHASH_BITS = 48
+SIMHASH_RADIUS = 3
+SIMHASH_BANDS = 4  # 12-bit bands; radius 3 ⇒ pigeonhole: ≥1 band matches exactly
 COSINE_DUP_THRESHOLD = 0.45
 
 
@@ -195,18 +196,28 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit signature over distinct word hashes;
-    pairs within hamming radius, blocked by source.
+    """SimHash near-dup: 48-bit signature over distinct word hashes,
+    all pairs within hamming radius 3 — found via pigeonhole band
+    buckets, never an O(n²) self-join.
 
-    The signature is a pure column expression (nested array HOFs), the
-    pair search is a blocked self-join + bit_count — no UDFs.
+    Candidate generation (the 100 TB shape, published in Manku et al.
+    WWW'07): hamming(a,b) ≤ 3 means at most 3 of the 4 disjoint 12-bit
+    bands differ, so at least one band matches EXACTLY — candidates are
+    an equi-join on (band_id, band_value), a hash-partitioned shuffle
+    whose cost tracks band-bucket occupancy (n/2^12 per bucket under a
+    near-uniform signature distribution), not docs². Exact bit_count
+    verify runs on candidates only. Result is provably identical to the
+    brute-force oracle pair set.
+
+    The signature is a pure column expression (one groupBy with 48
+    literal-shift aggregates), the joins are equi-joins — no UDFs.
     """
     d = Tables(spark, sf_dir).documents
-    # explode distinct words, then build the 32 majority-vote bits as
+    # explode distinct words, then build the 48 majority-vote bits as
     # literal-shift aggregate expressions in ONE groupBy (shift amounts
     # must be python ints for shiftright/shiftleft)
     exploded = d.select(
-        "doc_id", "source", F.explode(F.array_distinct(_words())).alias("w")
+        "doc_id", F.explode(F.array_distinct(_words())).alias("w")
     ).withColumn("h", h64(F.col("w")))
     bit_aggs = [
         F.sum(
@@ -214,7 +225,7 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"vote{j}")
         for j in range(SIMHASH_BITS)
     ]
-    votes = exploded.groupBy("doc_id", "source").agg(*bit_aggs)
+    votes = exploded.groupBy("doc_id").agg(*bit_aggs)
     sig = None
     for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"vote{j}") > 0, F.lit(1).cast("long")).otherwise(
@@ -222,16 +233,47 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         term = F.shiftleft(term, j)
         sig = term if sig is None else sig + term
-    sigs = votes.select("doc_id", "source", sig.alias("simhash"))
-    a, b = sigs.alias("a"), sigs.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+    sigs = votes.select("doc_id", sig.alias("simhash"))
+
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.shiftright("simhash", j * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band_id", "bb.band_val")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sig_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            F.col("b.simhash").alias("sig_b"),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_RADIUS)
         .orderBy("doc_a", "doc_b")
     )
@@ -280,17 +322,25 @@ def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (IVF-style
-    pruning: at scale the block key is a coarse-quantizer cell).
+D06_TILE_ROWS = 1024  # gram-matrix tile height: bounds per-task memory
 
-    Each label block is scored as one vectorized numpy gram matrix
-    inside ``applyInPandas`` (float64) — the interpreted per-pair HOF
-    fold version of this operator was 5x slower at sf0.1. Numpy's
-    pairwise summation differs from a sequential fold only in the last
-    ulp; cosines of real-valued data sit on a round-4 or threshold
-    boundary with probability ~0, so the oracle comparison holds
-    (unlike decimal-money averages, which DO need the round-sum-first
+
+def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by the IVF coarse-
+    quantizer cell (``similarity.centroid_cells``) — the geometric
+    blocking key that replaces brute force at scale, not a metadata
+    label.
+
+    Each cell block is scored with vectorized numpy (float64) inside
+    ``applyInPandas`` — the interpreted per-pair HOF fold version of
+    this operator was 5x slower at sf0.1. The gram matrix is computed
+    in fixed-height TILES so a skewed cell costs bounded memory
+    (O(TILE × block) per step, never O(block²) at once); output is
+    identical to the whole-matrix form. Numpy's pairwise summation
+    differs from a sequential fold only in the last ulp; cosines of
+    real-valued data sit on a round-4 or threshold boundary with
+    probability ~0, so the oracle comparison holds (unlike
+    decimal-money averages, which DO need the round-sum-first
     treatment — see stats.q36).
     """
     import numpy as np
@@ -298,7 +348,10 @@ def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
+    from .similarity import centroid_cells
+
     e = Tables(spark, sf_dir).embeddings
+    cells = centroid_cells(spark, sf_dir).select("vec_id", "cell")
     out_schema = T.StructType(
         [
             T.StructField("vec_a", T.LongType()),
@@ -311,19 +364,34 @@ def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = np.array(list(pdf["embedding"]), dtype=np.float64)
         ids = pdf["vec_id"].values
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        # enforce vec_a < vec_b regardless of block row order
-        a_ids, b_ids = ids[ia], ids[ib]
-        lo = np.minimum(a_ids, b_ids)
-        hi = np.maximum(a_ids, b_ids)
-        s = np.round(sims[ia, ib], 4)
-        keep = s >= COSINE_DUP_THRESHOLD
-        return pd.DataFrame({"vec_a": lo[keep], "vec_b": hi[keep], "cosine": s[keep]})
+        n = len(ids)
+        cols = np.arange(n)
+        outs = []
+        for s0 in range(0, n, D06_TILE_ROWS):
+            tile = m[s0 : s0 + D06_TILE_ROWS] @ m.T  # (t, n)
+            rows = np.arange(s0, min(s0 + D06_TILE_ROWS, n))[:, None]
+            sims = np.round(tile, 4)
+            keep = (cols[None, :] > rows) & (sims >= COSINE_DUP_THRESHOLD)
+            ia, ib = np.nonzero(keep)
+            a_ids, b_ids = ids[ia + s0], ids[ib]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        # enforce vec_a < vec_b regardless of block row order
+                        "vec_a": np.minimum(a_ids, b_ids),
+                        "vec_b": np.maximum(a_ids, b_ids),
+                        "cosine": sims[ia, ib],
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        return pd.concat(outs, ignore_index=True)
 
     return (
-        e.select("vec_id", "label", "embedding")
-        .groupBy("label")
+        e.select("vec_id", "embedding")
+        .join(cells, "vec_id")
+        .groupBy("cell")
         .applyInPandas(score_block, out_schema)
         .orderBy("vec_a", "vec_b")
     )
@@ -398,11 +466,11 @@ ORACLE: dict[str, str] = {
     """,
     "d04_simhash": f"""
         WITH hashes AS (
-            SELECT doc_id, source,
+            SELECT doc_id,
                    list_transform(list_distinct(string_split(text,' ')), w -> {h64_sql('w')}) AS hs
             FROM documents
         ), sigs AS (
-            SELECT doc_id, source,
+            SELECT doc_id,
                    list_sum(list_transform(
                        generate_series(0, {SIMHASH_BITS - 1}),
                        j -> CASE WHEN list_sum(list_transform(hs,
@@ -411,9 +479,10 @@ ORACLE: dict[str, str] = {
                    ))::BIGINT AS simhash
             FROM hashes
         )
+        -- brute force: the engine's banded plan must equal this pair set
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                bit_count(xor(a.simhash, b.simhash)) AS hamming
-        FROM sigs a JOIN sigs b ON a.source = b.source AND a.doc_id < b.doc_id
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_RADIUS}
         ORDER BY doc_a, doc_b
     """,
@@ -434,13 +503,35 @@ ORACLE: dict[str, str] = {
     "d06_embedding_near_dup": f"""
         WITH v AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ), dims AS (
+            SELECT label, i.i AS pos, v[i.i] AS x
+            FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+        ), cent_dims AS (
+            SELECT label, pos, avg(x) AS c FROM dims GROUP BY label, pos
+        ), cent AS (
+            SELECT label AS cent_label, list(c ORDER BY pos) AS cv
+            FROM cent_dims GROUP BY label
+        ), scored AS (
+            SELECT v.vec_id, cent.cent_label,
+                   list_sum([ (v.v[i] - cent.cv[i]) * (v.v[i] - cent.cv[i])
+                              for i in generate_series(1, 64) ]) AS d2
+            FROM v CROSS JOIN cent
+        ), cells AS (
+            SELECT vec_id, cent_label AS cell
+            FROM (SELECT vec_id, cent_label,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d2 ASC, cent_label) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        ), blocked AS (
+            SELECT v.vec_id, cells.cell, v.v FROM v JOIN cells USING (vec_id)
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(
                  list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))])
                  / (sqrt(list_sum([x * x for x in a.v]))
                     * sqrt(list_sum([x * x for x in b.v]))), 4) AS cosine
-        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM blocked a JOIN blocked b ON a.cell = b.cell AND a.vec_id < b.vec_id
         WHERE round(
                  list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))])
                  / (sqrt(list_sum([x * x for x in a.v]))

@@ -101,10 +101,16 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def s02_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse quantizer: per-label mean centroid, assign every
-    vector to the nearest centroid (L2), emit the label×cell confusion
-    counts."""
+def centroid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: (vec_id, label, cell) — every vector
+    assigned to its nearest per-label-mean centroid (L2, deterministic
+    centroid-name tiebreak). The integer-keyed cell is the blocking /
+    bucketing key the brute-force ops use at scale (d06 blocks on it).
+
+    At 100 TB the centroids would come from sampled k-means; the
+    per-label mean is the deterministic, oracle-reproducible stand-in
+    with the same plan shape (tiny broadcast centroid table, corpus
+    never shuffled for assignment)."""
     v = _vectors(spark, sf_dir)
     # centroids: posexplode → avg per (label, pos) → re-assemble ordered
     dims = v.select("label", F.posexplode("v").alias("pos", "x"))
@@ -131,7 +137,16 @@ def s02_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .groupBy("label", F.col("cent_label").alias("assigned"))
+        .select("vec_id", "label", F.col("cent_label").alias("cell"))
+    )
+
+
+def s02_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment: label×cell confusion counts
+    over ``centroid_cells``."""
+    return (
+        centroid_cells(spark, sf_dir)
+        .groupBy("label", F.col("cell").alias("assigned"))
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("label", "assigned")
     )
