@@ -105,7 +105,12 @@ def setup(
     if datafile:
         from .sources import replay_source
 
-        df = replay_source(spark, datafile, packing=packing)
+        df = replay_source(
+            spark,
+            datafile,
+            packing=packing,
+            **({"registry_url": registry, "subject": topic} if packing == "avro" else {}),
+        )
         n = writer.write_batch(mapping.transform(df))
         L.info(f"replayed {datafile}: {n} rows written to {mapping.table}")
 

@@ -47,30 +47,98 @@ JSON_CODEC = Codec("json", _json_pack, _json_unpack)
 
 
 def _msgpack_codec() -> Codec:
+    """Reference contract (dbsink/utils.py:42-45): packb use_bin_type,
+    loads use_list=False raw=False. Real wheel when present, else the
+    spec-conforming pure-python fallback (wire/msgpack_lite.py)."""
     try:
         import msgpack  # type: ignore
-    except ImportError as e:  # pragma: no cover - gated dependency
-        raise ImportError("msgpack is not installed; use packing='json'") from e
 
-    return Codec(
-        "msgpack",
-        lambda obj: msgpack.packb(obj, use_bin_type=True),
-        lambda raw: msgpack.loads(raw, use_list=False, raw=False),
-    )
+        return Codec(
+            "msgpack",
+            lambda obj: msgpack.packb(obj, use_bin_type=True),
+            lambda raw: msgpack.loads(raw, use_list=False, raw=False),
+        )
+    except ImportError:
+        from .wire import msgpack_lite
 
-
-def _avro_codec(registry_url: str) -> Codec:  # pragma: no cover - gated dependency
-    raise ImportError(
-        "avro decoding requires a Schema Registry client; in Spark use "
-        "pyspark.sql.avro.functions.from_avro with the fetched schema JSON"
-    )
+        return Codec("msgpack", msgpack_lite.packb, msgpack_lite.unpackb)
 
 
-def get_codec(packing: str = "json", registry_url: str | None = None) -> Codec:
+def avro_codec_from_schema(schema: object, schema_id: int = 1) -> Codec:
+    """Avro codec bound to one parsed schema: packs with Confluent
+    framing under ``schema_id``, unpacks any message framed with that
+    id (raises on id mismatch — a registry-backed codec resolves other
+    ids; see ``_avro_codec``)."""
+    from .wire import avro_lite
+
+    if isinstance(schema, str):
+        import json as _json
+
+        schema = _json.loads(schema)
+
+    def pack(obj) -> bytes:
+        return avro_lite.frame(schema_id, avro_lite.dumps(schema, obj))
+
+    def unpack(raw: bytes):
+        sid, body = avro_lite.unframe(raw)
+        if sid != schema_id:
+            raise ValueError(f"message schema id {sid} != bound id {schema_id}")
+        return avro_lite.loads(schema, body)
+
+    return Codec("avro", pack, unpack)
+
+
+def _avro_codec(registry_url: str, subject: str | None = None) -> Codec:
+    """Registry-driven Avro codec (reference dbsink/utils.py:33-41):
+    unpack resolves the schema id embedded in each Confluent-framed
+    message against the registry (cached); pack uses the subject's
+    latest schema. Requires a reachable registry URL."""
+    if not registry_url:
+        raise ValueError("Avro packing requested but no schema registry url was found!")
+    from .wire import avro_lite
+
+    client = avro_lite.RegistryClient(registry_url)
+    latest: list = []  # lazy (schema_id, schema) for the pack side
+
+    def pack(obj) -> bytes:
+        if not latest:
+            if not subject:
+                raise ValueError("avro pack needs a subject (topic) for schema lookup")
+            latest.append(client.latest(f"{subject}-value"))
+        sid, schema = latest[0]
+        return avro_lite.frame(sid, avro_lite.dumps(schema, obj))
+
+    def unpack(raw: bytes):
+        sid, body = avro_lite.unframe(raw)
+        return avro_lite.loads(client.schema_by_id(sid), body)
+
+    return Codec("avro", pack, unpack)
+
+
+def spark_from_avro(df, value_col: str, schema_json: str):
+    """JVM fast path: decode a binary Avro column with spark-avro's
+    ``from_avro`` (whole-stage codegen, no Python). Raises a clear
+    error when the spark-avro module isn't on the classpath (it is an
+    external Spark module; this environment lacks it — the pure-python
+    codec above is the fallback path, and the wiring here is tested
+    skip-marked)."""
+    from pyspark.sql.avro.functions import from_avro
+
+    return df.withColumn(value_col, from_avro(value_col, schema_json))
+
+
+def get_codec(
+    packing: str = "json",
+    registry_url: str | None = None,
+    subject: str | None = None,
+    avro_schema: object | None = None,
+) -> Codec:
     if packing == "json":
         return JSON_CODEC
     if packing == "msgpack":
         return _msgpack_codec()
     if packing == "avro":
-        return _avro_codec(registry_url or "")
+        if avro_schema is not None:
+            return avro_codec_from_schema(avro_schema)
+        return _avro_codec(registry_url or "", subject)
     raise ValueError(f"unknown packing {packing!r}")

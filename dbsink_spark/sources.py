@@ -28,25 +28,35 @@ KV_SCHEMA = T.StructType(
 
 
 def replay_source(
-    spark: SparkSession, datafile: str, packing: str = "json"
+    spark: SparkSession, datafile: str, packing: str = "json", **codec_kwargs
 ) -> DataFrame:
     """Bounded replay of a JSON-array file through the wire codec.
 
-    Each element is re-packed through the codec (simulating the wire,
-    as the reference does — listen.py:173-177) then carried as the
-    string ``value`` column. Small files load driver-side; at scale
-    point ``spark.read.json`` at a directory of JSONL instead.
+    Each element is round-tripped through the codec — pack to wire
+    bytes, unpack back (simulating the wire exactly as the reference
+    consume loop does: pack on produce, unpack on receive —
+    listen.py:173-177, utils.py:42-49) — then carried as a canonical
+    JSON string ``value`` column for the mapping transform. Binary
+    packings (msgpack, avro) are therefore exercised losslessly rather
+    than mangled into a unicode column. Small files load driver-side;
+    at scale point ``spark.read.json`` at a directory of JSONL instead.
     """
-    codec = get_codec(packing)
+    codec = get_codec(packing, **codec_kwargs)
     with open(datafile) as f:
         messages = json.load(f)
     rows = []
     for m in messages:
-        packed = codec.pack(m)
-        if isinstance(packed, bytes):
-            packed = packed.decode("utf-8", errors="replace")
-        rows.append((None, packed))
+        unpacked = codec.unpack(codec.pack(m))
+        rows.append((None, json.dumps(unpacked, default=_wire_default)))
     return spark.createDataFrame(rows, KV_SCHEMA)
+
+
+def _wire_default(o):
+    """JSON fallback for wire-only types (msgpack tuples arrive as
+    tuples already handled by json; bytes become latin-1 strings)."""
+    if isinstance(o, (bytes, bytearray)):
+        return o.decode("latin-1")
+    raise TypeError(f"not JSON serializable: {type(o).__name__}")
 
 
 def jsonl_source(spark: SparkSession, path: str) -> DataFrame:

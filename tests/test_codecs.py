@@ -1,0 +1,216 @@
+"""Wire codec tests: msgpack (pure-python fallback), Avro binary +
+Confluent framing + registry client, and the codec-threaded replay
+source. Ports the reference's pack/unpack contract
+(reference dbsink/utils.py:42-49; tests/test_dbsink.py packing cases).
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import math
+import threading
+
+import pytest
+
+from dbsink_spark.codecs import avro_codec_from_schema, get_codec
+from dbsink_spark.sources import replay_source
+from dbsink_spark.wire import avro_lite, msgpack_lite
+
+from conftest import fixture_path
+
+MSG = {
+    "uid": "unit_abc123",
+    "gid": None,
+    "time": "2024-01-02T03:04:05Z",
+    "lat": 33.9,
+    "lon": -118.4,
+    "z": 0.0,
+    "values": {"speed": 1.5, "n_sats": 7, "ok": True, "note": "calm", "gap": None},
+    "meta": "{}",
+}
+
+
+# ------------------------------------------------------------- msgpack
+
+def test_msgpack_lite_roundtrip_nested():
+    obj = {
+        "s": "héllo",
+        "n": None,
+        "t": True,
+        "f": False,
+        "i": [0, 1, 127, 128, 255, 256, 65535, 65536, 2**32, -1, -32, -33, -129, -(2**31) - 1],
+        "d": 3.141592653589793,
+        "b": b"\x00\xffraw",
+        "long_s": "x" * 300,
+        "nested": {"k": (1, 2, 3)},
+    }
+    out = msgpack_lite.unpackb(msgpack_lite.packb(obj))
+    # arrays decode as tuples (use_list=False contract)
+    assert out["i"] == tuple(obj["i"])
+    assert out["nested"]["k"] == (1, 2, 3)
+    assert out["s"] == obj["s"] and out["long_s"] == obj["long_s"]
+    assert out["b"] == obj["b"]
+    assert out["d"] == obj["d"]
+
+
+def test_msgpack_lite_canonical_bytes():
+    # spec vectors (smallest representation)
+    assert msgpack_lite.packb({"a": 1}) == b"\x81\xa1a\x01"
+    assert msgpack_lite.packb([1, -2, "x"]) == b"\x93\x01\xfe\xa1x"
+    assert msgpack_lite.packb(None) == b"\xc0"
+    assert msgpack_lite.packb(True) == b"\xc3"
+    assert msgpack_lite.packb(200) == b"\xcc\xc8"
+    import struct
+
+    assert msgpack_lite.packb(1.5) == b"\xcb" + struct.pack(">d", 1.5)
+
+
+def test_msgpack_codec_contract():
+    codec = get_codec("msgpack")
+    out = codec.unpack(codec.pack(MSG))
+    assert out["uid"] == MSG["uid"]
+    assert out["values"]["n_sats"] == 7
+    assert out["values"]["gap"] is None
+
+
+# ---------------------------------------------------------------- avro
+
+def _schema():
+    with open("/root/reference/schema.avsc") as f:
+        return json.load(f)
+
+
+def test_avro_roundtrip_reference_schema():
+    schema = _schema()
+    body = avro_lite.dumps(schema, MSG)
+    out = avro_lite.loads(schema, body)
+    assert out["uid"] == MSG["uid"]
+    assert out["gid"] is None
+    assert out["lat"] == MSG["lat"]
+    assert out["values"]["speed"] == 1.5
+    assert out["values"]["n_sats"] == 7
+    assert out["values"]["ok"] is True
+    assert out["values"]["gap"] is None
+    assert out["meta"] == "{}"
+
+
+def test_avro_confluent_framing():
+    schema = _schema()
+    codec = avro_codec_from_schema(schema, schema_id=42)
+    wire = codec.pack(MSG)
+    assert wire[0] == 0 and int.from_bytes(wire[1:5], "big") == 42
+    assert codec.unpack(wire)["uid"] == MSG["uid"]
+    with pytest.raises(ValueError):
+        avro_lite.unframe(b"\x01bogus")
+
+
+def test_avro_nan_double_carries():
+    # avro double carries NaN as IEEE bits (no json-style scrub)
+    out = avro_lite.loads("double", avro_lite.dumps("double", float("nan")))
+    assert math.isnan(out)
+
+
+class _RegistryHandler(http.server.BaseHTTPRequestHandler):
+    SCHEMAS = {7: json.dumps({"type": "string"})}
+
+    def do_GET(self):  # noqa: N802
+        if self.path == "/schemas/ids/7":
+            payload = {"schema": self.SCHEMAS[7]}
+        elif self.path == "/subjects/things-value/versions/latest":
+            payload = {"id": 7, "schema": self.SCHEMAS[7], "version": 1}
+        else:
+            self.send_error(404)
+            return
+        body = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+def test_avro_registry_client_end_to_end():
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _RegistryHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}"
+        codec = get_codec("avro", registry_url=url, subject="things")
+        wire = codec.pack("hello")
+        assert avro_lite.unframe(wire)[0] == 7
+        assert codec.unpack(wire) == "hello"
+        # id-based resolution path (fresh client, no subject)
+        codec2 = get_codec("avro", registry_url=url)
+        assert codec2.unpack(wire) == "hello"
+    finally:
+        srv.shutdown()
+
+
+def test_avro_requires_registry():
+    with pytest.raises(ValueError):
+        get_codec("avro")
+
+
+def test_spark_from_avro_wiring(spark):
+    """JVM from_avro fast path: this environment lacks the external
+    spark-avro module, so the wiring must surface Spark's own
+    AVRO_NOT_LOADED error (when the jar IS present, the same call
+    decodes)."""
+    from dbsink_spark.codecs import spark_from_avro
+
+    df = spark.createDataFrame([(b"\x02",)], "value binary")
+    try:
+        out = spark_from_avro(df, "value", '"int"').collect()
+    except Exception as e:  # AnalysisException: AVRO_NOT_LOADED...
+        assert "AVRO" in str(e).upper()
+        pytest.skip("spark-avro module not on classpath (expected here)")
+    assert out[0]["value"] == 1  # pragma: no cover - jar-present env
+
+
+# ------------------------------------------------------ replay threading
+
+def test_replay_source_msgpack_equals_json(spark):
+    a = replay_source(spark, fixture_path("replayer.json"), packing="json").collect()
+    b = replay_source(spark, fixture_path("replayer.json"), packing="msgpack").collect()
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert json.loads(ra.value) == json.loads(rb.value)
+
+
+# replayer.json's meta is a json object (schema.avsc carries meta as a
+# string), so the replay test binds a schema matching the fixture shape
+REPLAYER_SCHEMA = {
+    "type": "record",
+    "name": "replayer",
+    "fields": [
+        {"name": "uid", "type": "string"},
+        {"name": "gid", "type": ["null", "string"], "default": None},
+        {"name": "time", "type": "string"},
+        {"name": "lat", "type": "double"},
+        {"name": "lon", "type": "double"},
+        {"name": "z", "type": ["null", "double"], "default": None},
+        {"name": "meta", "type": ["null", {"type": "map", "values": "string"}], "default": None},
+        {
+            "name": "values",
+            "type": [
+                "null",
+                {
+                    "type": "map",
+                    "values": ["null", "boolean", "long", "double", "string"],
+                },
+            ],
+        },
+    ],
+}
+
+
+def test_replay_source_avro_schema_bound(spark):
+    rows = replay_source(
+        spark,
+        fixture_path("replayer.json"),
+        packing="avro",
+        avro_schema=REPLAYER_SCHEMA,
+    ).collect()
+    assert rows and all(json.loads(r.value)["uid"] for r in rows)
