@@ -131,18 +131,52 @@ def geometry_to_wkt(geom: dict) -> str:
 
 
 def union_features_wkt(features: list[dict]) -> str | None:
-    """Merge feature geometries into one WKT.
+    """Merge feature geometries into one WKT (in-engine dissolve).
 
-    The reference dissolves overlapping geometries with shapely
-    ``unary_union`` (dbsink/tables.py:266-269). Without a geometry
-    library we emit the lossless equivalent: the single geometry when
-    there is one feature, else a GEOMETRYCOLLECTION whose true
-    dissolve happens database-side (``ST_Union`` on insert) — the
-    boundary recommended by the survey for Spark engines without Sedona.
+    The reference dissolves geometries with shapely ``unary_union``
+    (dbsink/tables.py:266-269). Tiered behavior:
+
+    1. shapely importable → exact ``unary_union`` parity (noding,
+       overlap dissolve, everything).
+    2. fallback (this environment): exact-duplicate geometries are
+       deduplicated and same-type features assemble into the MULTI*
+       geometry — identical to ``unary_union`` for disjoint inputs
+       (the reference's multi-feature fixtures: 10 disjoint drift
+       trajectories → MULTILINESTRING). Documented divergence: inputs
+       that CROSS or OVERLAP would additionally be noded/dissolved by
+       shapely; the fallback leaves them unmerged (a database-side
+       ``ST_Union`` on insert closes even that gap).
     """
     geoms = [f["geometry"] for f in features if f.get("geometry")]
     if not geoms:
         return None
-    if len(geoms) == 1:
-        return geometry_to_wkt(geoms[0])
-    return "GEOMETRYCOLLECTION (" + ", ".join(geometry_to_wkt(g) for g in geoms) + ")"
+    try:  # exact reference parity when a geometry engine is present
+        from shapely.geometry import shape
+        from shapely.ops import unary_union
+
+        return unary_union([shape(g) for g in geoms]).wkt
+    except ImportError:
+        pass
+    # dedupe exact duplicates (unary_union merges identical geometries)
+    seen: set[str] = set()
+    wkts: list[str] = []
+    kinds: list[str] = []
+    for g in geoms:
+        w = geometry_to_wkt(g)
+        if w not in seen:
+            seen.add(w)
+            wkts.append(w)
+            kinds.append(g["type"])
+    if len(wkts) == 1:
+        return wkts[0]
+    if all(k == "Point" for k in kinds):
+        return "MULTIPOINT (" + ", ".join(w[len("POINT ") :] for w in wkts) + ")"
+    if all(k == "LineString" for k in kinds):
+        return (
+            "MULTILINESTRING ("
+            + ", ".join(w[len("LINESTRING ") :] for w in wkts)
+            + ")"
+        )
+    if all(k == "Polygon" for k in kinds):
+        return "MULTIPOLYGON (" + ", ".join(w[len("POLYGON ") :] for w in wkts) + ")"
+    return "GEOMETRYCOLLECTION (" + ", ".join(wkts) + ")"

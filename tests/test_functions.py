@@ -145,4 +145,48 @@ def test_geometry_wkt():
             {"geometry": {"type": "Point", "coordinates": [3, 4]}},
         ]
     )
-    assert multi.startswith("GEOMETRYCOLLECTION (POINT (1 2), POINT (3 4)")
+    assert multi == "MULTIPOINT ((1 2), (3 4))"
+
+
+def test_geometry_dissolve_dedup_and_multiline():
+    # unary_union semantics for the fallback: exact duplicates merge
+    dup = union_features_wkt(
+        [
+            {"geometry": {"type": "Point", "coordinates": [1, 2]}},
+            {"geometry": {"type": "Point", "coordinates": [1, 2]}},
+        ]
+    )
+    assert dup == "POINT (1 2)"
+    mixed = union_features_wkt(
+        [
+            {"geometry": {"type": "Point", "coordinates": [1, 2]}},
+            {"geometry": {"type": "LineString", "coordinates": [[0, 0], [1, 1]]}},
+        ]
+    )
+    assert mixed.startswith("GEOMETRYCOLLECTION (")
+
+
+def test_geometry_dissolve_reference_traj_multi():
+    """Reference multi-feature fixture: 10 disjoint drift trajectories
+    dissolve to ONE MULTILINESTRING (reference dbsink/tables.py:266-269
+    merges with unary_union; reference test asserts one output row)."""
+    import json
+
+    from conftest import fixture_path
+
+    msgs = json.load(open(fixture_path("driftworker-traj-multi.json")))
+    feats = msgs[0]["geojson"]["features"]
+    wkt = union_features_wkt(feats)
+    assert wkt.startswith("MULTILINESTRING (")
+    assert wkt.count("(") == 1 + len(feats)  # one ring per trajectory
+
+
+def test_geometry_dissolve_reference_envelopes():
+    import json
+
+    from conftest import fixture_path
+
+    msgs = json.load(open(fixture_path("driftworker-envelopes.json")))
+    for m in msgs:
+        wkt = union_features_wkt(m["geojson"]["features"])
+        assert wkt.startswith("POLYGON (")
