@@ -37,8 +37,10 @@ def location_quality(
     bad; either coord exactly 0 ("null island") → bad; coord in an
     explicit disallow list (e.g. lon 181 / lat 91 sentinels,
     tables.py:501-506) → bad; outside both the -180..180 and 0..360
-    longitude frames → bad; imprecise source (Iridium fallback) →
-    suspect; else good.
+    longitude frames → bad (STRICT bounds: the reference tests frame
+    membership with shapely ``within``, which excludes the boundary, so
+    lat = ±90 or lon = ±180/0/360 exactly is bad); imprecise source
+    (Iridium fallback) → suspect; else good.
     """
     if isinstance(inprecise, bool):
         inprecise = F.lit(inprecise)
@@ -47,8 +49,8 @@ def location_quality(
         bad = bad | lon.isin(*[float(x) for x in disallow_lon])
     if disallow_lat:
         bad = bad | lat.isin(*[float(x) for x in disallow_lat])
-    in_180 = (lon >= -180) & (lon <= 180) & (lat >= -90) & (lat <= 90)
-    in_360 = (lon >= 0) & (lon <= 360) & (lat >= -90) & (lat <= 90)
+    in_180 = (lon > -180) & (lon < 180) & (lat > -90) & (lat < 90)
+    in_360 = (lon > 0) & (lon < 360) & (lat > -90) & (lat < 90)
     bad = bad | ~(in_180 | in_360)
     return (
         F.when(bad, F.lit(QC_BAD))
@@ -74,8 +76,8 @@ def location_quality_py(
         return QC_BAD
     if disallow_lat and lat in disallow_lat:
         return QC_BAD
-    in_180 = -180 <= lon <= 180 and -90 <= lat <= 90
-    in_360 = 0 <= lon <= 360 and -90 <= lat <= 90
+    in_180 = -180 < lon < 180 and -90 < lat < 90
+    in_360 = 0 < lon < 360 and -90 < lat < 90
     if not (in_180 or in_360):
         return QC_BAD
     if inprecise:

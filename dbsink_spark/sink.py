@@ -63,6 +63,19 @@ class SinkWriter:
     schema: str | None = None
     do_inserts: bool = True
     mode: str = "driver"  # driver | partition
+    # Conflict-update semantics (documented divergence, reference
+    # listen.py:160-166 `set_=newvalues` updates only the keys PRESENT
+    # in the message dict):
+    #   'overwrite' — last-writer-wins over ALL non-key columns; a NULL
+    #     (or default-filled) field in the new message replaces existing
+    #     data. Simple, deterministic, the default.
+    #   'preserve'  — partial-update parity: DO UPDATE SET col =
+    #     COALESCE(excluded.col, existing) for non-key columns, and
+    #     declared defaults are only applied to key columns, so a field
+    #     the message omitted (NULL) keeps the stored value, like the
+    #     reference's absent-dict-key. (A message can then not
+    #     intentionally null a column — the one residual divergence.)
+    update_mode: str = "overwrite"  # overwrite | preserve
 
     # -- DDL phase -----------------------------------------------------
     def ensure_table(self, drop: bool = False, truncate: bool = False) -> None:
@@ -80,6 +93,12 @@ class SinkWriter:
                     # reference does (listen.py:115-119)
                     if "TRUNCATE" in stmt or "DELETE FROM" in stmt:
                         L.warning(f"truncate skipped: {e}")
+                        # psycopg2 runs all statements in one implicit
+                        # transaction which the failure ABORTS — without
+                        # a rollback every later DDL raises
+                        # InFailedSqlTransaction (DuckDB autocommits, so
+                        # this is a no-op there)
+                        self._rollback(conn)
                     else:
                         raise
             self._commit(conn)
@@ -90,9 +109,12 @@ class SinkWriter:
     def prepare_batch(self, df: DataFrame) -> DataFrame:
         """Apply declared defaults (None-omission semantics) and reduce
         duplicate upsert keys to the last occurrence."""
+        keyset = set(self.mapping.upsert_keys or [])
         for c in self.mapping.columns:
             if c.bind == "serial" or c.default is None or c.name not in df.columns:
                 continue
+            if self.update_mode == "preserve" and c.name not in keyset:
+                continue  # keep NULL = "field absent" for COALESCE update
             if isinstance(c.default, (dict, list)):
                 if isinstance(c.default, dict) and c.bind == "hstore":
                     df = df.withColumn(
@@ -147,11 +169,24 @@ class SinkWriter:
         keys = self.mapping.upsert_keys
         if keys:
             key_cols = ", ".join(quoted(k) for k in keys)
-            sets = ", ".join(
-                f"{quoted(c.name)} = excluded.{quoted(c.name)}"
-                for c in cols
-                if c.name not in keys
-            )
+            if self.update_mode == "preserve":
+                # alias the target: a schema-qualified name can't be
+                # referenced inside DO UPDATE SET on Postgres
+                sql = sql.replace(
+                    f"INSERT INTO {table} (", f"INSERT INTO {table} AS __t (", 1
+                )
+                sets = ", ".join(
+                    f"{quoted(c.name)} = COALESCE(excluded.{quoted(c.name)}, "
+                    f"__t.{quoted(c.name)})"
+                    for c in cols
+                    if c.name not in keys
+                )
+            else:
+                sets = ", ".join(
+                    f"{quoted(c.name)} = excluded.{quoted(c.name)}"
+                    for c in cols
+                    if c.name not in keys
+                )
             sql += f" ON CONFLICT ({key_cols}) DO UPDATE SET {sets}"
         return sql
 
@@ -233,6 +268,13 @@ class SinkWriter:
     def _commit(conn) -> None:
         try:
             conn.commit()
+        except Exception:
+            pass
+
+    @staticmethod
+    def _rollback(conn) -> None:
+        try:
+            conn.rollback()
         except Exception:
             pass
 

@@ -32,11 +32,22 @@ def streaming_dedup(
     """Watermarked exact dedup on the mapping's upsert keys.
 
     Rows whose key was already seen within the watermark horizon are
-    dropped; state older than ``delay`` is reclaimed. Downstream the
-    sink's ON CONFLICT still guarantees terminal idempotency — this
-    operator exists to cut redundant sink traffic at scale.
+    dropped, via ``dropDuplicatesWithinWatermark`` — the operator whose
+    state IS evicted by the watermark for arbitrary key subsets.
+    (Plain ``dropDuplicates(keys)`` only reclaims state when the
+    event-time column is part of ``keys``; for a pure key subset its
+    state grows forever.) Downstream the sink's ON CONFLICT still
+    guarantees terminal idempotency — this operator exists to cut
+    redundant sink traffic at scale.
     """
-    return df.withWatermark(ts_col, delay).dropDuplicates(keys)
+    wm = df.withWatermark(ts_col, delay)
+    if not df.isStreaming:
+        # batch twin: no state to bound, plain exact dedup
+        return wm.dropDuplicates(keys)
+    try:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    except AttributeError:  # pragma: no cover - Spark < 3.5
+        return wm.dropDuplicates([*keys, ts_col])
 
 
 def tumbling_aggregate(

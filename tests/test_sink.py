@@ -119,6 +119,48 @@ def test_defaults_applied(spark, duck_writer):
     assert all(g == "" for g in gids)
 
 
+def test_preserve_update_mode_partial_message(spark, duck_writer):
+    """update_mode='preserve': a NULL (absent) field in a replayed
+    message keeps the stored value instead of overwriting it
+    (reference partial-update parity — listen.py:160-166 set_ only
+    touches keys present in the message dict)."""
+    writer, db, mapping = duck_writer()
+    writer.update_mode = "preserve"
+    writer.ensure_table(drop=True)
+    df = replay_source(spark, fixture_path("replayer.json"))
+    writer.write_batch(mapping.transform(df))
+    before = {
+        r[0]: r[1]
+        for r in duckdb.connect(db)
+        .execute(f'SELECT uid, lat FROM "{mapping.table}"')
+        .fetchall()
+    }
+    assert before and all(v is not None for v in before.values())
+
+    # replay the same messages with lat nulled out → lat must survive
+    import json as _json
+
+    with open(fixture_path("replayer.json")) as f:
+        msgs = _json.load(f)
+    for m in msgs:
+        m["lat"] = None
+        m["lon"] = None
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as tf:
+        _json.dump(msgs, tf)
+        path = tf.name
+    df2 = replay_source(spark, path)
+    writer.write_batch(mapping.transform(df2))
+    after = {
+        r[0]: r[1]
+        for r in duckdb.connect(db)
+        .execute(f'SELECT uid, lat FROM "{mapping.table}"')
+        .fetchall()
+    }
+    assert after == before  # stored coordinates preserved
+
+
 def test_hstore_text():
     assert _hstore_text(None) is None
     assert _hstore_text({"a": "1"}) == '"a"=>"1"'

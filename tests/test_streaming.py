@@ -9,6 +9,8 @@ import duckdb
 
 from conftest import fixture_path
 
+from pyspark.sql import functions as F
+
 from dbsink_spark.mappings import resolve
 from dbsink_spark.sink import SinkWriter, duckdb_connect_factory
 from dbsink_spark.sources import file_stream
@@ -73,6 +75,43 @@ def test_streaming_dedup_semantics(spark):
     )
     out = streaming_dedup(df, ["uid"], "time", "10 minutes").collect()
     assert len(out) == 2
+
+
+def test_streaming_dedup_streaming_mode_bounded_state(spark, tmp_path):
+    """True streaming path: dropDuplicatesWithinWatermark (key-subset
+    dedup whose state the watermark actually evicts)."""
+    from datetime import datetime
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rows = [
+        {"uid": "u1", "time": "2024-01-01T00:00:00", "n": 1},
+        {"uid": "u1", "time": "2024-01-01T00:01:00", "n": 2},
+        {"uid": "u2", "time": "2024-01-01T00:02:00", "n": 3},
+    ]
+    with open(indir / "b0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    src = (
+        spark.readStream.schema("uid string, time string, n long")
+        .json(str(indir))
+        .withColumn("time", F.to_timestamp("time"))
+    )
+    deduped = streaming_dedup(src, ["uid"], "time", "10 minutes")
+    plan = deduped._jdf.queryExecution().logical().toString().lower()
+    assert "withinwatermark" in plan, plan
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.uid for r in spark.sql("SELECT * FROM dedup_stream").collect()}
+    assert got == {"u1", "u2"}
+    assert spark.sql("SELECT count(*) FROM dedup_stream").collect()[0][0] == 2
 
 
 def test_tumbling_aggregate_semantics(spark):
