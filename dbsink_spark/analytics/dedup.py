@@ -256,26 +256,37 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", "bb.band_id", "bb.band_val")
 
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    joined = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.simhash").alias("sig_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("b.simhash").alias("sig_b"),
+        F.col("a.band_id").alias("band_id"),
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # emit each pair exactly once WITHOUT a dedup shuffle: keep the pair
+    # only on its FIRST matching band (map-side bit check on the carried
+    # signatures — cheaper than dropDuplicates over the candidate set)
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    # band j is the first match iff bands 0..j-1 all differ
+    conds = []
+    for j in range(SIMHASH_BANDS):
+        c = F.lit(True)
+        for i in range(j):
+            c = c & (F.shiftright(xor, i * width).bitwiseAND(F.lit(mask)) != 0)
+        conds.append((F.col("band_id") == j) & c)
+    first_match = conds[0]
+    for c in conds[1:]:
+        first_match = first_match | c
+    hamming = F.bit_count(xor)
     return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        joined.filter(first_match)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_RADIUS)
-        .orderBy("doc_a", "doc_b")
     )
 
 
