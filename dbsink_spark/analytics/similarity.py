@@ -133,11 +133,11 @@ def centroid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = v.join(F.broadcast(cent)).select(
         "vec_id", "label", "cent_label", dist2.alias("d2")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cent_label"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", F.col("cent_label").alias("cell"))
+    # argmin via min_by with a (d2, cent_label) tiebreak tuple: one hash
+    # aggregate with map-side partials — no window sort shuffle
+    return scored.groupBy("vec_id").agg(
+        F.first("label").alias("label"),
+        F.expr("min_by(cent_label, struct(d2, cent_label))").alias("cell"),
     )
 
 
