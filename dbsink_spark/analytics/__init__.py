@@ -23,7 +23,18 @@ from . import advanced, dedup, multimodal, relational, similarity, stats, text
 #   q28_stream_tumbling_batch — result-identical to q18 (hourly counts)
 #   d02_dedup_rate          — scalar derived from d01's gated numbers
 UNGATED = frozenset(
-    {"q24_sql_interface", "q28_stream_tumbling_batch", "d02_dedup_rate"}
+    {
+        "q24_sql_interface",
+        "q28_stream_tumbling_batch",
+        "d02_dedup_rate",
+        # round-2 additions beyond the driver's 50-row gate — fully
+        # oracle-verified locally (tools/check_oracle.py) + benched:
+        "s05_ivf_topk",
+        "t06_repetition",
+        "t07_winnowing",
+        "d07_phrase_dedup",
+        "q37_time_gapfill",
+    }
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

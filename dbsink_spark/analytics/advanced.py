@@ -295,3 +295,55 @@ QUERIES = {
     "q28_stream_tumbling_batch": q28_stream_tumbling_batch,
     "q29_approx_sketches": q29_approx_sketches,
 }
+
+
+def q37_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill: a dense hourly series per event type
+    (generated with sequence/explode — no data shuffle to build the
+    spine) left-joined onto the hourly counts, empty buckets filled
+    with 0 — the time_bucket_gapfill pattern for continuous dashboards.
+
+    The spine is (types × hours): types come from a tiny distinct agg,
+    the hour series is generated from the global min/max — both
+    broadcast; the only real shuffle is the hourly count aggregate."""
+    e = Tables(spark, sf_dir).events
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    return (
+        spine.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE["q37_time_gapfill"] = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ), hours AS (
+        SELECT unnest(generate_series(date_trunc('hour', min(ts)),
+                                      date_trunc('hour', max(ts)),
+                                      INTERVAL 1 HOUR)) AS hour
+        FROM events
+    ), types AS (SELECT DISTINCT event_type FROM events)
+    SELECT h.hour, t.event_type, coalesce(x.n_events, 0) AS n_events
+    FROM hours h CROSS JOIN types t
+    LEFT JOIN hourly x ON x.hour = h.hour AND x.event_type = t.event_type
+    ORDER BY h.hour, t.event_type
+"""
+
+QUERIES["q37_time_gapfill"] = q37_time_gapfill

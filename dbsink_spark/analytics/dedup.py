@@ -559,3 +559,62 @@ QUERIES = {
     "d05_ngram_jaccard": d05_ngram_jaccard,
     "d06_embedding_near_dup": d06_embedding_near_dup,
 }
+
+
+PHRASE_K = 5  # phrase length (words) for boilerplate mining
+PHRASE_MIN_DOCS = 3  # phrase must appear in >= this many distinct docs
+
+
+def d07_phrase_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus repeated-phrase mining (boilerplate detection): the
+    word 5-grams that recur across ``PHRASE_MIN_DOCS``+ distinct
+    documents, with occurrence and document counts — what a training
+    pipeline strips before near-dedup (CCNet-style boilerplate pass).
+
+    Plan shape: explode (doc, phrase-hash) → one hash aggregate keyed
+    by the 60-bit phrase hash (the shuffle carries 8-byte keys, never
+    phrase text; the representative phrase rides along as a min() so
+    output is human-readable). Linear in corpus size.
+    """
+    d = Tables(spark, sf_dir).documents
+    dw = d.withColumn("w", _words()).filter(F.size("w") >= PHRASE_K)
+    w = F.col("w")
+    phrases = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (PHRASE_K - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(PHRASE_K)]),
+    )
+    exploded = dw.select("doc_id", F.explode(phrases).alias("phrase")).select(
+        "doc_id", "phrase", h64(F.col("phrase")).alias("ph")
+    )
+    return (
+        exploded.groupBy("ph")
+        .agg(
+            F.min("phrase").alias("phrase"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= PHRASE_MIN_DOCS)
+        .select("phrase", "n_occurrences", "n_docs")
+    )
+
+
+ORACLE["d07_phrase_dedup"] = f"""
+    WITH dw AS (
+        SELECT doc_id, string_split(text,' ') AS w
+        FROM documents
+        WHERE len(string_split(text,' ')) >= {PHRASE_K}
+    ), exploded AS (
+        SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                       for i in generate_series(1, len(w) - {PHRASE_K - 1})]) AS phrase
+        FROM dw
+    )
+    SELECT min(phrase) AS phrase,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM exploded
+    GROUP BY {h64_sql('phrase')}
+    HAVING count(DISTINCT doc_id) >= {PHRASE_MIN_DOCS}
+"""
+
+QUERIES["d07_phrase_dedup"] = d07_phrase_dedup

@@ -308,6 +308,130 @@ def s04_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["s04_numpy_topk"] = s04_numpy_topk
 
+N_PROBE = 2  # cells probed per query in the IVF search path
+
+
+def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-k — the search path that s02's
+    quantizer exists for: each query scores ONLY the vectors whose
+    coarse cell is among the query's ``N_PROBE`` nearest centroids,
+    instead of the whole corpus.
+
+    Plan shape at 100 TB: corpus partitioned/bucketed by cell id; a
+    query touches N_PROBE cell partitions (partition pruning on an
+    integer key), so cost scales with probed-cell occupancy, not corpus
+    size. Here: centroid table is tiny (broadcast twice — once to pick
+    probe cells, once implicit in cell assignment); the candidate join
+    is an equi-join on the cell id.
+    """
+    v = _vectors(spark, sf_dir)
+    cells = centroid_cells(spark, sf_dir).select("vec_id", "cell")
+
+    # per-query probe list: N_PROBE nearest centroids (by L2 to the
+    # query vector) — reuse the same per-label mean centroids
+    dims = v.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cent_label"), "cv")
+    )
+    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cent_label"))
+    probes = (
+        queries.join(F.broadcast(cent))
+        .select("query_id", "qv", "cent_label", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qv", F.col("cent_label").alias("cell"))
+    )
+
+    corpus = (
+        v.filter(F.col("vec_id") >= N_QUERIES)
+        .select(F.col("vec_id").alias("corpus_id"), F.col("v").alias("cv2"))
+        .join(cells.withColumnRenamed("vec_id", "corpus_id"), "corpus_id")
+    )
+    cos = _dot(F.col("qv"), F.col("cv2")) / (_norm(F.col("qv")) * _norm(F.col("cv2")))
+    scored = corpus.join(F.broadcast(probes), "cell").select(
+        "query_id", "corpus_id", cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "corpus_id", F.round("cosine", 4).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES["s05_ivf_topk"] = s05_ivf_topk
+
+ORACLE["s05_ivf_topk"] = f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+        SELECT label, i.i AS pos, v[i.i] AS x
+        FROM v CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) i
+    ), cent_dims AS (
+        SELECT label, pos, avg(x) AS c FROM dims GROUP BY label, pos
+    ), cent AS (
+        SELECT label AS cent_label, list(c ORDER BY pos) AS cv
+        FROM cent_dims GROUP BY label
+    ), cell_scored AS (
+        SELECT v.vec_id, cent.cent_label,
+               list_sum([ (v.v[i] - cent.cv[i]) * (v.v[i] - cent.cv[i])
+                          for i in generate_series(1, {DIM}) ]) AS d2
+        FROM v CROSS JOIN cent
+    ), cells AS (
+        SELECT vec_id, cent_label AS cell
+        FROM (SELECT vec_id, cent_label,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, cent_label) AS rn
+              FROM cell_scored)
+        WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, v AS qv, cent_label AS cell
+        FROM (
+            SELECT v.vec_id, v.v, cent.cent_label,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_sum([ (v.v[i] - cent.cv[i]) * (v.v[i] - cent.cv[i])
+                                           for i in generate_series(1, {DIM}) ]) ASC,
+                                cent.cent_label) AS rn
+            FROM v CROSS JOIN cent
+            WHERE v.vec_id < {N_QUERIES}
+        )
+        WHERE rn <= {N_PROBE}
+    ), scored AS (
+        SELECT p.query_id, c.vec_id AS corpus_id,
+               list_sum([p.qv[i] * c.v[i] for i in generate_series(1, {DIM})])
+               / (sqrt(list_sum([x*x for x in p.qv])) * sqrt(list_sum([x*x for x in c.v])))
+               AS cosine
+        FROM probes p
+        JOIN cells ON cells.cell = p.cell
+        JOIN v c ON c.vec_id = cells.vec_id AND c.vec_id >= {N_QUERIES}
+    ), ranked AS (
+        SELECT query_id, corpus_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, corpus_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, corpus_id, round(cosine, 4) AS cosine, rank
+    FROM ranked WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+"""
+
 ORACLE["s04_numpy_topk"] = f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     scored AS (

@@ -230,3 +230,141 @@ QUERIES = {
     "t04_token_count": t04_token_count,
     "t05_fingerprint": t05_fingerprint,
 }
+
+
+def t06_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition / boilerplate signal: lexical
+    diversity (distinct/total words) and the dominance of the single
+    most-frequent word — the cheap filters a training pipeline runs
+    before expensive dedup. Integer-exact outputs (scaled by 1e4 via
+    integral div) so the gate never sees float rendering.
+
+    Pure column expressions; one narrow map + one aggregation.
+    """
+    d = Tables(spark, sf_dir).documents
+    w = F.col("w")
+    dw = d.withColumn("w", _words())
+    # frequency of the most common word: count occurrences of each
+    # distinct word via filter() inside a transform over the distinct set
+    top_freq = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda u: F.size(F.filter(w, lambda x: x == u)),
+        )
+    )
+    per_doc = dw.select(
+        "doc_id",
+        "source",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        top_freq.alias("top_freq"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("(10000 * sum(n_distinct)) div sum(n_words)").alias("diversity_e4"),
+            F.expr("(10000 * sum(top_freq)) div sum(n_words)").alias("dominance_e4"),
+            F.sum(
+                (F.col("top_freq") * 5 > F.col("n_words")).cast("int")
+            ).alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["t06_repetition"] = """
+    WITH per_doc AS (
+        SELECT doc_id, source,
+               len(string_split(text,' ')) AS n_words,
+               len(list_distinct(string_split(text,' '))) AS n_distinct,
+               list_max(list_transform(list_distinct(string_split(text,' ')),
+                        u -> len(list_filter(string_split(text,' '), x -> x = u)))) AS top_freq
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           ((10000 * sum(n_distinct)) // sum(n_words))::BIGINT AS diversity_e4,
+           ((10000 * sum(top_freq)) // sum(n_words))::BIGINT   AS dominance_e4,
+           sum((top_freq * 5 > n_words)::INT)::BIGINT          AS n_repetitive
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+"""
+
+QUERIES["t06_repetition"] = t06_repetition
+
+
+WINNOW_K = 3  # shingle width (words)
+WINNOW_W = 4  # winnowing window (hashes)
+
+
+def t07_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS local fingerprinting algorithm): min-hash of
+    every ``WINNOW_W``-length window over the word-shingle hash
+    sequence, deduplicated per doc. Guarantees any shared run of
+    ``WINNOW_W + WINNOW_K - 1`` words between two docs shares a
+    fingerprint — the partial-overlap detector that whole-doc
+    fingerprints (t05) can't provide.
+
+    Emits per-doc fingerprint counts + the corpus-wide most-shared
+    fingerprint count per source. Column expressions only.
+    """
+    from ..functions.hashing import h64
+
+    d = Tables(spark, sf_dir).documents
+    dw = d.withColumn("w", _words()).filter(F.size("w") >= WINNOW_K + WINNOW_W - 1)
+    w = F.col("w")
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j) for j in range(WINNOW_K)]
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (WINNOW_K - 1)), lambda i: h64(shingle(i))
+    )
+    dh = dw.select("doc_id", "source", hashes.alias("hs"))
+    h = F.col("hs")
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(h) - WINNOW_W),
+            lambda i: F.array_min(F.slice(h, i + 1, WINNOW_W)),
+        )
+    )
+    per_doc = dh.select("doc_id", "source", F.explode(mins).alias("fp"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.countDistinct("fp").alias("n_distinct_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["t07_winnowing"] = f"""
+    WITH dw AS (
+        SELECT doc_id, source, string_split(text,' ') AS w
+        FROM documents
+        WHERE len(string_split(text,' ')) >= {WINNOW_K + WINNOW_W - 1}
+    ), dh AS (
+        SELECT doc_id, source,
+               [{h64_sql("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}
+                for i in generate_series(1, len(w) - {WINNOW_K - 1})] AS hs
+        FROM dw
+    ), fps AS (
+        SELECT doc_id, source,
+               unnest(list_distinct([list_min(hs[i+1:i+{WINNOW_W}])
+                                     for i in generate_series(0, len(hs) - {WINNOW_W})])) AS fp
+        FROM dh
+    )
+    SELECT source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*)               AS n_fingerprints,
+           count(DISTINCT fp)     AS n_distinct_fp
+    FROM fps
+    GROUP BY source
+    ORDER BY source
+"""
+
+QUERIES["t07_winnowing"] = t07_winnowing
