@@ -74,3 +74,74 @@ def test_make_valid_string_always_str(value):
 @settings(max_examples=100, deadline=None)
 def test_flatten_deterministic(payload):
     assert flatten(payload) == flatten(payload)
+
+
+# ---------------------------------------------------------------- codecs
+
+msgpack_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.floats(allow_nan=False, allow_infinity=True, width=64),
+    st.text(max_size=50),
+    st.binary(max_size=50),
+)
+
+msgpack_values = st.recursive(
+    msgpack_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(min_size=0, max_size=8), children, max_size=4),
+    ),
+    max_leaves=20,
+)
+
+
+def _tupled(v):
+    """Expected unpack result: lists become tuples (use_list=False)."""
+    if isinstance(v, list):
+        return tuple(_tupled(x) for x in v)
+    if isinstance(v, dict):
+        return {k: _tupled(x) for k, x in v.items()}
+    return v
+
+
+@given(msgpack_values)
+@settings(max_examples=200, deadline=None)
+def test_msgpack_lite_roundtrip_property(v):
+    from dbsink_spark.wire import msgpack_lite
+
+    out = msgpack_lite.unpackb(msgpack_lite.packb(v))
+    assert out == _tupled(v)
+
+
+@given(
+    st.dictionaries(
+        st.text(min_size=1, max_size=8),
+        st.one_of(
+            st.none(),
+            st.booleans(),
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.text(max_size=30),
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_avro_lite_map_roundtrip_property(values):
+    """values-map round trip on the reference schema's union shape."""
+    from dbsink_spark.wire import avro_lite
+
+    schema = {
+        "type": "map",
+        "values": ["null", "boolean", "long", "double", "string"],
+    }
+    out = avro_lite.loads(schema, avro_lite.dumps(schema, values))
+    assert set(out) == set(values)
+    for k, v in values.items():
+        got = out[k]
+        if isinstance(v, bool) or v is None or isinstance(v, (int, str)):
+            assert got == v, k
+        else:
+            assert got == v or (math.isnan(v) and math.isnan(got))
