@@ -1,4 +1,5 @@
 from .pipeline import listen_transform, run_stream
+from .rollup import RollupMaintainer
 from .stateful import session_aggregate, streaming_dedup, tumbling_aggregate
 
 __all__ = [
@@ -7,4 +8,5 @@ __all__ = [
     "streaming_dedup",
     "tumbling_aggregate",
     "session_aggregate",
+    "RollupMaintainer",
 ]

@@ -1,0 +1,112 @@
+"""Incremental rollup maintenance — the streaming twin of the batch
+continuous-aggregate hierarchy (analytics.stats.q36_hierarchical_rollup).
+
+Each micro-batch is reduced to (bucket, key) partial aggregates
+(count + sum — the composable partials), then MERGED into a target
+table with an additive ``ON CONFLICT DO UPDATE SET n = n + excluded.n``
+— so the table always holds the exact aggregate over everything
+streamed so far, and a re-run from a checkpoint never double-counts a
+processed batch (exactly-once via checkpoint + idempotent replay is
+NOT claimed here: additive merge is at-least-once sensitive, which is
+why production pairs it with the checkpoint's batch tracking, exactly
+like Spark's own ``foreachBatch`` docs prescribe).
+
+At 100 TB this is the materialized-view maintenance pattern: the
+micro-batch partial agg is map-side combined (tiny shuffle keyed by
+bucket), the merge touches only the buckets present in the batch, and
+derived metrics (avg = sum/n) are computed at READ time from exact
+partials — never stored, so they are always consistent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..ddl import quoted
+
+
+class RollupMaintainer:
+    """Maintains an additive (bucket, key) rollup table in a DBAPI
+    target from a streaming source of (ts_col, key, value) rows."""
+
+    def __init__(
+        self,
+        connect,
+        table: str = "rollup_hourly",
+        bucket: str = "1 hour",
+        dialect: str = "duckdb",
+    ):
+        self.connect = connect
+        self.table = table
+        self.bucket = bucket
+        self.dialect = dialect
+
+    def ensure_table(self) -> None:
+        conn = self.connect()
+        try:
+            conn.execute(
+                f"CREATE TABLE IF NOT EXISTS {quoted(self.table)} ("
+                "bucket TIMESTAMP, key VARCHAR, n BIGINT, sv DOUBLE, "
+                "PRIMARY KEY (bucket, key))"
+            )
+        finally:
+            conn.close()
+
+    def partials(self, df: DataFrame, ts_col: str, key: str, value: str) -> DataFrame:
+        return (
+            df.groupBy(
+                F.date_trunc(self.bucket.split()[1], F.col(ts_col)).alias("bucket"),
+                F.col(key).alias("key"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(value).alias("sv"))
+        )
+
+    def merge_batch(self, partials_df: DataFrame, batch_id: int | None = None) -> None:
+        rows = [
+            (r["bucket"], r["key"], r["n"], r["sv"]) for r in partials_df.collect()
+        ]
+        if not rows:
+            return
+        sql = (
+            f"INSERT INTO {quoted(self.table)} (bucket, key, n, sv) "
+            "VALUES (?, ?, ?, ?) "
+            "ON CONFLICT (bucket, key) DO UPDATE SET "
+            "n = n + excluded.n, sv = sv + excluded.sv"
+        )
+        if self.dialect == "postgres":
+            sql = sql.replace("?", "%s")
+        conn = self.connect()
+        try:
+            if self.dialect == "duckdb":
+                conn.executemany(sql, rows)
+            else:
+                with conn.cursor() as cur:
+                    cur.executemany(sql, rows)
+                conn.commit()
+        finally:
+            conn.close()
+
+    def run(
+        self,
+        source: DataFrame,
+        ts_col: str,
+        key: str,
+        value: str,
+        checkpoint: str,
+        trigger: dict | None = None,
+    ) -> StreamingQuery:
+        self.ensure_table()
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.merge_batch(self.partials(batch_df, ts_col, key, value), batch_id)
+
+        stream = (
+            source.writeStream.outputMode("append")
+            .foreachBatch(fn)
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger:
+            stream = stream.trigger(**trigger)
+        return stream.start()

@@ -221,3 +221,69 @@ def test_device_state_tracker_across_batches(spark, tmp_path):
     assert last["n_gaps"] == 1           # the 2h dropout detected
     assert str(last["first_ts"]) == "2024-01-01 00:00:00"
     assert str(last["last_ts"]) == "2024-01-01 02:10:00"
+
+
+def test_incremental_rollup_matches_batch(spark, tmp_path):
+    """Continuous-aggregate maintenance: two micro-batches additively
+    merged into the rollup table must equal the one-shot batch rollup
+    over the union of the data."""
+    import duckdb as _duckdb
+
+    from dbsink_spark.sink import duckdb_connect_factory
+    from dbsink_spark.streaming.rollup import RollupMaintainer
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rows1 = [
+        {"uid": "a", "time": "2024-01-01T00:10:00", "v": 1.5},
+        {"uid": "a", "time": "2024-01-01T00:40:00", "v": 2.5},
+        {"uid": "b", "time": "2024-01-01T01:10:00", "v": 3.0},
+    ]
+    rows2 = [
+        {"uid": "a", "time": "2024-01-01T00:50:00", "v": 4.0},
+        {"uid": "b", "time": "2024-01-01T01:20:00", "v": 5.0},
+    ]
+    db = str(tmp_path / "rollup.duckdb")
+    maintainer = RollupMaintainer(duckdb_connect_factory(db), table="hourly")
+
+    def run_once(name: str):
+        src = (
+            spark.readStream.schema("uid string, time string, v double")
+            .json(str(indir))
+            .withColumn("time", F.to_timestamp("time"))
+        )
+        q = maintainer.run(
+            src, "time", "uid", "v",
+            checkpoint=str(tmp_path / "ckpt"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+
+    with open(indir / "b1.json", "w") as f:
+        for r in rows1:
+            f.write(json.dumps(r) + "\n")
+    run_once("first")
+    with open(indir / "b2.json", "w") as f:
+        for r in rows2:
+            f.write(json.dumps(r) + "\n")
+    run_once("second")
+
+    con = _duckdb.connect(db)
+    got = {
+        (str(b), k): (n, sv)
+        for b, k, n, sv in con.execute(
+            'SELECT bucket, key, n, sv FROM "hourly" ORDER BY 1, 2'
+        ).fetchall()
+    }
+    con.close()
+    assert got == {
+        ("2024-01-01 00:00:00", "a"): (3, 8.0),
+        ("2024-01-01 01:00:00", "b"): (2, 8.0),
+    }
+
+    # re-running over the same checkpoint must NOT double-count
+    run_once("replay")
+    con = _duckdb.connect(db)
+    n_total = con.execute('SELECT sum(n) FROM "hourly"').fetchone()[0]
+    con.close()
+    assert n_total == 5
