@@ -34,6 +34,16 @@ UNGATED = frozenset(
         "t07_winnowing",
         "d07_phrase_dedup",
         "q37_time_gapfill",
+        # round-2 batch 2 (same policy — oracle-verified + benched,
+        # beyond the 50-row driver gate):
+        "t08_quality_rules",
+        "t09_vocab_df",
+        "t10_chunk",
+        "t11_pack",
+        "d08_decontaminate",
+        "s06_kmeans_update",
+        "q38_range_join",
+        "q39_unpivot",
     }
 )
 

@@ -347,3 +347,114 @@ ORACLE["q37_time_gapfill"] = """
 """
 
 QUERIES["q37_time_gapfill"] = q37_time_gapfill
+
+
+RANGE_WINDOW_MIN = 10  # look-ahead window (minutes) for the range join
+
+
+def q38_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join: for every ``error`` event, count the same
+    user's events (and purchases) in the following ``(ts, ts+10min]``
+    window — the "what happened after the error" funnel query, and the
+    second classic timeseries join shape next to q22's as-of join.
+
+    Plan shape: Catalyst plans this as an EQUI-join on user_id with the
+    range predicate applied as a join filter — per-user blocks are
+    small, so the pair enumeration is bounded by per-user event counts,
+    never a cross join. At 100 TB with hot users, pre-bucket both sides
+    by (user_id, time_bucket) so a row only meets its own and the next
+    bucket (bounded-band join), or let AQE skew-split the hot keys.
+    """
+    e = Tables(spark, sf_dir).events
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("err_ts"),
+    )
+    follow = e.select(
+        F.col("user_id").alias("f_uid"),
+        F.col("ts").alias("f_ts"),
+        F.col("event_type").alias("f_type"),
+    )
+    cond = (
+        (F.col("uid") == F.col("f_uid"))
+        & (F.col("f_ts") > F.col("err_ts"))
+        & (F.col("f_ts") <= F.col("err_ts") + F.expr(f"INTERVAL {RANGE_WINDOW_MIN} MINUTES"))
+    )
+    return (
+        errors.join(follow, cond, "left")
+        .groupBy("err_id", "uid")
+        .agg(
+            F.count("f_ts").alias("n_follow"),
+            F.coalesce(
+                F.sum((F.col("f_type") == "purchase").cast("int")), F.lit(0)
+            ).cast("long").alias("n_purchase"),
+        )
+        .select(F.col("err_id").alias("event_id"), F.col("uid").alias("user_id"),
+                "n_follow", "n_purchase")
+        .orderBy("event_id")
+    )
+
+
+ORACLE["q38_range_join"] = f"""
+    SELECT e.event_id,
+           e.user_id,
+           count(f.ts)                                              AS n_follow,
+           coalesce(sum((f.event_type = 'purchase')::INT), 0)::BIGINT AS n_purchase
+    FROM events e
+    LEFT JOIN events f
+      ON f.user_id = e.user_id
+     AND f.ts > e.ts
+     AND f.ts <= e.ts + INTERVAL {RANGE_WINDOW_MIN} MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id
+    ORDER BY e.event_id
+"""
+
+QUERIES["q38_range_join"] = q38_range_join
+
+
+def q39_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt): per-returnflag totals of the four
+    lineitem measures, melted from one row × four columns into four
+    (metric, value) rows — the inverse of q23's pivot. Money/quantity
+    values carry 2 exact decimals, so sums ride ``round(x·100)`` longs
+    (order-independent, integer-exact at the gate).
+
+    Scale: the aggregate reduces lineitem to |flags| rows BEFORE the
+    melt, so the unpivot itself touches only the tiny result — never
+    melt first (that would 4× the shuffle volume for the same answer).
+    """
+    li = Tables(spark, sf_dir).lineitem
+    e2 = lambda c: F.sum(F.round(F.col(c) * 100).cast("long"))  # noqa: E731
+    agg = li.groupBy("l_returnflag").agg(
+        e2("l_quantity").alias("qty_e2"),
+        e2("l_extendedprice").alias("price_e2"),
+        e2("l_discount").alias("disc_e2"),
+        e2("l_tax").alias("tax_e2"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["qty_e2", "price_e2", "disc_e2", "tax_e2"],
+        "metric",
+        "total_e2",
+    ).orderBy("l_returnflag", "metric")
+
+
+ORACLE["q39_unpivot"] = """
+    WITH agg AS (
+        SELECT l_returnflag,
+               sum(round(l_quantity      * 100)::BIGINT)::BIGINT AS qty_e2,
+               sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS price_e2,
+               sum(round(l_discount      * 100)::BIGINT)::BIGINT AS disc_e2,
+               sum(round(l_tax           * 100)::BIGINT)::BIGINT AS tax_e2
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, total_e2
+    FROM (UNPIVOT agg ON qty_e2, price_e2, disc_e2, tax_e2
+          INTO NAME metric VALUE total_e2)
+    ORDER BY l_returnflag, metric
+"""
+
+QUERIES["q39_unpivot"] = q39_unpivot

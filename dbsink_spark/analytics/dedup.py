@@ -618,3 +618,86 @@ ORACLE["d07_phrase_dedup"] = f"""
 """
 
 QUERIES["d07_phrase_dedup"] = d07_phrase_dedup
+
+
+DECON_N = 3  # n-gram width for decontamination overlap
+DECON_BENCH_MOD = 50  # doc_id % MOD == 0 -> held-out benchmark set
+
+
+def d08_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing
+    ``DECON_N``-gram content with a held-out benchmark/eval set (here a
+    deterministic doc_id slice stands in for the benchmark corpus) —
+    the n-gram-overlap decontamination step every LLM training pipeline
+    runs before training (GPT-3 appendix C / PaLM-style).
+
+    Plan shape: both sides reduce to per-doc DISTINCT n-gram hash sets;
+    the benchmark side collapses to a global distinct-hash set that is
+    tiny relative to the corpus (eval suites are MBs, corpora are TBs),
+    so it broadcasts — the corpus is scanned once, exploded, and
+    hash-joined map-side with NO shuffle of corpus data. Per-doc hit
+    counts then aggregate on doc_id (the explode's natural
+    partitioning).
+    """
+    d = Tables(spark, sf_dir).documents
+    dw = d.withColumn("w", F.split("text", " ")).filter(F.size("w") >= DECON_N)
+    w = F.col("w")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (DECON_N - 1)),
+            lambda i: h64(
+                F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(DECON_N)])
+            ),
+        )
+    )
+    hashed = dw.select("doc_id", grams.alias("gs"))
+    bench = (
+        hashed.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    corpus = hashed.filter(F.col("doc_id") % DECON_BENCH_MOD != 0).select(
+        "doc_id", F.size("gs").alias("n_ngrams"), F.explode("gs").alias("g")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.first("n_ngrams").alias("n_ngrams"), F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.select(
+        "doc_id",
+        "n_ngrams",
+        "n_hits",
+        # >=10% distinct-ngram overlap -> contaminated (integer cross-
+        # multiplication, no float ratio at the gate)
+        (F.col("n_hits") * 10 >= F.col("n_ngrams")).cast("int").alias("contaminated"),
+    ).orderBy("doc_id")
+
+
+ORACLE["d08_decontaminate"] = f"""
+    WITH dw AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {DECON_N}
+    ), hashed AS (
+        SELECT doc_id,
+               list_distinct([
+                   {h64_sql("array_to_string(w[i : i + " + str(DECON_N - 1) + "], ' ')")}
+                   for i in generate_series(1, len(w) - {DECON_N - 1})]) AS gs
+        FROM dw
+    ), bench AS (
+        SELECT DISTINCT unnest(gs) AS g FROM hashed WHERE doc_id % {DECON_BENCH_MOD} = 0
+    ), corpus AS (
+        SELECT doc_id, len(gs) AS n_ngrams, unnest(gs) AS g
+        FROM hashed WHERE doc_id % {DECON_BENCH_MOD} != 0
+    )
+    SELECT doc_id,
+           any_value(n_ngrams)  AS n_ngrams,
+           count(*)             AS n_hits,
+           (count(*) * 10 >= any_value(n_ngrams))::INT AS contaminated
+    FROM corpus JOIN bench USING (g)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+QUERIES["d08_decontaminate"] = d08_decontaminate

@@ -451,3 +451,78 @@ ORACLE["s04_numpy_topk"] = f"""
     FROM ranked WHERE rank <= {TOPK}
     ORDER BY query_id, rank
 """
+
+
+KMEANS_SCALE = 1_000_000  # fixed-point scale for order-independent sums
+
+
+def s06_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd k-means update step over the IVF quantizer: for every
+    coarse cell (the ``centroid_cells`` assignment s02/d06/s05 share),
+    the element-wise sum + member count that define the NEW centroid
+    (``new_c[pos] = sum/n``) — the iterative-refinement loop that turns
+    the per-label seed centroids into a real trained quantizer.
+
+    Float sums are partition-order-dependent, so each coordinate is
+    first quantized to fixed-point (``round(x·1e6)`` — exact for any
+    summation order, identical in both engines) and summed as a long.
+    The division is left to the consumer: emitting sum+count instead of
+    the mean keeps every gate value integer-exact (and sidesteps the
+    Spark-``div``-vs-DuckDB-``//`` negative-truncation mismatch).
+
+    Scale: assignment is a broadcast join (centroid table is tiny by
+    construction); the update is posexplode + one hash aggregate on
+    (cell, pos) — map-side partials reduce each partition to
+    n_cells × dim longs before the shuffle. The full Lloyd loop is this
+    step iterated driver-side, re-broadcasting ~KB of centroids per
+    round — embarrassingly scalable.
+    """
+    v = _vectors(spark, sf_dir)
+    cells = centroid_cells(spark, sf_dir).select("vec_id", "cell")
+    dims = v.join(cells, "vec_id").select("cell", F.posexplode("v").alias("pos", "x"))
+    q = F.round(F.col("x") * KMEANS_SCALE).cast("long")
+    return (
+        dims.select("cell", (F.col("pos") + 1).alias("pos"), q.alias("q"))
+        .groupBy("cell", "pos")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.sum("q").alias("sum_e6"))
+        .orderBy("cell", "pos")
+    )
+
+
+ORACLE["s06_kmeans_update"] = f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+        SELECT label, i.i AS pos, v[i.i] AS x
+        FROM v CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) i
+    ), cent_dims AS (
+        SELECT label, pos, avg(x) AS c FROM dims GROUP BY label, pos
+    ), cent AS (
+        SELECT label AS cent_label, list(c ORDER BY pos) AS cv
+        FROM cent_dims GROUP BY label
+    ), scored AS (
+        SELECT v.vec_id, cent.cent_label,
+               list_sum([ (v.v[i] - cent.cv[i]) * (v.v[i] - cent.cv[i])
+                          for i in generate_series(1, {DIM}) ]) AS d2
+        FROM v CROSS JOIN cent
+    ), cells AS (
+        SELECT vec_id, cent_label AS cell
+        FROM (SELECT vec_id, cent_label,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, cent_label) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ), qdims AS (
+        SELECT cells.cell, i.i AS pos,
+               round(v.v[i.i] * {KMEANS_SCALE})::BIGINT AS q
+        FROM v JOIN cells USING (vec_id)
+        CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) i
+    )
+    SELECT cell, pos,
+           count(*)       AS n_members,
+           sum(q)::BIGINT AS sum_e6
+    FROM qdims
+    GROUP BY cell, pos
+    ORDER BY cell, pos
+"""
+
+QUERIES["s06_kmeans_update"] = s06_kmeans_update

@@ -342,6 +342,260 @@ def t07_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# union of all per-language lexicons — the language-agnostic stoplist
+# the Gopher-style quality rules use
+ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+
+def t08_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1 shape:
+    word-count bounds, mean-word-length bounds, stopword presence,
+    lexical diversity), aggregated per language.
+
+    Every rule is rewritten in integer arithmetic (``3·n ≤ Σlen ≤ 10·n``
+    instead of ``3 ≤ Σlen/n ≤ 10``) so the gate never sees a float:
+    predicates on float ratios can straddle rounding boundaries between
+    engines, integer cross-multiplication cannot.
+
+    Scale: narrow map + one aggregation on a low-cardinality key —
+    embarrassingly parallel, map-side partials carry 6 longs per lang.
+    """
+    d = Tables(spark, sf_dir).documents
+    dw = d.withColumn("w", _words())
+    w = F.col("w")
+    n_words = F.size(w)
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    n_distinct = F.size(F.array_distinct(w))
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*ALL_STOPWORDS)))
+    rules = dw.select(
+        "lang",
+        ((n_words >= 10) & (n_words <= 1000)).cast("int").alias("r_len"),
+        ((sum_len >= 3 * n_words) & (sum_len <= 10 * n_words)).cast("int").alias("r_wordlen"),
+        (stop_hits >= 2).cast("int").alias("r_stop"),
+        (5 * n_distinct >= n_words).cast("int").alias("r_div"),
+    )
+    return (
+        rules.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("r_len").alias("pass_len"),
+            F.sum("r_wordlen").alias("pass_wordlen"),
+            F.sum("r_stop").alias("pass_stop"),
+            F.sum("r_div").alias("pass_diversity"),
+            F.sum(
+                F.col("r_len") * F.col("r_wordlen") * F.col("r_stop") * F.col("r_div")
+            ).alias("pass_all"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_all_stoplist() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in ALL_STOPWORDS) + "]"
+
+
+ORACLE["t08_quality_rules"] = f"""
+    WITH rules AS (
+        SELECT lang,
+               (len(string_split(text,' ')) BETWEEN 10 AND 1000)::INT AS r_len,
+               (list_sum(list_transform(string_split(text,' '), w -> length(w)))
+                    BETWEEN 3 * len(string_split(text,' '))
+                        AND 10 * len(string_split(text,' ')))::INT    AS r_wordlen,
+               (len(list_filter(string_split(text,' '),
+                                w -> list_contains({_sql_all_stoplist()}, w))) >= 2)::INT AS r_stop,
+               (5 * len(list_distinct(string_split(text,' ')))
+                    >= len(string_split(text,' ')))::INT              AS r_div
+        FROM documents
+    )
+    SELECT lang,
+           count(*)                                   AS n_docs,
+           sum(r_len)::BIGINT                         AS pass_len,
+           sum(r_wordlen)::BIGINT                     AS pass_wordlen,
+           sum(r_stop)::BIGINT                        AS pass_stop,
+           sum(r_div)::BIGINT                         AS pass_diversity,
+           sum(r_len * r_wordlen * r_stop * r_div)::BIGINT AS pass_all
+    FROM rules
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+QUERIES["t08_quality_rules"] = t08_quality_rules
+
+
+def t09_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: per-term corpus statistics — total term
+    frequency, document frequency, and language spread. The first step
+    of any tokenizer/embedding-vocab training run.
+
+    Scale: explode + hash-aggregate on the term — the canonical
+    word-count shuffle. Map-side partial aggregation collapses each
+    partition to its local vocabulary before the exchange, so shuffle
+    volume is O(|vocab| × partitions), not O(tokens).
+    """
+    d = Tables(spark, sf_dir).documents
+    ex = d.select("doc_id", "lang", F.explode(_words()).alias("term"))
+    return (
+        ex.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("term")
+    )
+
+
+ORACLE["t09_vocab_df"] = """
+    WITH ex AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    )
+    SELECT term,
+           count(*)               AS tf,
+           count(DISTINCT doc_id) AS df,
+           count(DISTINCT lang)   AS n_langs
+    FROM ex
+    GROUP BY term
+    ORDER BY term
+"""
+
+QUERIES["t09_vocab_df"] = t09_vocab_df
+
+
+CHUNK_LEN = 64  # context-window chunk size (words)
+CHUNK_STRIDE = 48  # stride between chunk starts (overlap = 16)
+
+
+def t10_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into fixed-size
+    overlapping token windows (the pre-tokenization step that feeds
+    training-example assembly). Emits one row per (doc, chunk) with a
+    portable content fingerprint instead of the chunk text so the
+    output stays narrow.
+
+    Scale: per-row sequence explode — no shuffle at all until the
+    optional downstream agg; chunk boundaries depend only on the row.
+    """
+    from ..functions.hashing import h64
+
+    d = Tables(spark, sf_dir).documents
+    dw = d.withColumn("w", _words())
+    w = F.col("w")
+    starts = F.sequence(
+        F.lit(0).cast("long"), F.floor((F.size(w) - 1) / F.lit(CHUNK_STRIDE))
+    )
+    ex = dw.select("doc_id", w.alias("w"), F.explode(starts).alias("i"))
+    chunk = F.slice(
+        F.col("w"), (F.col("i") * CHUNK_STRIDE + 1).cast("int"), F.lit(CHUNK_LEN)
+    )
+    return ex.select(
+        "doc_id",
+        F.col("i").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        h64(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+ORACLE["t10_chunk"] = f"""
+    WITH dw AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), ex AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0, (len(w) - 1) // {CHUNK_STRIDE})) AS i
+        FROM dw
+    ), chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               w[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_LEN}] AS chunk
+        FROM ex
+    )
+    SELECT doc_id, chunk_idx,
+           len(chunk) AS n_tokens,
+           {h64_sql("array_to_string(chunk, ' ')")} AS chunk_fp
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+"""
+
+QUERIES["t10_chunk"] = t10_chunk
+
+
+PACK_BUDGET = 2048  # context-window token budget per packed sequence
+
+
+def t11_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concat-then-split assembly of documents into
+    fixed token-budget bins (how training pipelines pack short docs
+    into full context windows). Documents are laid out in doc_id order
+    within each source shard; a running token offset assigns each doc
+    to ``offset div budget``, and docs straddling a bin boundary are
+    counted (they get split across two windows).
+
+    Scale: the cumulative sum windows per SOURCE, not globally — each
+    shard packs independently in parallel (a global order would funnel
+    the corpus through one partition). That mirrors real pipelines:
+    packing is per input shard.
+    """
+    from pyspark.sql.window import Window
+
+    d = Tables(spark, sf_dir).documents
+    per = d.select("source", "doc_id", F.size(_words()).alias("n_tokens"))
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per = per.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0).cast("long"))
+    )
+    per = per.withColumn("bin", F.expr(f"cum_before div {PACK_BUDGET}")).withColumn(
+        "crosses",
+        F.expr(
+            f"(cum_before div {PACK_BUDGET}) != "
+            f"((cum_before + n_tokens - 1) div {PACK_BUDGET})"
+        ).cast("int"),
+    )
+    return (
+        per.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("crosses").alias("n_split_docs"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+ORACLE["t11_pack"] = f"""
+    WITH per AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT source, doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM per
+    ), binned AS (
+        SELECT source,
+               cum_before // {PACK_BUDGET} AS bin,
+               n_tokens,
+               ((cum_before // {PACK_BUDGET}) !=
+                ((cum_before + n_tokens - 1) // {PACK_BUDGET}))::INT AS crosses
+        FROM cum
+    )
+    SELECT source, bin,
+           count(*)            AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           sum(crosses)::BIGINT  AS n_split_docs
+    FROM binned
+    GROUP BY source, bin
+    ORDER BY source, bin
+"""
+
+QUERIES["t11_pack"] = t11_pack
+
+
 ORACLE["t07_winnowing"] = f"""
     WITH dw AS (
         SELECT doc_id, source, string_split(text,' ') AS w

@@ -104,3 +104,74 @@ def test_sql_front_door(spark):
     ).collect()
     assert len(out) == 5
     assert sum(r.n_nations for r in out) == 25
+
+
+def test_chunk_covers_every_token(spark):
+    """t10: with stride 48 / chunk 64, the first 48 tokens of every
+    chunk are disjoint and consecutive — so sum(min(n_tokens, 48))
+    over a doc's chunks must equal its word count (every token lands
+    in exactly one stride window)."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics import text
+
+    chunks = text.t10_chunk(spark, SF_DIR)
+    covered = chunks.groupBy("doc_id").agg(
+        F.sum(F.least(F.col("n_tokens"), F.lit(text.CHUNK_STRIDE))).alias("covered")
+    )
+    docs = text.Tables(spark, SF_DIR).documents.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    bad = covered.join(docs, "doc_id").filter(F.col("covered") != F.col("n_words"))
+    assert bad.count() == 0
+
+
+def test_pack_bins_are_contiguous_and_sized(spark):
+    """t11: bins within a source are 0..max contiguous, and every bin
+    except the last holds >= the token budget once its straddling doc
+    is counted (concat-then-split never leaves a window short)."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics import text
+
+    rows = text.t11_pack(spark, SF_DIR).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, rs in by_source.items():
+        bins = [r.bin for r in rs]
+        assert bins == list(range(len(rs))), source
+        # cumulative token mass at the end of bin b is > budget*(b+1)
+        # for every non-final bin (otherwise the next bin couldn't exist)
+        cum = 0
+        for r in rs[:-1]:
+            cum += r.n_tokens
+            assert cum >= text.PACK_BUDGET * (r.bin + 1), (source, r.bin)
+
+
+def test_decontaminate_never_flags_benchmark_docs(spark):
+    """d08: the held-out benchmark slice must never appear among the
+    flagged training docs, and hit counts are bounded by the doc's own
+    distinct n-gram count."""
+    from dbsink_spark.analytics import dedup
+
+    rows = dedup.d08_decontaminate(spark, SF_DIR).collect()
+    assert rows, "expected nonzero contamination on the templated corpus"
+    for r in rows:
+        assert r.doc_id % dedup.DECON_BENCH_MOD != 0
+        assert 0 < r.n_hits <= r.n_ngrams
+
+
+def test_kmeans_update_partitions_the_corpus(spark):
+    """s06: every cell/pos group carries the same member count per
+    cell, and total membership equals the corpus size (each vector
+    contributes to exactly one cell)."""
+    from dbsink_spark.analytics import similarity
+
+    rows = similarity.s06_kmeans_update(spark, SF_DIR).collect()
+    per_cell = {}
+    for r in rows:
+        per_cell.setdefault(r.cell, set()).add(r.n_members)
+    assert all(len(s) == 1 for s in per_cell.values())
+    n_vectors = similarity.Tables(spark, SF_DIR).embeddings.count()
+    assert sum(next(iter(s)) for s in per_cell.values()) == n_vectors
