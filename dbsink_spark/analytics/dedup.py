@@ -631,33 +631,25 @@ def d08_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n-gram-overlap decontamination step every LLM training pipeline
     runs before training (GPT-3 appendix C / PaLM-style).
 
-    Plan shape: both sides reduce to per-doc DISTINCT n-gram hash sets;
-    the benchmark side collapses to a global distinct-hash set that is
-    tiny relative to the corpus (eval suites are MBs, corpora are TBs),
-    so it broadcasts — the corpus is scanned once, exploded, and
-    hash-joined map-side with NO shuffle of corpus data. Per-doc hit
-    counts then aggregate on doc_id (the explode's natural
-    partitioning).
+    Plan shape: both sides reduce to per-doc DISTINCT n-gram hash sets —
+    the SAME ``_hashed_docs`` relation every shingle-based dedup op
+    shares (``DECON_N`` = the shingle width), hashed once and persisted
+    so neither branch re-pays the md5 pass (and the un-persisted plan
+    re-evaluates the gram-array expression per exploded element — a
+    measured 10× penalty). The benchmark side collapses to a global
+    distinct-hash set that is tiny relative to the corpus (eval suites
+    are MBs, corpora are TBs), so it broadcasts — the corpus is scanned
+    once, exploded, and hash-joined map-side with NO shuffle of corpus
+    data. Per-doc hit counts then aggregate on doc_id.
     """
-    d = Tables(spark, sf_dir).documents
-    dw = d.withColumn("w", F.split("text", " ")).filter(F.size("w") >= DECON_N)
-    w = F.col("w")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (DECON_N - 1)),
-            lambda i: h64(
-                F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(DECON_N)])
-            ),
-        )
-    )
-    hashed = dw.select("doc_id", grams.alias("gs"))
+    docs = _hashed_docs(spark, sf_dir).persist()
     bench = (
-        hashed.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
-        .select(F.explode("gs").alias("g"))
+        docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select(F.explode("shh").alias("g"))
         .distinct()
     )
-    corpus = hashed.filter(F.col("doc_id") % DECON_BENCH_MOD != 0).select(
-        "doc_id", F.size("gs").alias("n_ngrams"), F.explode("gs").alias("g")
+    corpus = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0).select(
+        "doc_id", F.col("n_sh").alias("n_ngrams"), F.explode("shh").alias("g")
     )
     hits = (
         corpus.join(F.broadcast(bench), "g")
