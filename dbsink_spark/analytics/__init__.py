@@ -44,6 +44,8 @@ UNGATED = frozenset(
         "s06_kmeans_update",
         "q38_range_join",
         "q39_unpivot",
+        "d09_dup_clusters",
+        "t12_split",
     }
 )
 

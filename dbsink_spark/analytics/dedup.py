@@ -693,3 +693,94 @@ ORACLE["d08_decontaminate"] = f"""
 """
 
 QUERIES["d08_decontaminate"] = d08_decontaminate
+
+
+CC_MAX_ITERS = 20  # safety cap; min-label propagation converges in O(component diameter)
+
+
+def d09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    LSH-verified near-dup pairs (d03), labelling every involved doc
+    with the minimum doc_id of its component — the post-step that turns
+    a pair list into keep/drop groups (pick one representative per
+    cluster, drop the rest).
+
+    Spark has no CC builtin, so this is iterative min-label
+    propagation: each round every node takes the min of its own label
+    and its neighbours' labels, until a fixpoint (driver-side loop — an
+    iterative algorithm, the one place a driver loop is the right
+    tool). Rounds needed = component diameter, which for near-dup
+    clusters is tiny (dups of a doc are dups of each other); each round
+    is one equi-join + hash-agg on the (small) edge list, never
+    touching the corpus. Result is the fixpoint, independent of
+    iteration schedule — the DuckDB oracle computes the same components
+    via a recursive transitive closure.
+    """
+    pairs = d03_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(CC_MAX_ITERS):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("nbr_of"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels.doc_id == nbr.nbr_of, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        old = labels.select("doc_id", F.col("label").alias("old_label"))
+        changed = new.join(old, "doc_id").filter(
+            F.col("label") != F.col("old_label")
+        ).count()
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy(F.col("label").alias("cluster_of")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, labels.label == sizes.cluster_of)
+        .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["d09_dup_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({ORACLE["d03_minhash_lsh"]}) t
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), mapping AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM mapping
+    ORDER BY doc_id
+"""
+
+QUERIES["d09_dup_clusters"] = d09_dup_clusters

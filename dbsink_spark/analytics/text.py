@@ -622,3 +622,58 @@ ORACLE["t07_winnowing"] = f"""
 """
 
 QUERIES["t07_winnowing"] = t07_winnowing
+
+
+SPLIT_TRAIN_PCT = 80  # train < 80, val < 90, test otherwise
+SPLIT_VAL_PCT = 90
+
+
+def t12_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: every document assigned by
+    its content-independent hash bucket (``h64(doc_id) % 100``) — the
+    standard reshuffle-free split that stays stable as the corpus
+    grows and never needs a global sort or random state. Emits the
+    per-(lang, split) manifest (doc + char counts) a pipeline would
+    write next to the split datasets.
+
+    Scale: pure map + low-cardinality aggregate; the split column
+    doubles as a partition key when landing the split lake
+    (``partitionBy(split)``) so downstream trainers prune to one split.
+    """
+    d = Tables(spark, sf_dir).documents
+    from ..functions.hashing import h64
+
+    b = h64(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+ORACLE["t12_split"] = f"""
+    WITH assigned AS (
+        SELECT lang, n_chars,
+               CASE WHEN {h64_sql("doc_id::VARCHAR")} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {h64_sql("doc_id::VARCHAR")} % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split,
+           count(*)            AS n_docs,
+           sum(n_chars)::BIGINT AS n_chars
+    FROM assigned
+    GROUP BY lang, split
+    ORDER BY lang, split
+"""
+
+QUERIES["t12_split"] = t12_split

@@ -175,3 +175,21 @@ def test_kmeans_update_partitions_the_corpus(spark):
     assert all(len(s) == 1 for s in per_cell.values())
     n_vectors = similarity.Tables(spark, SF_DIR).embeddings.count()
     assert sum(next(iter(s)) for s in per_cell.values()) == n_vectors
+
+
+def test_dup_clusters_consistent_with_pairs(spark):
+    """d09: both endpoints of every verified near-dup pair land in the
+    same cluster, and each cluster is labelled by its minimum member."""
+    from dbsink_spark.analytics import dedup
+
+    pairs = dedup.d03_minhash_lsh(spark, SF_DIR).collect()
+    clusters = {r.doc_id: r.cluster_id for r in dedup.d09_dup_clusters(spark, SF_DIR).collect()}
+    if not pairs:
+        pytest.skip("no near-dup pairs at this SF")
+    for p in pairs:
+        assert clusters[p.doc_a] == clusters[p.doc_b]
+    members = {}
+    for doc, c in clusters.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs in members.items():
+        assert c == min(docs)
