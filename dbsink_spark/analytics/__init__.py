@@ -46,6 +46,8 @@ UNGATED = frozenset(
         "q39_unpivot",
         "d09_dup_clusters",
         "t12_split",
+        "q40_funnel",
+        "q41_retention",
     }
 )
 

@@ -458,3 +458,108 @@ ORACLE["q39_unpivot"] = """
 """
 
 QUERIES["q39_unpivot"] = q39_unpivot
+
+
+def q40_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who viewed, then clicked AFTER
+    the first view, then purchased AFTER that click — strictly ordered
+    milestones, the canonical product-analytics sequence query.
+
+    Plan shape: three stage aggregates, each a groupBy on user_id —
+    every stage joins and aggregates on the SAME key, so Catalyst
+    reuses one hash-partitioning across the chain (one logical shuffle
+    of the events table, then key-local joins). The final counts are
+    single-row global aggregates of tiny per-stage relations.
+    """
+    e = Tables(spark, sf_dir).events
+    stage1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    stage2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(stage1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    stage3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(stage2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        stage1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(stage2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(stage3.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+ORACLE["q40_funnel"] = """
+    WITH stage1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), stage2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN stage1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > stage1.t1
+        GROUP BY e.user_id
+    ), stage3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN stage2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > stage2.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM stage1) AS n_view,
+           (SELECT count(*) FROM stage2) AS n_view_click,
+           (SELECT count(*) FROM stage3) AS n_view_click_purchase
+"""
+
+QUERIES["q40_funnel"] = q40_funnel
+
+
+def q41_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-activity day,
+    counted on each subsequent active day offset — the
+    day-N-retention triangle every growth dashboard is built on.
+
+    Plan shape: one groupBy(user) for the cohort day, one distinct on
+    (user, day), then a key-local join back on user_id and a
+    low-cardinality aggregate on (cohort_day, offset). All three
+    shuffles key on user_id or a tiny composite — no fact-level
+    re-shuffle.
+    """
+    e = Tables(spark, sf_dir).events
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    active = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("offset_days"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+ORACLE["q41_retention"] = """
+    WITH firsts AS (
+        SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY user_id
+    ), active AS (
+        SELECT DISTINCT user_id, ts::DATE AS d FROM events
+    )
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, a.d) AS offset_days,
+           count(DISTINCT a.user_id)           AS n_users
+    FROM active a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+QUERIES["q41_retention"] = q41_retention

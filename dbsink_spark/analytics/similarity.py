@@ -526,3 +526,71 @@ ORACLE["s06_kmeans_update"] = f"""
 """
 
 QUERIES["s06_kmeans_update"] = s06_kmeans_update
+
+
+def kmeans_fit(spark: SparkSession, sf_dir: str, n_iters: int = 3):
+    """Full Lloyd k-means over the embeddings — the iterative loop that
+    s06 is one step of. Seeds from the per-label means (deterministic),
+    then alternates broadcast-join assignment with a mean update.
+
+    The driver holds ONLY the centroids (K×dim floats, ~KB) — they are
+    collected and re-broadcast each round, which is the canonical Spark
+    k-means shape (per round: one corpus scan, one hash aggregate; see
+    also MLlib's implementation strategy). Corpus stays cached at the
+    executors across rounds.
+
+    Returns (assignments DataFrame [vec_id, cell], inertia_history) —
+    inertia is the summed squared distance to the assigned centroid and
+    must be non-increasing across rounds (pytest asserts this).
+    """
+    v = _vectors(spark, sf_dir).persist()
+
+    # deterministic seed centroids: per-label means, ordered by label
+    seed = (
+        v.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .orderBy("label")
+        .collect()
+    )
+    cents = [(int(r.label), list(r.cv)) for r in seed]
+
+    inertia_history: list[float] = []
+    assign = None
+    for _ in range(n_iters):
+        cdf = spark.createDataFrame(cents, ["cid", "cv"])
+        d2 = F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = v.join(F.broadcast(cdf)).select("vec_id", "v", "cid", d2.alias("d2"))
+        assign = scored.groupBy("vec_id").agg(
+            F.expr("min_by(cid, struct(d2, cid))").alias("cell"),
+            F.min("d2").alias("d2"),
+            F.expr("min_by(v, struct(d2, cid))").alias("v"),
+        )
+        stats = assign.agg(F.sum("d2").alias("inertia")).collect()[0]
+        inertia_history.append(float(stats.inertia))
+        new_cents = (
+            assign.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("c"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("cv")
+            )
+            .orderBy("cell")
+            .collect()
+        )
+        cents = [(int(r.cell), list(r.cv)) for r in new_cents]
+    return assign.select("vec_id", "cell"), inertia_history

@@ -58,3 +58,55 @@ def foreach_batch_lake(path: str, ts_col: str = "time", coalesce_files: int = 4)
         )
 
     return fn
+
+
+def compact_lake(
+    spark,
+    path: str,
+    partition_cols: tuple[str, ...] = ("ingest_date",),
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Small-file compaction: rewrite every lake partition so each holds
+    ``ceil(rows / target_rows_per_file)`` files — the maintenance job
+    that keeps a streaming-written lake scannable (thousands of
+    micro-batch files per partition destroy scan throughput and
+    driver planning time at 100 TB).
+
+    Mechanics: a tiny per-partition count decides the file budget; rows
+    get a deterministic ``file_idx`` within their partition and one
+    shuffle keyed by (partition, file_idx) lands each output file in
+    exactly one task. Dynamic partition overwrite swaps partitions
+    atomically-per-partition, so compaction is idempotent and safe to
+    re-run; untouched partitions are left alone.
+
+    Returns {partition_tuple: n_files} for observability.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    counts = df.groupBy(*partition_cols).count().collect()
+    plan = {
+        tuple(r[c] for c in partition_cols): max(
+            1, math.ceil(r["count"] / target_rows_per_file)
+        )
+        for r in counts
+    }
+    if not plan:
+        return {}
+    budget = spark.createDataFrame(
+        [(*k, v) for k, v in plan.items()],
+        list(partition_cols) + ["__n_files"],
+    )
+    data_cols = [c for c in df.columns if c not in partition_cols]
+    row_hash = F.abs(F.xxhash64(*[F.col(c).cast("string") for c in data_cols]))
+    out = (
+        df.join(F.broadcast(budget), list(partition_cols))
+        .withColumn("__file_idx", (row_hash % F.col("__n_files")).cast("int"))
+        .repartition(sum(plan.values()), *partition_cols, F.col("__file_idx"))
+        .drop("__n_files", "__file_idx")
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    return plan

@@ -193,3 +193,16 @@ def test_dup_clusters_consistent_with_pairs(spark):
         members.setdefault(c, []).append(doc)
     for c, docs in members.items():
         assert c == min(docs)
+
+
+def test_kmeans_inertia_nonincreasing(spark):
+    """kmeans_fit: Lloyd iterations never increase inertia, and the
+    assignment covers every vector exactly once."""
+    from dbsink_spark.analytics import similarity
+
+    assign, hist = similarity.kmeans_fit(spark, SF_DIR, n_iters=3)
+    assert len(hist) == 3
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(hist, hist[1:]))
+    n = similarity.Tables(spark, SF_DIR).embeddings.count()
+    assert assign.count() == n
+    assert assign.select("vec_id").distinct().count() == n

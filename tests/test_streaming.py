@@ -287,3 +287,34 @@ def test_incremental_rollup_matches_batch(spark, tmp_path):
     n_total = con.execute('SELECT sum(n) FROM "hourly"').fetchone()[0]
     con.close()
     assert n_total == 5
+
+
+def test_compact_lake_bounds_files_and_preserves_rows(spark, tmp_path):
+    """Many tiny appended files -> one compaction pass -> per-partition
+    file count matches the row budget, content unchanged."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.lake import compact_lake
+
+    lake = str(tmp_path / "clake")
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("ingest_date"),
+    )
+    # 3 appends x 8 shuffle files x 3 partitions = lots of small files
+    for _ in range(3):
+        df.repartition(8).write.mode("append").partitionBy("ingest_date").parquet(lake)
+
+    import glob
+
+    before = len(glob.glob(f"{lake}/ingest_date=*/*.parquet"))
+    assert before >= 24
+
+    plan = compact_lake(spark, lake, ("ingest_date",), target_rows_per_file=1000)
+    assert set(plan.values()) == {1}
+
+    after = glob.glob(f"{lake}/ingest_date=*/*.parquet")
+    assert len(after) == 3  # one file per partition
+    out = spark.read.parquet(lake)
+    assert out.count() == 900
+    assert out.groupBy("id").count().filter("count != 3").count() == 0
