@@ -48,6 +48,7 @@ UNGATED = frozenset(
         "t12_split",
         "q40_funnel",
         "q41_retention",
+        "t13_mixture",
     }
 )
 

@@ -677,3 +677,58 @@ ORACLE["t12_split"] = f"""
 """
 
 QUERIES["t12_split"] = t12_split
+
+
+def _mixture_weight_expr():
+    """Per-source keep-percentage: even-numbered sources 25%, odd 75%
+    (a stand-in for the tuned per-domain mixture weights a training
+    run ships)."""
+    num = F.substring("source", 4, 10).cast("int")
+    return F.when(num % 2 == 0, F.lit(25)).otherwise(F.lit(75))
+
+
+def t13_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling: deterministically downsample each source
+    to its target mixture weight via a salted hash bucket per doc —
+    the reshuffle-free way to hit a per-domain token budget (keep doc
+    iff ``h64('mix:'+doc_id) % 100 < weight(source)``). Stable under
+    corpus growth and resumable: membership never depends on other
+    rows, unlike reservoir/random sampling.
+
+    Scale: pure map + low-cardinality agg; the decision column needs no
+    shuffle at all, so at 100 TB the sampled corpus is a filter
+    pushdown away.
+    """
+    from ..functions.hashing import h64
+
+    d = Tables(spark, sf_dir).documents
+    bucket = h64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
+    kept = (bucket < _mixture_weight_expr()).cast("int")
+    return (
+        d.select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["t13_mixture"] = f"""
+    WITH marked AS (
+        SELECT source,
+               ({h64_sql("'mix:' || doc_id::VARCHAR")} % 100 <
+                CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 25 ELSE 75 END
+               )::INT AS kept
+        FROM documents
+    )
+    SELECT source,
+           count(*)          AS n_docs,
+           sum(kept)::BIGINT AS n_kept
+    FROM marked
+    GROUP BY source
+    ORDER BY source
+"""
+
+QUERIES["t13_mixture"] = t13_mixture

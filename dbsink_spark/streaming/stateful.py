@@ -177,3 +177,25 @@ def session_aggregate(
             "n_events",
         )
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream–static enrichment join: every micro-batch joined against a
+    (broadcast) static dimension — the lookup-table pattern (device
+    registry, user attributes, geo metadata) that upgrades raw events
+    in-flight without any stateful join machinery.
+
+    Structured Streaming re-plans the static side per micro-batch, so a
+    dimension refreshed in place is picked up on the next trigger. The
+    broadcast hint keeps the join shuffle-free: the stream side never
+    repartitions, which at 100 TB events/day is the difference between
+    a map-side hash join and re-shuffling the firehose every batch.
+    Dimensions too big to broadcast should be pre-bucketed on the key
+    instead (layout.write_bucketed) — same no-stream-shuffle property.
+    """
+    return stream.join(F.broadcast(dim), keys, how)

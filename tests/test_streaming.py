@@ -318,3 +318,39 @@ def test_compact_lake_bounds_files_and_preserves_rows(spark, tmp_path):
     out = spark.read.parquet(lake)
     assert out.count() == 900
     assert out.groupBy("id").count().filter("count != 3").count() == 0
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static broadcast join: events upgraded with dimension
+    attributes in-flight; the join plans shuffle-free on the stream
+    side (no hash-partitioning Exchange)."""
+    from dbsink_spark.streaming import enrich_stream
+
+    indir = tmp_path / "ev"
+    indir.mkdir()
+    with open(indir / "b0.json", "w") as f:
+        for i in range(20):
+            f.write(json.dumps({"uid": f"u{i % 4}", "val": i}) + "\n")
+
+    dim = spark.createDataFrame(
+        [(f"u{i}", f"region{i % 2}") for i in range(4)], ["uid", "region"]
+    )
+    schema = "uid STRING, val LONG"
+    stream = spark.readStream.schema(schema).json(str(indir))
+    q = (
+        enrich_stream(stream, dim, ["uid"])
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM enriched").collect()
+    assert len(rows) == 20
+    assert all(r.region in ("region0", "region1") for r in rows)
+
+    # batch twin of the same join: zero shuffle exchanges (broadcast)
+    from dbsink_spark.analytics.layout import n_exchanges
+
+    batch = enrich_stream(spark.read.schema(schema).json(str(indir)), dim, ["uid"])
+    assert n_exchanges(batch) == 0
