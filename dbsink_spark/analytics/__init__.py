@@ -49,6 +49,7 @@ UNGATED = frozenset(
         "q40_funnel",
         "q41_retention",
         "t13_mixture",
+        "q42_time_weighted",
     }
 )
 

@@ -563,3 +563,76 @@ ORACLE["q41_retention"] = """
 """
 
 QUERIES["q41_retention"] = q41_retention
+
+
+def q42_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted aggregation (the hypertable ``time_weight`` shape):
+    per (user, type) piecewise-linear integral of the value series over
+    time — trapezoid area between consecutive observations — plus the
+    covered duration, from which the true time-weighted average falls
+    out as ``area / duration`` (irregular sampling means a plain avg
+    over-weights bursts).
+
+    Exactness: values carry 2 exact decimals and timestamps are
+    microsecond longs, so each trapezoid is the exact long
+    ``(round(100·v) + round(100·prev_v)) · Δt_µs`` (2× the scaled area)
+    — summation order can't drift it. One lag window + one hash agg,
+    both keyed on the same (user_id, event_type) partitioning.
+    """
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+    v100 = F.round(F.col("value") * 100).cast("long")
+    base = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        v100.alias("v"),
+    ).select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "v",
+        F.lag("ts_us").over(
+            Window.partitionBy("user_id", "event_type").orderBy("ts_us")
+        ).alias("pts"),
+        F.lag("v").over(
+            Window.partitionBy("user_id", "event_type").orderBy("ts_us")
+        ).alias("pv"),
+    )
+    seg = base.filter(F.col("pts").isNotNull()).select(
+        "user_id",
+        "event_type",
+        ((F.col("v") + F.col("pv")) * (F.col("ts_us") - F.col("pts"))).alias("area2_e2"),
+        (F.col("ts_us") - F.col("pts")).alias("dt_us"),
+    )
+    return (
+        seg.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("area2_e2").alias("area2_e2"),
+            F.sum("dt_us").alias("dur_us"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+ORACLE["q42_time_weighted"] = """
+    WITH base AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) AS ts_us,
+               round(value * 100)::BIGINT AS v,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY epoch_us(ts)) AS pts,
+               lag(round(value * 100)::BIGINT) OVER (PARTITION BY user_id, event_type ORDER BY epoch_us(ts)) AS pv
+        FROM events
+    )
+    SELECT user_id, event_type,
+           count(*)                       AS n_segments,
+           sum((v + pv) * (ts_us - pts))::BIGINT AS area2_e2,
+           sum(ts_us - pts)::BIGINT       AS dur_us
+    FROM base
+    WHERE pts IS NOT NULL
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+"""
+
+QUERIES["q42_time_weighted"] = q42_time_weighted

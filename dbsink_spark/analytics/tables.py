@@ -37,7 +37,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integral div, not float /: nanos exceed double's 53-bit exact
+        # integer range, so float division drifts the microsecond value
+        # by ±1 — exact truncation matches DuckDB's TIMESTAMP_NS cast
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
