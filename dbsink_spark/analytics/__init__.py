@@ -50,6 +50,7 @@ UNGATED = frozenset(
         "q41_retention",
         "t13_mixture",
         "q42_time_weighted",
+        "q43_regression_stats",
     }
 )
 

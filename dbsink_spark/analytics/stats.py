@@ -292,3 +292,63 @@ ORACLE["q36_hierarchical_rollup"] = """
 """
 
 QUERIES["q36_hierarchical_rollup"] = q36_hierarchical_rollup
+
+
+def q43_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear-regression sufficient statistics: for each
+    event type, the (n, Σx, Σy, Σxy, Σx²) that define the least-squares
+    fit of value over time — slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²).
+
+    Emitting the sufficient statistics instead of the slope is both the
+    distributed-correct shape (they're map-side combinable — this IS
+    how regr_slope aggregates internally) and integer-exact at the
+    gate: x is whole seconds from the group's first event, y is the
+    2-decimal value scaled to a long. Overflow bound: Σx² ≤ (2.6e6)²·n
+    — fine in int64 to ~n=5e5 per group; beyond that, widen to
+    DECIMAL(38,0) (DuckDB's HUGEINT sums never wrap; Spark's long sums
+    do, silently).
+
+    Plan: one tiny min-per-group aggregate broadcast back onto the
+    fact scan, then a single hash aggregate — no window sort shuffle.
+    """
+    e = Tables(spark, sf_dir).events
+    secs = F.unix_seconds(F.col("ts"))
+    base = e.select("event_type", secs.alias("s"), F.round(F.col("value") * 100).cast("long").alias("y"))
+    mins = base.groupBy("event_type").agg(F.min("s").alias("s0"))
+    xy = base.join(F.broadcast(mins), "event_type").select(
+        "event_type", (F.col("s") - F.col("s0")).alias("x"), "y"
+    )
+    return (
+        xy.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q43_regression_stats"] = """
+    WITH base AS (
+        SELECT event_type,
+               epoch_us(ts) // 1000000        AS s,
+               round(value * 100)::BIGINT     AS y
+        FROM events
+    ), mins AS (
+        SELECT event_type, min(s) AS s0 FROM base GROUP BY event_type
+    )
+    SELECT b.event_type,
+           count(*)                    AS n,
+           sum(b.s - m.s0)::BIGINT     AS sx,
+           sum(b.y)::BIGINT            AS sy,
+           sum((b.s - m.s0) * b.y)::BIGINT      AS sxy,
+           sum((b.s - m.s0) * (b.s - m.s0))::BIGINT AS sxx
+    FROM base b JOIN mins m USING (event_type)
+    GROUP BY b.event_type
+    ORDER BY b.event_type
+"""
+
+QUERIES["q43_regression_stats"] = q43_regression_stats
