@@ -738,18 +738,17 @@ def d09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.join(nbr, labels.doc_id == nbr.nbr_of, "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
             )
             .persist()
         )
-        old = labels.select("doc_id", F.col("label").alias("old_label"))
-        changed = new.join(old, "doc_id").filter(
-            F.col("label") != F.col("old_label")
-        ).count()
+        # convergence check rides the same relation — no extra join
+        changed = new.filter(F.col("label") != F.col("old_label")).count()
         labels.unpersist()
-        labels = new
+        labels = new.select("doc_id", "label")
         if changed == 0:
             break
     sizes = labels.groupBy(F.col("label").alias("cluster_of")).agg(
