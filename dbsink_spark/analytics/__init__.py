@@ -51,6 +51,7 @@ UNGATED = frozenset(
         "t13_mixture",
         "q42_time_weighted",
         "q43_regression_stats",
+        "q44_range_frame",
     }
 )
 

@@ -636,3 +636,53 @@ ORACLE["q42_time_weighted"] = """
 """
 
 QUERIES["q42_time_weighted"] = q42_time_weighted
+
+
+def q44_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event, the user's trailing 1-hour sum and
+    count — a time-interval frame (peers included by VALUE distance, not
+    row offset), the moving-window shape q15's ROWS frame can't express
+    over irregular event times.
+
+    Frame bounds ride whole epoch-seconds so the window semantics are
+    identical across engines; the summed value is the 2-decimal fixed
+    point long. One shuffle on user_id, then an ordered range scan per
+    partition.
+    """
+    e = Tables(spark, sf_dir).events
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.unix_seconds(F.col("ts")).alias("s"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("s"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.sum("v").over(w).alias("sum_1h_e2"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    ).orderBy("event_id")
+
+
+ORACLE["q44_range_frame"] = """
+    WITH base AS (
+        SELECT event_id, user_id,
+               epoch_us(ts) // 1000000    AS s,
+               round(value * 100)::BIGINT AS v
+        FROM events
+    )
+    SELECT event_id, user_id,
+           sum(v) OVER (PARTITION BY user_id ORDER BY s
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS sum_1h_e2,
+           count(*) OVER (PARTITION BY user_id ORDER BY s
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
+    FROM base
+    ORDER BY event_id
+"""
+
+QUERIES["q44_range_frame"] = q44_range_frame
