@@ -34,22 +34,27 @@ UNGATED = frozenset(
         "t07_winnowing",
         "d07_phrase_dedup",
         "q37_time_gapfill",
+        # demoted round-2 session 2 to make gate room for headline ops
+        # (each redundant with other gated rows: q21≈q18/q36 time aggs,
+        # q27≈q26/q29 distribution stats, q33 narrow string exprs,
+        # q34≈q10/q12 agg variants):
+        "q21_orders_monthly",
+        "q27_histogram",
+        "q33_string_funcs",
+        "q34_conditional_agg",
         # round-2 batch 2 (same policy — oracle-verified + benched,
-        # beyond the 50-row driver gate):
+        # beyond the 50-row driver gate; d08/d09/s06/q42 promoted INTO
+        # the gate in place of the four demoted rows above):
         "t08_quality_rules",
         "t09_vocab_df",
         "t10_chunk",
         "t11_pack",
-        "d08_decontaminate",
-        "s06_kmeans_update",
         "q38_range_join",
         "q39_unpivot",
-        "d09_dup_clusters",
         "t12_split",
         "q40_funnel",
         "q41_retention",
         "t13_mixture",
-        "q42_time_weighted",
         "q43_regression_stats",
         "q44_range_frame",
     }

@@ -21,7 +21,7 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 # Float canonicalization width. The driver's comparator is stricter than
 # %.6g (r01: three queries passed here but failed its gate), so default to
 # %.12g locally — anything green at 12 significant digits is ulp-safe.
