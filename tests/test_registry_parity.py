@@ -76,3 +76,30 @@ def test_ungated_query_matches_oracle(spark, name):
         _norm(row[i]) for i in sorted(range(len(cols)), key=lambda j: cols[j])
     ]
     assert sorted(key(r, scols) for r in srows) == sorted(key(r, ocols) for r in orows)
+
+
+def test_headline_operators_are_gated():
+    """The driver gate must carry the headline LLM-pipeline and
+    timeseries ops (curated round-2: d08/d09/s06/q42 promoted in place
+    of four redundant agg variants)."""
+    headline = {
+        "d01_dedup_exact",
+        "d03_minhash_lsh",
+        "d04_simhash",
+        "d05_ngram_jaccard",
+        "d06_embedding_near_dup",
+        "d08_decontaminate",
+        "d09_dup_clusters",
+        "s01_cosine_topk",
+        "s02_centroid_assign",
+        "s03_hyperplane_lsh",
+        "s04_numpy_topk",
+        "s06_kmeans_update",
+        "q22_asof_join",
+        "q42_time_weighted",
+        "m01_media_features",
+        "m02_media_meta_join",
+        "m03_frame_sample",
+    }
+    missing = headline - set(analytics.QUERIES)
+    assert not missing, missing
