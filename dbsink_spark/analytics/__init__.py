@@ -57,6 +57,9 @@ UNGATED = frozenset(
         "t13_mixture",
         "q43_regression_stats",
         "q44_range_frame",
+        # round-2 batch 3 (same policy):
+        "t14_pii_redact",
+        "t15_common_token_score",
     }
 )
 

@@ -732,3 +732,145 @@ ORACLE["t13_mixture"] = f"""
 """
 
 QUERIES["t13_mixture"] = t13_mixture
+
+
+# ---------------------------------------------------------------------------
+# t14: PII detection + redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax valid in BOTH Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b/\d — no
+# lookaround, no backreferences.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def _pii_augmented():
+    """The synthetic corpus is PII-free (verified: no digits at all), so
+    the operator runs over a deterministically PII-injected twin of the
+    text — identical expression on the oracle side — to exercise the
+    regexes non-vacuously. On real data the augmentation is dropped and
+    the scrubber runs over ``text`` directly."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+def t14_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and mask emails, IPv4s and
+    phone-shaped numbers per document — the scrub pass a training-data
+    pipeline runs before anything else sees the text. The redacted text
+    itself stays distributed; the output carries its portable hash so
+    the full replacement result is value-verified without shipping
+    bodies.
+
+    Scale: pure per-row column expressions (JVM regex, no Python), zero
+    shuffle before the final ordering; at 100 TB this is a map-only
+    pass writing back to the lake.
+    """
+    from ..functions.hashing import h64
+
+    d = Tables(spark, sf_dir).documents
+    aug = d.withColumn("aug", _pii_augmented())
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return (
+        aug.select(
+            "doc_id",
+            F.regexp_count(F.col("aug"), F.lit(PII_EMAIL)).alias("n_emails"),
+            F.regexp_count(F.col("aug"), F.lit(PII_IPV4)).alias("n_ips"),
+            F.regexp_count(F.col("aug"), F.lit(PII_PHONE)).alias("n_phones"),
+            h64(redacted).alias("redacted_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.' "
+    "|| (doc_id % 256)::VARCHAR || '.7 call 555-' "
+    "|| lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+
+ORACLE["t14_pii_redact"] = f"""
+    WITH aug AS (
+        SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(aug, '{PII_EMAIL}'))::INT AS n_emails,
+           len(regexp_extract_all(aug, '{PII_IPV4}'))::INT  AS n_ips,
+           len(regexp_extract_all(aug, '{PII_PHONE}'))::INT AS n_phones,
+           {h64_sql(
+               "regexp_replace(regexp_replace(regexp_replace(aug, "
+               f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
+               f"'{PII_IPV4}', '<IP>', 'g'), "
+               f"'{PII_PHONE}', '<PHONE>', 'g')"
+           )} AS redacted_hash
+    FROM aug
+    ORDER BY doc_id
+"""
+
+QUERIES["t14_pii_redact"] = t14_pii_redact
+
+
+def t15_common_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-commonness scoring: join each document's tokens against
+    the corpus document-frequency table (t09's vocabulary) and emit the
+    integer sufficient statistics — token count and summed df — plus a
+    rare-token count (df below 5% of the corpus). Low total df flags
+    gibberish / OOV-heavy docs; a near-1 rare ratio is a standard
+    quality filter signal.
+
+    Scale: the df table is bounded by |vocab|, not corpus size, so it
+    broadcasts; the corpus explode never re-shuffles (map-side join +
+    per-doc re-aggregation on the already-carried doc_id key). Outputs
+    are integer-exact — no float ratio crosses the gate.
+    """
+    d = Tables(spark, sf_dir).documents
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))  # 1-row, broadcast
+    ex = d.select("doc_id", F.explode(_words()).alias("term"))
+    df_tbl = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        ex.join(F.broadcast(df_tbl), "term")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("df").alias("sum_df"),
+            F.sum((F.col("df") * 20 <= F.col("n_docs")).cast("int")).alias("n_rare"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["t15_common_token_score"] = """
+    WITH ex AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), df_tbl AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY term
+    ), total AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT ex.doc_id,
+           count(*)        AS n_tokens,
+           sum(df)::BIGINT AS sum_df,
+           sum((df * 20 <= n_docs)::INT)::BIGINT AS n_rare
+    FROM ex JOIN df_tbl USING (term) CROSS JOIN total
+    GROUP BY ex.doc_id
+    ORDER BY ex.doc_id
+"""
+
+QUERIES["t15_common_token_score"] = t15_common_token_score
