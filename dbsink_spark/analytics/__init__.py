@@ -60,6 +60,7 @@ UNGATED = frozenset(
         # round-2 batch 3 (same policy):
         "t14_pii_redact",
         "t15_common_token_score",
+        "d10_containment",
     }
 )
 

@@ -783,3 +783,110 @@ ORACLE["d09_dup_clusters"] = f"""
 """
 
 QUERIES["d09_dup_clusters"] = d09_dup_clusters
+
+
+# ---------------------------------------------------------------------------
+# d10: partial-overlap / containment dedup via winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+D10_K = 3  # shingle width (words) for the fingerprint base
+D10_W = 4  # winnowing window (hashes) — guarantees shared runs >= K+W-1 words share a fp
+D10_DF_CAP = 20  # drop boilerplate fingerprints present in more docs than this
+# containment threshold 0.8 as an integer cross-multiplication
+D10_NUM, D10_DEN = 4, 5
+
+
+def d10_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric near-dup) detection: pairs where the
+    smaller document's winnowing-fingerprint set is >= 80% contained in
+    the larger's — the quote/excerpt/superset case symmetric Jaccard
+    (d05) under-scores. Fingerprints are SIGMOD'03 winnowing mins
+    (t07's local fingerprints), so any shared run of ``K + W - 1``
+    words is guaranteed to contribute.
+
+    Plan shape (the 100 TB one): per-doc fingerprints → inverted index
+    on the 60-bit fp → document-frequency cap (fps in > ``D10_DF_CAP``
+    docs are boilerplate and generate quadratic fanout for no signal —
+    dropping them is the standard stop-fingerprint trick; containment
+    is then defined over the informative fps on BOTH sides) →
+    equi-join on fp → per-pair intersection counts → integer threshold.
+    Cost ∝ co-occurrence with per-fp fanout bounded by the cap, never
+    docs². All outputs integer-exact.
+    """
+    d = Tables(spark, sf_dir).documents
+    dw = d.withColumn("w", _words()).filter(F.size("w") >= D10_K + D10_W - 1)
+    w = F.col("w")
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j) for j in range(D10_K)]
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (D10_K - 1)), lambda i: h64(shingle(i))
+    )
+    dh = dw.select("doc_id", hashes.alias("hs"))
+    h = F.col("hs")
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(h) - D10_W),
+            lambda i: F.array_min(F.slice(h, i + 1, D10_W)),
+        )
+    )
+    # persist: the fp relation feeds the df-cap, the size table and both
+    # join sides — without it the winnowing expression re-evaluates 4x
+    fps = dh.select("doc_id", F.explode(mins).alias("fp")).persist()
+    informative = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= D10_DF_CAP
+    )
+    good = fps.join(informative.select("fp"), "fp").persist()
+    counts = good.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = good.alias("a"), good.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(F.col("inter") * D10_DEN >= D10_NUM * F.least("n_a", "n_b"))
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE["d10_containment"] = f"""
+    WITH dw AS (
+        SELECT doc_id, string_split(text,' ') AS w
+        FROM documents
+        WHERE len(string_split(text,' ')) >= {D10_K + D10_W - 1}
+    ), dh AS (
+        SELECT doc_id,
+               [{h64_sql("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}
+                for i in generate_series(1, len(w) - {D10_K - 1})] AS hs
+        FROM dw
+    ), fps AS (
+        SELECT doc_id,
+               unnest(list_distinct([list_min(hs[i+1:i+{D10_W}])
+                                     for i in generate_series(0, len(hs) - {D10_W})])) AS fp
+        FROM dh
+    ), informative AS (
+        SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {D10_DF_CAP}
+    ), good AS (
+        SELECT doc_id, fp FROM fps JOIN informative USING (fp)
+    ), counts AS (
+        SELECT doc_id, count(*) AS n_fp FROM good GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM good a JOIN good b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter, ca.n_fp AS n_a, cb.n_fp AS n_b
+    FROM pairs
+    JOIN counts ca ON pairs.doc_a = ca.doc_id
+    JOIN counts cb ON pairs.doc_b = cb.doc_id
+    WHERE inter * {D10_DEN} >= {D10_NUM} * least(ca.n_fp, cb.n_fp)
+    ORDER BY doc_a, doc_b
+"""
+
+QUERIES["d10_containment"] = d10_containment
