@@ -61,6 +61,8 @@ UNGATED = frozenset(
         "t14_pii_redact",
         "t15_common_token_score",
         "d10_containment",
+        "q45_transitions",
+        "q46_mad_anomaly",
     }
 )
 

@@ -686,3 +686,117 @@ ORACLE["q44_range_frame"] = """
 """
 
 QUERIES["q44_range_frame"] = q44_range_frame
+
+
+def q45_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence transition matrix: per-user lag over the ordered
+    event stream, counted by (previous, next) event-type pair — the
+    Markov-transition summary behind path analysis / next-action
+    models. Deterministic order: (ts, event_id) breaks timestamp ties.
+
+    Plan shape: one window sort keyed by user_id (the same partitioning
+    every sessionize/funnel op uses), then a low-cardinality hash agg —
+    at 100 TB the window shuffle is the only data movement and the
+    result is |types|² rows.
+    """
+    e = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+ORACLE["q45_transitions"] = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+"""
+
+QUERIES["q45_transitions"] = q45_transitions
+
+
+MAD_K = 3  # flag |x - median| > K * MAD
+
+
+def q46_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly summary per event type: median / MAD (median
+    absolute deviation) outlier counts — the heavy-tail-safe twin of
+    the z-score detector (q32), which a single spike can blind.
+
+    Exactness: values are exact 2-decimals, so everything rides scaled
+    longs — ``med2`` = 2·median(value·100) and ``mad4`` = 4·MAD(value·100)
+    are integers because an even-count median interpolates exactly one
+    halving; the flag ``|x−med| > K·MAD`` becomes the integer
+    cross-multiplication ``2·dev2 > K·mad4``. No float ever reaches the
+    gate (the engines' interpolated medians agree bit-for-bit: (a+b)/2
+    of sub-2^53 longs is exact IEEE).
+
+    Plan shape: two grouped exact-median passes over (type, value)
+    with broadcast joins back — the per-type stat tables are |types|
+    rows. Exact distributed medians sort within groups; at 100 TB you
+    would swap ``median`` for ``approx_percentile`` and keep the
+    identical integer frame.
+    """
+    e = Tables(spark, sf_dir).events
+    v = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v2")
+    )
+    med = v.groupBy("event_type").agg(
+        (F.expr("2 * median(v2)")).cast("long").alias("med2")
+    )
+    dev = v.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(2 * F.col("v2") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type", "med2").agg(
+        (F.expr("2 * median(dev2)")).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad4")), "event_type")
+        .groupBy("event_type", "med2", "mad4")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((2 * F.col("dev2") > MAD_K * F.col("mad4")).cast("int")).alias(
+                "n_outliers"
+            ),
+        )
+        .select("event_type", "n", "med2", "mad4", "n_outliers")
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q46_mad_anomaly"] = f"""
+    WITH v AS (
+        SELECT event_type, round(value * 100)::BIGINT AS v2 FROM events
+    ), med AS (
+        SELECT event_type, (2 * quantile_cont(v2, 0.5))::BIGINT AS med2
+        FROM v GROUP BY event_type
+    ), dev AS (
+        SELECT v.event_type, med2, abs(2 * v2 - med2) AS dev2
+        FROM v JOIN med USING (event_type)
+    ), mad AS (
+        SELECT event_type, med2, (2 * quantile_cont(dev2, 0.5))::BIGINT AS mad4
+        FROM dev GROUP BY event_type, med2
+    )
+    SELECT dev.event_type,
+           count(*) AS n,
+           any_value(dev.med2) AS med2,
+           any_value(mad4)     AS mad4,
+           sum((2 * dev2 > {MAD_K} * mad4)::INT)::BIGINT AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    ORDER BY dev.event_type
+"""
+
+QUERIES["q46_mad_anomaly"] = q46_mad_anomaly
