@@ -63,6 +63,7 @@ UNGATED = frozenset(
         "d10_containment",
         "q45_transitions",
         "q46_mad_anomaly",
+        "s07_knn_graph",
     }
 )
 

@@ -594,3 +594,125 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, n_iters: int = 3):
         )
         cents = [(int(r.cell), list(r.cv)) for r in new_cents]
     return assign.select("vec_id", "cell"), inertia_history
+
+
+# ---------------------------------------------------------------------------
+# s07: kNN-graph construction over LSH buckets
+# ---------------------------------------------------------------------------
+
+N_GRAPH_PLANES = 4  # coarser than s03's 8: 16 buckets -> real within-bucket neighbors
+KNN_K = 3
+S07_TILE_ROWS = 1024  # gram-tile height: bounds per-task memory on skewed buckets
+
+
+def s07_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN-graph construction: every vector's top-K
+    neighbors among its own LSH bucket (sign-random-projection, first
+    ``N_GRAPH_PLANES`` hyperplanes) — the build step for graph-based
+    ANN indexes and embedding-cluster analysis. Recall is tuned by the
+    plane count (fewer planes = bigger buckets = higher recall, more
+    compute) plus multi-probe at query time.
+
+    Plan shape: bucket id is a pure map; each bucket block is scored
+    with tiled numpy float64 inside ``applyInPandas`` (d06's treatment
+    — the interpreted HOF-fold join version was measured 1.5M fold
+    evaluations at sf0.1, ~10x slower). Per-bucket cost is quadratic
+    ONLY within a bucket, and bucket size is n/2^planes in expectation
+    — at 100 TB you add planes to hold block sizes constant and the
+    tile height bounds per-task memory. Output is RANK-ONLY (s04's
+    treatment): numpy's pairwise summation differs from the oracle's
+    sequential fold in the last ulp, the induced ranking doesn't; ties
+    break on neighbor_id via id-sorted stable argsort.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    v = _vectors(spark, sf_dir)
+    planes = hyperplane_weights()[:N_GRAPH_PLANES]
+    bucket = None
+    for p, wts in enumerate(planes):
+        wcol = F.array(*[F.lit(float(x)) for x in wts])
+        dot = _dot(F.col("v"), wcol)
+        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, p)
+        bucket = term if bucket is None else bucket + term
+    b = v.select("vec_id", "v", bucket.alias("bucket"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+
+    def knn_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")  # id-ascending columns: stable argsort tiebreak
+        ids = pdf["vec_id"].values
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "rank": []}).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "rank": "int32"}
+            )
+        m = np.array(list(pdf["v"]), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        k = min(KNN_K, n - 1)
+        outs = []
+        for s0 in range(0, n, S07_TILE_ROWS):
+            s1 = min(s0 + S07_TILE_ROWS, n)
+            tile = m[s0:s1] @ m.T  # (t, n)
+            rows = np.arange(s0, s1)
+            tile[rows - s0, rows] = -np.inf  # mask self
+            order = np.argsort(-tile, axis=1, kind="stable")[:, :k]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids[rows], k),
+                        "neighbor_id": ids[order].reshape(-1),
+                        "rank": np.tile(np.arange(1, k + 1, dtype=np.int32), s1 - s0),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        b.groupBy("bucket")
+        .applyInPandas(knn_block, out_schema)
+        .orderBy("vec_id", "rank")
+    )
+
+
+def _s07_oracle() -> str:
+    planes = hyperplane_weights()[:N_GRAPH_PLANES]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_sum([v[i] * ({_weights_sql(w)})[i] for i in generate_series(1, {DIM})]) > 0 "
+        f"THEN (1::BIGINT << {p}) ELSE 0 END)"
+        for p, w in enumerate(planes)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_sum([x*x for x in embedding::DOUBLE[]])) AS vn
+            FROM embeddings
+        ), b AS (
+            SELECT vec_id, v, vn, ({bucket_terms}) AS bucket FROM v
+        ), scored AS (
+            SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+                   list_sum([a.v[i] * c.v[i] for i in generate_series(1, {DIM})])
+                       / (a.vn * c.vn) AS cosine
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
+        ), ranked AS (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT vec_id, neighbor_id, rank::INT AS rank
+        FROM ranked WHERE rank <= {KNN_K}
+        ORDER BY vec_id, rank
+    """
+
+
+ORACLE["s07_knn_graph"] = _s07_oracle()
+QUERIES["s07_knn_graph"] = s07_knn_graph
