@@ -64,6 +64,7 @@ UNGATED = frozenset(
         "q45_transitions",
         "q46_mad_anomaly",
         "s07_knn_graph",
+        "m04_binary_near_dup",
     }
 )
 

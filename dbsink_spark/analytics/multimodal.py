@@ -203,3 +203,144 @@ ORACLE["m03_frame_sample"] = f"""
 """
 
 QUERIES["m03_frame_sample"] = m03_frame_sample
+
+
+# ---------------------------------------------------------------------------
+# m04: binary near-dup via piecewise chunk-signature (perceptual-hash shape)
+# ---------------------------------------------------------------------------
+
+SIG_CHUNKS = 60  # signature width: one bit per fixed-position chunk (60 keeps the
+# value strictly below 2^63 so it rides a signed BIGINT in both engines)
+M04_BANDS = 4  # 15-bit pigeonhole bands
+M04_RADIUS = 3  # hamming radius: <= 3 differing bits -> near-dup
+
+
+def chunk_signature(data: bytes) -> int:
+    """60-bit piecewise signature over a binary payload: the payload is
+    cut into ``SIG_CHUNKS`` fixed-position chunks and bit *i* is the
+    parity of chunk *i*'s md5 — ssdeep-style piecewise hashing, so a
+    localized byte edit flips only the bits of the chunks it touches
+    (locality at chunk granularity). A real image pipeline would swap
+    this for a perceptual pHash/aHash over decoded pixels
+    (``decode_image`` is the stubbed seam); the signature WIDTH, the
+    banding and the verify are identical either way.
+    """
+    n = len(data)
+    width = max(1, -(-n // SIG_CHUNKS))
+    sig = 0
+    for i in range(SIG_CHUNKS):
+        chunk = data[i * width : (i + 1) * width]
+        if chunk:
+            bit = int(hashlib.md5(chunk).hexdigest()[:15], 16) & 1
+            sig |= bit << i
+    return sig
+
+
+SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sig", T.LongType()),
+    ]
+)
+
+
+def _sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "sig": [chunk_signature(b) for b in pdf["blob"]],
+            }
+        )
+
+
+def m04_binary_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over BINARY media payloads: piecewise
+    chunk signatures (computed executor-side in Arrow-batched
+    mapInPandas — the multimodal decode seam) + the same pigeonhole
+    band candidate generation d04 uses for text simhash: hamming ≤ 3
+    across 4 disjoint 16-bit bands means at least one band matches
+    exactly, so candidates come from an equi-join on (band_id,
+    band_value) — never an O(n²) self-join — and the exact
+    ``bit_count`` verify runs on candidates only. Each pair is emitted
+    once via the first-matching-band map-side filter (no dedup
+    shuffle). Provably equal to the brute-force oracle pair set.
+    """
+    media = media_table(spark, sf_dir)
+    sigs = media.select("doc_id", "blob").mapInPandas(_sig_batches, SIG_SCHEMA)
+
+    width = SIG_CHUNKS // M04_BANDS
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.shiftright("sig", j * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for j in range(M04_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band_id", "bb.band_val")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.sig").alias("sig_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("b.sig").alias("sig_b"),
+        F.col("a.band_id").alias("band_id"),
+    )
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    conds = []
+    for j in range(M04_BANDS):
+        c = F.lit(True)
+        for i in range(j):
+            c = c & (F.shiftright(xor, i * width).bitwiseAND(F.lit(mask)) != 0)
+        conds.append((F.col("band_id") == j) & c)
+    first_match = conds[0]
+    for c in conds[1:]:
+        first_match = first_match | c
+    return (
+        joined.filter(first_match)
+        .select("doc_a", "doc_b", F.bit_count(xor).alias("hamming"))
+        .filter(F.col("hamming") <= M04_RADIUS)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE["m04_binary_near_dup"] = f"""
+    WITH sized AS (
+        SELECT doc_id, text,
+               greatest(1, ceil(length(text) / {SIG_CHUNKS}.0)::BIGINT) AS w
+        FROM documents
+    ), sigs AS (
+        SELECT doc_id,
+               list_sum([
+                   CASE WHEN length(substring(text, (i * w)::INT + 1, w::INT)) > 0
+                        THEN (({h64_sql("substring(text, (i * w)::INT + 1, w::INT)")}) % 2)
+                             << i
+                        ELSE 0 END
+                   for i in generate_series(0, {SIG_CHUNKS - 1})])::BIGINT AS sig
+        FROM sized
+    )
+    -- brute force: the engine's banded plan must equal this pair set
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {M04_RADIUS}
+    ORDER BY doc_a, doc_b
+"""
+
+QUERIES["m04_binary_near_dup"] = m04_binary_near_dup
