@@ -57,13 +57,18 @@ UNGATED = frozenset(
         "t13_mixture",
         "q43_regression_stats",
         "q44_range_frame",
-        # round-2 batch 3 (same policy):
-        "t14_pii_redact",
+        # round-2 batch 3 (same policy). t14/s07/d10 are PROMOTED into
+        # the gate as distinct capability classes (PII scrub, ANN graph,
+        # containment dedup); in exchange these three gate rows demote —
+        # each redundant with other gated plans (q25≈q05/q13 join-agg,
+        # q15≈q13/q14 window frames, q30 argmax = the min_by shape
+        # already inside gated s02):
+        "q15_window_running",
+        "q25_above_segment_avg",
+        "q30_argmax",
         "t15_common_token_score",
-        "d10_containment",
         "q45_transitions",
         "q46_mad_anomaly",
-        "s07_knn_graph",
         "m04_binary_near_dup",
     }
 )

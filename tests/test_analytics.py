@@ -60,10 +60,10 @@ def rowset(rows, cols):
 
 @pytest.mark.parametrize("name", SUBSET)
 def test_query_matches_oracle(spark, duck, name):
-    sdf = analytics.QUERIES[name](spark, SF_DIR)
+    sdf = analytics.ALL_QUERIES[name](spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
-    cur = duck.execute(analytics.ORACLE[name])
+    cur = duck.execute(analytics.ALL_ORACLE[name])
     dcols = [d[0] for d in cur.description]
     drows = cur.fetchall()
     assert sorted(scols) == sorted(dcols)

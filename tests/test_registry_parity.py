@@ -95,6 +95,9 @@ def test_headline_operators_are_gated():
         "s03_hyperplane_lsh",
         "s04_numpy_topk",
         "s06_kmeans_update",
+        "d10_containment",
+        "s07_knn_graph",
+        "t14_pii_redact",
         "q22_asof_join",
         "q42_time_weighted",
         "m01_media_features",
