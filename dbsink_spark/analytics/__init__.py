@@ -70,6 +70,12 @@ UNGATED = frozenset(
         "q45_transitions",
         "q46_mad_anomaly",
         "m04_binary_near_dup",
+        # round-2 batch 4 (same policy — oracle-verified + benched):
+        "t16_bpe_merge_step",
+        "t17_importance_weights",
+        "d11_semdedup",
+        "q47_ohlc",
+        "q48_interp_gapfill",
     }
 )
 

@@ -800,3 +800,185 @@ ORACLE["q46_mad_anomaly"] = f"""
 """
 
 QUERIES["q46_mad_anomaly"] = q46_mad_anomaly
+
+
+# ---------------------------------------------------------------------------
+# q47: OHLC downsampling (candlestick buckets)
+# ---------------------------------------------------------------------------
+
+
+def q47_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, hour) open / high / low /
+    close of ``value`` plus the tick count — the hypertable
+    candlestick/downsample rollup (TimescaleDB ``candlestick_agg``,
+    InfluxDB ``aggregateWindow``).
+
+    Determinism: open/close pick the value at the min/max of the UNIQUE
+    key (ts, event_id), via a lexicographic struct min/max — one hash
+    aggregate with map-side partials, no window sort. Outputs are raw
+    input doubles (selection, never arithmetic), so they hash exactly.
+
+    Scale: single map-side-combinable aggregate keyed by (type, hour);
+    at 100 TB this is the continuous-aggregate shape — each partition
+    contributes one partial OHLC struct per bucket.
+    """
+    e = Tables(spark, sf_dir).events
+    b = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.struct("ts", F.col("event_id").alias("id"), F.col("value").alias("v")).alias("k"),
+        "value",
+    )
+    return (
+        b.groupBy("event_type", "hour")
+        .agg(
+            F.min("k")["v"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max("k")["v"].alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+ORACLE["q47_ohlc"] = """
+    SELECT event_type,
+           date_trunc('hour', ts) AS hour,
+           min({'ts': ts, 'id': event_id, 'v': value}).v AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max({'ts': ts, 'id': event_id, 'v': value}).v AS close,
+           count(*) AS n_ticks
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, hour
+"""
+
+QUERIES["q47_ohlc"] = q47_ohlc
+
+
+# ---------------------------------------------------------------------------
+# q48: linear-interpolation gap fill
+# ---------------------------------------------------------------------------
+
+
+def q48_interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill with LINEAR INTERPOLATION — the ``interpolate()``
+    companion to q37's zero-fill: per event type, build the dense
+    hourly spine between that type's own first and last bucket, carry
+    the last observed bucket value forward/backward, and fill each
+    missing bucket with the time-weighted blend of its neighbors.
+
+    Exactness: bucket values are exact 2-decimal scaled longs
+    (``round(value*100)``, the q32 playbook); the interpolated value
+
+        (v0·(t1−t) + v1·(t−t0)) div (t1−t0)
+
+    is one integral division of nonnegative longs (t in whole hours),
+    so Spark ``div`` == DuckDB ``//`` and no float exists anywhere.
+    The observed bucket value picks the LAST tick in the bucket by the
+    unique (ts, event_id) key — deterministic on both engines.
+
+    Scale: the aggregate is map-side combinable; the two neighbor
+    carries are one window pass per type ordered by hour — the spine is
+    |types|·|hours| rows, tiny next to the corpus. At 100 TB,
+    range-partition the spine by (type, month) so window state stays
+    bounded per task.
+    """
+    from pyspark.sql import Window
+
+    e = Tables(spark, sf_dir).events
+    obs = (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.struct(
+                "ts",
+                F.col("event_id").alias("id"),
+                F.round(F.col("value") * 100).cast("long").alias("w"),
+            ).alias("k"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.max("k")["w"].alias("w_e2"))
+    )
+    spine = (
+        obs.groupBy("event_type")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour"),
+        )
+    )
+    g = spine.join(obs, ["event_type", "hour"], "left").withColumn(
+        "t", F.unix_timestamp("hour") / 3600
+    ).withColumn("t", F.col("t").cast("long"))
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("w_e2").isNotNull(), F.col("t"))
+    g = (
+        g.withColumn("v0", F.last("w_e2", ignorenulls=True).over(back))
+        .withColumn("t0", F.last(obs_t, ignorenulls=True).over(back))
+        .withColumn("v1", F.first("w_e2", ignorenulls=True).over(fwd))
+        .withColumn("t1", F.first(obs_t, ignorenulls=True).over(fwd))
+    )
+    filled = F.when(F.col("w_e2").isNotNull(), F.col("w_e2")).otherwise(
+        F.expr("(v0 * (t1 - t) + v1 * (t - t0)) div (t1 - t0)")
+    )
+    return g.select(
+        "event_type",
+        "hour",
+        filled.alias("value_e2"),
+        F.col("w_e2").isNull().cast("int").alias("interpolated"),
+    ).orderBy("event_type", "hour")
+
+
+ORACLE["q48_interp_gapfill"] = """
+    WITH obs AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS hour,
+               max({'ts': ts, 'id': event_id,
+                    'w': round(value * 100)::BIGINT}).w AS w_e2
+        FROM events GROUP BY 1, 2
+    ), spine AS (
+        SELECT event_type,
+               unnest(generate_series(min(hour), max(hour),
+                                      INTERVAL 1 HOUR)) AS hour
+        FROM obs GROUP BY event_type
+    ), g AS (
+        SELECT s.event_type, s.hour, obs.w_e2,
+               (epoch(s.hour)::BIGINT // 3600) AS t
+        FROM spine s LEFT JOIN obs USING (event_type, hour)
+    ), n AS (
+        SELECT *,
+               last_value(w_e2 IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+               last_value(CASE WHEN w_e2 IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+               first_value(w_e2 IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+               first_value(CASE WHEN w_e2 IS NOT NULL THEN t END IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+        FROM g
+    )
+    SELECT event_type, hour,
+           CASE WHEN w_e2 IS NOT NULL THEN w_e2
+                ELSE (v0 * (t1 - t) + v1 * (t - t0)) // (t1 - t0) END AS value_e2,
+           (w_e2 IS NULL)::INT AS interpolated
+    FROM n
+    ORDER BY event_type, hour
+"""
+
+QUERIES["q48_interp_gapfill"] = q48_interp_gapfill

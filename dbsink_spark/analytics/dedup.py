@@ -890,3 +890,85 @@ ORACLE["d10_containment"] = f"""
 """
 
 QUERIES["d10_containment"] = d10_containment
+
+
+# ---------------------------------------------------------------------------
+# d11: SemDeDup — semantic dedup prune decisions
+# ---------------------------------------------------------------------------
+
+
+def d11_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): per-item keep/prune decisions from
+    embedding similarity inside coarse-quantizer clusters. d06 emits
+    the near-dup PAIR list; this operator emits what a pipeline
+    actually applies — one row per vector with its cluster and a kept
+    flag, pruning every vector that has a lower-id neighbor at cosine
+    ≥ threshold in its cell (so exactly one deterministic
+    representative survives each duplicate chain's head).
+
+    Plan shape: the pair list comes from the same tiled-numpy
+    cell-blocked scorer as d06 (cost bounded per cell, never corpus²);
+    the prune set is its distinct ``vec_b`` projection — a tiny
+    relation that LEFT ANTI semi-joins back onto the corpus without
+    moving embeddings. At 100 TB the decision column lands next to the
+    vectors as a pushdown-friendly filter, like t13's mixture flag.
+    """
+    from .similarity import centroid_cells
+
+    e = Tables(spark, sf_dir).embeddings
+    cells = centroid_cells(spark, sf_dir).select("vec_id", "cell")
+    pruned = (
+        d06_embedding_near_dup(spark, sf_dir)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_pruned", F.lit(1))
+    )
+    return (
+        e.select("vec_id")
+        .join(cells, "vec_id")
+        .join(F.broadcast(pruned), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("_pruned").isNull(), 1).otherwise(0).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# The cells + pair CTEs mirror ORACLE["d06_embedding_near_dup"]
+# verbatim; the final SELECT flips the pair list into per-vector
+# keep/prune decisions.
+ORACLE["d11_semdedup"] = f"""
+    WITH pairs AS (
+        SELECT vec_a, vec_b FROM ({ORACLE["d06_embedding_near_dup"]}) p
+    ), v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), dims AS (
+        SELECT label, i.i AS pos, v[i.i] AS x
+        FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+    ), cent_dims AS (
+        SELECT label, pos, avg(x) AS c FROM dims GROUP BY label, pos
+    ), cent AS (
+        SELECT label AS cent_label, list(c ORDER BY pos) AS cv
+        FROM cent_dims GROUP BY label
+    ), scored AS (
+        SELECT v.vec_id, cent.cent_label,
+               list_sum([ (v.v[i] - cent.cv[i]) * (v.v[i] - cent.cv[i])
+                          for i in generate_series(1, 64) ]) AS d2
+        FROM v CROSS JOIN cent
+    ), cells AS (
+        SELECT vec_id, cent_label AS cell
+        FROM (SELECT vec_id, cent_label,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, cent_label) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ), pruned AS (SELECT DISTINCT vec_b AS vec_id FROM pairs)
+    SELECT c.vec_id, c.cell,
+           (p.vec_id IS NULL)::INT AS kept
+    FROM cells c LEFT JOIN pruned p ON c.vec_id = p.vec_id
+    ORDER BY c.vec_id
+"""
+
+QUERIES["d11_semdedup"] = d11_semdedup

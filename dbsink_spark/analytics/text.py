@@ -874,3 +874,169 @@ ORACLE["t15_common_token_score"] = """
 """
 
 QUERIES["t15_common_token_score"] = t15_common_token_score
+
+
+# ---------------------------------------------------------------------------
+# t16: BPE tokenizer-training merge step
+# ---------------------------------------------------------------------------
+
+BPE_TOP_K = 20  # merge candidates emitted per iteration
+
+
+def t16_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of BPE tokenizer training at corpus scale: count
+    every adjacent character-pair occurrence (weighted by word
+    frequency) and emit the top-K merge candidates — the inner loop of
+    training a tokenizer on the corpus the engine curates.
+
+    Plan shape is the trick that makes BPE training feasible at 100 TB:
+    aggregate the corpus down to the DISTINCT-word frequency table
+    first (one shuffle, map-side combinable, output bounded by |vocab|
+    not corpus size), then explode character bigrams over that tiny
+    relation. The corpus-sized pass is a plain word count; the
+    per-symbol work never touches full documents. Subsequent merge
+    iterations would re-run only the vocab-sized half with the merged
+    symbol table broadcast.
+
+    Counts are integers; the (count DESC, pair ASC) order is total, so
+    the top-K is deterministic on both engines.
+    """
+    d = Tables(spark, sf_dir).documents
+    wf = (
+        d.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wf.select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOP_K)
+    )
+
+
+ORACLE["t16_bpe_merge_step"] = f"""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), wf AS (
+        SELECT word, count(*) AS freq FROM w
+        GROUP BY word HAVING len(word) >= 2
+    ), p AS (
+        SELECT freq,
+               unnest([substr(word, i, 2)
+                       for i in generate_series(1, len(word) - 1)]) AS pair
+        FROM wf
+    )
+    SELECT pair, sum(freq)::BIGINT AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {BPE_TOP_K}
+"""
+
+QUERIES["t16_bpe_merge_step"] = t16_bpe_merge_step
+
+
+# ---------------------------------------------------------------------------
+# t17: DSIR-style importance discriminant (data selection)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096  # hashed n-gram feature space (DSIR's hash trick)
+DSIR_TARGET_LANG = "en"  # the in-domain "target" distribution
+
+
+def t17_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection with importance weights (DSIR, Xie et al. 2023):
+    score every document by how target-like its hashed-bigram feature
+    counts are, against the raw-corpus feature distribution. DSIR's
+    weight is Σ_f c_f(doc)·log(p_target(f)/p_raw(f)); engines disagree
+    in the last ulp of ``log``, so the score here is the integer-
+    linearized discriminant with the same sign structure and ordering
+    intent:
+
+        score = Σ_f c_f(doc) · (cnt_target(f)·N_raw − cnt_raw(f)·N_target)
+
+    — positive when the doc leans toward target-distribution features.
+    All-integer, so partitioning/engine independent. Magnitude bound:
+    cnt·N ≤ (7.5e7)² ≈ 5.6e15 at sf10, × ~200 features/doc ≈ 1e18 —
+    inside int64; beyond that, swap the sum to DECIMAL(38,0)/HUGEINT
+    (q32's pattern).
+
+    Plan shape: one corpus pass builds the 4096-row hashed feature
+    table (map-side combinable), which then BROADCASTS back onto the
+    exploded corpus — the per-doc rescore never shuffles feature
+    counts, matching DSIR's two-pass design at scale.
+    """
+    from ..functions.hashing import h64
+
+    d = Tables(spark, sf_dir).documents
+    dw = d.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).cast("long").alias("is_t"),
+        _words().alias("w"),
+    ).filter(F.size("w") >= 2)
+    ex = dw.select(
+        "doc_id",
+        "is_t",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")
+        ).alias("bg"),
+    ).withColumn("f", h64(F.col("bg")) % DSIR_BUCKETS)
+    feat = ex.groupBy("f").agg(
+        F.sum("is_t").alias("cnt_t"), F.count(F.lit(1)).alias("cnt_r")
+    )
+    totals = feat.agg(
+        F.sum("cnt_t").alias("n_t"), F.sum("cnt_r").alias("n_r")
+    )
+    return (
+        ex.join(F.broadcast(feat), "f")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.first("is_t").cast("int").alias("is_target"),
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(
+                F.col("cnt_t") * F.col("n_r") - F.col("cnt_r") * F.col("n_t")
+            ).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["t17_importance_weights"] = f"""
+    WITH dw AS (
+        SELECT doc_id, (lang = '{DSIR_TARGET_LANG}')::BIGINT AS is_t,
+               string_split(text, ' ') AS w
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ), ex AS (
+        SELECT doc_id, is_t,
+               {h64_sql("bg")} % {DSIR_BUCKETS} AS f
+        FROM (
+            SELECT doc_id, is_t,
+                   unnest([w[i] || ' ' || w[i + 1]
+                           for i in generate_series(1, len(w) - 1)]) AS bg
+            FROM dw
+        )
+    ), feat AS (
+        SELECT f, sum(is_t)::BIGINT AS cnt_t, count(*)::BIGINT AS cnt_r
+        FROM ex GROUP BY f
+    ), totals AS (
+        SELECT sum(cnt_t)::BIGINT AS n_t, sum(cnt_r)::BIGINT AS n_r FROM feat
+    )
+    SELECT ex.doc_id,
+           any_value(ex.is_t)::INT AS is_target,
+           count(*)                AS n_feats,
+           sum(cnt_t * n_r - cnt_r * n_t)::BIGINT AS score
+    FROM ex JOIN feat USING (f) CROSS JOIN totals
+    GROUP BY ex.doc_id
+    ORDER BY ex.doc_id
+"""
+
+QUERIES["t17_importance_weights"] = t17_importance_weights

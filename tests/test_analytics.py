@@ -23,6 +23,9 @@ SUBSET = [
     "q22_asof_join",
     "q30_argmax",
     "t03_lang_id",
+    "t16_bpe_merge_step",
+    "d11_semdedup",
+    "q48_interp_gapfill",
     "d01_dedup_exact",
     "d03_minhash_lsh",
     "s01_cosine_topk",
