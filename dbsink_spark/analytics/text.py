@@ -981,13 +981,22 @@ def t17_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == DSIR_TARGET_LANG).cast("long").alias("is_t"),
         _words().alias("w"),
     ).filter(F.size("w") >= 2)
-    ex = dw.select(
-        "doc_id",
-        "is_t",
-        F.explode(
-            F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")
-        ).alias("bg"),
-    ).withColumn("f", h64(F.col("bg")) % DSIR_BUCKETS)
+    # persist: the hashed-feature relation feeds BOTH the feature-table
+    # build and the rescore join; without it the md5 bigram hashing
+    # (the dominant cost) runs twice (2.7 s -> 1.5 s at sf0.1)
+    ex = (
+        dw.select(
+            "doc_id",
+            "is_t",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "is_t", (h64(F.col("bg")) % DSIR_BUCKETS).alias("f"))
+        .persist()
+    )
     feat = ex.groupBy("f").agg(
         F.sum("is_t").alias("cnt_t"), F.count(F.lit(1)).alias("cnt_r")
     )
