@@ -76,6 +76,7 @@ UNGATED = frozenset(
         "d11_semdedup",
         "q47_ohlc",
         "q48_interp_gapfill",
+        "q49_zorder_index",
     }
 )
 

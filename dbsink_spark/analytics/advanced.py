@@ -982,3 +982,105 @@ ORACLE["q48_interp_gapfill"] = """
 """
 
 QUERIES["q48_interp_gapfill"] = q48_interp_gapfill
+
+
+# ---------------------------------------------------------------------------
+# q49: Z-order layout index (multi-dimensional data skipping)
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 8  # bits per dimension after range normalization
+ZORDER_BUCKET_SHIFT = 10  # keep top 6 of the 16 Z bits -> 64 buckets
+
+
+def _zorder_expr() -> str:
+    """Morton/Z-value of the normalized (user, time) buckets: bit-
+    interleave in a fold — user on odd bits, time on even."""
+    return (
+        f"aggregate(sequence(0, {ZORDER_BITS - 1}), cast(0 as long), "
+        "(acc, i) -> acc"
+        " + shiftleft(shiftright(ux, i) & 1, 2*i + 1)"
+        " + shiftleft(shiftright(tx, i) & 1, 2*i))"
+    )
+
+
+def q49_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout index — the multi-dimensional
+    data-skipping story (Delta OPTIMIZE ZORDER BY / Iceberg sort
+    orders): normalize user_id and event time each onto an 8-bit
+    range-relative bucket, interleave their bits into a 16-bit
+    Z-value, split the Z range into 64 buckets, and emit each bucket's
+    row count and per-dimension min/max envelope. Because the curve
+    preserves locality in BOTH dimensions, every bucket's envelope is
+    tight on user_id AND ts at once — a point/range predicate on either
+    column prunes most buckets, which a single-column sort cannot do.
+
+    Exactness: normalization is integral division against the observed
+    global bounds (a 1-row broadcast aggregate; all operands
+    nonnegative so Spark ``div`` == DuckDB ``//``), the Z-value is pure
+    bit arithmetic, and min/max carry raw input values.
+
+    Scale: this query is the index audit; the writer twin
+    (``lake.zorder_lake``) range-partitions on the same Z-value and
+    sorts within partitions so parquet footer min/max match these
+    envelopes. One map + one combinable aggregate — no shuffle beyond
+    the range partitioner the write needs anyway.
+    """
+    e = Tables(spark, sf_dir).events
+    n_b = 1 << ZORDER_BITS
+    bounds = e.agg(
+        F.min("user_id").alias("min_u"),
+        F.max("user_id").alias("max_u"),
+        F.min(F.unix_timestamp("ts").cast("long")).alias("min_s"),
+        F.max(F.unix_timestamp("ts").cast("long")).alias("max_s"),
+    )
+    z = (
+        e.select("user_id", "ts", F.unix_timestamp("ts").cast("long").alias("s"))
+        .join(F.broadcast(bounds))
+        .withColumn(
+            "ux", F.expr(f"({n_b} * (user_id - min_u)) div (max_u - min_u + 1)")
+        )
+        .withColumn("tx", F.expr(f"({n_b} * (s - min_s)) div (max_s - min_s + 1)"))
+        .withColumn("z", F.expr(_zorder_expr()))
+    )
+    return (
+        z.groupBy(F.shiftright("z", ZORDER_BUCKET_SHIFT).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+ORACLE["q49_zorder_index"] = f"""
+    WITH bounds AS (
+        SELECT min(user_id) AS min_u, max(user_id) AS max_u,
+               min(epoch(ts)::BIGINT) AS min_s, max(epoch(ts)::BIGINT) AS max_s
+        FROM events
+    ), nz AS (
+        SELECT user_id, ts,
+               ({1 << ZORDER_BITS} * (user_id - min_u)) // (max_u - min_u + 1) AS ux,
+               ({1 << ZORDER_BITS} * (epoch(ts)::BIGINT - min_s)) // (max_s - min_s + 1) AS tx
+        FROM events CROSS JOIN bounds
+    ), z AS (
+        SELECT user_id, ts,
+               list_sum([ (((ux >> i) & 1) << (2*i + 1))
+                        + (((tx >> i) & 1) << (2*i))
+                          for i in generate_series(0, {ZORDER_BITS - 1}) ]) AS z
+        FROM nz
+    )
+    SELECT z >> {ZORDER_BUCKET_SHIFT} AS z_bucket,
+           count(*)      AS n_rows,
+           min(user_id)  AS min_user,
+           max(user_id)  AS max_user,
+           min(ts)       AS min_ts,
+           max(ts)       AS max_ts
+    FROM z
+    GROUP BY 1
+    ORDER BY z_bucket
+"""
+
+QUERIES["q49_zorder_index"] = q49_zorder_index

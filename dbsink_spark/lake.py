@@ -110,3 +110,50 @@ def compact_lake(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     return plan
+
+
+def zorder_lake(
+    df: DataFrame,
+    path: str,
+    dims: tuple[str, str],
+    bits: int = 8,
+    n_files: int = 64,
+) -> None:
+    """Z-order-clustered lake write (Delta ``OPTIMIZE ZORDER BY`` /
+    Iceberg sort-order equivalent): range-partition rows by the Morton
+    interleave of the two dimension columns and sort within partitions,
+    so every parquet file's footer min/max is tight on BOTH dimensions
+    — predicates on either column skip most files.
+
+    Both dims must be numeric (cast timestamps to epoch first). The
+    normalization bounds come from one tiny aggregate; the only shuffle
+    is the range partitioner the clustered write needs anyway.
+    """
+    a, b = dims
+    n_b = 1 << bits
+    bounds = df.agg(
+        F.min(a).alias("_min_a"),
+        F.max(a).alias("_max_a"),
+        F.min(b).alias("_min_b"),
+        F.max(b).alias("_max_b"),
+    )
+    interleave = (
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as long), "
+        "(acc, i) -> acc"
+        " + shiftleft(shiftright(_ux, i) & 1, 2*i + 1)"
+        " + shiftleft(shiftright(_tx, i) & 1, 2*i))"
+    )
+    z = (
+        df.join(F.broadcast(bounds))
+        .withColumn("_ux", F.expr(f"({n_b} * ({a} - _min_a)) div (_max_a - _min_a + 1)"))
+        .withColumn("_tx", F.expr(f"({n_b} * ({b} - _min_b)) div (_max_b - _min_b + 1)"))
+        .withColumn("_z", F.expr(interleave))
+        .drop("_min_a", "_max_a", "_min_b", "_max_b", "_ux", "_tx")
+    )
+    (
+        z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -199,3 +199,44 @@ def enrich_stream(
     instead (layout.write_bucketed) — same no-stream-shuffle property.
     """
     return stream.join(F.broadcast(dim), keys, how)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    left_delay: str = "10 minutes",
+    right_delay: str = "20 minutes",
+) -> DataFrame:
+    """Stream–stream interval join: match right-stream events that
+    arrive within ``(left_ts + lower, left_ts + upper]`` of a
+    left-stream event with the same key — the attribution join
+    (impression→click, error→follow-up, order→payment) as a TRUE
+    two-stream stateful join, the streaming twin of the batch range
+    join (analytics.advanced.q38).
+
+    Both sides carry watermarks and the join condition carries the
+    time bound, which is what lets Structured Streaming EVICT buffered
+    state: a left row can be dropped once the right watermark passes
+    ``left_ts + upper``, so state is bounded by (rate × interval), not
+    unbounded history. Without the time-range predicate Spark would
+    have to keep every row forever.
+
+    Scale: state is hash-partitioned by the join key across executors;
+    at 100 TB/day the knobs are the watermark delays (lateness bound ↔
+    state size) and `spark.sql.shuffle.partitions` for state spread.
+    The right-side delay should be ≥ left delay + upper or matches at
+    the upper edge can be dropped as late.
+    """
+    lw = left.withWatermark(left_ts, left_delay)
+    rw = right.withWatermark(right_ts, right_delay)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] > F.expr(f"{left_ts} + interval {lower}"))
+        & (rw[right_ts] <= F.expr(f"{left_ts} + interval {upper}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])

@@ -354,3 +354,55 @@ def test_stream_static_enrichment(spark, tmp_path):
 
     batch = enrich_stream(spark.read.schema(schema).json(str(indir)), dim, ["uid"])
     assert n_exchanges(batch) == 0
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two real file streams joined with a time-bound condition: only
+    right events inside (left_ts, left_ts + 10 min] with the same key
+    match, and the physical plan is a stateful stream-stream join."""
+    from dbsink_spark.streaming.stateful import interval_join
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(), rdir.mkdir()
+    with open(ldir / "a.json", "w") as f:
+        for uid, t in [("u1", "00:00:00"), ("u2", "00:30:00")]:
+            f.write(json.dumps({"uid": uid, "lts": f"2024-01-01T{t}"}) + "\n")
+    with open(rdir / "b.json", "w") as f:
+        for uid, t in [
+            ("u1", "00:05:00"),   # inside window -> match
+            ("u1", "00:20:00"),   # outside upper bound -> no match
+            ("u2", "00:30:00"),   # not strictly after -> no match
+            ("u2", "00:35:00"),   # inside -> match
+            ("u3", "00:01:00"),   # no left side -> no match
+        ]:
+            f.write(json.dumps({"uid": uid, "rts": f"2024-01-01T{t}"}) + "\n")
+
+    lsrc = (
+        spark.readStream.schema("uid string, lts string")
+        .json(str(ldir))
+        .withColumn("lts", F.to_timestamp("lts"))
+    )
+    rsrc = (
+        spark.readStream.schema("uid string, rts string")
+        .json(str(rdir))
+        .withColumn("rts", F.to_timestamp("rts"))
+    )
+    joined = interval_join(lsrc, rsrc, "uid", "lts", "rts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.uid, r.rts.strftime("%H:%M"))
+        for r in spark.sql("SELECT * FROM ij_stream").collect()
+    }
+    assert got == {("u1", "00:05"), ("u2", "00:35")}
+    # the join must have run as a STATEFUL stream-stream operator:
+    # the progress metrics report a state store holding both sides
+    ops = q.lastProgress["stateOperators"]
+    assert ops and ops[0]["operatorName"] == "symmetricHashJoin", ops
+    assert ops[0]["numRowsTotal"] > 0, ops
