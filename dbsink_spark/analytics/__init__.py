@@ -77,6 +77,7 @@ UNGATED = frozenset(
         "q47_ohlc",
         "q48_interp_gapfill",
         "q49_zorder_index",
+        "s08_pq_codes",
     }
 )
 

@@ -716,3 +716,118 @@ def _s07_oracle() -> str:
 
 ORACLE["s07_knn_graph"] = _s07_oracle()
 QUERIES["s07_knn_graph"] = s07_knn_graph
+
+
+# ---------------------------------------------------------------------------
+# s08: product quantization (IVF-PQ codes)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subvectors per embedding
+PQ_DSUB = DIM // PQ_M  # dims per subvector
+
+
+def s08_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: compress every 64-dim float vector to an
+    8-symbol code — one nearest-sub-centroid id per 8-dim subvector —
+    the storage layer of IVF-PQ indexes (Jégou et al. 2011). With a
+    256-entry codebook per subspace this is 256 B float32 → 8 B per
+    vector; ANN then scans codes with lookup-table distances and only
+    re-ranks survivors against raw vectors.
+
+    Sub-codebooks here are per-label subvector means (deterministic,
+    oracle-reproducible — the same stand-in for trained k-means that
+    s02 uses for its coarse quantizer; s06 is the training step that
+    would refine them). Assignment d2 is a sequential fold in both
+    engines, argmin via min_by on the (d2, centroid) tiebreak struct —
+    one hash aggregate, no window sort.
+
+    Plan shape at 100 TB: the codebook is (labels × M) rows —
+    broadcast; the corpus explodes to M rows per vector, assigns
+    map-side, and re-groups on the already-carried vec_id. The corpus
+    is never shuffled by vector content, and the emitted code column
+    is 8 bytes/vector — the thing you actually persist.
+    """
+    v = _vectors(spark, sf_dir)
+    sub = v.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"m -> struct(m as m, slice(v, m * {PQ_DSUB} + 1, {PQ_DSUB}) as sv))"
+            )
+        ).alias("s"),
+    ).select("vec_id", "label", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    cent = (
+        sub.select("label", "m", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("label", "m", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label", "m")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cent_label"), "m", "cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        sub.join(F.broadcast(cent), "m")
+        .select("vec_id", "m", "cent_label", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.expr("min_by(cent_label, struct(d2, cent_label))").alias("code"))
+    )
+    return (
+        codes.groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("m", "code"))),
+                    lambda s: s["code"].cast("string"),
+                ),
+            ).alias("code")
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE["s08_pq_codes"] = f"""
+    WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), sub AS (
+        SELECT vec_id, label, m.m AS m,
+               v[m.m * {PQ_DSUB} + 1 : m.m * {PQ_DSUB} + {PQ_DSUB}] AS sv
+        FROM v CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+    ), dims AS (
+        SELECT label, m, p.p AS pos, sv[p.p] AS x
+        FROM sub CROSS JOIN (SELECT unnest(generate_series(1, {PQ_DSUB})) AS p) p
+    ), cent_dims AS (
+        SELECT label, m, pos, avg(x) AS c FROM dims GROUP BY label, m, pos
+    ), cent AS (
+        SELECT label AS cent_label, m, list(c ORDER BY pos) AS cv
+        FROM cent_dims GROUP BY label, m
+    ), scored AS (
+        SELECT sub.vec_id, sub.m, cent.cent_label,
+               list_sum([ (sv[i] - cv[i]) * (sv[i] - cv[i])
+                          for i in generate_series(1, {PQ_DSUB}) ]) AS d2
+        FROM sub JOIN cent ON sub.m = cent.m
+    ), codes AS (
+        SELECT vec_id, m, cent_label AS code
+        FROM (SELECT vec_id, m, cent_label,
+                     row_number() OVER (PARTITION BY vec_id, m
+                                        ORDER BY d2 ASC, cent_label) AS rn
+              FROM scored)
+        WHERE rn = 1
+    )
+    SELECT vec_id, string_agg(code::VARCHAR, '|' ORDER BY m) AS code
+    FROM codes
+    GROUP BY vec_id
+    ORDER BY vec_id
+"""
+
+QUERIES["s08_pq_codes"] = s08_pq_codes
