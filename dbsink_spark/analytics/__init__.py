@@ -78,6 +78,7 @@ UNGATED = frozenset(
         "q48_interp_gapfill",
         "q49_zorder_index",
         "s08_pq_codes",
+        "d12_span_dedup",
     }
 )
 

@@ -972,3 +972,117 @@ ORACLE["d11_semdedup"] = f"""
 """
 
 QUERIES["d11_semdedup"] = d11_semdedup
+
+
+# ---------------------------------------------------------------------------
+# d12: span-level dedup (duplicated-window coverage per document)
+# ---------------------------------------------------------------------------
+
+SPAN_W = 10  # rolling window width (words)
+
+
+def d12_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup decisions — the n-gram-granular proxy for exact
+    substring deduplication (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): for every document, how many
+    of its rolling 10-word windows occur anywhere else in the corpus,
+    and how many token positions those duplicated windows cover (the
+    text a span-dedup pass would remove). d07 ranks corpus-wide
+    phrases; this emits the per-document removal budget a pipeline
+    applies.
+
+    Plan shape: explode (doc, pos, window-hash) → one equi-join against
+    the window-occurrence counts keyed by the 60-bit hash (shuffle
+    carries 8-byte keys + positions, never text) → per-doc interval
+    union via one lead() window (union of equal-width intervals =
+    Σ min(W, gap)). Linear in corpus size; the suffix-array exact
+    algorithm doesn't distribute, this shape does.
+    """
+    from pyspark.sql.window import Window as W_
+
+    d = Tables(spark, sf_dir).documents
+    dw = d.withColumn("w", _words()).filter(F.size("w") >= SPAN_W)
+    w = F.col("w")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (SPAN_W - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(SPAN_W)]).alias(
+                "sp"
+            ),
+        ),
+    )
+    ex = dw.select("doc_id", F.explode(spans).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), h64(F.col("s.sp")).alias("h")
+    )
+    counts = ex.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = (
+        ex.join(counts, "h")
+        .filter(F.col("cnt") >= 2)
+        .withColumn(
+            "c",
+            F.least(
+                F.lit(SPAN_W),
+                F.coalesce(
+                    F.lead("pos").over(W_.partitionBy("doc_id").orderBy("pos"))
+                    - F.col("pos"),
+                    F.lit(SPAN_W),
+                ),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"), F.sum("c").alias("covered"))
+    )
+    return (
+        dw.select("doc_id", (F.size("w") - (SPAN_W - 1)).alias("n_windows"))
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("covered", F.lit(0)).alias("covered_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPAN_SQL = " || ' ' || ".join(f"w[i+{j}]" for j in range(SPAN_W)).replace(
+    "w[i+0]", "w[i]"
+)
+
+ORACLE["d12_span_dedup"] = f"""
+    WITH dw AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {SPAN_W}
+    ), ex AS (
+        SELECT doc_id, u.pos AS pos, u.h AS h
+        FROM (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'h': {h64_sql(_SPAN_SQL)}}}
+                           for i in generate_series(1, len(w) - {SPAN_W - 1})]) AS u
+            FROM dw
+        )
+    ), counts AS (
+        SELECT h, count(*) AS cnt FROM ex GROUP BY h
+    ), dup AS (
+        SELECT ex.doc_id, ex.pos FROM ex JOIN counts USING (h) WHERE cnt >= 2
+    ), contrib AS (
+        SELECT doc_id,
+               least({SPAN_W},
+                     coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                              - pos, {SPAN_W})) AS c
+        FROM dup
+    ), cov AS (
+        SELECT doc_id, count(*) AS n_dup, sum(c)::BIGINT AS covered
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT dw.doc_id,
+           len(dw.w) - {SPAN_W - 1} AS n_windows,
+           coalesce(n_dup, 0)::BIGINT   AS n_dup_windows,
+           coalesce(covered, 0)::BIGINT AS covered_tokens
+    FROM dw LEFT JOIN cov USING (doc_id)
+    ORDER BY dw.doc_id
+"""
+
+QUERIES["d12_span_dedup"] = d12_span_dedup
