@@ -62,3 +62,39 @@ def test_similarity_corpus_never_shuffles_for_scoring(spark):
 def test_global_topk_uses_take_ordered(spark):
     plan = _plan(analytics.ALL_QUERIES["q16_topk_global"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_feature_table_broadcasts(spark):
+    """t17's hashed feature table (4096 rows) and totals must ride
+    broadcast joins — the corpus side never shuffles for rescoring."""
+    plan = _plan(analytics.ALL_QUERIES["t17_importance_weights"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoop") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pq_codebook_broadcasts(spark):
+    """s08's sub-codebook (labels × M rows) must broadcast; the corpus
+    regroups only on vec_id."""
+    plan = _plan(analytics.ALL_QUERIES["s08_pq_codes"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_zorder_bounds_broadcast_no_merge_join(spark):
+    """q49's 1-row bounds aggregate must broadcast onto the scan — the
+    Morton map is a map-side operation, not a join shuffle."""
+    plan = _plan(analytics.ALL_QUERIES["q49_zorder_index"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_span_dedup_no_text_in_shuffle(spark):
+    """d12 shuffles 8-byte window hashes + positions, never window
+    text: the join keys on the hash column and the exploded text
+    column is projected away before the exchange."""
+    plan = _plan(analytics.ALL_QUERIES["d12_span_dedup"](spark, SF_DIR))
+    # the window string only exists inside the project that feeds h64;
+    # no Exchange should carry an 'sp' column
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert " sp#" not in m.group(0), m.group(0)
