@@ -79,6 +79,7 @@ UNGATED = frozenset(
         "q49_zorder_index",
         "s08_pq_codes",
         "d12_span_dedup",
+        "q50_scd2_intervals",
     }
 )
 

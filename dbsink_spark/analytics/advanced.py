@@ -1084,3 +1084,74 @@ ORACLE["q49_zorder_index"] = f"""
 """
 
 QUERIES["q49_zorder_index"] = q49_zorder_index
+
+
+# ---------------------------------------------------------------------------
+# q50: SCD Type-2 dimension build (validity intervals from a changelog)
+# ---------------------------------------------------------------------------
+
+
+def q50_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) build: collapse each user's
+    event stream into validity intervals — one row per state CHANGE
+    with ``valid_from`` / ``valid_to`` / ``is_current`` — the
+    changelog→dimension-table transform every warehouse maintains (and
+    the batch twin of a CDC merge). State here is the event type; on
+    real data it is whatever attribute set the dimension tracks.
+
+    Deterministic: the stream orders by the unique (ts, event_id) key;
+    change rows keep their own ts, ``valid_to`` is the next change's
+    ts (NULL while current). All outputs are carried input values —
+    nothing computed, nothing float.
+
+    Scale: two window passes over the same (user_id → ts) sort — one
+    shuffle total, since both windows share partitioning and ordering.
+    At 100 TB, partition the changelog by user bucket and this runs
+    per-bucket; the output dimension is a fraction of the changelog
+    (runs collapse).
+    """
+    from pyspark.sql.window import Window as W_
+
+    e = Tables(spark, sf_dir).events
+    w = W_.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = W_.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.withColumn("valid_to", F.lead("ts").over(w2))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().cast("int").alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "state")
+    )
+
+
+ORACLE["q50_scd2_intervals"] = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)::INT
+               AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from, state
+"""
+
+QUERIES["q50_scd2_intervals"] = q50_scd2_intervals

@@ -1,0 +1,150 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+The registry proves each operator in isolation; this module proves
+they COMPOSE — the pass ordering a real pretraining data pipeline
+runs (PII scrub → quality filter → exact dedup → near-dedup →
+split/mixture → partitioned lake), built entirely from the operator
+library's building blocks, one lazy plan until the final write.
+
+Pass ordering follows practice: scrub before anything else sees text;
+exact dedup before the (more expensive) near-dedup so identical
+bodies never reach MinHash; split/mixture last so sampling never
+biases dedup. Every decision is deterministic (hash-bucket, min-id
+keeper), so reruns are idempotent and the pipeline is resumable at
+any stage boundary — the property that matters when stage 4 of a
+100 TB run fails.
+
+Scale: stages 1-2 are map-only; dedup stages shuffle 8-byte hashes
+(never bodies); the near-dup prune set is pairs-sized and broadcasts;
+the lake write partitions by split so trainers prune to one split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64
+from .dedup import JACCARD_THRESHOLD, d03_minhash_lsh
+from .tables import Tables
+from .text import (
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+    SPLIT_TRAIN_PCT,
+    SPLIT_VAL_PCT,
+    _mixture_weight_expr,
+)
+
+MIN_WORDS = 30  # quality floor (t08's lower Gopher bound)
+MAX_WORDS = 100_000
+
+
+def _scrubbed(d: DataFrame) -> DataFrame:
+    """Stage 1 — PII scrub (t14's redaction, applied in place)."""
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return d.withColumn("text", red)
+
+
+def _quality_pass(d: DataFrame) -> DataFrame:
+    """Stage 2 — quality floor: word-count bounds + a repetition cap
+    (top word ≤ 20% of tokens), integer arithmetic only (t08's
+    rules)."""
+    w = F.split(F.col("text"), " ")
+    top_freq = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda t: F.size(F.filter(w, lambda x: x == t)),
+        )
+    )
+    # the HOF top-frequency probe is O(distinct·n) per doc — fine for
+    # harness docs; swap for the t09 vocab join at corpus scale
+    return (
+        d.withColumn("_n", F.size(w))
+        .filter((F.col("_n") >= MIN_WORDS) & (F.col("_n") <= MAX_WORDS))
+        .withColumn("_top", top_freq)
+        .filter(F.col("_top") * 5 <= F.col("_n"))
+        .drop("_top")
+    )
+
+
+def _exact_dedup(d: DataFrame) -> DataFrame:
+    """Stage 3 — d01's keeper rule: min doc_id per content hash."""
+    hashed = d.withColumn("_h", h64(F.col("text")))
+    keep = hashed.groupBy("_h").agg(F.min("doc_id").alias("_keep"))
+    return (
+        hashed.join(keep, "_h")
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_h", "_keep")
+    )
+
+
+def _near_dedup(spark: SparkSession, sf_dir: str, d: DataFrame) -> DataFrame:
+    """Stage 4 — d03's MinHash+LSH pair list, applied SemDeDup-style:
+    prune the higher-id member of every verified near-dup pair."""
+    pairs = d03_minhash_lsh(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    pruned = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return d.join(F.broadcast(pruned), "doc_id", "left_anti")
+
+
+def _assign_split(d: DataFrame) -> DataFrame:
+    """Stage 5 — t12's hash split + t13's mixture keep-flag."""
+    b = h64(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    mix = h64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
+    return d.withColumn("split", split).filter(mix < _mixture_weight_expr())
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full curation pipeline over ``documents``.
+
+    Returns ``(curated, manifest)``: the curated corpus (with its
+    ``split`` column) and the per-stage count manifest a pipeline
+    writes next to the output. If ``out_path`` is given, the corpus
+    lands as parquet partitioned by ``split``.
+    """
+    d0 = Tables(spark, sf_dir).documents
+    d1 = _scrubbed(d0)
+    d2 = _quality_pass(d1)
+    d3 = _exact_dedup(d2)
+    d4 = _near_dedup(spark, sf_dir, d3)
+    d5 = _assign_split(d4).persist()
+
+    stages = [
+        ("0_raw", d0),
+        ("1_scrubbed", d1),
+        ("2_quality", d2),
+        ("3_exact_dedup", d3),
+        ("4_near_dedup", d4),
+        ("5_split_mixture", d5),
+    ]
+    manifest = None
+    for name, df in stages:
+        row = df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        manifest = row if manifest is None else manifest.unionAll(row)
+
+    if out_path is not None:
+        d5.select("doc_id", "text", "lang", "source", "n_chars", "split").write.mode(
+            "overwrite"
+        ).partitionBy("split").parquet(out_path)
+    return d5, manifest

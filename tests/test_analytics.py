@@ -209,3 +209,36 @@ def test_kmeans_inertia_nonincreasing(spark):
     n = similarity.Tables(spark, SF_DIR).embeddings.count()
     assert assign.count() == n
     assert assign.select("vec_id").distinct().count() == n
+
+
+def test_curation_pipeline_composes(spark, tmp_path):
+    """The full curation chain must run end-to-end, shrink monotonically
+    per stage (scrub is 1:1), keep no duplicate texts, and land a
+    split-partitioned lake."""
+    from dbsink_spark.analytics.curation import curate_corpus
+
+    out = str(tmp_path / "curated")
+    curated, manifest = curate_corpus(spark, SF_DIR, out)
+    m = {r["stage"]: (r["n_docs"], r["n_chars"]) for r in manifest.collect()}
+    assert m["1_scrubbed"][0] == m["0_raw"][0]
+    counts = [m[k][0] for k in sorted(m) if not k.startswith("1_")]
+    assert counts == sorted(counts, reverse=True), m
+    assert counts[-1] > 0
+
+    got = curated.select("doc_id", "text", "split").collect()
+    texts = [r["text"] for r in got]
+    assert len(texts) == len(set(texts))  # exact-dedup held through the chain
+    assert {r["split"] for r in got} <= {"train", "val", "test"}
+
+    # landed lake: partitioned by split, row count matches stage 5
+    back = spark.read.parquet(out)
+    assert back.count() == m["5_split_mixture"][0]
+    import os
+
+    assert any(p.startswith("split=") for p in os.listdir(out))
+
+    # determinism: a rerun reproduces the same keep set
+    curated2, _ = curate_corpus(spark, SF_DIR)
+    assert {r["doc_id"] for r in got} == {
+        r["doc_id"] for r in curated2.select("doc_id").collect()
+    }
