@@ -80,6 +80,7 @@ UNGATED = frozenset(
         "s08_pq_codes",
         "d12_span_dedup",
         "q50_scd2_intervals",
+        "q51_countmin",
     }
 )
 

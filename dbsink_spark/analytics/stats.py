@@ -352,3 +352,104 @@ ORACLE["q43_regression_stats"] = """
 """
 
 QUERIES["q43_regression_stats"] = q43_regression_stats
+
+
+# ---------------------------------------------------------------------------
+# q51: count-min sketch (mergeable frequency summary)
+# ---------------------------------------------------------------------------
+
+CM_D = 4  # hash rows
+CM_W = 1024  # buckets per row
+
+
+def q51_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) built
+    distributed, then queried for the corpus's top-20 words: estimate =
+    min over D rows of the word's bucket count. Unlike q29's built-in
+    sketches this one is hand-rolled from deterministic integer
+    arithmetic, so the DuckDB oracle verifies it VALUE-FOR-VALUE —
+    including the one-sided error property (``est_n >= true_n``
+    always; the pytest suite asserts it).
+
+    The sketch is the mergeable-summary shape streaming/approximate
+    systems ship at scale: the D×W count grid is a single
+    map-side-combinable aggregate (the shuffle carries (row, bucket)
+    int pairs, never words), partial grids from any partitioning merge
+    by addition, and querying is a broadcast join of the 20 probe rows
+    against the 4096-cell grid.
+    """
+    from ..functions.hashing import MINHASH_COEFFS, affine, h64
+
+    d = Tables(spark, sf_dir).documents
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    wh = words.withColumn("h", h64(F.col("word")))
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("d"),
+                (affine(F.col("h"), a, b) % CM_W).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(MINHASH_COEFFS[:CM_D])
+        ]
+    )
+    cells = wh.select(F.explode(buckets).alias("c")).select("c.d", "c.bucket")
+    sketch = cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.desc("true_n"), "word")
+        .limit(20)
+    )
+    probes = top.withColumn("h", h64(F.col("word"))).select(
+        "word", "true_n", F.explode(buckets).alias("c")
+    )
+    return (
+        probes.select("word", "true_n", "c.d", "c.bucket")
+        .join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("word", "true_n")
+        .agg(F.min("cnt").alias("est_n"))
+        .orderBy(F.desc("true_n"), "word")
+    )
+
+
+def _cm_bucket_sql(i: int) -> str:
+    from ..functions.hashing import MINHASH_COEFFS, affine_sql
+    from ..functions.hashing import h64_sql as _h
+
+    a, b = MINHASH_COEFFS[i]
+    return f"({affine_sql(_h('word'), a, b)} % {CM_W})"
+
+
+ORACLE["q51_countmin"] = f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), cells AS (
+        SELECT u.d AS d, u.bucket AS bucket
+        FROM (
+            SELECT unnest([
+                {", ".join(f"{{'d': {i}, 'bucket': {_cm_bucket_sql(i)}}}" for i in range(CM_D))}
+            ]) AS u
+            FROM words
+        )
+    ), sketch AS (
+        SELECT d, bucket, count(*) AS cnt FROM cells GROUP BY d, bucket
+    ), top AS (
+        SELECT word, count(*) AS true_n FROM words GROUP BY word
+        ORDER BY true_n DESC, word LIMIT 20
+    ), probes AS (
+        SELECT word, true_n, u.d AS d, u.bucket AS bucket
+        FROM (
+            SELECT word, true_n, unnest([
+                {", ".join(f"{{'d': {i}, 'bucket': {_cm_bucket_sql(i)}}}" for i in range(CM_D))}
+            ]) AS u
+            FROM top
+        )
+    )
+    SELECT word, true_n, min(cnt)::BIGINT AS est_n
+    FROM probes JOIN sketch USING (d, bucket)
+    GROUP BY word, true_n
+    ORDER BY true_n DESC, word
+"""
+
+QUERIES["q51_countmin"] = q51_countmin

@@ -242,3 +242,13 @@ def test_curation_pipeline_composes(spark, tmp_path):
     assert {r["doc_id"] for r in got} == {
         r["doc_id"] for r in curated2.select("doc_id").collect()
     }
+
+
+def test_countmin_one_sided_error(spark):
+    """q51: count-min estimates are NEVER below the true count, and
+    the top word's estimate is within the sketch's additive bound
+    (N/W per row, min over D rows is far tighter in practice)."""
+    rows = analytics.ALL_QUERIES["q51_countmin"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.est_n >= r.true_n, (r.word, r.true_n, r.est_n)
