@@ -71,16 +71,24 @@ UNGATED = frozenset(
         "q46_mad_anomaly",
         "m04_binary_near_dup",
         # round-2 batch 4 (same policy — oracle-verified + benched):
-        "t16_bpe_merge_step",
-        "t17_importance_weights",
-        "d11_semdedup",
         "q47_ohlc",
         "q48_interp_gapfill",
-        "q49_zorder_index",
-        "s08_pq_codes",
-        "d12_span_dedup",
         "q50_scd2_intervals",
-        "q51_countmin",
+        # session-3 gate reshuffle: the seven new capability classes
+        # (t16 BPE, t17 DSIR, d11 SemDeDup, d12 span dedup, q49
+        # Z-order, s08 PQ, q51 count-min) are PROMOTED into the gate;
+        # these seven demote, each redundant with other gated plans
+        # (q06≈q01/q02 filter-agg, q08 anti≈q07 semi mechanics,
+        # q10≈q29 exact distinct, q14 lag rides inside gated q19,
+        # q16 global top-k ⊂ q13's window top-k family, m02 = m01's
+        # features + the gated join shapes, t04⊂t01 token stats):
+        "q06_revenue_forecast",
+        "q08_anti_join",
+        "q10_agg_distinct",
+        "q14_window_lag",
+        "q16_topk_global",
+        "m02_media_meta_join",
+        "t04_token_count",
     }
 )
 

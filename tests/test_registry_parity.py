@@ -32,7 +32,7 @@ def test_multimodal_not_registry_tail():
     # r01 lost m01-m03 to the gate's 50-row cut; they must sit well
     # inside the first 50 now.
     order = list(analytics.QUERIES)
-    for name in ("m01_media_features", "m02_media_meta_join", "m03_frame_sample"):
+    for name in ("m01_media_features", "m03_frame_sample"):
         assert order.index(name) < 45, (name, order.index(name))
 
 
@@ -101,8 +101,14 @@ def test_headline_operators_are_gated():
         "q22_asof_join",
         "q42_time_weighted",
         "m01_media_features",
-        "m02_media_meta_join",
         "m03_frame_sample",
+        "t16_bpe_merge_step",
+        "t17_importance_weights",
+        "d11_semdedup",
+        "d12_span_dedup",
+        "q49_zorder_index",
+        "s08_pq_codes",
+        "q51_countmin",
     }
     missing = headline - set(analytics.QUERIES)
     assert not missing, missing
