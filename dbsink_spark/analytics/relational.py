@@ -627,3 +627,147 @@ QUERIES = {
     "q20_events_json": q20_events_json,
     "q21_orders_monthly": q21_orders_monthly,
 }
+
+
+# ---------------------------------------------------------------------------
+# q52: data-quality audit (deequ-style constraint report)
+# ---------------------------------------------------------------------------
+
+
+def q52_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation report over the warehouse tables — the
+    deequ / great-expectations pass a pipeline runs before promoting a
+    batch: primary-key uniqueness, foreign-key integrity, null checks,
+    and value-range rules, each emitted as (table, constraint,
+    n_checked, n_violations, passed).
+
+    Every check is one aggregate or one anti-join — map-side
+    combinable or broadcast-able — so the full audit is a handful of
+    independent linear scans that Spark runs concurrently; no check
+    shuffles more than the key column it validates. At 100 TB the
+    report is the gate a landing pipeline writes next to each batch
+    (and the anti-join FK checks broadcast the dimension keys).
+    """
+    t = Tables(spark, sf_dir)
+    orders, lineitem, customer = t.orders, t.lineitem, t.customer
+
+    def report(table, constraint, n_checked, n_violations):
+        return (
+            F.lit(table).alias("tbl"),
+            F.lit(constraint).alias("rule"),
+            n_checked.alias("n_checked"),
+            n_violations.alias("n_violations"),
+            (n_violations == 0).cast("int").alias("passed"),
+        )
+
+    pk_orders = orders.agg(
+        *report(
+            "orders",
+            "pk_unique_orderkey",
+            F.count(F.lit(1)),
+            F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
+        )
+    )
+    nn_orders = orders.agg(
+        *report(
+            "orders",
+            "not_null_orderdate",
+            F.count(F.lit(1)),
+            F.sum(F.col("o_orderdate").isNull().cast("long")),
+        )
+    )
+    rng_orders = orders.agg(
+        *report(
+            "orders",
+            "range_totalprice_positive",
+            F.count(F.lit(1)),
+            F.sum((F.col("o_totalprice") <= 0).cast("long")),
+        )
+    )
+    fk = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders["o_custkey"] == customer["c_custkey"],
+        "left",
+    ).agg(
+        *report(
+            "orders",
+            "fk_custkey_in_customer",
+            F.count(F.lit(1)),
+            F.sum(F.col("c_custkey").isNull().cast("long")),
+        )
+    )
+    pk_li = lineitem.agg(
+        *report(
+            "lineitem",
+            "pk_unique_orderkey_linenumber",
+            F.count(F.lit(1)),
+            F.count(F.lit(1))
+            - F.countDistinct("l_orderkey", "l_linenumber"),
+        )
+    )
+    rng_li = lineitem.agg(
+        *report(
+            "lineitem",
+            "range_quantity_1_50",
+            F.count(F.lit(1)),
+            F.sum(
+                ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+            ),
+        )
+    )
+    rng_disc = lineitem.agg(
+        *report(
+            "lineitem",
+            "range_discount_0_0p1",
+            F.count(F.lit(1)),
+            F.sum(
+                ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("long")
+            ),
+        )
+    )
+    out = pk_orders
+    for df in (nn_orders, rng_orders, fk, pk_li, rng_li, rng_disc):
+        out = out.unionAll(df)
+    return out.orderBy("tbl", "rule")
+
+
+ORACLE["q52_quality_audit"] = """
+    WITH checks AS (
+        SELECT 'orders' AS tbl, 'pk_unique_orderkey' AS rule,
+               count(*) AS n_checked,
+               count(*) - count(DISTINCT o_orderkey) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'not_null_orderdate', count(*),
+               sum((o_orderdate IS NULL)::INT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'range_totalprice_positive', count(*),
+               sum((o_totalprice <= 0)::INT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'fk_custkey_in_customer', count(*),
+               sum((c.c_custkey IS NULL)::INT)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'lineitem', 'pk_unique_orderkey_linenumber', count(*),
+               count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem', 'range_quantity_1_50', count(*),
+               sum((l_quantity < 1 OR l_quantity > 50)::INT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem', 'range_discount_0_0p1', count(*),
+               sum((l_discount < 0 OR l_discount > 0.1)::INT)
+        FROM lineitem
+    )
+    SELECT tbl, rule,
+           n_checked::BIGINT AS n_checked,
+           n_violations::BIGINT AS n_violations,
+           (n_violations = 0)::INT AS passed
+    FROM checks
+    ORDER BY tbl, rule
+"""
+
+QUERIES["q52_quality_audit"] = q52_quality_audit
