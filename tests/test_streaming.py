@@ -406,3 +406,58 @@ def test_stream_stream_interval_join(spark, tmp_path):
     ops = q.lastProgress["stateOperators"]
     assert ops and ops[0]["operatorName"] == "symmetricHashJoin", ops
     assert ops[0]["numRowsTotal"] > 0, ops
+
+
+def test_streaming_countmin_merges_to_batch_grid(spark, tmp_path):
+    """The maintained count-min grid after streaming two micro-batches
+    must equal, cell for cell, the grid a single batch build over all
+    rows produces (mergeability), and point estimates served from the
+    store must never undercount."""
+    import duckdb
+
+    from dbsink_spark.streaming.sketches import CountMinMaintainer, batch_grid
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    words1 = ["spark", "scan", "merge", "spark", "row"] * 10
+    words2 = ["spark", "batch", "scan"] * 7
+    with open(indir / "b0.json", "w") as f:
+        for w in words1:
+            f.write(json.dumps({"item": w}) + "\n")
+
+    db = str(tmp_path / "cm.duckdb")
+
+    def connect():
+        return duckdb.connect(db)
+
+    m = CountMinMaintainer(connect)
+    src = spark.readStream.schema("item string").option("maxFilesPerTrigger", "1").json(
+        str(indir)
+    )
+    q = m.run(src, "item", str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    with open(indir / "b1.json", "w") as f:
+        for w in words2:
+            f.write(json.dumps({"item": w}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    all_rows = spark.createDataFrame([(w,) for w in words1 + words2], ["item"])
+    expect = {
+        (r["d"], r["bucket"]): r["cnt"] for r in batch_grid(all_rows, "item").collect()
+    }
+    con = duckdb.connect(db)
+    got = {
+        (d, b): c for d, b, c in con.execute("SELECT d, bucket, cnt FROM countmin").fetchall()
+    }
+    assert got == expect
+
+    # served estimates are one-sided: est >= true count
+    from collections import Counter
+
+    from dbsink_spark.analytics.similarity import _h64_py
+
+    truth = Counter(words1 + words2)
+    for w, n in truth.items():
+        est = con.execute(m.estimate_sql(_h64_py(w))).fetchone()[0]
+        assert est >= n, (w, est, n)
