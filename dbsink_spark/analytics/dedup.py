@@ -1020,8 +1020,13 @@ def d12_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    ex = dw.select("doc_id", F.explode(spans).alias("s")).select(
-        "doc_id", F.col("s.pos").alias("pos"), h64(F.col("s.sp")).alias("h")
+    # persist: the hashed window relation feeds BOTH the occurrence
+    # counts and the join-back; without it the window concat+md5 (the
+    # dominant cost) evaluates twice (t17's lesson)
+    ex = (
+        dw.select("doc_id", F.explode(spans).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), h64(F.col("s.sp")).alias("h"))
+        .persist()
     )
     counts = ex.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
     dup = (
