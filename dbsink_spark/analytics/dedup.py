@@ -336,11 +336,14 @@ def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 D06_TILE_ROWS = 1024  # gram-matrix tile height: bounds per-task memory
 
 
-def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d06_embedding_near_dup(
+    spark: SparkSession, sf_dir: str, cells: DataFrame | None = None
+) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by the IVF coarse-
     quantizer cell (``similarity.centroid_cells``) — the geometric
     blocking key that replaces brute force at scale, not a metadata
-    label.
+    label. A caller that already holds the cell assignment (d11)
+    passes it in so the quantizer isn't rebuilt.
 
     Each cell block is scored with vectorized numpy (float64) inside
     ``applyInPandas`` — the interpreted per-pair HOF fold version of
@@ -362,7 +365,8 @@ def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import centroid_cells
 
     e = Tables(spark, sf_dir).embeddings
-    cells = centroid_cells(spark, sf_dir).select("vec_id", "cell")
+    if cells is None:
+        cells = centroid_cells(spark, sf_dir).select("vec_id", "cell")
     out_schema = T.StructType(
         [
             T.StructField("vec_a", T.LongType()),
@@ -924,9 +928,11 @@ def d11_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import centroid_cells
 
     e = Tables(spark, sf_dir).embeddings
-    cells = centroid_cells(spark, sf_dir).select("vec_id", "cell")
+    # persist: the cell assignment feeds the pair scorer AND the
+    # output projection — share it so the quantizer builds once
+    cells = centroid_cells(spark, sf_dir).select("vec_id", "cell").persist()
     pruned = (
-        d06_embedding_near_dup(spark, sf_dir)
+        d06_embedding_near_dup(spark, sf_dir, cells=cells)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("_pruned", F.lit(1))

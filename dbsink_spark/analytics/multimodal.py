@@ -267,7 +267,13 @@ def m04_binary_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle). Provably equal to the brute-force oracle pair set.
     """
     media = media_table(spark, sf_dir)
-    sigs = media.select("doc_id", "blob").mapInPandas(_sig_batches, SIG_SCHEMA)
+    # persist: both sides of the band self-join read the signatures;
+    # without it the Arrow-batched python featurizer runs twice
+    sigs = (
+        media.select("doc_id", "blob")
+        .mapInPandas(_sig_batches, SIG_SCHEMA)
+        .persist()
+    )
 
     width = SIG_CHUNKS // M04_BANDS
     mask = (1 << width) - 1
