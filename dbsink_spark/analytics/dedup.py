@@ -233,7 +233,9 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         term = F.shiftleft(term, j)
         sig = term if sig is None else sig + term
-    sigs = votes.select("doc_id", sig.alias("simhash"))
+    # persist: both sides of the band self-join read the signatures;
+    # without it the explode + 48-vote aggregation runs twice
+    sigs = votes.select("doc_id", sig.alias("simhash")).persist()
 
     width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << width) - 1
