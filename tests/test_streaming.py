@@ -461,3 +461,63 @@ def test_streaming_countmin_merges_to_batch_grid(spark, tmp_path):
     for w, n in truth.items():
         est = con.execute(m.estimate_sql(_h64_py(w))).fetchone()[0]
         assert est >= n, (w, est, n)
+
+
+def test_merge_lake_rewrites_only_touched_partitions(spark, tmp_path):
+    """Copy-on-write MERGE: updated keys replaced, new keys appended,
+    untouched partitions' files left byte-identical on disk."""
+    import os
+
+    from dbsink_spark.lake import merge_lake
+
+    lake = str(tmp_path / "mlake")
+    base = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01"),
+            (2, "b", "2024-01-01"),
+            (3, "c", "2024-01-02"),
+        ],
+        ["uid", "val", "ingest_date"],
+    )
+    base.write.partitionBy("ingest_date").parquet(lake)
+
+    def files_of(part):
+        d = os.path.join(lake, f"ingest_date={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_day2 = files_of("2024-01-02")
+
+    updates = spark.createDataFrame(
+        [
+            (2, "B2", "2024-01-01"),   # replace key 2
+            (9, "new", "2024-01-01"),  # append new key
+        ],
+        ["uid", "val", "ingest_date"],
+    )
+    stats = merge_lake(spark, lake, updates, ("uid",))
+    assert stats == {"partitions_rewritten": 1, "rows_upserted": 2}
+
+    got = {
+        (r["uid"]): (r["val"], str(r["ingest_date"]))
+        for r in spark.read.parquet(lake).collect()
+    }
+    assert got == {
+        1: ("a", "2024-01-01"),
+        2: ("B2", "2024-01-01"),
+        9: ("new", "2024-01-01"),
+        3: ("c", "2024-01-02"),
+    }
+    # day-2 partition untouched: same files, same mtimes
+    assert files_of("2024-01-02") == before_day2
+
+    # idempotent: re-running the same merge changes nothing
+    merge_lake(spark, lake, updates, ("uid",))
+    got2 = {
+        (r["uid"]): (r["val"], str(r["ingest_date"]))
+        for r in spark.read.parquet(lake).collect()
+    }
+    assert got2 == got
