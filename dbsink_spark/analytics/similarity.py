@@ -101,6 +101,24 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroids(v) -> DataFrame:
+    """Per-label mean centroid table (cent_label, cv) — the shared
+    deterministic codebook: posexplode → avg per (label, pos) →
+    re-assemble ordered. Tiny (|labels| rows), always broadcast."""
+    dims = v.select("label", F.posexplode("v").alias("pos", "x"))
+    return (
+        dims.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cent_label"), "cv")
+    )
+
+
 def centroid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantizer: (vec_id, label, cell) — every vector
     assigned to its nearest per-label-mean centroid (L2, deterministic
@@ -112,19 +130,7 @@ def centroid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the same plan shape (tiny broadcast centroid table, corpus
     never shuffled for assignment)."""
     v = _vectors(spark, sf_dir)
-    # centroids: posexplode → avg per (label, pos) → re-assemble ordered
-    dims = v.select("label", F.posexplode("v").alias("pos", "x"))
-    cent = (
-        dims.groupBy("label", "pos")
-        .agg(F.avg("x").alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("cv")
-        )
-        .select(F.col("label").alias("cent_label"), "cv")
-    )
+    cent = _centroids(v)
     dist2 = F.aggregate(
         F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -328,19 +334,8 @@ def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = centroid_cells(spark, sf_dir).select("vec_id", "cell")
 
     # per-query probe list: N_PROBE nearest centroids (by L2 to the
-    # query vector) — reuse the same per-label mean centroids
-    dims = v.select("label", F.posexplode("v").alias("pos", "x"))
-    cent = (
-        dims.groupBy("label", "pos")
-        .agg(F.avg("x").alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("cv")
-        )
-        .select(F.col("label").alias("cent_label"), "cv")
-    )
+    # query vector) — the same shared codebook
+    cent = _centroids(v)
     queries = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
