@@ -118,12 +118,12 @@ def _minhash_sig(shingle_hashes):
     ]
 
 
-def _hashed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, source, shh (distinct shingle hashes), n_sh — the shared
-    input for every shingle-based dedup operator. Hashing shingles to
-    longs once keeps all downstream joins/set-ops on 8-byte keys
-    instead of ~30-byte strings."""
-    d = Tables(spark, sf_dir).documents
+def hash_docs(d: DataFrame) -> DataFrame:
+    """doc_id, source, shh (distinct shingle hashes), n_sh over any
+    (doc_id, text, source) relation — the shared input for every
+    shingle-based dedup operator, batch or incremental. Hashing
+    shingles to longs once keeps all downstream joins/set-ops on
+    8-byte keys instead of ~30-byte strings."""
     # materialize the words array as a column first: HOF lambdas that
     # capture a split() expression re-evaluate it per element access,
     # which triples the shingling cost
@@ -138,6 +138,10 @@ def _hashed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_sh", F.size("shh"))
     )
+
+
+def _hashed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_docs(Tables(spark, sf_dir).documents)
 
 
 def _verify_jaccard(cand: DataFrame, docs: DataFrame) -> DataFrame:
@@ -158,6 +162,25 @@ def _verify_jaccard(cand: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
+def banded_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, bucket) LSH band rows from hashed docs — the
+    join key relation both the batch (d03) and incremental paths use.
+    The bucket key packs the band's minhash rows (values < 2^30
+    each)."""
+    sigs = docs.select("doc_id", *_minhash_sig(F.col("shh")))
+    rows_per_band = MINHASH_K // BANDS
+    band_cols = []
+    for b in range(BANDS):
+        bucket = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            bucket = bucket * F.lit(1000000007) + F.col(f"mh{b * rows_per_band + r}")
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), bucket.alias("bucket")))
+    return (
+        sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
+        .select("doc_id", "bb.band_id", "bb.bucket")
+    )
+
+
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup detection, exact-Jaccard verified.
 
@@ -167,18 +190,7 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # cached: consumed three times (signatures + two verify join-backs)
     docs = _hashed_docs(spark, sf_dir).persist()
-    sigs = docs.select("doc_id", *_minhash_sig(F.col("shh")))
-    rows_per_band = MINHASH_K // BANDS
-    band_cols = []
-    for b in range(BANDS):
-        # bucket key packs the band's minhash rows (values < 2^30 each)
-        bucket = F.lit(0).cast("long")
-        for r in range(rows_per_band):
-            bucket = bucket * F.lit(1000000007) + F.col(f"mh{b * rows_per_band + r}")
-        band_cols.append(F.struct(F.lit(b).alias("band_id"), bucket.alias("bucket")))
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", "bb.band_id", "bb.bucket")
+    banded = banded_sigs(docs)
 
     a = banded.alias("a")
     b = banded.alias("b")

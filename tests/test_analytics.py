@@ -252,3 +252,50 @@ def test_countmin_one_sided_error(spark):
     assert rows
     for r in rows:
         assert r.est_n >= r.true_n, (r.word, r.true_n, r.est_n)
+
+
+def test_incremental_near_dups_equals_batch_restriction(spark, tmp_path):
+    """Processing a new batch against the signature store must find
+    exactly the full-corpus d03 pairs that involve a batch doc, and
+    the store must end up holding every doc's signatures."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics import dedup
+    from dbsink_spark.analytics.incremental import (
+        append_batch,
+        incremental_near_dups,
+        init_store,
+    )
+    from dbsink_spark.analytics.tables import Tables
+
+    docs = Tables(spark, SF_DIR).documents
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+
+    store = str(tmp_path / "sigstore")
+    init_store(spark, store)
+    append_batch(spark, store, history)
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in incremental_near_dups(spark, store, batch).collect()
+    }
+
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    full = dedup.d03_minhash_lsh(spark, SF_DIR).collect()
+    expect = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in full
+        if r.doc_a in batch_ids or r.doc_b in batch_ids
+    }
+    assert got == expect
+    assert expect, "fixture must produce at least one batch-involving pair"
+
+    # store now covers the whole corpus
+    import os
+
+    n_sig = spark.read.parquet(os.path.join(store, "shingles")).count()
+    n_docs = docs.withColumn("w", F.split("text", " ")).filter(
+        F.size("w") >= 3
+    ).count()
+    assert n_sig == n_docs
