@@ -1058,12 +1058,12 @@ def q49_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q49_zorder_index"] = f"""
     WITH bounds AS (
         SELECT min(user_id) AS min_u, max(user_id) AS max_u,
-               min(epoch(ts)::BIGINT) AS min_s, max(epoch(ts)::BIGINT) AS max_s
+               min(floor(epoch(ts))::BIGINT) AS min_s, max(floor(epoch(ts))::BIGINT) AS max_s
         FROM events
     ), nz AS (
         SELECT user_id, ts,
                ({1 << ZORDER_BITS} * (user_id - min_u)) // (max_u - min_u + 1) AS ux,
-               ({1 << ZORDER_BITS} * (epoch(ts)::BIGINT - min_s)) // (max_s - min_s + 1) AS tx
+               ({1 << ZORDER_BITS} * (floor(epoch(ts))::BIGINT - min_s)) // (max_s - min_s + 1) AS tx
         FROM events CROSS JOIN bounds
     ), z AS (
         SELECT user_id, ts,
@@ -1155,3 +1155,62 @@ ORACLE["q50_scd2_intervals"] = """
 """
 
 QUERIES["q50_scd2_intervals"] = q50_scd2_intervals
+
+
+# ---------------------------------------------------------------------------
+# q53: hopping (sliding) window aggregate
+# ---------------------------------------------------------------------------
+
+HOP_WIDTH_S = 3600  # window width: 1 hour
+HOP_SLIDE_S = 900  # slide: 15 minutes -> every event lands in 4 windows
+
+
+def q53_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregate: 1-hour windows sliding every 15
+    minutes per event type — the overlapping-window shape dashboards
+    and rate-limiters use (Spark ``F.window(ts, width, slide)``; the
+    streaming twin is the same expression under a watermark, q28-style).
+
+    Width/slide = 4, so the window explode is a fixed 4× row fanout
+    BEFORE the aggregate — Spark's built-in window() generates the
+    assignments map-side and the only shuffle is the final combinable
+    aggregate keyed by (window, type). Sums ride scaled longs (the q32
+    playbook), counts are exact.
+    """
+    e = Tables(spark, sf_dir).events
+    w = F.window("ts", f"{HOP_WIDTH_S} seconds", f"{HOP_SLIDE_S} seconds")
+    return (
+        e.select(
+            "event_type",
+            w.alias("win"),
+            F.round(F.col("value") * 100).cast("long").alias("w2"),
+        )
+        .groupBy(F.col("win.start").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("w2").alias("sum_e2"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE["q53_hopping_window"] = f"""
+    WITH assigned AS (
+        SELECT event_type,
+               TIMESTAMP '1970-01-01'
+                 + ((floor(epoch(ts))::BIGINT // {HOP_SLIDE_S} - k.k) * {HOP_SLIDE_S})
+                   * INTERVAL 1 SECOND AS window_start,
+               round(value * 100)::BIGINT AS w2
+        FROM events
+        CROSS JOIN (SELECT unnest(generate_series(0,
+                        {HOP_WIDTH_S // HOP_SLIDE_S - 1})) AS k) k
+    )
+    SELECT window_start, event_type,
+           count(*)        AS n_events,
+           sum(w2)::BIGINT AS sum_e2
+    FROM assigned
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+"""
+
+QUERIES["q53_hopping_window"] = q53_hopping_window
