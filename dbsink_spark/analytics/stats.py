@@ -453,3 +453,80 @@ ORACLE["q51_countmin"] = f"""
 """
 
 QUERIES["q51_countmin"] = q51_countmin
+
+
+# ---------------------------------------------------------------------------
+# q54: KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+H64_SPACE = float(1 << 60)  # h64 is uniform on [0, 2^60)
+
+
+def q54_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+    per source: keep the K smallest distinct word-hash values; the
+    K-th smallest ``t_k`` estimates distinct count as
+    ``(K−1)·2^60 / t_k``. The mergeable distinct-counting twin of
+    q51's count-min (union sketches = union of min-sets, re-trimmed to
+    K) — what q29's built-in HLL does, hand-rolled so the DuckDB
+    oracle verifies the sketch state VALUE-FOR-VALUE (``t_k`` is an
+    exact integer; both engines compute the identical estimate from
+    identical operands, rounded to 2dp).
+
+    Scale: per-source state is K longs regardless of cardinality; the
+    plan is one distinct-hash aggregate + a per-source top-K (window
+    over the tiny distinct relation, or at 100 TB a
+    ``sort_array(slice())`` partial-merge shape). Emits the exact
+    distinct count alongside so the estimate's error is visible.
+    """
+    from ..functions.hashing import h64
+
+    d = Tables(spark, sf_dir).documents
+    hashes = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .select("source", h64(F.col("word")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    kth = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("source")
+        .agg(F.max("h").alias("t_k"), F.count(F.lit(1)).alias("k_held"))
+    )
+    exact = hashes.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.round(F.lit((KMV_K - 1) * H64_SPACE) / F.col("t_k"), 2)
+    return (
+        kth.join(exact, "source")
+        .select("source", "n_exact", "t_k", "k_held", est.alias("est"))
+        .orderBy("source")
+    )
+
+
+ORACLE["q54_kmv_distinct"] = f"""
+    WITH hashes AS (
+        SELECT DISTINCT source, {{h}} AS h
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+    ), ranked AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hashes
+    ), kth AS (
+        SELECT source, max(h) AS t_k, count(*) AS k_held
+        FROM ranked WHERE rn <= {KMV_K} GROUP BY source
+    ), exact AS (
+        SELECT source, count(*) AS n_exact FROM hashes GROUP BY source
+    )
+    SELECT source, n_exact, t_k, k_held,
+           round({(KMV_K - 1) * H64_SPACE} / t_k, 2) AS est
+    FROM kth JOIN exact USING (source)
+    ORDER BY source
+"""
+
+from ..functions.hashing import h64_sql as _h64s  # noqa: E402
+
+ORACLE["q54_kmv_distinct"] = ORACLE["q54_kmv_distinct"].replace("{h}", _h64s("word"))
+
+QUERIES["q54_kmv_distinct"] = q54_kmv_distinct

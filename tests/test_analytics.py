@@ -1,5 +1,5 @@
 """Analytics regression tests: a representative operator subset
-compared against DuckDB at sf0.001 (the full 49-query gate runs via
+compared against DuckDB at sf0.001 (the full registry runs via
 tools/check_oracle.py at sf0.01; this keeps the core pairs guarded by
 plain pytest)."""
 
