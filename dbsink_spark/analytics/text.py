@@ -1049,3 +1049,62 @@ ORACLE["t17_importance_weights"] = f"""
 """
 
 QUERIES["t17_importance_weights"] = t17_importance_weights
+
+
+# ---------------------------------------------------------------------------
+# t18: distinctive-term extraction (TF-IDF-style keywords)
+# ---------------------------------------------------------------------------
+
+TOP_TERMS_K = 3
+
+
+def t18_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: the top-3 distinctive terms per document,
+    ranked by (term frequency DESC, document frequency ASC, term) —
+    the integer-exact ordering TF-IDF induces when idf is monotone in
+    1/df (same winners, no ``log`` crossing the engine boundary; the
+    float playbook forbids libm in gate outputs).
+
+    Plan shape: one exploded (doc, term, tf) aggregate; the df table is
+    vocab-bounded and BROADCASTS back (t15's shape); the per-doc top-3
+    is a window whose partial top-K pushes below the shuffle
+    (WindowGroupLimit). At 100 TB the tf relation shuffles once on
+    doc_id — already its grouping key from the explode.
+    """
+    d = Tables(spark, sf_dir).documents
+    from pyspark.sql.window import Window
+
+    ex = d.select("doc_id", F.explode(_words()).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TERMS_K)
+        .select("doc_id", "rank", "term", "tf", "df")
+        .orderBy("doc_id", "rank")
+    )
+
+
+ORACLE["t18_top_terms"] = f"""
+    WITH ex AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term
+    ), df_tbl AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY term
+    ), ranked AS (
+        SELECT doc_id, term, tf, df,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tf DESC, df ASC, term) AS rank
+        FROM tf JOIN df_tbl USING (term)
+    )
+    SELECT doc_id, rank::INT AS rank, term, tf, df
+    FROM ranked WHERE rank <= {TOP_TERMS_K}
+    ORDER BY doc_id, rank
+"""
+
+QUERIES["t18_top_terms"] = t18_top_terms
