@@ -75,6 +75,7 @@ def main() -> int:
     failures = 0
     for name in names:
         t0 = time.time()
+        spark.catalog.clearCache()  # drop persists leaked by prior queries
         try:
             sdf = qs[name](spark, SF_DIR)
             scols = sdf.columns
