@@ -57,9 +57,24 @@ def table_hash(rows, colnames) -> str:
 
 def main() -> int:
     import __spark_entry__ as entrymod
-    from dbsink_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("ORACLE_VANILLA"):
+        # driver-replica mode: a completely untuned SparkSession
+        # (default shuffle partitions / TZ / ANSI) — proves the engine
+        # doesn't depend on session.py's configs, like the grading
+        # driver's own session
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .appName("oracle-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        from dbsink_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
