@@ -78,6 +78,7 @@ UNGATED = frozenset(
         "q53_hopping_window",
         "q54_kmv_distinct",
         "t18_top_terms",
+        "q55_ntile_quartiles",
         # session-3 gate reshuffle: the seven new capability classes
         # (t16 BPE, t17 DSIR, d11 SemDeDup, d12 span dedup, q49
         # Z-order, s08 PQ, q51 count-min) are PROMOTED into the gate;

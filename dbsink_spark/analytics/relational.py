@@ -771,3 +771,58 @@ ORACLE["q52_quality_audit"] = """
 """
 
 QUERIES["q52_quality_audit"] = q52_quality_audit
+
+
+# ---------------------------------------------------------------------------
+# q55: distribution window functions (ntile quartiles)
+# ---------------------------------------------------------------------------
+
+
+def q55_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile assignment via
+    ``ntile(4)`` over order value within each priority class, reduced
+    to the per-quartile boundary report (count, min/max price) — the
+    percentile-banding shape analysts use for cohort cuts. Completes
+    the window-function surface next to ranking (q13), offsets (q14),
+    running frames (q15/q44).
+
+    Deterministic: the window orders by the unique (price, orderkey)
+    pair, and ntile's fill rule (earlier tiles get the extra rows) is
+    SQL-standard on both engines. Output values are carried inputs and
+    counts — nothing float.
+    """
+    o = Tables(spark, sf_dir).orders
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+ORACLE["q55_ntile_quartiles"] = """
+    WITH t AS (
+        SELECT o_orderpriority, o_totalprice,
+               ntile(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+    )
+    SELECT o_orderpriority, quartile,
+           count(*)         AS n_orders,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM t
+    GROUP BY 1, 2
+    ORDER BY o_orderpriority, quartile
+"""
+
+QUERIES["q55_ntile_quartiles"] = q55_ntile_quartiles
