@@ -678,7 +678,7 @@ ORACLE["q44_range_frame"] = """
     )
     SELECT event_id, user_id,
            sum(v) OVER (PARTITION BY user_id ORDER BY s
-                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS sum_1h_e2,
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)::BIGINT AS sum_1h_e2,
            count(*) OVER (PARTITION BY user_id ORDER BY s
                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
     FROM base
@@ -1072,7 +1072,7 @@ ORACLE["q49_zorder_index"] = f"""
                           for i in generate_series(0, {ZORDER_BITS - 1}) ]) AS z
         FROM nz
     )
-    SELECT z >> {ZORDER_BUCKET_SHIFT} AS z_bucket,
+    SELECT (z >> {ZORDER_BUCKET_SHIFT})::BIGINT AS z_bucket,
            count(*)      AS n_rows,
            min(user_id)  AS min_user,
            max(user_id)  AS max_user,

@@ -135,10 +135,10 @@ ORACLE: dict[str, str] = {
     "m02_media_meta_join": f"""
         SELECT source,
                count(*)                 AS n_media,
-               sum(octet_length(text::BLOB))  AS total_bytes,
+               sum(octet_length(text::BLOB))::BIGINT  AS total_bytes,
                sum(CASE WHEN octet_length(text::BLOB) = 0 THEN 0
-                        ELSE ceil(octet_length(text::BLOB) / {FRAME_BYTES}.0)::BIGINT END) AS total_frames,
-               sum((octet_length(text::BLOB) = n_chars)::INT) AS n_len_match
+                        ELSE ceil(octet_length(text::BLOB) / {FRAME_BYTES}.0)::BIGINT END)::BIGINT AS total_frames,
+               sum((octet_length(text::BLOB) = n_chars)::INT)::BIGINT AS n_len_match
         FROM documents
         GROUP BY source
         ORDER BY source

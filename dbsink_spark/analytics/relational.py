@@ -588,7 +588,7 @@ ORACLE: dict[str, str] = {
     "q20_events_json": """
         SELECT event_type,
                count(*)                                  AS n_events,
-               sum(json_extract_string(props, '$.k')::BIGINT)   AS sum_k,
+               sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT   AS sum_k,
                ((10000 * sum(json_extract_string(props, '$.k')::BIGINT)) // count(*))::BIGINT AS avg_k_e4
         FROM events
         GROUP BY event_type

@@ -202,9 +202,9 @@ ORACLE: dict[str, str] = {
     """,
     "t04_token_count": """
         SELECT source,
-               sum(len(string_split(text,' ')))                       AS ws_tokens,
-               sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS re_tokens,
-               sum(length(text))                                      AS total_chars,
+               sum(len(string_split(text,' ')))::BIGINT               AS ws_tokens,
+               sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS re_tokens,
+               sum(length(text))::BIGINT                              AS total_chars,
                count(*)                                               AS n_docs,
                ((10000 * sum(len(string_split(text,' ')))) // count(*))::BIGINT AS avg_ws_e4
         FROM documents
@@ -578,7 +578,7 @@ ORACLE["t11_pack"] = f"""
         FROM per
     ), binned AS (
         SELECT source,
-               cum_before // {PACK_BUDGET} AS bin,
+               (cum_before // {PACK_BUDGET})::BIGINT AS bin,
                n_tokens,
                ((cum_before // {PACK_BUDGET}) !=
                 ((cum_before + n_tokens - 1) // {PACK_BUDGET}))::INT AS crosses

@@ -112,3 +112,42 @@ def test_headline_operators_are_gated():
     }
     missing = headline - set(analytics.QUERIES)
     assert not missing, missing
+
+
+# ---------------------------------------------------------------------------
+# HUGEINT leak guard (r02 q20/q49 failure class)
+# ---------------------------------------------------------------------------
+# DuckDB promotes sum(BIGINT) / list_sum / ** to HUGEINT, which the
+# driver's pandas canonicalizer materializes as float64 and hashes as
+# "99111.0" against Spark's "99111". Every oracle integer output must be
+# explicitly ::BIGINT. This audits ALL oracles (gated + ungated) at the
+# type level so gate reshuffles can't promote a latent leak.
+
+
+def _describe_types(con, sql):
+    return [(c, t) for c, t, *_ in con.execute("DESCRIBE " + sql).fetchall()]
+
+
+def test_no_oracle_emits_hugeint():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    bad = {}
+    for name, sql in analytics.ALL_ORACLE.items():
+        hits = [c for c, t in _describe_types(con, sql) if "HUGEINT" in t.upper()]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"uncast HUGEINT oracle columns (add ::BIGINT): {bad}"
+
+
+def test_hugeint_detector_catches_uncast_sum():
+    # prove the guard actually fires on the failure class it exists for
+    con = duckdb.connect()
+    types = _describe_types(con, "SELECT sum(x) AS s FROM (SELECT 1::BIGINT AS x)")
+    assert any("HUGEINT" in t.upper() for _, t in types)
+    types = _describe_types(
+        con, "SELECT sum(x)::BIGINT AS s FROM (SELECT 1::BIGINT AS x)"
+    )
+    assert not any("HUGEINT" in t.upper() for _, t in types)

@@ -6,6 +6,22 @@ order-insensitive value hash (columns sorted by name, rows sorted,
 values stringified with float rounding). Usage:
 
     python tools/check_oracle.py [name ...]
+
+ORACLE AUTHORING CONTRACT (learned the hard way, rounds 1-2):
+
+* every float-valued output column must be derived identically on both
+  sides or rewritten integer-exact (e.g. ``(10000*sum)//count`` with
+  ``_e4`` suffix) — the driver hashes at full float precision;
+* timestamps → seconds via ``floor(epoch(ts))::BIGINT``, never
+  ``epoch()`` alone (DuckDB returns DOUBLE);
+* **every integer output must be explicitly ``::BIGINT``** — DuckDB
+  promotes ``sum(BIGINT)``, ``list_sum(...)`` and ``**`` to HUGEINT,
+  which the driver's pandas canonicalizer materializes as float64 and
+  hashes as ``"99111.0"`` against Spark's ``"99111"`` (r02: q20/q49
+  failed the driver while fetchall-based replicas saw exact ints).
+  This file fails on any HUGEINT/UHUGEINT oracle column and on any
+  null-free column whose int/float kind differs between Spark and the
+  DuckDB pandas frame, so the leak is caught locally.
 """
 
 from __future__ import annotations
@@ -29,6 +45,8 @@ FLOAT_FMT = "%." + os.environ.get("ORACLE_FLOAT_DIGITS", "12") + "g"
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+_INT_SPARK = {"byte", "short", "integer", "long"}
+_FLT_SPARK = {"float", "double"}
 
 
 def norm_cell(v) -> str:
@@ -106,11 +124,36 @@ def main() -> int:
             cur = con.execute(oracles[name])
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
+            # driver-style dtype probe: the grading driver fetches the
+            # oracle through pandas, where HUGEINT (and any int column
+            # containing nulls) materializes as float64 and hashes
+            # differently from Spark's ints ("99111.0" vs "99111").
+            desc = con.execute(
+                "DESCRIBE " + oracles[name]
+            ).fetchall()
+            hug = [c for c, t, *_ in desc if "HUGEINT" in t.upper()]
+            ddf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
             continue
         problems = []
+        if hug:
+            problems.append(
+                f"HUGEINT oracle columns {hug} (driver sees float64 — add ::BIGINT)"
+            )
+        skinds = {
+            f.name: ("i" if t in _INT_SPARK else "f" if t in _FLT_SPARK else "o")
+            for f in sdf.schema.fields
+            for t in [f.dataType.typeName()]
+        }
+        for c in ddf.columns:
+            dk = ddf[c].dtype.kind
+            sk = skinds.get(c, "o")
+            if sk == "i" and dk == "f" and not ddf[c].isna().any():
+                problems.append(
+                    f"kind drift on '{c}': spark int vs duckdb-pandas float64"
+                )
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
