@@ -12,13 +12,17 @@ Key semantics preserved:
   — applied as ``coalesce`` with the declared default at write time;
 * ``--no-do-inserts`` dry-run (K7) — transform runs, write is skipped.
 
-Execution modes:
+Execution modes (``mode='auto'`` picks per dialect):
 * ``driver`` — batch rows surface to the driver via Arrow and write
-  over a single DBAPI connection (used by tests with DuckDB, and fine
-  for modest streams; this is what ``foreachBatch`` hands us anyway).
-* ``partition`` — ``df.foreachPartition`` opens a pooled connection
-  per executor partition and writes concurrently (production Postgres
-  path; requires a picklable connection factory, e.g. psycopg2).
+  over a single DBAPI connection. Default for DuckDB, whose database
+  IS driver-local; a remote-DB micro-batch that outgrows driver memory
+  should never take this path.
+* ``partition`` — ``df.foreachPartition`` opens a connection per
+  executor partition and writes concurrently (default for Postgres;
+  requires a picklable connection factory, e.g. psycopg2). Rows never
+  surface to the driver.
+Both modes write one round trip per ~1000-row page, not per row
+(``psycopg2.extras.execute_values`` multi-VALUES on Postgres).
 
 At 100 TB the knobs that matter: micro-batch admission
 (``maxOffsetsPerTrigger``), partition count before the write
@@ -62,7 +66,10 @@ class SinkWriter:
     dialect: str = "postgres"
     schema: str | None = None
     do_inserts: bool = True
-    mode: str = "driver"  # driver | partition
+    # 'auto' resolves per dialect: postgres → 'partition' (executors
+    # write concurrently; a big micro-batch never surfaces to the
+    # driver), duckdb → 'driver' (the DB is driver-local by nature).
+    mode: str = "auto"  # auto | driver | partition
     # Conflict-update semantics (documented divergence, reference
     # listen.py:160-166 `set_=newvalues` updates only the keys PRESENT
     # in the message dict):
@@ -76,6 +83,12 @@ class SinkWriter:
     #     reference's absent-dict-key. (A message can then not
     #     intentionally null a column — the one residual divergence.)
     update_mode: str = "overwrite"  # overwrite | preserve
+
+    @property
+    def effective_mode(self) -> str:
+        if self.mode != "auto":
+            return self.mode
+        return "partition" if self.dialect == "postgres" else "driver"
 
     # -- DDL phase -----------------------------------------------------
     def ensure_table(self, drop: bool = False, truncate: bool = False) -> None:
@@ -145,12 +158,7 @@ class SinkWriter:
             )
         return df
 
-    def upsert_sql(self, n_cols_placeholder: str = "auto") -> str:
-        cols = [c for c in self.mapping.columns if c.bind != "serial"]
-        table = quoted(self.mapping.table)
-        if self.schema:
-            table = f"{quoted(self.schema)}.{table}"
-        names = ", ".join(quoted(c.name) for c in cols)
+    def _bind_exprs(self, cols: list[ColumnSpec]) -> list[str]:
         ph = "%s" if self.dialect == "postgres" else "?"
         binds = []
         for c in cols:
@@ -165,6 +173,22 @@ class SinkWriter:
                     binds.append(ph)
             else:
                 binds.append(ph)
+        return binds
+
+    def row_template(self) -> str:
+        """Per-row VALUES template for ``execute_values`` — carries the
+        same ::jsonb/::hstore/ST_GeomFromText casts as the one-row
+        form, so the multi-row fast path binds identically."""
+        cols = [c for c in self.mapping.columns if c.bind != "serial"]
+        return "(" + ", ".join(self._bind_exprs(cols)) + ")"
+
+    def upsert_sql(self, n_cols_placeholder: str = "auto") -> str:
+        cols = [c for c in self.mapping.columns if c.bind != "serial"]
+        table = quoted(self.mapping.table)
+        if self.schema:
+            table = f"{quoted(self.schema)}.{table}"
+        names = ", ".join(quoted(c.name) for c in cols)
+        binds = self._bind_exprs(cols)
         sql = f"INSERT INTO {table} ({names}) VALUES ({', '.join(binds)})"
         keys = self.mapping.upsert_keys
         if keys:
@@ -203,6 +227,39 @@ class SinkWriter:
                 out.append(v)
         return out
 
+    def _execute_rows(self, conn, params: list) -> None:
+        """One round trip per BATCH, not per row. Postgres uses
+        psycopg2 ``execute_values`` to fold all rows into multi-VALUES
+        statements (page_size rows per statement — the reference's
+        per-row round trips at listen.py:159-171 are the anti-baseline,
+        SURVEY §4.2); the per-row casts ride along via ``template``.
+        DuckDB's ``executemany`` is already a native bulk path; unknown
+        DBAPI dialects fall back to cursor.executemany."""
+        sql = self.upsert_sql()
+        if self.dialect == "duckdb":
+            conn.executemany(sql, params)
+            return
+        cur = conn.cursor()
+        try:
+            if self.dialect == "postgres":
+                try:
+                    from psycopg2.extras import execute_values
+                except Exception:  # non-psycopg2 DBAPI stand-in
+                    execute_values = None
+                if execute_values is not None:
+                    template = self.row_template()
+                    vsql = sql.replace(f"VALUES {template}", "VALUES %s", 1)
+                    execute_values(
+                        cur, vsql, params, template=template, page_size=1000
+                    )
+                    return
+            cur.executemany(sql, params)
+        finally:
+            try:
+                cur.close()
+            except Exception:
+                pass
+
     def write_batch(self, df: DataFrame, batch_id: int | None = None) -> int:
         """foreachBatch body: dedup, then batched upsert. Returns rows
         written (0 in dry-run mode)."""
@@ -213,30 +270,25 @@ class SinkWriter:
             n = df.count()
             L.info(f"dry-run: {n} rows transformed, inserts skipped")
             return 0
-        if self.mode == "partition":
+        if self.effective_mode == "partition":
             return self._write_partitions(df, out_cols)
         rows = df.collect()
         if not rows:
             return 0
         params = [self._row_params(r, out_cols) for r in rows]
-        sql = self.upsert_sql()
         conn = self.connect()
         try:
-            if self.dialect == "duckdb":
-                conn.executemany(sql, params)
-            else:
-                with conn.cursor() as cur:
-                    cur.executemany(sql, params)
+            self._execute_rows(conn, params)
             self._commit(conn)
         finally:
             conn.close()
         return len(params)
 
     def _write_partitions(self, df: DataFrame, out_cols: list[ColumnSpec]) -> int:
-        """Per-partition concurrent writes (production Postgres path)."""
-        sql = self.upsert_sql()
-        connect = self.connect
-        dialect = self.dialect
+        """Per-partition concurrent writes (production Postgres path).
+        Nothing surfaces to the driver; each executor partition opens
+        one connection and writes its slice with the same batched
+        multi-VALUES path as driver mode."""
         mapping_cols = out_cols
         writer = self
 
@@ -244,11 +296,10 @@ class SinkWriter:
             batch = [writer._row_params(r, mapping_cols) for r in rows]
             if not batch:
                 return
-            conn = connect()
+            conn = writer.connect()
             try:
-                with conn.cursor() as cur:
-                    cur.executemany(sql, batch)
-                conn.commit()
+                writer._execute_rows(conn, batch)
+                writer._commit(conn)
             finally:
                 conn.close()
 

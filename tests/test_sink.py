@@ -193,3 +193,101 @@ def test_schema_evolution_extends_table(spark, duck_writer, tmp_path):
     con.close()
     for expected in ("gid", "time", "lat", "lon", "geom", "values", "payload"):
         assert expected in cols
+
+
+# ---------------------------------------------------------------------------
+# mode resolution + batched write paths (r02 VERDICT #3)
+# ---------------------------------------------------------------------------
+
+
+def test_effective_mode_auto_resolution():
+    mapping = resolve("GenericFloat", "some.topic")
+    pg = SinkWriter(mapping, lambda: None, dialect="postgres")
+    dk = SinkWriter(mapping, lambda: None, dialect="duckdb")
+    assert pg.effective_mode == "partition"  # big batches never hit the driver
+    assert dk.effective_mode == "driver"  # duckdb IS driver-local
+    pg.mode = "driver"
+    assert pg.effective_mode == "driver"
+
+
+def test_partition_mode_writes_duckdb(spark, duck_writer):
+    """foreachPartition path end-to-end (single partition — DuckDB
+    allows one writer process; concurrency is Postgres's job)."""
+    writer, db, mapping = duck_writer()
+    writer.mode = "partition"
+    writer.ensure_table(drop=True)
+    msgs = [
+        {"uid": f"u{i}", "gid": "g", "time": "2020-01-01T00:00:00Z",
+         "lat": 1.0, "lon": 2.0, "z": 1.5, "values": {"v": str(i)}}
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        [("k", json.dumps(m)) for m in msgs], ["key", "value"]
+    )
+    out = mapping.transform(df).coalesce(1)
+    writer.write_batch(out)
+    writer.write_batch(out)  # replay must converge via ON CONFLICT
+    rows = table_rows(db, mapping.table)
+    assert len(rows) == 7
+
+
+def test_execute_values_fast_path(monkeypatch):
+    """Postgres write folds rows into multi-VALUES statements via
+    psycopg2.extras.execute_values, with the per-row casts carried in
+    the template (not one round trip per row)."""
+    import sys
+    import types
+
+    calls = {}
+
+    def fake_execute_values(cur, sql, params, template=None, page_size=None):
+        calls.update(sql=sql, params=params, template=template, page_size=page_size)
+
+    extras = types.ModuleType("psycopg2.extras")
+    extras.execute_values = fake_execute_values
+    pkg = types.ModuleType("psycopg2")
+    pkg.extras = extras
+    monkeypatch.setitem(sys.modules, "psycopg2", pkg)
+    monkeypatch.setitem(sys.modules, "psycopg2.extras", extras)
+
+    class FakeCursor:
+        def close(self):
+            pass
+
+        def executemany(self, *a):
+            raise AssertionError("slow path taken despite execute_values available")
+
+    class FakeConn:
+        def cursor(self):
+            return FakeCursor()
+
+    mapping = resolve("GenericFloat", "some.topic")
+    w = SinkWriter(mapping, lambda: None, dialect="postgres")
+    params = [["a"] * len([c for c in mapping.columns if c.bind != "serial"])]
+    w._execute_rows(FakeConn(), params)
+    assert "VALUES %s" in calls["sql"]
+    assert calls["sql"].count("%s") == 1  # row shape lives in template only
+    assert calls["template"].startswith("(") and "::hstore" in calls["template"]
+    assert calls["params"] is params and calls["page_size"] == 1000
+
+
+def test_executemany_fallback_without_psycopg2():
+    """A postgres-dialect DBAPI stand-in without psycopg2 importable
+    still writes via cursor.executemany."""
+    ran = {}
+
+    class FakeCursor:
+        def close(self):
+            pass
+
+        def executemany(self, sql, params):
+            ran.update(sql=sql, params=params)
+
+    class FakeConn:
+        def cursor(self):
+            return FakeCursor()
+
+    mapping = resolve("GenericFloat", "some.topic")
+    w = SinkWriter(mapping, lambda: None, dialect="postgres")
+    w._execute_rows(FakeConn(), [[1, 2]])
+    assert "INSERT INTO" in ran["sql"] and "VALUES %s" not in ran["sql"]
