@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def with_partition_cols(df: DataFrame, ts_col: str = "time") -> DataFrame:
@@ -36,12 +37,14 @@ def write_lake(
     a micro-batch writing 32 shuffle partitions × N date partitions
     would otherwise emit 32·N tiny files).
     """
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if coalesce_files:
         df = df.coalesce(coalesce_files)
     (
+        # per-write option, NOT a session conf: a session-level
+        # partitionOverwriteMode=dynamic would silently change the
+        # semantics of every later overwrite write in the same session
         df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .parquet(path)
     )
@@ -107,8 +110,12 @@ def compact_lake(
         .repartition(sum(plan.values()), *partition_cols, F.col("__file_idx"))
         .drop("__n_files", "__file_idx")
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
     return plan
 
 
@@ -165,6 +172,8 @@ def merge_lake(
     updates: DataFrame,
     key_cols: tuple[str, ...],
     partition_cols: tuple[str, ...] = ("ingest_date",),
+    order_col: str | None = None,
+    rewrite_moved_keys: bool = False,
 ) -> dict:
     """Copy-on-write MERGE (upsert) into a partitioned parquet lake —
     the Delta/Iceberg ``MERGE INTO`` pattern without a table format:
@@ -172,30 +181,84 @@ def merge_lake(
     ONLY the partitions containing touched keys are rewritten (dynamic
     partition overwrite); every other partition's files are untouched.
 
-    Mechanics: the affected-partition list comes from the updates
-    (tiny distinct agg, broadcast into a partition-pruned read); the
-    rewrite is (existing ∖ updated-keys) ∪ updates for just those
-    partitions. Last-writer-wins inside the update batch via the same
-    max_by reduction the sink uses.
+    Mechanics: the update batch is first reduced to ONE row per key —
+    last-writer-wins by ``order_col`` (e.g. a CDC offset/ts column; when
+    absent, by arrival order within the batch) — the same reduction
+    SinkWriter.prepare_batch applies, so a CDC batch carrying several
+    versions of a key upserts exactly the newest. The affected-partition
+    list comes from the updates (tiny distinct agg, broadcast into a
+    partition-pruned read); the rewrite is (existing ∖ updated-keys) ∪
+    updates for just those partitions.
+
+    Partition-stability contract: the key→partition mapping is assumed
+    STABLE (an update places a key in the same partition its current
+    row lives in). If updates can MOVE a key across partitions (e.g. a
+    corrected ingest_date), pass ``rewrite_moved_keys=True``: the
+    touched set then also includes partitions of existing rows matching
+    updated keys — found by a key-column-pruned scan of the lake, which
+    costs a full (two-column) read, trading the touched-partitions-only
+    cost model for cross-partition correctness.
 
     At 100 TB this is CDC-into-the-lake: cost scales with the touched
     partitions, not the lake, and the swap is atomic per partition —
     re-running the same batch is idempotent. Returns
     {"partitions_rewritten": n, "rows_upserted": m}.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     existing = spark.read.parquet(path)
     cols = existing.columns
-    updates = updates.select(*cols)
 
+    # last-writer-wins: one row per key before anything else (an update
+    # batch with 2 rows for a key must not write both)
+    ord_expr = F.col(order_col) if order_col else F.monotonically_increasing_id()
+    updates = updates.withColumn("__ord", ord_expr)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__ord").desc())
+    updates = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*cols)
+    )
+
+    upd_keys = updates.select(*key_cols).distinct()
     touched = updates.select(*partition_cols).distinct()
+    if rewrite_moved_keys:
+        # partitions where updated keys CURRENTLY live (key-pruned scan)
+        old_parts = (
+            existing.select(*key_cols, *partition_cols)
+            .join(F.broadcast(upd_keys), list(key_cols), "left_semi")
+            .select(*partition_cols)
+            .distinct()
+        )
+        touched = touched.unionByName(old_parts).distinct()
     n_parts = touched.count()
     # partition-pruned read of just the affected slices
     affected = existing.join(F.broadcast(touched), list(partition_cols), "inner")
     survivors = affected.join(
-        F.broadcast(updates.select(*key_cols).distinct()), list(key_cols), "left_anti"
+        F.broadcast(upd_keys), list(key_cols), "left_anti"
     )
     merged = survivors.unionByName(updates)
     n_rows = updates.count()
-    merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    # dynamic overwrite only rewrites partitions PRESENT in the output:
+    # a touched partition whose rows all moved away produces no rows, so
+    # its stale files would survive — find those and delete explicitly
+    emptied = [
+        tuple(r)
+        for r in touched.join(
+            merged.select(*partition_cols).distinct(),
+            list(partition_cols),
+            "left_anti",
+        ).collect()
+    ]
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for vals in emptied:
+            suffix = "/".join(f"{c}={v}" for c, v in zip(partition_cols, vals))
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{suffix}")
+            p.getFileSystem(hconf).delete(p, True)
     return {"partitions_rewritten": n_parts, "rows_upserted": n_rows}

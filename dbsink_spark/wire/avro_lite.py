@@ -162,6 +162,16 @@ def encode(schema, value, out: io.BytesIO) -> None:
         raise TypeError(f"avro_lite cannot encode type {t!r}")
 
 
+def _read_exact(buf: io.BytesIO, n: int) -> bytes:
+    """Checked read: truncated wire input must RAISE, not decode to a
+    wrong value (an EOF boolean must not become False, a short string
+    must not silently truncate)."""
+    data = buf.read(n)
+    if len(data) != n:
+        raise EOFError(f"avro_lite: truncated input (wanted {n} bytes, got {len(data)})")
+    return data
+
+
 def decode(schema, buf: io.BytesIO):
     if isinstance(schema, str):
         t = schema
@@ -174,19 +184,19 @@ def decode(schema, buf: io.BytesIO):
     if t == "null":
         return None
     if t == "boolean":
-        return buf.read(1) == b"\x01"
+        return _read_exact(buf, 1) == b"\x01"
     if t in ("int", "long"):
         return _zigzag_decode(buf)
     if t == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        return struct.unpack("<f", _read_exact(buf, 4))[0]
     if t == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        return struct.unpack("<d", _read_exact(buf, 8))[0]
     if t == "string":
         n = _zigzag_decode(buf)
-        return buf.read(n).decode("utf-8")
+        return _read_exact(buf, n).decode("utf-8")
     if t == "bytes":
         n = _zigzag_decode(buf)
-        return buf.read(n)
+        return _read_exact(buf, n)
     if t == "record":
         return {f["name"]: decode(f["type"], buf) for f in schema["fields"]}
     if t == "map":
@@ -200,7 +210,7 @@ def decode(schema, buf: io.BytesIO):
                 n = -n
             for _ in range(n):
                 klen = _zigzag_decode(buf)
-                k = buf.read(klen).decode("utf-8")
+                k = _read_exact(buf, klen).decode("utf-8")
                 out[k] = decode(schema["values"], buf)
     if t == "array":
         items = []
@@ -216,7 +226,7 @@ def decode(schema, buf: io.BytesIO):
     if t == "enum":
         return schema["symbols"][_zigzag_decode(buf)]
     if t == "fixed":
-        return buf.read(schema["size"])
+        return _read_exact(buf, schema["size"])
     raise TypeError(f"avro_lite cannot decode type {t!r}")
 
 

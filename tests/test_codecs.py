@@ -214,3 +214,22 @@ def test_replay_source_avro_schema_bound(spark):
         avro_schema=REPLAYER_SCHEMA,
     ).collect()
     assert rows and all(json.loads(r.value)["uid"] for r in rows)
+
+
+def test_avro_lite_truncated_input_raises():
+    """Truncated wire bytes must raise, never decode to wrong values
+    (EOF boolean != False, short string != truncated payload)."""
+    import pytest
+
+    from dbsink_spark.wire import avro_lite
+
+    rec = {"type": "record", "name": "r", "fields": [
+        {"name": "flag", "type": "boolean"},
+        {"name": "s", "type": "string"},
+        {"name": "x", "type": "double"},
+    ]}
+    good = avro_lite.dumps(rec, {"flag": True, "s": "hello", "x": 1.5})
+    assert avro_lite.loads(rec, good) == {"flag": True, "s": "hello", "x": 1.5}
+    for cut in range(len(good)):
+        with pytest.raises((EOFError, ValueError, KeyError, IndexError)):
+            avro_lite.loads(rec, good[:cut])

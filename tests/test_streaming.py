@@ -521,3 +521,77 @@ def test_merge_lake_rewrites_only_touched_partitions(spark, tmp_path):
         for r in spark.read.parquet(lake).collect()
     }
     assert got2 == got
+
+
+def test_merge_lake_lww_dedupes_cdc_batch(spark, tmp_path):
+    """An update batch with several rows for one key (CDC) upserts
+    exactly the newest by order_col — the batch is reduced to one row
+    per key before the union (r02 ADVICE)."""
+    from dbsink_spark.lake import merge_lake
+
+    lake = str(tmp_path / "mlake2")
+    spark.createDataFrame(
+        [(1, "a", "2024-01-01")], ["uid", "val", "ingest_date"]
+    ).write.partitionBy("ingest_date").parquet(lake)
+
+    updates = spark.createDataFrame(
+        [
+            (1, "v1", "2024-01-01", 10),
+            (1, "v3", "2024-01-01", 30),  # newest wins
+            (1, "v2", "2024-01-01", 20),
+            (7, "n1", "2024-01-01", 11),
+            (7, "n2", "2024-01-01", 12),
+        ],
+        ["uid", "val", "ingest_date", "offset"],
+    )
+    stats = merge_lake(spark, lake, updates, ("uid",), order_col="offset")
+    assert stats["rows_upserted"] == 2  # one survivor per key
+    got = {r["uid"]: r["val"] for r in spark.read.parquet(lake).collect()}
+    assert got == {1: "v3", 7: "n2"}
+
+
+def test_merge_lake_rewrite_moved_keys(spark, tmp_path):
+    """rewrite_moved_keys=True removes the stale row when an update
+    moves a key to a different partition (corrected ingest_date)."""
+    from dbsink_spark.lake import merge_lake
+
+    lake = str(tmp_path / "mlake3")
+    spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")],
+        ["uid", "val", "ingest_date"],
+    ).write.partitionBy("ingest_date").parquet(lake)
+
+    moved = spark.createDataFrame(
+        [(1, "a-fixed", "2024-01-03")], ["uid", "val", "ingest_date"]
+    )
+    stats = merge_lake(spark, lake, moved, ("uid",), rewrite_moved_keys=True)
+    assert stats["partitions_rewritten"] == 2  # old home + new home
+    got = {r["uid"]: (r["val"], str(r["ingest_date"]))
+           for r in spark.read.parquet(lake).collect()}
+    assert got == {1: ("a-fixed", "2024-01-03"), 2: ("b", "2024-01-02")}
+
+
+def test_lake_write_does_not_leak_overwrite_mode(spark, tmp_path):
+    """write_lake/compact_lake/merge_lake scope partitionOverwriteMode
+    per-write; a later plain overwrite keeps STATIC semantics (old
+    partitions dropped)."""
+    from dbsink_spark.lake import compact_lake, merge_lake, write_lake
+
+    lake = str(tmp_path / "slake")
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")],
+        ["uid", "val", "ingest_date"],
+    )
+    write_lake(df, lake)
+    compact_lake(spark, lake, ("ingest_date",))
+    merge_lake(spark, lake, df.limit(1), ("uid",))
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").upper()
+        == "STATIC"
+    )
+    # plain overwrite after lake ops: static semantics — day-2 partition gone
+    other = str(tmp_path / "plain")
+    df.write.mode("overwrite").partitionBy("ingest_date").parquet(other)
+    only_day1 = spark.createDataFrame([(9, "z", "2024-01-01")], df.columns)
+    only_day1.write.mode("overwrite").partitionBy("ingest_date").parquet(other)
+    assert spark.read.parquet(other).count() == 1
