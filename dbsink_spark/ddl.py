@@ -24,7 +24,7 @@ _DUCK_TYPE_MAP = {
 
 
 def _duck_type(col: ColumnSpec) -> str:
-    if col.bind == "geometry":
+    if col.bind.startswith("geometry"):
         return "TEXT"
     return _DUCK_TYPE_MAP.get(col.pg_type, col.duck_type or col.pg_type)
 

@@ -144,10 +144,16 @@ def union_features_wkt(features: list[dict]) -> str | None:
        deduplicated and same-type features assemble into the MULTI*
        geometry — identical to ``unary_union`` for disjoint inputs
        (the reference's multi-feature fixtures: 10 disjoint drift
-       trajectories → MULTILINESTRING). Documented divergence: inputs
-       that CROSS or OVERLAP would additionally be noded/dissolved by
-       shapely; the fallback leaves them unmerged (a database-side
-       ``ST_Union`` on insert closes even that gap).
+       trajectories → MULTILINESTRING). Inputs that CROSS or OVERLAP
+       would additionally be noded/dissolved by shapely; the fallback
+       leaves them assembled-but-unmerged, and the sink closes that gap
+       at the database boundary: the ``geometry_union`` bind wraps the
+       insert in PostGIS ``ST_UnaryUnion`` (the same GEOS unary_union
+       the reference calls via shapely), which nodes and dissolves the
+       assembled geometry exactly — and is a no-op for the
+       already-disjoint case. So the stored geometry matches the
+       reference in ALL cases; only the in-flight WKT differs when
+       shapely is absent and inputs overlap.
     """
     geoms = [f["geometry"] for f in features if f.get("geometry")]
     if not geoms:

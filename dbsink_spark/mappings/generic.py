@@ -169,7 +169,11 @@ class GenericGeography(Mapping):
                 bind="hstore",
             ),
             ColumnSpec("payload", T.StringType(), "JSONB", "JSON", default={}, bind="jsonb"),
-            ColumnSpec("geom", T.StringType(), "geometry(GEOMETRY,4326)", "TEXT", bind="geometry"),
+            # geometry_union: the sink wraps the bind in ST_UnaryUnion so
+            # crossing/overlapping features assembled by the no-shapely
+            # union fallback are noded+dissolved at insert (GEOS, same
+            # engine as the reference's shapely unary_union)
+            ColumnSpec("geom", T.StringType(), "geometry(GEOMETRY,4326)", "TEXT", bind="geometry_union"),
         ]
 
     @property

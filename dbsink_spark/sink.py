@@ -169,6 +169,14 @@ class SinkWriter:
                     binds.append(f"{ph}::hstore")
                 elif c.bind == "geometry":
                     binds.append(f"ST_GeomFromText({ph}, 4326)")
+                elif c.bind == "geometry_union":
+                    # DB-side noding/dissolve: PostGIS ST_UnaryUnion runs
+                    # the same GEOS unary_union the reference calls via
+                    # shapely (tables.py:266-269), so crossing/overlapping
+                    # members of a collection built by the no-shapely
+                    # fallback are noded at insert — exact parity, and a
+                    # no-op for already-dissolved input
+                    binds.append(f"ST_UnaryUnion(ST_GeomFromText({ph}, 4326))")
                 else:
                     binds.append(ph)
             else:

@@ -37,11 +37,17 @@ class RollupMaintainer:
         table: str = "rollup_hourly",
         bucket: str = "1 hour",
         dialect: str = "duckdb",
+        max_partial_rows: int = 1_000_000,
     ):
         self.connect = connect
         self.table = table
         self.bucket = bucket
         self.dialect = dialect
+        # merge_batch surfaces partials to the driver — bounded by
+        # bucket×key cardinality, NOT batch size, which is what makes
+        # the collect safe. The guard turns a silent driver OOM (e.g. a
+        # high-cardinality key column chosen by mistake) into an error.
+        self.max_partial_rows = max_partial_rows
 
     def ensure_table(self) -> None:
         conn = self.connect()
@@ -64,9 +70,18 @@ class RollupMaintainer:
         )
 
     def merge_batch(self, partials_df: DataFrame, batch_id: int | None = None) -> None:
+        cap = self.max_partial_rows
         rows = [
-            (r["bucket"], r["key"], r["n"], r["sv"]) for r in partials_df.collect()
+            (r["bucket"], r["key"], r["n"], r["sv"])
+            for r in partials_df.limit(cap + 1).collect()
         ]
+        if len(rows) > cap:
+            raise ValueError(
+                f"rollup partials exceed max_partial_rows={cap}: the "
+                "bucket×key cardinality is too high for a driver-merged "
+                "rollup — coarsen the bucket, reduce key cardinality, or "
+                "raise the cap"
+            )
         if not rows:
             return
         sql = (

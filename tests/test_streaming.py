@@ -595,3 +595,29 @@ def test_lake_write_does_not_leak_overwrite_mode(spark, tmp_path):
     only_day1 = spark.createDataFrame([(9, "z", "2024-01-01")], df.columns)
     only_day1.write.mode("overwrite").partitionBy("ingest_date").parquet(other)
     assert spark.read.parquet(other).count() == 1
+
+
+def test_rollup_partials_cardinality_guard(spark, tmp_path):
+    """merge_batch refuses a partials frame larger than
+    max_partial_rows instead of silently collecting it to the driver."""
+    import pytest
+
+    from dbsink_spark.streaming.rollup import RollupMaintainer
+
+    db = str(tmp_path / "roll.duckdb")
+    m = RollupMaintainer(
+        duckdb_connect_factory(db), table="r", max_partial_rows=10
+    )
+    m.ensure_table()
+    from pyspark.sql import functions as F
+
+    big = spark.range(50).select(
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("bucket"),
+        F.col("id").cast("string").alias("key"),
+        F.lit(1).alias("n"),
+        F.lit(1.0).alias("sv"),
+    )
+    with pytest.raises(ValueError, match="max_partial_rows"):
+        m.merge_batch(big)
+    small = big.limit(5)
+    m.merge_batch(small)  # under the cap: merges fine
