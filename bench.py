@@ -54,17 +54,22 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_wall_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The driver records only a bounded TAIL of stdout (r02: the spaced
+    # ~3.7 KB line overflowed it and 'parsed' came back null). Keep the
+    # one stdout line compact so it fits the capture buffer, and write
+    # the pretty artifact to a file so per-query regressions stay
+    # diffable regardless of the driver's buffer.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(payload, separators=(",", ":")))
 
 
 if __name__ == "__main__":
