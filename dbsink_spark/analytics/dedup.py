@@ -714,6 +714,37 @@ QUERIES["d08_decontaminate"] = d08_decontaminate
 
 
 CC_MAX_ITERS = 20  # safety cap; min-label propagation converges in O(component diameter)
+# Below this edge count the whole CC problem fits comfortably on the
+# driver (an edge is two longs; 2M edges ≈ 32 MB) and a union-find pass
+# beats N distributed join rounds by an order of magnitude in latency.
+# Above it, fall back to the distributed propagation loop.
+CC_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _cc_union_find(edge_rows) -> dict:
+    """Driver-side connected components: union-find with path halving,
+    then relabel every node with the min node-id of its component.
+    Returns {node: min_label}."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # second pass: with unions always pointing larger->smaller roots,
+    # the final root IS the component minimum
+    return {n: find(n) for n in parent}
 
 
 def d09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -723,24 +754,48 @@ def d09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pair list into keep/drop groups (pick one representative per
     cluster, drop the rest).
 
-    Spark has no CC builtin, so this is iterative min-label
-    propagation: each round every node takes the min of its own label
-    and its neighbours' labels, until a fixpoint (driver-side loop — an
-    iterative algorithm, the one place a driver loop is the right
-    tool). Rounds needed = component diameter, which for near-dup
-    clusters is tiny (dups of a doc are dups of each other); each round
-    is one equi-join + hash-agg on the (small) edge list, never
-    touching the corpus. Result is the fixpoint, independent of
-    iteration schedule — the DuckDB oracle computes the same components
-    via a recursive transitive closure.
+    Spark has no CC builtin; this is a cardinality-gated hybrid:
+
+    * The near-dup edge list is orders of magnitude smaller than the
+      corpus (pairs that SURVIVED exact-Jaccard verification). When it
+      fits the driver (``CC_DRIVER_MAX_EDGES``, ~32 MB of longs), run
+      union-find locally — one collect of the pair list, zero extra
+      Spark stages. This is the common case even at 100 TB corpus
+      scale, because the edge list scales with the duplicate count,
+      not the corpus.
+    * Over the cap, iterative min-label propagation: each round every
+      node takes the min of its own and its neighbours' labels until a
+      fixpoint. Rounds = component diameter (tiny for near-dup
+      clusters); each round is one equi-join + hash-agg on the edge
+      list, never touching the corpus.
+
+    Both paths produce the identical fixpoint (min doc_id per
+    component) — the DuckDB oracle computes the same components via a
+    recursive transitive closure, and the pytest suite drives the
+    distributed path explicitly with the cap forced to 0.
     """
-    pairs = d03_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = d03_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    n_pairs = pairs.count()
+    if n_pairs <= CC_DRIVER_MAX_EDGES:
+        comp = _cc_union_find((r["doc_a"], r["doc_b"]) for r in pairs.collect())
+        sizes: dict = {}
+        for lbl in comp.values():
+            sizes[lbl] = sizes.get(lbl, 0) + 1
+        out = spark.createDataFrame(
+            [(n, lbl, sizes[lbl]) for n, lbl in comp.items()],
+            "doc_id long, cluster_id long, cluster_size long",
+        )
+        return out.orderBy("doc_id")
+    return _cc_propagate(spark, pairs)
+
+
+def _cc_propagate(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Distributed min-label propagation over the (doc_a, doc_b) pair
+    list — the over-cap path of d09. See d09_dup_clusters."""
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    # the edge list is orders of magnitude smaller than the corpus
-    # (near-dup pairs); collapse it to a few partitions so each
-    # propagation round is a handful of tasks, not 32 × stages of
-    # scheduling overhead (4.4 s -> ~2.7 s at sf0.1, where the list is
-    # 512 edges). At a scale where the pair list itself is huge, raise
+    # collapse the edge list to a few partitions so each propagation
+    # round is a handful of tasks, not 32 × stages of scheduling
+    # overhead. At a scale where the pair list itself is huge, raise
     # the partition count with it — the plan shape is unchanged.
     edges = (
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -198,6 +198,31 @@ def test_dup_clusters_consistent_with_pairs(spark):
         assert c == min(docs)
 
 
+def test_dup_clusters_both_paths_identical(spark, monkeypatch):
+    """d09 hybrid: the distributed min-label propagation path (forced
+    via a zero driver cap) produces row-for-row the same clusters as
+    the default driver union-find path."""
+    from dbsink_spark.analytics import dedup
+
+    fast = dedup.d09_dup_clusters(spark, SF_DIR).collect()
+    monkeypatch.setattr(dedup, "CC_DRIVER_MAX_EDGES", -1)
+    slow = dedup.d09_dup_clusters(spark, SF_DIR).collect()
+    key = lambda r: (r.doc_id, r.cluster_id, r.cluster_size)  # noqa: E731
+    assert sorted(map(key, fast)) == sorted(map(key, slow))
+
+
+def test_cc_union_find_min_label():
+    """Driver union-find labels every node with its component minimum,
+    independent of edge order."""
+    from dbsink_spark.analytics.dedup import _cc_union_find
+
+    edges = [(5, 9), (9, 2), (7, 8), (3, 7), (2, 5)]
+    comp = _cc_union_find(edges)
+    assert comp == {5: 2, 9: 2, 2: 2, 7: 3, 8: 3, 3: 3}
+    comp_rev = _cc_union_find(list(reversed(edges)))
+    assert comp == comp_rev
+
+
 def test_kmeans_inertia_nonincreasing(spark):
     """kmeans_fit: Lloyd iterations never increase inertia, and the
     assignment covers every vector exactly once."""
