@@ -61,15 +61,18 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    # The driver records only a bounded TAIL of stdout (r02: the spaced
-    # ~3.7 KB line overflowed it and 'parsed' came back null). Keep the
-    # one stdout line compact so it fits the capture buffer, and write
-    # the pretty artifact to a file so per-query regressions stay
-    # diffable regardless of the driver's buffer.
+    # The driver records only the LAST 2000 bytes of stdout (r03: the
+    # 2425-byte compact line with full query names still overflowed it
+    # and 'parsed' came back null). The stdout line therefore keys each
+    # query by its unique short prefix (q01, d03, t14, ...) — 1.2 KB,
+    # fits with headroom — while the pretty artifact with full names
+    # goes to BENCH_LOCAL.json so per-query regressions stay diffable.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(json.dumps(payload, separators=(",", ":")))
+    short = {name.split("_")[0]: sec for name, sec in timings.items()}
+    assert len(short) == len(timings), "short-prefix collision in query names"
+    print(json.dumps({**payload, "queries": short}, separators=(",", ":")))
 
 
 if __name__ == "__main__":
