@@ -30,17 +30,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # assumes UTC to match the DuckDB oracle
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read nanos as long and truncate to microseconds
-        # (Spark's native timestamp precision).
+        # Harness generations have shipped events.ts as either
+        # TIMESTAMP(NANOS) (which Spark's parquet reader rejects — read
+        # nanos as long, truncate to micros) or plain TIMESTAMP(MICROS)
+        # (read as-is, like every other table). Branch on the actual
+        # file schema so both generations load.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integral div, not float /: nanos exceed double's 53-bit exact
-        # integer range, so float division drifts the microsecond value
-        # by ±1 — exact truncation matches DuckDB's TIMESTAMP_NS cast
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integral div, not float /: nanos exceed double's 53-bit
+            # exact integer range, so float division drifts the
+            # microsecond value by ±1 — exact truncation matches
+            # DuckDB's TIMESTAMP_NS cast
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # tz-naive micros generation: normalize to TIMESTAMP_LTZ
+            # (session tz is pinned UTC above, so wall-clock values are
+            # unchanged) — downstream queries cast ts to epoch seconds /
+            # BIGINT, which Spark only allows on LTZ timestamps
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
