@@ -94,6 +94,13 @@ UNGATED = frozenset(
         "q16_topk_global",
         "m02_media_meta_join",
         "t04_token_count",
+        # round-4 additions (same policy — oracle-verified locally +
+        # benched, beyond the 50-row driver gate):
+        "q56_bitmap_distinct",
+        "s09_ann_recall",
+        "s10_range_search",
+        "t19_bpe_apply",
+        "d13_editdist_near_dup",
     }
 )
 

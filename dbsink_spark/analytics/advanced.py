@@ -1214,3 +1214,54 @@ ORACLE["q53_hopping_window"] = f"""
 """
 
 QUERIES["q53_hopping_window"] = q53_hopping_window
+
+
+# ---------------------------------------------------------------------------
+# q56: bitmap-index distinct aggregation
+# ---------------------------------------------------------------------------
+
+
+def q56_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts per event type via 64-bit word
+    bitmaps — the roaring-bitmap-style pattern that replaces
+    ``count(distinct)``'s full key shuffle at scale.
+
+    Each user id maps to (word = id >> 6, bit = 1 << (id & 63)); the
+    per-(type, word) ``bit_or`` is map-side combinable and ASSOCIATIVE,
+    so partial bitmaps merge across partitions/days/files without
+    re-expansion — unlike count(distinct), whose map side must ship
+    every distinct key. The final popcount sum touches only
+    |types| x |user_space|/64 rows. The same word bitmaps would land in
+    a segment index (the reference keeps no such index; its per-row
+    sink can't: SURVEY.md section 2.6 gap table).
+    """
+    e = Tables(spark, sf_dir).events
+    words = e.select(
+        "event_type",
+        F.shiftright(F.col("user_id"), 6).alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias("bit"),
+    )
+    bitmaps = words.groupBy("event_type", "word_idx").agg(
+        F.bit_or("bit").alias("bits"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        bitmaps.groupBy("event_type")
+        .agg(
+            F.sum(F.bit_count("bits")).cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q56_bitmap_distinct"] = """
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           count(*)::BIGINT                AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+QUERIES["q56_bitmap_distinct"] = q56_bitmap_distinct

@@ -826,3 +826,116 @@ ORACLE["s08_pq_codes"] = f"""
 """
 
 QUERIES["s08_pq_codes"] = s08_pq_codes
+
+
+# ---------------------------------------------------------------------------
+# s09: ANN recall audit (IVF-probed vs brute-force ground truth)
+# ---------------------------------------------------------------------------
+
+
+def s09_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the IVF-probed search path: per query, how many
+    of the exact brute-force top-k (s01) the N_PROBE-cell approximate
+    search (s05) actually returned — the quality gate every production
+    ANN deployment runs before trusting its index.
+
+    Plan shape: both sides are the already-bucketed plans (s01
+    broadcasts the query set, s05 touches only probed cells); the audit
+    itself is a tiny (|queries| x k)-row left join + one aggregate.
+    Integer outputs (recall_pct = hits * 100 / k is exact for k=5), so
+    the hash gate is float-free.
+    """
+    brute = s01_cosine_topk(spark, sf_dir).select("query_id", "corpus_id")
+    approx = (
+        s05_ivf_topk(spark, sf_dir)
+        .select("query_id", "corpus_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        brute.join(approx, ["query_id", "corpus_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"CAST(n_hits * 100 DIV {TOPK} AS BIGINT)").alias("recall_pct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE["s09_ann_recall"] = f"""
+    WITH brute AS (
+        SELECT query_id, corpus_id FROM ({ORACLE["s01_cosine_topk"]})
+    ), ivf AS (
+        SELECT query_id, corpus_id FROM ({ORACLE["s05_ivf_topk"]})
+    )
+    SELECT b.query_id,
+           count(i.corpus_id)::BIGINT AS n_hits,
+           (count(i.corpus_id) * 100 // {TOPK})::BIGINT AS recall_pct
+    FROM brute b
+    LEFT JOIN ivf i ON i.query_id = b.query_id AND i.corpus_id = b.corpus_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+"""
+
+QUERIES["s09_ann_recall"] = s09_ann_recall
+
+
+# ---------------------------------------------------------------------------
+# s10: cosine range (radius) search
+# ---------------------------------------------------------------------------
+
+RANGE_THRESH = 0.35  # cosine radius; ~99.9th pct of pair similarity on this corpus
+
+
+def s10_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: every (query, corpus) pair at cosine >= threshold
+    — the dedup/retrieval primitive when the answer set is "everything
+    this similar", not a fixed k (pair generation for clustering,
+    near-dup blocklists, semantic caches).
+
+    Same broadcast shape as s01 (query set broadcast, corpus never
+    shuffled, no window needed at all — a pure filter after the scored
+    join, so the only shuffle is the output sort). The threshold
+    compare runs on the sequential-fold cosine BOTH engines compute
+    bit-identically (module docstring), so the predicate is exact.
+    """
+    v = _vectors(spark, sf_dir)
+    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
+    )
+    corpus = v.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("v").alias("cv"),
+        _norm(F.col("v")).alias("cn"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    return (
+        corpus.join(F.broadcast(queries))
+        .select("query_id", "corpus_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= RANGE_THRESH)
+        .select("query_id", "corpus_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy("query_id", "corpus_id")
+    )
+
+
+ORACLE["s10_range_search"] = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               list_sum([q.v[i] * c.v[i] for i in generate_series(1, {DIM})])
+               / (sqrt(list_sum([x*x for x in q.v])) * sqrt(list_sum([x*x for x in c.v])))
+               AS cosine
+        FROM v q CROSS JOIN v c
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    )
+    SELECT query_id, corpus_id, round(cosine, 4) AS cosine
+    FROM scored
+    WHERE cosine >= {RANGE_THRESH}
+    ORDER BY query_id, corpus_id
+"""
+
+QUERIES["s10_range_search"] = s10_range_search
