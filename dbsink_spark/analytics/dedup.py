@@ -1174,3 +1174,75 @@ ORACLE["d12_span_dedup"] = f"""
 """
 
 QUERIES["d12_span_dedup"] = d12_span_dedup
+
+
+# ---------------------------------------------------------------------------
+# d13: edit-distance near-dup (blocked pairwise Levenshtein)
+# ---------------------------------------------------------------------------
+
+D13_PFX = 24  # blocking prefix chars
+D13_LEN_BUCKET = 16  # blocking length-bucket width
+D13_CMP = 128  # chars of text compared
+D13_MAX_DIST = 16  # edit-distance threshold
+
+
+def d13_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-duplicate pairs via blocked Levenshtein —
+    the edit-distance complement to token-set dedup (d03/d05 miss
+    single-character template drift; d04's bit flips don't localize
+    it). Classic record-linkage shape: a cheap deterministic blocking
+    key (text prefix + length bucket) bounds the candidate set, the
+    expensive exact distance runs only within blocks.
+
+    Scale: the self-join is an equi-join on the block key, so cost is
+    sum(block^2), not corpus^2 — prefix+length blocking keeps block
+    occupancy single-digit on templated corpora (near-identical docs
+    share both). Distance runs JVM-side (``F.levenshtein``) on fixed
+    128-char prefixes so the comparison cost is bounded per pair;
+    DuckDB's ``levenshtein`` is the same codepoint-based DP, verified
+    by the hash gate.
+    """
+    d = Tables(spark, sf_dir).documents
+    blocked = d.select(
+        "doc_id",
+        F.substring("text", 1, D13_CMP).alias("head"),
+        F.substring("text", 1, D13_PFX).alias("pfx"),
+        F.floor(F.length("text") / D13_LEN_BUCKET).alias("lb"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.pfx") == F.col("b.pfx"))
+        & (F.col("a.lb") == F.col("b.lb"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.levenshtein(F.col("a.head"), F.col("b.head")).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= D13_MAX_DIST)
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+ORACLE["d13_editdist_near_dup"] = f"""
+    WITH blocked AS (
+        SELECT doc_id,
+               substr(text, 1, {D13_CMP}) AS head,
+               substr(text, 1, {D13_PFX}) AS pfx,
+               len(text) // {D13_LEN_BUCKET} AS lb
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a,
+           b.doc_id AS doc_id_b,
+           levenshtein(a.head, b.head)::BIGINT AS dist
+    FROM blocked a
+    JOIN blocked b ON a.pfx = b.pfx AND a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= {D13_MAX_DIST}
+    ORDER BY doc_id_a, doc_id_b
+"""
+
+QUERIES["d13_editdist_near_dup"] = d13_editdist_near_dup

@@ -1108,3 +1108,115 @@ ORACLE["t18_top_terms"] = f"""
 """
 
 QUERIES["t18_top_terms"] = t18_top_terms
+
+
+# ---------------------------------------------------------------------------
+# t19: BPE tokenizer APPLY (segment the corpus with the trained merges)
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 8  # merge rules applied (top of t16's ranked candidates)
+
+
+def t19_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the tokenizer the t16 merge step trains: segment every
+    document into BPE symbols using the top-N merge rules and emit
+    per-document token counts — the op that turns a curated corpus into
+    the token budget a training run actually consumes.
+
+    Same vocab-bounded shape as t16: merges apply over the DISTINCT-
+    word table (each word spaced into characters, then N chained
+    JVM-side ``replace`` passes — one per merge rule, rank order), and
+    documents join back to per-word token counts. The corpus-sized
+    passes are a word count and one equi-join on the word; the
+    per-symbol work never touches full documents. The merge table
+    itself is k-sized (driver-collected, like the centroid codebooks).
+
+    Merge application is greedy left-to-right non-overlapping
+    single-pass per rule (plain ``replace`` semantics, identical in
+    Spark and DuckDB) — a deterministic one-shot variant of BPE's
+    recount-between-merges loop, which is what keeps the whole thing
+    one lazy plan per rule instead of a per-word iterative UDF.
+    """
+    merges = [
+        r["pair"] for r in t16_bpe_merge_step(spark, sf_dir).collect()[:BPE_N_MERGES]
+    ]
+
+    d = Tables(spark, sf_dir).documents
+    wf = (
+        d.select(F.explode(_words()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seg = F.concat(F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 "))
+    for p in merges:
+        seg = F.replace(seg, F.lit(f" {p[0]} {p[1]} "), F.lit(f" {p} "))
+    tok = wf.select(
+        "word",
+        (F.length(seg) - F.length(F.replace(seg, F.lit(" "), F.lit(""))) - 1).alias(
+            "n_tok"
+        ),
+    )
+    dw = d.select("doc_id", F.explode(_words()).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return (
+        dw.join(tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _t19_oracle() -> str:
+    # the merge table is computed IN-QUERY (pivoted to scalar columns
+    # m.p1..m.pN) since the oracle string must be static; rank order
+    # matches t16's (count DESC, pair ASC) total order
+    pcols = ", ".join(
+        f"max(CASE WHEN rn = {i} THEN pair END) AS p{i}"
+        for i in range(1, BPE_N_MERGES + 1)
+    )
+    seg = "' ' || regexp_replace(wf.word, '(.)', '\\1 ', 'g')"
+    for i in range(1, BPE_N_MERGES + 1):
+        seg = (
+            f"replace({seg}, ' ' || substr(m.p{i}, 1, 1) || ' ' || "
+            f"substr(m.p{i}, 2, 1) || ' ', ' ' || m.p{i} || ' ')"
+        )
+    return f"""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), wf AS (
+        SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY word
+    ), p AS (
+        SELECT freq,
+               unnest([substr(word, i, 2)
+                       for i in generate_series(1, len(word) - 1)]) AS pair
+        FROM wf WHERE len(word) >= 2
+    ), ranked AS (
+        SELECT pair, row_number() OVER (ORDER BY sum(freq) DESC, pair) AS rn
+        FROM p GROUP BY pair
+    ), m AS (
+        SELECT {pcols} FROM ranked WHERE rn <= {BPE_N_MERGES}
+    ), seg AS (
+        SELECT wf.word, {seg} AS s
+        FROM wf CROSS JOIN m
+    ), tok AS (
+        SELECT word, len(s) - len(replace(s, ' ', '')) - 1 AS n_tok FROM seg
+    ), dw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT dw.doc_id,
+           sum(tok.n_tok)::BIGINT AS n_tokens,
+           count(*)::BIGINT       AS n_words
+    FROM dw JOIN tok USING (word)
+    WHERE dw.word <> ''
+    GROUP BY dw.doc_id
+    ORDER BY dw.doc_id
+    """
+
+
+ORACLE["t19_bpe_apply"] = _t19_oracle()
+QUERIES["t19_bpe_apply"] = t19_bpe_apply
