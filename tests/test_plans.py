@@ -98,3 +98,29 @@ def test_span_dedup_no_text_in_shuffle(spark):
 
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert " sp#" not in m.group(0), m.group(0)
+
+
+def test_bitmap_distinct_combines_map_side(spark):
+    """q56's word-bitmap aggregate must show partial bit_or aggregation
+    (map-side combinable partial bitmaps) — the property that makes it
+    beat count(distinct)'s key shuffle at scale."""
+    plan = _plan(analytics.ALL_QUERIES["q56_bitmap_distinct"](spark, SF_DIR))
+    assert "partial_bit_or" in plan, plan
+
+
+def test_range_search_has_no_hash_shuffle(spark):
+    """s10: broadcast query set + pure filter — zero hash-partitioning
+    exchanges (the output sort is a range partitioning)."""
+    plan = _plan(analytics.ALL_QUERIES["s10_range_search"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_editdist_shuffle_carries_heads_not_text(spark):
+    """d13's block-key join must exchange the bounded head/pfx columns,
+    never the full document text."""
+    import re
+
+    plan = _plan(analytics.ALL_QUERIES["d13_editdist_near_dup"](spark, SF_DIR))
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert " text#" not in m.group(0), m.group(0)
