@@ -621,3 +621,57 @@ def test_rollup_partials_cardinality_guard(spark, tmp_path):
         m.merge_batch(big)
     small = big.limit(5)
     m.merge_batch(small)  # under the cap: merges fine
+
+
+def test_streaming_bitmap_distinct_exact_and_idempotent(spark, tmp_path):
+    """The maintained bitmap store after two micro-batches must serve
+    the EXACT distinct count per group, and re-merging a replayed
+    batch (at-least-once delivery) must leave the store unchanged —
+    bitmap OR is idempotent, unlike the additive maintainers."""
+    import duckdb
+
+    from dbsink_spark.streaming.sketches import BitmapMaintainer, batch_bitmap
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    batch1 = [("click", u) for u in [1, 2, 3, 64, 65, 1, 2]] + [("view", 1)]
+    batch2 = [("click", u) for u in [3, 4, 128]] + [("view", 200), ("view", 1)]
+    with open(indir / "b0.json", "w") as f:
+        for t, u in batch1:
+            f.write(json.dumps({"event_type": t, "user_id": u}) + "\n")
+
+    db = str(tmp_path / "bm.duckdb")
+
+    def connect():
+        return duckdb.connect(db)
+
+    m = BitmapMaintainer(connect)
+    src = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    q = m.run(src, "event_type", "user_id", str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    with open(indir / "b1.json", "w") as f:
+        for t, u in batch2:
+            f.write(json.dumps({"event_type": t, "user_id": u}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    con = duckdb.connect(db)
+    got = dict(con.execute(m.distinct_sql()).fetchall())
+    truth = {
+        "click": len({u for t, u in batch1 + batch2 if t == "click"}),
+        "view": len({u for t, u in batch1 + batch2 if t == "view"}),
+    }
+    assert got == truth
+
+    # replay batch2 out-of-band: idempotent merge, store unchanged
+    before = sorted(con.execute(f"SELECT * FROM bitmaps").fetchall())
+    con.close()
+    replay = spark.createDataFrame(batch2, ["event_type", "user_id"])
+    m.merge_batch(batch_bitmap(replay, "event_type", "user_id"))
+    con = duckdb.connect(db)
+    after = sorted(con.execute(f"SELECT * FROM bitmaps").fetchall())
+    assert after == before
