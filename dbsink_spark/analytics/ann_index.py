@@ -1,0 +1,122 @@
+"""Persisted IVF ANN index with incremental ingest — the lake-backed
+form of the s02/s05 quantizer/search pair.
+
+s05 answers "top-k for these queries" with the cell blocking computed
+in-query. Production vector search doesn't re-quantize the corpus per
+query: it keeps a partitioned index lake — vectors stored under their
+coarse cell (``partitionBy("cell")``) with the centroid codebook
+frozen beside it — and each query reads ONLY its N_PROBE probed cell
+partitions (disk-level partition pruning on an integer key, the
+parquet analogue of FAISS's inverted lists). New vectors append to
+exactly their cell partitions; the codebook stays frozen until a
+retrain (the standard FAISS operating model).
+
+Equivalence guarantees (tested):
+* build-all-at-once == build + N incremental appends (same files
+  layout, same query answers);
+* ``ivf_query`` over the store == s05's in-query plan over the same
+  data (same probes, same top-k);
+* the probe scan READS only the probed cell partitions
+  (``inputFiles()`` asserted against the partition dirs).
+
+Scale notes (100 TB): the index is bounded by the corpus (8-byte cell
+key + vector per row); the probe cost is sum(probed-cell occupancy),
+not corpus size; appends touch only the partitions the batch lands
+in. Centroids are k-sized, always broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similarity import TOPK, _centroids, _dot, _norm
+
+VECTORS_DIR = "vectors"
+CENTROIDS_DIR = "centroids"
+N_PROBE = 2
+
+
+def _d2(v_col, c_col):
+    return F.aggregate(
+        F.zip_with(v_col, c_col, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, v, cell): nearest-centroid assignment against a FROZEN
+    codebook (broadcast; min_by argmin with deterministic tiebreak) —
+    one map-side pass, the corpus is never shuffled."""
+    scored = vectors.join(F.broadcast(centroids)).select(
+        "vec_id", "v", "cent_label", _d2(F.col("v"), F.col("cv")).alias("d2")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.first("v").alias("v"),
+        F.expr("min_by(cent_label, struct(d2, cent_label))").alias("cell"),
+    )
+
+
+def build_index(spark: SparkSession, path: str, vectors: DataFrame) -> None:
+    """Train the coarse quantizer on ``vectors`` (per-label mean
+    centroids — the deterministic stand-in for sampled k-means, same
+    plan shape) and land the partitioned index lake."""
+    cent = _centroids(vectors)
+    cent.write.mode("overwrite").parquet(os.path.join(path, CENTROIDS_DIR))
+    assign_cells(vectors, cent).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, VECTORS_DIR)
+    )
+
+
+def append_vectors(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
+    """Assign a new batch against the frozen codebook and append —
+    touches only the cell partitions the batch lands in."""
+    cent = spark.read.parquet(os.path.join(path, CENTROIDS_DIR))
+    assign_cells(new_vectors, cent).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, VECTORS_DIR)
+    )
+
+
+def ivf_query(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    topk: int = TOPK,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Top-k cosine search over the index: per query pick the
+    ``n_probe`` nearest centroids, scan ONLY those cell partitions
+    (the cell filter prunes at the directory level), score, rank.
+
+    ``queries`` is (query_id, qv). Output matches s05's shape:
+    (query_id, corpus_id, cosine, rank).
+    """
+    cent = spark.read.parquet(os.path.join(path, CENTROIDS_DIR))
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cent_label"))
+    probes = (
+        queries.join(F.broadcast(cent))
+        .select("query_id", "qv", "cent_label", _d2(F.col("qv"), F.col("cv")).alias("d2"))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", F.col("cent_label").alias("cell"))
+    )
+    probe_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+
+    index = spark.read.parquet(os.path.join(path, VECTORS_DIR)).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    scored = index.join(F.broadcast(probes), "cell").select(
+        "query_id", F.col("vec_id").alias("corpus_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "corpus_id", F.round("cosine", 4).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,129 @@
+"""Persisted IVF index: incremental-build equivalence, exact query
+parity vs a python reference, and disk-level partition pruning."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbsink_spark.analytics import ann_index
+from dbsink_spark.analytics.similarity import N_QUERIES, _vectors
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _corpus_and_queries(spark):
+    v = _vectors(spark, SF_DIR)
+    corpus = v.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "label", "v")
+    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return corpus, queries
+
+
+def _py_reference(corpus_rows, centroid_rows, query_rows, topk, n_probe):
+    """Sequential-fold python twin of the ivf_query plan."""
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    cells = {}
+    for r in corpus_rows:
+        best = min(centroid_rows, key=lambda c: (d2(r["v"], c["cv"]), c["cent_label"]))
+        cells.setdefault(best["cent_label"], []).append(r)
+
+    out = []
+    for q in query_rows:
+        probed = sorted(
+            centroid_rows, key=lambda c: (d2(q["qv"], c["cv"]), c["cent_label"])
+        )[:n_probe]
+        cand = [r for c in probed for r in cells.get(c["cent_label"], [])]
+        qn = math.sqrt(dot(q["qv"], q["qv"]))
+        scored = [
+            (r["vec_id"], dot(q["qv"], r["v"]) / (qn * math.sqrt(dot(r["v"], r["v"]))))
+            for r in cand
+        ]
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (cid, cos) in enumerate(scored[:topk], start=1):
+            out.append((q["query_id"], cid, round(cos, 4), rank))
+    return sorted(out)
+
+
+def test_ivf_query_matches_python_reference(spark, tmp_path):
+    corpus, queries = _corpus_and_queries(spark)
+    path = str(tmp_path / "ivf")
+    ann_index.build_index(spark, path, corpus)
+
+    got = sorted(
+        tuple(r) for r in ann_index.ivf_query(spark, path, queries).collect()
+    )
+    cent = spark.read.parquet(os.path.join(path, ann_index.CENTROIDS_DIR)).collect()
+    expect = _py_reference(
+        corpus.collect(), cent, queries.collect(), ann_index.TOPK, ann_index.N_PROBE
+    )
+    assert got == expect
+    assert len({q for q, *_ in got}) == N_QUERIES
+
+
+def test_incremental_append_equals_bulk_build(spark, tmp_path):
+    corpus, queries = _corpus_and_queries(spark)
+    bulk, inc = str(tmp_path / "bulk"), str(tmp_path / "inc")
+
+    ann_index.build_index(spark, bulk, corpus)
+
+    # incremental: train codebook on the FIRST batch, append the second
+    # against the frozen codebook — then re-point the bulk index's
+    # codebook so both stores quantize identically (retrain parity is
+    # the codebook owner's job, not the store's)
+    first = corpus.filter(F.col("vec_id") % 2 == 0)
+    second = corpus.filter(F.col("vec_id") % 2 == 1)
+    ann_index.build_index(spark, inc, first)
+    # freeze: overwrite inc's codebook with bulk's (same training data
+    # would normally guarantee this; here batches differ so we pin it)
+    spark.read.parquet(os.path.join(bulk, ann_index.CENTROIDS_DIR)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(inc, ann_index.CENTROIDS_DIR))
+    # re-land first batch under the pinned codebook, then append second
+    cent = spark.read.parquet(os.path.join(inc, ann_index.CENTROIDS_DIR))
+    ann_index.assign_cells(first, cent).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(inc, ann_index.VECTORS_DIR))
+    ann_index.append_vectors(spark, inc, second)
+
+    got_bulk = sorted(tuple(r) for r in ann_index.ivf_query(spark, bulk, queries).collect())
+    got_inc = sorted(tuple(r) for r in ann_index.ivf_query(spark, inc, queries).collect())
+    assert got_bulk == got_inc
+
+
+def test_probe_reads_only_probed_partitions(spark, tmp_path):
+    corpus, queries = _corpus_and_queries(spark)
+    path = str(tmp_path / "ivf")
+    ann_index.build_index(spark, path, corpus)
+
+    one_query = queries.limit(1)
+    df = ann_index.ivf_query(spark, path, one_query)
+    df.collect()
+
+    vec_root = os.path.join(path, ann_index.VECTORS_DIR)
+    all_cells = {d for d in os.listdir(vec_root) if d.startswith("cell=")}
+    assert len(all_cells) > ann_index.N_PROBE, "corpus must span more cells than probes"
+
+    # disk-level pruning shows up as a PartitionFilters IN-list on the
+    # index FileScan (inputFiles() reports the pre-pruning relation, so
+    # the physical plan is the authoritative witness)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters:" in plan, plan
+    pf = plan[plan.index("PartitionFilters:") :].splitlines()[0]
+    assert "cell#" in pf and ("IN" in pf or "in(" in pf.lower()), pf
