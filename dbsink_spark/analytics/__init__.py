@@ -94,13 +94,23 @@ UNGATED = frozenset(
         "q16_topk_global",
         "m02_media_meta_join",
         "t04_token_count",
-        # round-4 additions (same policy — oracle-verified locally +
-        # benched, beyond the 50-row driver gate):
-        "q56_bitmap_distinct",
-        "s09_ann_recall",
+        # round-4 additions beyond the 50-row driver gate (same policy
+        # — oracle-verified locally + benched):
         "s10_range_search",
-        "t19_bpe_apply",
-        "d13_editdist_near_dup",
+        # round-4 gate reshuffle: four new capability classes promote
+        # (q56 bitmap distinct, s09 ANN recall audit, d13 edit-distance
+        # dedup, t19 tokenizer apply); these four demote, each redundant
+        # with other gated plans (q11 rollup rides the same
+        # grouping-sets machinery as gated q12 cube; s03's LSH
+        # bucketing already powers gated s07's candidate generation;
+        # d05's inverted-index Jaccard is covered by gated d03's
+        # verified Jaccard + d10's containment index; q18's hourly
+        # tumbling agg is the bottom tier of gated q36's hierarchical
+        # rollup):
+        "q11_rollup",
+        "s03_hyperplane_lsh",
+        "d05_ngram_jaccard",
+        "q18_events_hourly",
     }
 )
 

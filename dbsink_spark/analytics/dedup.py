@@ -1217,14 +1217,25 @@ def d13_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.lb") == F.col("b.lb"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
+    # thresholded levenshtein: Spark's bounded DP is O(threshold * n)
+    # instead of O(n^2) per pair and returns -1 past the bound, so the
+    # keep-filter is `0 <= dist` — for kept pairs the value equals the
+    # unbounded distance, which is what the DuckDB oracle computes
     return (
         pairs.select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.levenshtein(F.col("a.head"), F.col("b.head")).cast("long").alias("dist"),
+            F.levenshtein(F.col("a.head"), F.col("b.head"), D13_MAX_DIST)
+            .cast("long")
+            .alias("dist"),
         )
-        .filter(F.col("dist") <= D13_MAX_DIST)
-        .orderBy("doc_id_a", "doc_id_b")
+        .filter(F.col("dist") >= 0)
+        # the surviving pair list is audit-sized (threshold-filtered,
+        # block-bounded), so a single-partition sort beats a global
+        # orderBy: range partitioning would re-execute the join for
+        # its sampling pass (measured 1.6s vs 0.96s at sf0.1)
+        .repartition(1)
+        .sortWithinPartitions("doc_id_a", "doc_id_b")
     )
 
 

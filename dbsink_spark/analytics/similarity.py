@@ -119,7 +119,9 @@ def _centroids(v) -> DataFrame:
     )
 
 
-def centroid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+def centroid_cells(
+    spark: SparkSession, sf_dir: str, cent: DataFrame | None = None
+) -> DataFrame:
     """IVF coarse quantizer: (vec_id, label, cell) — every vector
     assigned to its nearest per-label-mean centroid (L2, deterministic
     centroid-name tiebreak). The integer-keyed cell is the blocking /
@@ -128,9 +130,12 @@ def centroid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the centroids would come from sampled k-means; the
     per-label mean is the deterministic, oracle-reproducible stand-in
     with the same plan shape (tiny broadcast centroid table, corpus
-    never shuffled for assignment)."""
+    never shuffled for assignment). Callers that also probe the
+    codebook pass their (persisted) ``cent`` so the centroid build
+    runs once per query, not per use."""
     v = _vectors(spark, sf_dir)
-    cent = _centroids(v)
+    if cent is None:
+        cent = _centroids(v)
     dist2 = F.aggregate(
         F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -331,11 +336,10 @@ def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an equi-join on the cell id.
     """
     v = _vectors(spark, sf_dir)
-    cells = centroid_cells(spark, sf_dir).select("vec_id", "cell")
-
-    # per-query probe list: N_PROBE nearest centroids (by L2 to the
-    # query vector) — the same shared codebook
-    cent = _centroids(v)
+    # one centroid build per query: the codebook feeds BOTH the cell
+    # assignment and the probe selection (persisted — it's label-sized)
+    cent = _centroids(v).persist()
+    cells = centroid_cells(spark, sf_dir, cent=cent).select("vec_id", "cell")
     queries = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )

@@ -81,18 +81,19 @@ def test_ungated_query_matches_oracle(spark, name):
 def test_headline_operators_are_gated():
     """The driver gate must carry the headline LLM-pipeline and
     timeseries ops (curated round-2: d08/d09/s06/q42 promoted in place
-    of four redundant agg variants)."""
+    of four redundant agg variants; round-4: q56/s09/d13/t19 promoted
+    in place of q11/s03/d05/q18 — see analytics.UNGATED rationale)."""
     headline = {
         "d01_dedup_exact",
         "d03_minhash_lsh",
         "d04_simhash",
-        "d05_ngram_jaccard",
+        "d13_editdist_near_dup",
         "d06_embedding_near_dup",
         "d08_decontaminate",
         "d09_dup_clusters",
         "s01_cosine_topk",
         "s02_centroid_assign",
-        "s03_hyperplane_lsh",
+        "s09_ann_recall",
         "s04_numpy_topk",
         "s06_kmeans_update",
         "d10_containment",
@@ -109,6 +110,8 @@ def test_headline_operators_are_gated():
         "q49_zorder_index",
         "s08_pq_codes",
         "q51_countmin",
+        "q56_bitmap_distinct",
+        "t19_bpe_apply",
     }
     missing = headline - set(analytics.QUERIES)
     assert not missing, missing
