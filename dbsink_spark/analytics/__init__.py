@@ -97,6 +97,8 @@ UNGATED = frozenset(
         # round-4 additions beyond the 50-row driver gate (same policy
         # — oracle-verified locally + benched):
         "s10_range_search",
+        "q57_bloom_semi_prune",
+        "t20_inverted_index",
         # round-4 gate reshuffle: four new capability classes promote
         # (q56 bitmap distinct, s09 ANN recall audit, d13 edit-distance
         # dedup, t19 tokenizer apply); these four demote, each redundant

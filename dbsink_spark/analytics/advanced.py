@@ -1265,3 +1265,144 @@ ORACLE["q56_bitmap_distinct"] = """
 """
 
 QUERIES["q56_bitmap_distinct"] = q56_bitmap_distinct
+
+
+# ---------------------------------------------------------------------------
+# q57: bloom-filter semi-join pruning (runtime-filter pattern)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 14  # filter bits (words = M/64)
+BLOOM_K = 3  # probes per key
+
+
+def q57_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning with exact false-positive
+    accounting — the runtime-filter pattern that replaces shuffling a
+    100 TB fact side for a selective semi join: the build side's keys
+    compress into an M-bit filter (BLOOM_M/8 bytes — broadcastable at
+    any scale), the fact side tests membership map-side, and only
+    bloom-passing rows continue to the exact join.
+
+    The filter is the q56 word-bitmap machinery loaded with BLOOM_K
+    affine rehashes per key (portable h64/affine, so DuckDB builds the
+    bit-identical filter and the FP accounting is value-exact). Output
+    per returnflag: rows, bloom-passed rows, true-semi-join rows, and
+    the false positives the exact join must still discard — the
+    cost/benefit number a planner needs before injecting the filter.
+
+    Plan shape: build-side agg is BLOOM_M/64 words max; the per-key
+    probe test joins the (distinct-key)-sized relation against the
+    broadcast word table; the fact table is never shuffled on the key
+    (plan-asserted: no SortMergeJoin).
+    """
+    from ..functions.hashing import MINHASH_COEFFS, affine, h64
+
+    t = Tables(spark, sf_dir)
+    build_keys = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    )
+    coeffs = MINHASH_COEFFS[:BLOOM_K]
+
+    def probe_idx(key_col):
+        return [affine(h64(key_col), a, b) % BLOOM_M for (a, b) in coeffs]
+
+    words = (
+        build_keys.select(
+            F.explode(F.array(*probe_idx(F.col("k")))).alias("idx")
+        )
+        .select(
+            # 32-bit words: DuckDB's << raises on 1<<63 (negative
+            # BIGINT), so both engines pack bits into the low half
+            F.shiftright("idx", 5).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+    li = t.lineitem.select("l_orderkey", "l_returnflag")
+    keys = li.select(F.col("l_orderkey").alias("pk")).distinct()
+    probes = keys.select(
+        "pk", F.explode(F.array(*probe_idx(F.col("pk")))).alias("idx")
+    ).select(
+        "pk",
+        F.shiftright("idx", 5).alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 32 AS INT))").alias("bit"),
+    )
+    key_pass = (
+        probes.join(F.broadcast(words), "word", "left")
+        .select(
+            "pk",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0)
+            .cast("int")
+            .alias("hit"),
+        )
+        .groupBy("pk")
+        .agg((F.sum("hit") == BLOOM_K).cast("int").alias("bloom_pass"))
+    )
+    true_keys = build_keys.select(F.col("k").alias("pk")).withColumn(
+        "true_pass", F.lit(1)
+    )
+    key_flags = key_pass.join(true_keys, "pk", "left").select(
+        "pk", "bloom_pass", F.coalesce("true_pass", F.lit(0)).alias("true_pass")
+    )
+    return (
+        li.join(key_flags, li.l_orderkey == key_flags.pk)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("bloom_pass").cast("long").alias("n_bloom_pass"),
+            F.sum("true_pass").cast("long").alias("n_true_pass"),
+            (F.sum("bloom_pass") - F.sum("true_pass")).cast("long").alias("n_false_pos"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q57_oracle() -> str:
+    from ..functions.hashing import MINHASH_COEFFS, affine_sql, h64_sql
+
+    coeffs = MINHASH_COEFFS[:BLOOM_K]
+
+    def probes_sql(expr: str) -> str:
+        return ", ".join(
+            f"({affine_sql(h64_sql(expr), a, b)} % {BLOOM_M})" for (a, b) in coeffs
+        )
+
+    return f"""
+    WITH build_keys AS (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), bprobe AS (
+        SELECT unnest([{probes_sql("k::VARCHAR")}]) AS idx FROM build_keys
+    ), words AS (
+        SELECT idx // 32 AS word, bit_or(1::BIGINT << (idx % 32)::INT) AS bits
+        FROM bprobe GROUP BY 1
+    ), pkeys AS (
+        SELECT DISTINCT l_orderkey AS pk FROM lineitem
+    ), pprobe AS (
+        SELECT pk, unnest([{probes_sql("pk::VARCHAR")}]) AS idx FROM pkeys
+    ), key_pass AS (
+        SELECT p.pk,
+               (sum(CASE WHEN (coalesce(w.bits, 0) & (1::BIGINT << (p.idx % 32)::INT)) <> 0
+                         THEN 1 ELSE 0 END) = {BLOOM_K})::INT AS bloom_pass
+        FROM pprobe p
+        LEFT JOIN words w ON w.word = p.idx // 32
+        GROUP BY p.pk
+    ), key_flags AS (
+        SELECT kp.pk, kp.bloom_pass,
+               CASE WHEN bk.k IS NULL THEN 0 ELSE 1 END AS true_pass
+        FROM key_pass kp LEFT JOIN build_keys bk ON bk.k = kp.pk
+    )
+    SELECT li.l_returnflag,
+           count(*)::BIGINT                                AS n_rows,
+           sum(kf.bloom_pass)::BIGINT                      AS n_bloom_pass,
+           sum(kf.true_pass)::BIGINT                       AS n_true_pass,
+           (sum(kf.bloom_pass) - sum(kf.true_pass))::BIGINT AS n_false_pos
+    FROM lineitem li JOIN key_flags kf ON kf.pk = li.l_orderkey
+    GROUP BY li.l_returnflag
+    ORDER BY li.l_returnflag
+    """
+
+
+ORACLE["q57_bloom_semi_prune"] = _q57_oracle()
+QUERIES["q57_bloom_semi_prune"] = q57_bloom_semi_prune

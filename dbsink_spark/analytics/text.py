@@ -1220,3 +1220,59 @@ def _t19_oracle() -> str:
 
 ORACLE["t19_bpe_apply"] = _t19_oracle()
 QUERIES["t19_bpe_apply"] = t19_bpe_apply
+
+
+# ---------------------------------------------------------------------------
+# t20: inverted-index (posting-list) materialization
+# ---------------------------------------------------------------------------
+
+T20_HEAD = 20  # posting-list head length materialized per term
+
+
+def t20_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize term -> sorted posting list (the retrieval-side
+    inverted index a curated corpus feeds): distinct (term, doc) pairs,
+    grouped per term into a sorted doc_id posting array plus its full
+    df. Postings are capped to the sorted head (T20_HEAD) — the
+    impact-ordered-index pattern: the head ships in the index row,
+    the full list stays in the lake for the rare deep query (and
+    stopword-scale terms would get q56-style bitmap postings instead).
+
+    One corpus-sized distinct + one term-keyed aggregate; at 100 TB
+    the output lands partitioned by a term-hash bucket
+    (``partitionBy(pmod(h64(term), N))``) so query-time term lookups
+    prune to one partition. Posting arrays are sorted, so the whole
+    relation is deterministic (value-hashed by the gate, q35\'s
+    array-column precedent).
+    """
+    d = Tables(spark, sf_dir).documents
+    td = (
+        d.select("doc_id", F.explode(F.array_distinct(_words())).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    return (
+        td.groupBy("term")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, T20_HEAD).alias(
+                "postings"
+            ),
+            F.count(F.lit(1)).cast("long").alias("df"),
+        )
+        .orderBy("term")
+    )
+
+
+ORACLE["t20_inverted_index"] = f"""
+    WITH td AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, \' \')) AS term
+        FROM documents
+    )
+    SELECT term,
+           (list(doc_id ORDER BY doc_id))[1:{T20_HEAD}] AS postings,
+           count(*)::BIGINT AS df
+    FROM td WHERE term <> \'\'
+    GROUP BY term
+    ORDER BY term
+"""
+
+QUERIES["t20_inverted_index"] = t20_inverted_index
