@@ -1290,10 +1290,14 @@ def q57_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the false positives the exact join must still discard — the
     cost/benefit number a planner needs before injecting the filter.
 
-    Plan shape: build-side agg is BLOOM_M/64 words max; the per-key
-    probe test joins the (distinct-key)-sized relation against the
-    broadcast word table; the fact table is never shuffled on the key
-    (plan-asserted: no SortMergeJoin).
+    Plan shape — the actual runtime-filter mechanics: the built filter
+    is BLOOM_M/256 words max (a few KB), so it leaves the cluster as a
+    LITERAL map expression compiled into the fact-side scan (exactly
+    how Spark's InjectRuntimeFilter ships its bloom subquery result).
+    The bloom test is therefore pure map-side compute on the fact rows
+    — no distinct, no probe-side shuffle, no join for the test itself;
+    the only joins left are the broadcast truth join (for the FP
+    accounting this audit emits) and the final combinable aggregate.
     """
     from ..functions.hashing import MINHASH_COEFFS, affine, h64
 
@@ -1319,36 +1323,44 @@ def q57_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.bit_or("bit").alias("bits"))
     )
+    # ship the filter as a literal: a dense word array indexed by
+    # word id (k-sized driver collect, like the centroid codebooks /
+    # t19 merge table). An ARRAY literal gives O(1) element_at per
+    # probe — a map literal would linear-scan its entries per lookup.
+    wmap = {r["word"]: r["bits"] for r in words.collect()}
+    bloom = F.array(
+        *[F.lit(wmap.get(w, 0)) for w in range(BLOOM_M // 32)]
+    )
+
+    def bloom_test(hash_col):
+        # probes share ONE md5 per row (the projected hash column);
+        # each probe is then two integer ops + an O(1) array index
+        cond = None
+        for a, b in coeffs:
+            idx = affine(hash_col, a, b) % BLOOM_M
+            word = F.shiftright(idx, 5)
+            # 1 << (idx % 32) with a COLUMN shift amount: pyspark's
+            # shiftleft only takes a literal, so use 2^n (exact in
+            # double for n <= 31) and cast back
+            bit = F.pow(F.lit(2.0), (idx % 32).cast("double")).cast("long")
+            hit = (
+                F.element_at(bloom, (word + 1).cast("int")).bitwiseAND(bit) != 0
+            )
+            cond = hit if cond is None else cond & hit
+        return cond
 
     li = t.lineitem.select("l_orderkey", "l_returnflag")
-    keys = li.select(F.col("l_orderkey").alias("pk")).distinct()
-    probes = keys.select(
-        "pk", F.explode(F.array(*probe_idx(F.col("pk")))).alias("idx")
-    ).select(
-        "pk",
-        F.shiftright("idx", 5).alias("word"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 32 AS INT))").alias("bit"),
-    )
-    key_pass = (
-        probes.join(F.broadcast(words), "word", "left")
-        .select(
-            "pk",
-            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0)
-            .cast("int")
-            .alias("hit"),
-        )
-        .groupBy("pk")
-        .agg((F.sum("hit") == BLOOM_K).cast("int").alias("bloom_pass"))
-    )
-    true_keys = build_keys.select(F.col("k").alias("pk")).withColumn(
+    true_keys = build_keys.select(F.col("k").alias("l_orderkey")).withColumn(
         "true_pass", F.lit(1)
     )
-    key_flags = key_pass.join(true_keys, "pk", "left").select(
-        "pk", "bloom_pass", F.coalesce("true_pass", F.lit(0)).alias("true_pass")
+    flagged = (
+        li.withColumn("_h", h64(F.col("l_orderkey")))
+        .withColumn("bloom_pass", bloom_test(F.col("_h")).cast("int"))
+        .join(F.broadcast(true_keys), "l_orderkey", "left")
+        .withColumn("true_pass", F.coalesce("true_pass", F.lit(0)))
     )
     return (
-        li.join(key_flags, li.l_orderkey == key_flags.pk)
-        .groupBy("l_returnflag")
+        flagged.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum("bloom_pass").cast("long").alias("n_bloom_pass"),
