@@ -124,3 +124,27 @@ def test_editdist_shuffle_carries_heads_not_text(spark):
     plan = _plan(analytics.ALL_QUERIES["d13_editdist_near_dup"](spark, SF_DIR))
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert " text#" not in m.group(0), m.group(0)
+
+
+def test_shuffle_budget_not_exceeded(spark):
+    """Every query's compiled plan must stay within its recorded
+    hash-exchange budget (tests/plan_budget.json, generated by
+    tools/plan_budget.py). A silent extra Exchange — a dropped
+    broadcast, lost partitioning reuse, a predicate that stopped
+    pushing down — is invisible at harness SF and fatal at 100 TB.
+    Re-baseline deliberately after intentional plan changes."""
+    import json
+    import os
+
+    budget_path = os.path.join(os.path.dirname(__file__), "plan_budget.json")
+    with open(budget_path) as f:
+        budget = json.load(f)
+
+    over = {}
+    for name, allowed in budget.items():
+        df = analytics.ALL_QUERIES[name](spark, SF_DIR)
+        got = _plan(df).count("Exchange hashpartitioning")
+        if got > allowed:
+            over[name] = (allowed, got)
+        spark.catalog.clearCache()
+    assert not over, f"shuffle budget exceeded (allowed, got): {over}"

@@ -1,0 +1,60 @@
+"""Shuffle-budget golden generator: records the hash-exchange count of
+every registered query's compiled physical plan into
+``tests/plan_budget.json``.
+
+``tests/test_plans.py::test_shuffle_budget_not_exceeded`` asserts each
+query's CURRENT plan stays within its recorded budget — a silent extra
+Exchange (dropped broadcast hint, lost partitioning reuse, a filter
+that stopped pushing down past a join) is invisible at harness SF but
+is exactly the regression that hurts at 100 TB.
+
+Run after INTENTIONAL plan changes to re-baseline:
+
+    python tools/plan_budget.py
+
+Counts are taken from the pre-execution executedPlan (AQE not yet
+finalized), so they are deterministic for a given Spark version and
+independent of data size / partition count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "tests", "plan_budget.json")
+
+
+def exchange_count(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange hashpartitioning")
+
+
+def main() -> None:
+    from dbsink_spark import analytics
+    from dbsink_spark.session import get_spark
+
+    spark = get_spark("plan-budget")
+    budget: dict[str, int] = {}
+    for name in sorted(analytics.ALL_QUERIES):
+        if name == "d09_dup_clusters":
+            # iterative driver loop during construction; its per-round
+            # plans are covered by its own tests
+            continue
+        df = analytics.ALL_QUERIES[name](spark, SF_DIR)
+        budget[name] = exchange_count(df)
+        spark.catalog.clearCache()
+    with open(OUT, "w") as f:
+        json.dump(budget, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {OUT}: {len(budget)} queries, "
+          f"total exchanges {sum(budget.values())}")
+
+
+if __name__ == "__main__":
+    main()
