@@ -52,6 +52,10 @@ def main() -> None:
         # before the NEXT query so leaked cache blocks don't build
         # executor-memory pressure that taxes later queries
         spark.catalog.clearCache()
+        # ... and collect the freed blocks NOW: otherwise the next
+        # query pays the GC pause for this one's garbage (measured
+        # 10-50% per-query tax in sequence runs; d01 0.55→0.25 s)
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     payload = {
