@@ -140,6 +140,10 @@ def curate_corpus(
             F.lit(name).alias("stage"),
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("n_chars"),
+            # the number a training run actually consumes: whitespace
+            # token budget per stage (t04's counter; a BPE-accurate
+            # budget is t19 over the landed corpus)
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
         )
         manifest = row if manifest is None else manifest.unionAll(row)
 

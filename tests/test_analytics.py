@@ -244,11 +244,17 @@ def test_curation_pipeline_composes(spark, tmp_path):
 
     out = str(tmp_path / "curated")
     curated, manifest = curate_corpus(spark, SF_DIR, out)
-    m = {r["stage"]: (r["n_docs"], r["n_chars"]) for r in manifest.collect()}
+    m = {
+        r["stage"]: (r["n_docs"], r["n_chars"], r["n_tokens"])
+        for r in manifest.collect()
+    }
     assert m["1_scrubbed"][0] == m["0_raw"][0]
     counts = [m[k][0] for k in sorted(m) if not k.startswith("1_")]
     assert counts == sorted(counts, reverse=True), m
     assert counts[-1] > 0
+    # token budget shrinks with the doc set and stays positive
+    tokens = [m[k][2] for k in sorted(m) if not k.startswith("1_")]
+    assert tokens == sorted(tokens, reverse=True) and tokens[-1] > 0, m
 
     got = curated.select("doc_id", "text", "split").collect()
     texts = [r["text"] for r in got]
