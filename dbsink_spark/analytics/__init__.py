@@ -99,6 +99,7 @@ UNGATED = frozenset(
         "s10_range_search",
         "q57_bloom_semi_prune",
         "t20_inverted_index",
+        "q58_table_diff",
         # round-4 gate reshuffle: four new capability classes promote
         # (q56 bitmap distinct, s09 ANN recall audit, d13 edit-distance
         # dedup, t19 tokenizer apply); these four demote, each redundant

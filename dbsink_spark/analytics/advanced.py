@@ -1418,3 +1418,104 @@ def _q57_oracle() -> str:
 
 ORACLE["q57_bloom_semi_prune"] = _q57_oracle()
 QUERIES["q57_bloom_semi_prune"] = q57_bloom_semi_prune
+
+
+# ---------------------------------------------------------------------------
+# q58: table-diff reconciliation (CDC sink audit)
+# ---------------------------------------------------------------------------
+
+DIFF_MOD = 100  # deterministic divergence classes for the derived replica
+
+
+def q58_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation diff between a source table and its replica —
+    the audit every CDC/upsert sink (K6) runs to prove the target
+    converged: full outer join on the key, rows classified as match /
+    changed / missing_in_replica / extra_in_replica, counts per class.
+
+    The "replica" here is derived deterministically from orders so
+    both engines build the identical divergence: keys with
+    h64(key) % 100 == 1 are dropped (replica lost a delete), == 2 are
+    dropped from the SOURCE view (replica has a row the source
+    re-deleted), == 0 get a price bump (stale update). At 100 TB the
+    same plan reconciles a lake table against its upstream: one
+    key-partitioned full outer join with map-side struct equality —
+    no row ships twice, and per-class counts are combinable partials.
+    """
+    from ..functions.hashing import h64
+
+    o = Tables(spark, sf_dir).orders.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    bucket = h64(F.col("o_orderkey")) % DIFF_MOD
+    source = o.withColumn("_b", bucket).filter(F.col("_b") != 2)
+    replica = (
+        o.withColumn("_b", bucket)
+        .filter(F.col("_b") != 1)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("_b") == 0, F.round(F.col("o_totalprice") + F.lit(1.0), 2)
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    s = source.select(
+        F.col("o_orderkey").alias("k"),
+        F.struct("o_totalprice", "o_orderpriority").alias("sv"),
+    )
+    r = replica.select(
+        F.col("o_orderkey").alias("k"),
+        F.struct("o_totalprice", "o_orderpriority").alias("rv"),
+    )
+    diff_class = (
+        F.when(F.col("rv").isNull(), "missing_in_replica")
+        .when(F.col("sv").isNull(), "extra_in_replica")
+        .when(F.col("sv") == F.col("rv"), "match")
+        .otherwise("changed")
+    )
+    return (
+        s.join(r, "k", "full_outer")
+        .select(diff_class.alias("diff_class"))
+        .groupBy("diff_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .orderBy("diff_class")
+    )
+
+
+def _q58_oracle() -> str:
+    from ..functions.hashing import h64_sql
+
+    b = f"({h64_sql('o_orderkey::VARCHAR')} % {DIFF_MOD})"
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority, {b} AS b
+        FROM orders
+    ), source AS (
+        SELECT o_orderkey AS k, o_totalprice, o_orderpriority
+        FROM o WHERE b <> 2
+    ), replica AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN b = 0 THEN round(o_totalprice + 1.0, 2)
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM o WHERE b <> 1
+    ), joined AS (
+        SELECT CASE
+                 WHEN r.k IS NULL THEN 'missing_in_replica'
+                 WHEN s.k IS NULL THEN 'extra_in_replica'
+                 WHEN s.o_totalprice = r.o_totalprice
+                      AND s.o_orderpriority = r.o_orderpriority THEN 'match'
+                 ELSE 'changed'
+               END AS diff_class
+        FROM source s
+        FULL OUTER JOIN replica r ON r.k = s.k
+    )
+    SELECT diff_class, count(*)::BIGINT AS n_keys
+    FROM joined
+    GROUP BY diff_class
+    ORDER BY diff_class
+    """
+
+
+ORACLE["q58_table_diff"] = _q58_oracle()
+QUERIES["q58_table_diff"] = q58_table_diff
