@@ -31,9 +31,9 @@ UNGATED = frozenset(
         # oracle-verified locally (tools/check_oracle.py) + benched:
         "s05_ivf_topk",
         "t06_repetition",
-        "t07_winnowing",
+        # "t07_winnowing",  # PROMOTED to gate in round-5 rotation
         "d07_phrase_dedup",
-        "q37_time_gapfill",
+        # "q37_time_gapfill",  # PROMOTED to gate in round-5 rotation
         # demoted round-2 session 2 to make gate room for headline ops
         # (each redundant with other gated rows: q21≈q18/q36 time aggs,
         # q27≈q26/q29 distribution stats, q33 narrow string exprs,
@@ -47,16 +47,16 @@ UNGATED = frozenset(
         # the gate in place of the four demoted rows above):
         "t08_quality_rules",
         "t09_vocab_df",
-        "t10_chunk",
+        # "t10_chunk",  # PROMOTED to gate in round-5 rotation
         "t11_pack",
-        "q38_range_join",
+        # "q38_range_join",  # PROMOTED to gate in round-5 rotation
         "q39_unpivot",
         "t12_split",
-        "q40_funnel",
-        "q41_retention",
-        "t13_mixture",
+        # "q40_funnel",  # PROMOTED to gate in round-5 rotation
+        # "q41_retention",  # PROMOTED to gate in round-5 rotation
+        # "t13_mixture",  # PROMOTED to gate in round-5 rotation
         "q43_regression_stats",
-        "q44_range_frame",
+        # "q44_range_frame",  # PROMOTED to gate in round-5 rotation
         # round-2 batch 3 (same policy). t14/s07/d10 are PROMOTED into
         # the gate as distinct capability classes (PII scrub, ANN graph,
         # containment dedup); in exchange these three gate rows demote —
@@ -71,14 +71,14 @@ UNGATED = frozenset(
         "q46_mad_anomaly",
         "m04_binary_near_dup",
         # round-2 batch 4 (same policy — oracle-verified + benched):
-        "q47_ohlc",
-        "q48_interp_gapfill",
-        "q50_scd2_intervals",
+        # "q47_ohlc",  # PROMOTED to gate in round-5 rotation
+        # "q48_interp_gapfill",  # PROMOTED to gate in round-5 rotation
+        # "q50_scd2_intervals",  # PROMOTED to gate in round-5 rotation
         "q52_quality_audit",
-        "q53_hopping_window",
-        "q54_kmv_distinct",
-        "t18_top_terms",
-        "q55_ntile_quartiles",
+        # "q53_hopping_window",  # PROMOTED to gate in round-5 rotation
+        # "q54_kmv_distinct",  # PROMOTED to gate in round-5 rotation
+        # "t18_top_terms",  # PROMOTED to gate in round-5 rotation
+        # "q55_ntile_quartiles",  # PROMOTED to gate in round-5 rotation
         # session-3 gate reshuffle: the seven new capability classes
         # (t16 BPE, t17 DSIR, d11 SemDeDup, d12 span dedup, q49
         # Z-order, s08 PQ, q51 count-min) are PROMOTED into the gate;
@@ -114,6 +114,59 @@ UNGATED = frozenset(
         "s03_hyperplane_lsh",
         "d05_ngram_jaccard",
         "q18_events_hourly",
+        # ROUND-5 GATE ROTATION — requested by VERDICT_r04 "Next round
+        # #1": 54/104 queries had never faced the real driver
+        # comparator, only the local replica (which r02 proved can have
+        # blind spots). The judge named 15 never-gated rows to promote
+        # (q37 q38 q40 q41 q44 q47 q48 q50 q53 q54 t07 t10 t13 t18
+        # q55 — all removed from this set below); these 15 long-gated
+        # rows demote in exchange, each redundant with machinery that
+        # stays gated or promotes:
+        #   q02 filter-project — pushed-filter scan mechanics inside
+        #       every gated plan (q01's scan is plan-asserted)
+        #   q03 broadcast join — broadcast mechanics ride gated q05
+        #       (broadcast dims) and d08 (broadcast semi)
+        #   q07 semi join — join-family mechanics ⊂ gated q05 + d08's
+        #       broadcast left-semi decontamination
+        #   q09 part brand volume — join-agg shape = q05 + q01
+        #   q17 set ops — union/except-distinct = the distinct-agg
+        #       machinery of gated q29/q56 over a union scan
+        #   q19 sessionize — lag/gap/cumsum event-sequence machinery
+        #       covered by promoted q40 funnel + q41 retention
+        #   q23 pivot — groupBy + conditional agg ⊂ gated q12 cube
+        #   q26 percentiles — distribution cuts covered by promoted
+        #       q55 ntile + gated q29 approx quantiles
+        #   q31 corr stats — moment aggs covered by gated q32 +
+        #       locally-verified q43 regression (corr superset)
+        #   q35 array_agg — collect_list machinery inside promoted t18
+        #   q36 hierarchical rollup — grouping sets = gated q12; time
+        #       tiers covered by promoted q53 hopping windows
+        #   q42 time-weighted avg — interval-integral machinery =
+        #       promoted q48 interp/gapfill
+        #   s01 cosine topk — exact brute-force cosine duplicated by
+        #       gated s04 (production path) and audited by gated s09
+        #   t01 doc stats — stat columns recomputed inside gated t02
+        #   t05 fingerprint — rolling-hash fingerprinting strictly
+        #       contained in promoted t07 winnowing
+        # Rotation policy: gate composition changes ONLY when the
+        # external verdict requests it (ADVICE_r04); every demoted row
+        # stays oracle-verified each pytest run (test_registry_parity)
+        # and in tools/check_oracle.py's full 104-query sweep.
+        "q02_filter_project",
+        "q03_broadcast_join",
+        "q07_semi_join",
+        "q09_part_brand_volume",
+        "q17_set_ops",
+        "q19_events_sessionize",
+        "q23_pivot",
+        "q26_percentiles",
+        "q31_corr_stats",
+        "q35_array_agg",
+        "q36_hierarchical_rollup",
+        "q42_time_weighted",
+        "s01_cosine_topk",
+        "t01_doc_stats",
+        "t05_fingerprint",
     }
 )
 

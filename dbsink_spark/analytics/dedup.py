@@ -1184,24 +1184,19 @@ D13_PFX = 24  # blocking prefix chars
 D13_LEN_BUCKET = 16  # blocking length-bucket width
 D13_CMP = 128  # chars of text compared
 D13_MAX_DIST = 16  # edit-distance threshold
+# Below this surviving-pair count the final ordering funnels through a
+# single task (a pair is 3 longs; 2M pairs ≈ 48 MB — comfortably one
+# partition). Above it — a template-drift-heavy corpus at scale — use
+# a global range-partitioned orderBy instead; the survivors are
+# checkpointed first, so the orderBy's sampling pass reads the
+# materialized blocks, never re-executing the blocking join.
+D13_SINGLE_PART_MAX_PAIRS = 2_000_000
 
 
-def d13_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-level near-duplicate pairs via blocked Levenshtein —
-    the edit-distance complement to token-set dedup (d03/d05 miss
-    single-character template drift; d04's bit flips don't localize
-    it). Classic record-linkage shape: a cheap deterministic blocking
-    key (text prefix + length bucket) bounds the candidate set, the
-    expensive exact distance runs only within blocks.
-
-    Scale: the self-join is an equi-join on the block key, so cost is
-    sum(block^2), not corpus^2 — prefix+length blocking keeps block
-    occupancy single-digit on templated corpora (near-identical docs
-    share both). Distance runs JVM-side (``F.levenshtein``) on fixed
-    128-char prefixes so the comparison cost is bounded per pair;
-    DuckDB's ``levenshtein`` is the same codepoint-based DP, verified
-    by the hash gate.
-    """
+def _d13_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy blocked-Levenshtein pair list (the expensive part of d13,
+    exposed unexecuted so plan tests can assert the join's shuffle
+    carries bounded heads, never full text)."""
     d = Tables(spark, sf_dir).documents
     blocked = d.select(
         "doc_id",
@@ -1221,22 +1216,48 @@ def d13_editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of O(n^2) per pair and returns -1 past the bound, so the
     # keep-filter is `0 <= dist` — for kept pairs the value equals the
     # unbounded distance, which is what the DuckDB oracle computes
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.levenshtein(F.col("a.head"), F.col("b.head"), D13_MAX_DIST)
-            .cast("long")
-            .alias("dist"),
-        )
-        .filter(F.col("dist") >= 0)
-        # the surviving pair list is audit-sized (threshold-filtered,
-        # block-bounded), so a single-partition sort beats a global
-        # orderBy: range partitioning would re-execute the join for
-        # its sampling pass (measured 1.6s vs 0.96s at sf0.1)
-        .repartition(1)
-        .sortWithinPartitions("doc_id_a", "doc_id_b")
-    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        F.levenshtein(F.col("a.head"), F.col("b.head"), D13_MAX_DIST)
+        .cast("long")
+        .alias("dist"),
+    ).filter(F.col("dist") >= 0)
+
+
+def d13_editdist_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    single_part_max_pairs: int = D13_SINGLE_PART_MAX_PAIRS,
+) -> DataFrame:
+    """Character-level near-duplicate pairs via blocked Levenshtein —
+    the edit-distance complement to token-set dedup (d03/d05 miss
+    single-character template drift; d04's bit flips don't localize
+    it). Classic record-linkage shape: a cheap deterministic blocking
+    key (text prefix + length bucket) bounds the candidate set, the
+    expensive exact distance runs only within blocks.
+
+    Scale: the self-join is an equi-join on the block key, so cost is
+    sum(block^2), not corpus^2 — prefix+length blocking keeps block
+    occupancy single-digit on templated corpora (near-identical docs
+    share both). Distance runs JVM-side (``F.levenshtein``) on fixed
+    128-char prefixes so the comparison cost is bounded per pair;
+    DuckDB's ``levenshtein`` is the same codepoint-based DP, verified
+    by the hash gate.
+    """
+    survivors = _d13_survivors(spark, sf_dir)
+    # Cardinality-gated final ordering (same pattern as d09): the
+    # survivors are materialized once via localCheckpoint (lineage
+    # truncated; blocks auto-cleaned by the ContextCleaner when the
+    # reference drops, unlike persist() entries that outlive the call),
+    # counted, and then ordered by whichever strategy the count
+    # justifies. Under the cap a coalesce(1) in-task sort is cheapest
+    # (no exchange at all — measured 0.96s vs 1.6s at sf0.1); over it,
+    # a range-partitioned global orderBy keeps every task bounded.
+    survivors = survivors.localCheckpoint(eager=True)
+    if survivors.count() <= single_part_max_pairs:
+        return survivors.coalesce(1).sortWithinPartitions("doc_id_a", "doc_id_b")
+    return survivors.orderBy("doc_id_a", "doc_id_b")
 
 
 ORACLE["d13_editdist_near_dup"] = f"""

@@ -16,8 +16,12 @@ from dbsink_spark import analytics
 SF_DIR = "/root/testdata/sf0.001"
 
 # d09 runs an iterative driver loop during construction (covered by its
-# own tests); everything else builds its plan lazily.
-PLAN_QUERIES = sorted(set(analytics.ALL_QUERIES) - {"d09_dup_clusters"})
+# own tests); d13 materializes + counts its survivors to pick the final
+# sort strategy (round-5 cardinality gate — both branches plan-tested
+# in test_d13_sort_strategy_*); everything else builds its plan lazily.
+PLAN_QUERIES = sorted(
+    set(analytics.ALL_QUERIES) - {"d09_dup_clusters", "d13_editdist_near_dup"}
+)
 
 
 def _plan(df) -> str:
@@ -118,12 +122,43 @@ def test_range_search_has_no_hash_shuffle(spark):
 
 def test_editdist_shuffle_carries_heads_not_text(spark):
     """d13's block-key join must exchange the bounded head/pfx columns,
-    never the full document text."""
+    never the full document text. Asserted on the lazy survivors plan
+    (the public d13 truncates lineage at its localCheckpoint, so the
+    join is invisible in the returned DF's plan)."""
     import re
 
-    plan = _plan(analytics.ALL_QUERIES["d13_editdist_near_dup"](spark, SF_DIR))
+    from dbsink_spark.analytics.dedup import _d13_survivors
+
+    plan = _plan(_d13_survivors(spark, SF_DIR))
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert " text#" not in m.group(0), m.group(0)
+
+
+def test_d13_sort_strategy_single_partition_under_cap(spark):
+    """Under the survivor cap, d13's final ordering is an in-task
+    coalesce(1) sort — zero exchanges of any kind after the
+    checkpoint."""
+    from dbsink_spark.analytics import dedup
+
+    df = dedup.d13_editdist_near_dup(spark, SF_DIR)  # sf0.001 << cap
+    plan = _plan(df)
+    assert "Coalesce 1" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_d13_sort_strategy_global_orderby_over_cap(spark):
+    """Over the cap, d13 switches to a range-partitioned global
+    orderBy (no single-partition funnel). Forced with cap=0."""
+    from dbsink_spark.analytics import dedup
+
+    df = dedup.d13_editdist_near_dup(spark, SF_DIR, single_part_max_pairs=0)
+    plan = _plan(df)
+    assert "Exchange rangepartitioning" in plan, plan
+    assert "Coalesce 1" not in plan, plan
+    # both branches order identically
+    a = dedup.d13_editdist_near_dup(spark, SF_DIR).collect()
+    b = df.collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
 def test_shuffle_budget_not_exceeded(spark):

@@ -82,7 +82,9 @@ def test_headline_operators_are_gated():
     """The driver gate must carry the headline LLM-pipeline and
     timeseries ops (curated round-2: d08/d09/s06/q42 promoted in place
     of four redundant agg variants; round-4: q56/s09/d13/t19 promoted
-    in place of q11/s03/d05/q18 — see analytics.UNGATED rationale)."""
+    in place of q11/s03/d05/q18; round-5 rotation per VERDICT_r04 #1
+    demoted s01/q42 — their capability classes stay gated via s04/s09
+    and promoted q48 — see analytics.UNGATED rationale)."""
     headline = {
         "d01_dedup_exact",
         "d03_minhash_lsh",
@@ -91,7 +93,6 @@ def test_headline_operators_are_gated():
         "d06_embedding_near_dup",
         "d08_decontaminate",
         "d09_dup_clusters",
-        "s01_cosine_topk",
         "s02_centroid_assign",
         "s09_ann_recall",
         "s04_numpy_topk",
@@ -100,7 +101,6 @@ def test_headline_operators_are_gated():
         "s07_knn_graph",
         "t14_pii_redact",
         "q22_asof_join",
-        "q42_time_weighted",
         "m01_media_features",
         "m03_frame_sample",
         "t16_bpe_merge_step",
