@@ -337,8 +337,12 @@ def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     v = _vectors(spark, sf_dir)
     # one centroid build per query: the codebook feeds BOTH the cell
-    # assignment and the probe selection (persisted — it's label-sized)
-    cent = _centroids(v).persist()
+    # assignment and the probe selection. Materialized via
+    # localCheckpoint (label-sized) rather than persist(): checkpoint
+    # blocks are reclaimed by the ContextCleaner once this DataFrame
+    # goes out of scope, so repeated s05/s09 calls in a long-lived
+    # session don't accumulate cached blocks (round-4 advice item).
+    cent = _centroids(v).localCheckpoint(eager=True)
     cells = centroid_cells(spark, sf_dir, cent=cent).select("vec_id", "cell")
     queries = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

@@ -129,11 +129,30 @@ class CountMinMaintainer:
 def batch_bitmap(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
     """(grp, word_idx, bits) partial bitmap for one batch: each integer
     id sets bit (id & 63) of 64-bit word (id >> 6), OR-combined per
-    (group, word) — the same map-side-combinable aggregate q56 runs."""
+    (group, word) — the same map-side-combinable aggregate q56 runs.
+
+    Id-domain contract: ids must be NON-NEGATIVE int64. For a negative
+    id, ``shiftright`` sign-extends and the JVM masks shift amounts
+    (``id % 64`` is negative), so distinct ids would silently collide
+    into the same bit and the "EXACT" served count would undercount.
+    Rather than mis-count, a negative id fails the batch loudly: the
+    word-index expression raises inside the projection (embedded in the
+    used column so the optimizer cannot prune the check away)."""
+    word_idx = F.when(F.col(id_col) >= 0, F.shiftright(F.col(id_col), 6)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "batch_bitmap: negative id violates the non-negative "
+                    "id-domain contract: "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
     return (
         df.select(
             F.col(group_col).alias("grp"),
-            F.shiftright(F.col(id_col), 6).alias("word_idx"),
+            word_idx.alias("word_idx"),
             F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({id_col} % 64 AS INT))").alias(
                 "bit"
             ),
@@ -154,7 +173,11 @@ class BitmapMaintainer:
     delivery without any batch-id bookkeeping (asserted in tests; the
     additive maintainers need the checkpoint for exactly-once). State
     size is |groups| x |id_space|/64 words regardless of stream volume,
-    and the served count is EXACT, not an estimate."""
+    and the served count is EXACT, not an estimate.
+
+    Id-domain contract: ids must be non-negative int64 (see
+    ``batch_bitmap`` — a negative id fails the micro-batch loudly
+    instead of silently colliding bits and undercounting)."""
 
     def __init__(self, connect, table: str = "bitmaps", dialect: str = "duckdb"):
         self.connect = connect

@@ -10,6 +10,7 @@ with the same compare shape the gate uses.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
@@ -26,6 +27,23 @@ def test_registry_is_gate_sized():
     assert len(analytics.QUERIES) == 50
     assert analytics.UNGATED <= set(analytics.ALL_QUERIES)
     assert not analytics.UNGATED & set(analytics.QUERIES)
+
+
+def test_registry_count_matches_documented():
+    """Doc-drift guard (round-4 advice: README/COVERAGE counts drifted
+    twice before landing). The README's '<N> operators' figure must
+    equal the registry; a new query fails this test until the docs
+    move with it."""
+    import re
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "README.md")) as f:
+        readme = f.read()
+    m = re.search(r"(\d+) operators, each with a DuckDB oracle", readme)
+    assert m, "README operator-count line missing"
+    assert int(m.group(1)) == len(analytics.ALL_QUERIES)
+    m = re.search(r"driver gate, (\d+) more verified locally", readme)
+    assert m, "README ungated-count line missing"
+    assert int(m.group(1)) == len(analytics.UNGATED)
 
 
 def test_multimodal_not_registry_tail():

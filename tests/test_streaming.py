@@ -675,3 +675,21 @@ def test_streaming_bitmap_distinct_exact_and_idempotent(spark, tmp_path):
     con = duckdb.connect(db)
     after = sorted(con.execute(f"SELECT * FROM bitmaps").fetchall())
     assert after == before
+
+
+def test_batch_bitmap_rejects_negative_ids(spark):
+    """A negative id would silently collide bits (sign-extending
+    shiftright + JVM-masked shift amounts); the contract is enforced
+    with an in-projection raise, not an undercount."""
+    import pytest
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    from dbsink_spark.streaming.sketches import batch_bitmap
+
+    bad = spark.createDataFrame(
+        [("click", 1), ("click", -5)], ["event_type", "user_id"]
+    )
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as ei:
+        batch_bitmap(bad, "event_type", "user_id").collect()
+    assert "id-domain contract" in str(ei.value)
