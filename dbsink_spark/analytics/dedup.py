@@ -789,9 +789,15 @@ def d09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cc_propagate(spark, pairs)
 
 
-def _cc_propagate(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+def _cc_propagate(
+    spark: SparkSession, pairs: DataFrame, stats: dict | None = None
+) -> DataFrame:
     """Distributed min-label propagation over the (doc_a, doc_b) pair
-    list — the over-cap path of d09. See d09_dup_clusters."""
+    list — the over-cap path of d09. See d09_dup_clusters.
+
+    ``stats`` (optional dict) receives ``{"iterations": n}`` — the
+    number of propagation rounds to fixpoint, which must stay within
+    the component-diameter bound (benched per-round in bench.py)."""
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # collapse the edge list to a few partitions so each propagation
     # round is a handful of tasks, not 32 × stages of scheduling
@@ -809,7 +815,9 @@ def _cc_propagate(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         .persist()
     )
     labels.count()
+    n_iters = 0
     for _ in range(CC_MAX_ITERS):
+        n_iters += 1
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("nbr_of"))
@@ -832,6 +840,8 @@ def _cc_propagate(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         labels = new.select("doc_id", "label")
         if changed == 0:
             break
+    if stats is not None:
+        stats["iterations"] = n_iters
     sizes = labels.groupBy(F.col("label").alias("cluster_of")).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

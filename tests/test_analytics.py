@@ -211,6 +211,19 @@ def test_dup_clusters_both_paths_identical(spark, monkeypatch):
     assert sorted(map(key, fast)) == sorted(map(key, slow))
 
 
+def test_cc_propagate_reports_iterations(spark):
+    """_cc_propagate's stats out-param records propagation rounds; the
+    fixpoint for near-dup clusters must land within the diameter bound
+    (bench.py records this per round at sf0.1)."""
+    from dbsink_spark.analytics import dedup
+
+    pairs = dedup.d03_minhash_lsh(spark, SF_DIR).select("doc_a", "doc_b")
+    stats: dict = {}
+    out = dedup._cc_propagate(spark, pairs, stats=stats)
+    out.count()
+    assert 1 <= stats["iterations"] <= dedup.CC_MAX_ITERS
+
+
 def test_cc_union_find_min_label():
     """Driver union-find labels every node with its component minimum,
     independent of edge order."""
