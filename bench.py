@@ -78,6 +78,35 @@ def main() -> None:
     }
     spark.catalog.clearCache()
 
+    # vendor-mapping throughput: exact Python path (mapInPandas) vs the
+    # all-JVM fixed-schema twin on the same replicated wire messages
+    # (reference 516-row health_and_status fixture x200 ≈ 103k msgs).
+    # The ratio is the Python-tax the fast path removes at 100 TB.
+    from pyspark.sql import functions as SF
+
+    from dbsink_spark.mappings import resolve
+    from dbsink_spark.sources import replay_source
+
+    wire = (
+        replay_source(spark, "/root/reference/tests/health_and_status.json")
+        .withColumn("_r", SF.explode(SF.array([SF.lit(i) for i in range(200)])))
+        .drop("_r")
+        .repartition(32)
+        .persist()
+    )
+    wire.count()
+    nwic = {}
+    for label, lookup in (("exact", "NwicFloatReports"), ("fast", "NwicFloatReportsFast")):
+        mapping = resolve(lookup, "bench")
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            mapping.transform(wire).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        nwic[label] = round(min(runs), 3)
+    nwic["speedup"] = round(nwic["exact"] / max(nwic["fast"], 1e-9), 1)
+    spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "total_wall_sec_all_queries",
@@ -85,7 +114,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
-        "extras": {"d09_propagate": d09_propagate},
+        "extras": {"d09_propagate": d09_propagate, "nwic_transform_100k": nwic},
         "sf": sf,
     }
     # The driver records only the LAST 2000 bytes of stdout (r03: the

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from .base import Mapping
 from .fast_float import GenericFloatFast
+from .nwic_fast import NwicFloatReportsFast
 from .generic import (
     GenericFieldStatistic,
     GenericFloat,
@@ -39,6 +40,7 @@ BUILTIN: dict[str, type[Mapping]] = {
         NwicFloatReportsSofar,
         GenericFieldStatistic,
         GenericFloatFast,
+        NwicFloatReportsFast,
     )
 }
 
