@@ -141,19 +141,22 @@ def union_features_wkt(features: list[dict]) -> str | None:
     1. shapely importable → exact ``unary_union`` parity (noding,
        overlap dissolve, everything).
     2. fallback (this environment): exact-duplicate geometries are
-       deduplicated and same-type features assemble into the MULTI*
-       geometry — identical to ``unary_union`` for disjoint inputs
-       (the reference's multi-feature fixtures: 10 disjoint drift
-       trajectories → MULTILINESTRING). Inputs that CROSS or OVERLAP
-       would additionally be noded/dissolved by shapely; the fallback
-       leaves them assembled-but-unmerged, and the sink closes that gap
-       at the database boundary: the ``geometry_union`` bind wraps the
-       insert in PostGIS ``ST_UnaryUnion`` (the same GEOS unary_union
-       the reference calls via shapely), which nodes and dissolves the
-       assembled geometry exactly — and is a no-op for the
-       already-disjoint case. So the stored geometry matches the
-       reference in ALL cases; only the in-flight WKT differs when
-       shapely is absent and inputs overlap.
+       deduplicated; crossing LineStrings are NODED in-engine
+       (functions/noding.py: segments split at every intersection —
+       the unary_union piece set) and two overlapping convex Polygons
+       are DISSOLVED in-engine (boundary-walk union); remaining
+       same-type features assemble into the MULTI* geometry —
+       identical to ``unary_union`` for disjoint inputs (the
+       reference's multi-feature fixtures: 10 disjoint drift
+       trajectories → MULTILINESTRING).
+    3. residual cases the pure-python path declines (collinear
+       overlapping segments, non-convex or 3+ overlapping polygons,
+       holes): the assembled MULTI* is dissolved at the database
+       boundary — the ``geometry_union`` bind wraps the insert in
+       PostGIS ``ST_UnaryUnion`` (the same GEOS unary_union the
+       reference calls via shapely), a no-op when the in-engine result
+       is already dissolved. Stored geometry therefore matches the
+       reference in ALL cases.
     """
     geoms = [f["geometry"] for f in features if f.get("geometry")]
     if not geoms:
@@ -169,22 +172,109 @@ def union_features_wkt(features: list[dict]) -> str | None:
     seen: set[str] = set()
     wkts: list[str] = []
     kinds: list[str] = []
+    uniq: list[dict] = []
     for g in geoms:
         w = geometry_to_wkt(g)
         if w not in seen:
             seen.add(w)
             wkts.append(w)
             kinds.append(g["type"])
+            uniq.append(g)
     if len(wkts) == 1:
         return wkts[0]
     if all(k == "Point" for k in kinds):
         return "MULTIPOINT (" + ", ".join(w[len("POINT ") :] for w in wkts) + ")"
     if all(k == "LineString" for k in kinds):
+        noded = _node_crossing_lines([g["coordinates"] for g in uniq])
+        if noded is not None:
+            return noded
         return (
             "MULTILINESTRING ("
             + ", ".join(w[len("LINESTRING ") :] for w in wkts)
             + ")"
         )
     if all(k == "Polygon" for k in kinds):
+        dissolved = _dissolve_two_convex([g["coordinates"] for g in uniq])
+        if dissolved is not None:
+            return dissolved
         return "MULTIPOLYGON (" + ", ".join(w[len("POLYGON ") :] for w in wkts) + ")"
     return "GEOMETRYCOLLECTION (" + ", ".join(wkts) + ")"
+
+
+def _fmt_pt(p) -> str:
+    def n(x):
+        return str(int(x)) if float(x) == int(x) else str(float(x))
+
+    return f"{n(p[0])} {n(p[1])}"
+
+
+def _node_crossing_lines(lines) -> str | None:
+    """In-engine unary_union for CROSSING LineStrings: returns the
+    noded MULTILINESTRING, or None when inputs don't cross (assembly
+    path is already exact) or are degenerate (collinear overlaps →
+    DB-side dissolve)."""
+    from .noding import _seg_intersection, _segments, node_linestrings
+
+    try:
+        segs = _segments(lines)
+        crossing = False
+        for i in range(len(segs)):
+            for k in range(i + 1, len(segs)):
+                if _seg_intersection(*segs[i], *segs[k]) is not None:
+                    crossing = True
+                    break
+            if crossing:
+                break
+        if not crossing:
+            return None
+        pieces = node_linestrings(lines)
+    except ValueError:
+        return None
+    return (
+        "MULTILINESTRING ("
+        + ", ".join("(" + ", ".join(_fmt_pt(p) for p in piece) + ")" for piece in pieces)
+        + ")"
+    )
+
+
+def _is_convex(ring) -> bool:
+    pts = list(ring)
+    if pts[0] == pts[-1]:
+        pts = pts[:-1]
+    if len(pts) < 3:
+        return False
+    sign = 0
+    for i in range(len(pts)):
+        a, b, c = pts[i], pts[(i + 1) % len(pts)], pts[(i + 2) % len(pts)]
+        cross = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
+        if cross != 0:
+            s = 1 if cross > 0 else -1
+            if sign == 0:
+                sign = s
+            elif s != sign:
+                return False
+    return sign != 0
+
+
+def _dissolve_two_convex(polys) -> str | None:
+    """In-engine unary_union for exactly two OVERLAPPING convex
+    single-ring polygons; None otherwise (assembly + DB-side dissolve
+    handles the rest)."""
+    from .noding import union_convex_polygons
+
+    if len(polys) != 2:
+        return None
+    rings = []
+    for p in polys:
+        if len(p) != 1:  # holes → decline
+            return None
+        rings.append(p[0])
+    if not all(_is_convex(r) for r in rings):
+        return None
+    try:
+        kind, out = union_convex_polygons(rings[0], rings[1])
+    except ValueError:
+        return None
+    if kind == "multipolygon":  # disjoint: assembly path already exact
+        return None
+    return "POLYGON ((" + ", ".join(_fmt_pt(p) for p in out) + "))"

@@ -190,3 +190,110 @@ def test_geometry_dissolve_reference_envelopes():
     for m in msgs:
         wkt = union_features_wkt(m["geojson"]["features"])
         assert wkt.startswith("POLYGON (")
+
+
+# ---------------------------------------------------------------------------
+# Crossing-geometry union (round-5, G3 completion). Goldens are
+# ANALYTICALLY derived (shapely is absent in this environment); each
+# case records its derivation. unary_union semantics: crossing lines
+# are noded at every intersection; overlapping polygons dissolve into
+# one boundary.
+# ---------------------------------------------------------------------------
+
+
+def _feat(t, c):
+    return {"type": "Feature", "properties": {}, "geometry": {"type": t, "coordinates": c}}
+
+
+def test_union_crossing_lines_noded():
+    # X-cross: (0,0)-(2,2) and (0,2)-(2,0) intersect where y=x meets
+    # y=2-x -> (1,1); each line splits into two pieces at that node.
+    wkt = union_features_wkt(
+        [_feat("LineString", [(0, 0), (2, 2)]), _feat("LineString", [(0, 2), (2, 0)])]
+    )
+    assert wkt == "MULTILINESTRING ((0 0, 1 1), (0 2, 1 1), (1 1, 2 0), (1 1, 2 2))"
+
+
+def test_union_t_touch_lines_noded():
+    # T-touch: vertical (1,0)-(1,1) meets horizontal (0,0)-(2,0) at its
+    # interior point (1,0): horizontal splits there, vertical does not.
+    wkt = union_features_wkt(
+        [_feat("LineString", [(0, 0), (2, 0)]), _feat("LineString", [(1, 0), (1, 1)])]
+    )
+    assert wkt == "MULTILINESTRING ((0 0, 1 0), (1 0, 1 1), (1 0, 2 0))"
+
+
+def test_union_disjoint_lines_keep_assembly():
+    wkt = union_features_wkt(
+        [_feat("LineString", [(0, 0), (1, 0)]), _feat("LineString", [(5, 5), (6, 6)])]
+    )
+    assert wkt == "MULTILINESTRING ((0 0, 1 0), (5 5, 6 6))"
+
+
+def test_union_overlapping_rectangles_dissolved():
+    # Squares [0,2]^2 and [1,3]^2 overlap on [1,2]^2. Union boundary,
+    # CCW from the lexicographically-smallest vertex: (0,0) -> (2,0)
+    # -> enter other square at (2,1) -> (3,1) -> (3,3) -> (1,3) ->
+    # re-enter first square at (1,2) -> (0,2) -> close. 8 vertices.
+    wkt = union_features_wkt(
+        [
+            _feat("Polygon", [[(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]]),
+            _feat("Polygon", [[(1, 1), (3, 1), (3, 3), (1, 3), (1, 1)]]),
+        ]
+    )
+    assert wkt == "POLYGON ((0 0, 2 0, 2 1, 3 1, 3 3, 1 3, 1 2, 0 2, 0 0))"
+
+
+def test_union_contained_polygon_dissolved_to_outer():
+    wkt = union_features_wkt(
+        [
+            _feat("Polygon", [[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]]),
+            _feat("Polygon", [[(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]]),
+        ]
+    )
+    assert wkt == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+
+
+def test_union_triangle_square_overlap_dissolved():
+    # CCW triangle (0,0),(4,0),(2,4) overlapping square [3,6]x[1,4].
+    # Triangle's right edge (4,0)->(2,4): x = 4 - 2t, y = 4t; crosses
+    # the square's bottom edge y=1 at t=1/4 -> (3.5, 1) and the
+    # square's left edge x=3 at t=1/2 -> (3, 2). Union walk CCW from
+    # (0,0): (0,0) -> (4,0) -> up the right edge to (3.5,1) [switch to
+    # square] -> (6,1) -> (6,4) -> (3,4) -> (3,2) [switch back] ->
+    # (2,4) -> close.
+    wkt = union_features_wkt(
+        [
+            _feat("Polygon", [[(0, 0), (4, 0), (2, 4), (0, 0)]]),
+            _feat("Polygon", [[(3, 1), (6, 1), (6, 4), (3, 4), (3, 1)]]),
+        ]
+    )
+    assert wkt == "POLYGON ((0 0, 4 0, 3.5 1, 6 1, 6 4, 3 4, 3 2, 2 4, 0 0))"
+
+
+def test_union_disjoint_polygons_keep_assembly():
+    wkt = union_features_wkt(
+        [
+            _feat("Polygon", [[(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]]),
+            _feat("Polygon", [[(5, 5), (6, 5), (6, 6), (5, 6), (5, 5)]]),
+        ]
+    )
+    assert wkt == "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"
+
+
+def test_union_nonconvex_declines_to_assembly():
+    # L-shaped (non-convex) polygon overlapping a square: the walk
+    # declines; assembly + DB-side ST_UnaryUnion handles it.
+    lshape = [[(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3), (0, 0)]]
+    square = [[(2, 0), (4, 0), (4, 2), (2, 2), (2, 0)]]
+    wkt = union_features_wkt([_feat("Polygon", lshape), _feat("Polygon", square)])
+    assert wkt.startswith("MULTIPOLYGON ")
+
+
+def test_union_collinear_overlap_declines_to_assembly():
+    # Two collinear overlapping segments: degenerate for noding; the
+    # assembled MULTILINESTRING goes to the DB-side dissolve.
+    wkt = union_features_wkt(
+        [_feat("LineString", [(0, 0), (2, 0)]), _feat("LineString", [(1, 0), (3, 0)])]
+    )
+    assert wkt == "MULTILINESTRING ((0 0, 2 0), (1 0, 3 0))"
