@@ -120,3 +120,89 @@ def ivf_query(
         .select("query_id", "corpus_id", F.round("cosine", 4).alias("cosine"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def _cell_centroids(assigned: DataFrame) -> DataFrame:
+    """(cent_label, cv) codebook from the CURRENT cell members: mean
+    vector per cell — one Lloyd refinement step over the stored
+    assignment (posexplode -> avg per (cell, pos) -> re-assemble)."""
+    dims = assigned.select(F.col("cell").alias("cent_label"), F.posexplode("v").alias("pos", "x"))
+    return (
+        dims.groupBy("cent_label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("cent_label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .select("cent_label", "cv")
+    )
+
+
+def retrain_index(spark: SparkSession, path: str) -> None:
+    """Codebook retrain + full partition rewrite — the FAISS
+    `train + re-add` lifecycle step for a store whose appended corpus
+    has drifted from the frozen codebook.
+
+    Semantics (deterministic): the new codebook is the mean of each
+    CURRENT cell's members (one Lloyd step from the frozen
+    assignment); every vector is then re-assigned against the new
+    codebook and the cell partitions are rewritten. Equivalent by
+    construction to bulk-rebuilding a fresh index from the current
+    corpus with the same codebook (pytest-asserted: same centroids,
+    same per-cell membership, same query answers).
+
+    Cost model (SCALE.md): two full corpus passes — one aggregate
+    (posexplode avg: map-side combinable, k x dim output) and one
+    reassign + partitioned write; probes and appends stay cheap
+    between retrains. Run it when append drift degrades recall
+    (s09-style audit), not on a schedule.
+    """
+    vdir = os.path.join(path, VECTORS_DIR)
+    assigned = spark.read.parquet(vdir)
+    new_cent = _cell_centroids(assigned)
+    # materialize the codebook BEFORE overwriting the vectors lake the
+    # plan reads from (write-over-read would race)
+    new_cent.write.mode("overwrite").parquet(os.path.join(path, CENTROIDS_DIR))
+    cent = spark.read.parquet(os.path.join(path, CENTROIDS_DIR))
+    reassigned = assign_cells(assigned.select("vec_id", "v"), cent)
+    # stage the rewrite, then swap: Spark cannot overwrite a path that
+    # feeds the running plan
+    staged = os.path.join(path, VECTORS_DIR + "_retrain")
+    reassigned.write.mode("overwrite").partitionBy("cell").parquet(staged)
+    import shutil
+
+    shutil.rmtree(vdir)
+    os.rename(staged, vdir)
+
+
+def compact_index(
+    spark: SparkSession, path: str, files_per_cell: int = 1
+) -> None:
+    """Small-file compaction: each append touches its cell partitions
+    with fresh files, so a long-appended store accumulates file counts
+    proportional to append batches. Rewrite every cell partition down
+    to ``files_per_cell`` files; query answers are unchanged
+    (pytest-asserted) and probe scans read fewer, larger files."""
+    vdir = os.path.join(path, VECTORS_DIR)
+    assigned = spark.read.parquet(vdir)
+    staged = os.path.join(path, VECTORS_DIR + "_compact")
+    # hash-cluster by (cell [, salt]) so every cell's rows land in
+    # exactly files_per_cell tasks -> files_per_cell files per cell
+    # dir, cells compacting in parallel across the shuffle partitions
+    if files_per_cell == 1:
+        clustered = assigned.repartition("cell")
+    else:
+        clustered = assigned.withColumn(
+            "_salt", F.pmod(F.hash("vec_id"), F.lit(files_per_cell))
+        ).repartition("cell", "_salt").drop("_salt")
+    (
+        clustered.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staged)
+    )
+    import shutil
+
+    shutil.rmtree(vdir)
+    os.rename(staged, vdir)

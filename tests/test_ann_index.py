@@ -127,3 +127,82 @@ def test_probe_reads_only_probed_partitions(spark, tmp_path):
     assert "PartitionFilters:" in plan, plan
     pf = plan[plan.index("PartitionFilters:") :].splitlines()[0]
     assert "cell#" in pf and ("IN" in pf or "in(" in pf.lower()), pf
+
+
+def test_retrain_equals_bulk_rebuild(spark, tmp_path):
+    """retrain-in-place == bulk rebuild from the current corpus with
+    the same one-Lloyd-step codebook: identical centroids, identical
+    per-cell membership, identical query answers."""
+    corpus, queries = _corpus_and_queries(spark)
+    half = corpus.filter(F.col("vec_id") % 2 == 0)
+    rest = corpus.filter(F.col("vec_id") % 2 == 1)
+
+    store = str(tmp_path / "store")
+    ann_index.build_index(spark, store, half)
+    ann_index.append_vectors(spark, store, rest)  # codebook now stale
+
+    # bulk twin: fresh store sharing the retrain's codebook definition
+    pre = spark.read.parquet(os.path.join(store, ann_index.VECTORS_DIR))
+    twin_cent = ann_index._cell_centroids(pre)
+    twin = str(tmp_path / "twin")
+    twin_cent.write.parquet(os.path.join(twin, ann_index.CENTROIDS_DIR))
+    ann_index.assign_cells(
+        pre.select("vec_id", "v"),
+        spark.read.parquet(os.path.join(twin, ann_index.CENTROIDS_DIR)),
+    ).write.partitionBy("cell").parquet(os.path.join(twin, ann_index.VECTORS_DIR))
+
+    ann_index.retrain_index(spark, store)
+
+    for sub in (ann_index.CENTROIDS_DIR,):
+        a = sorted(
+            (r["cent_label"], tuple(r["cv"]))
+            for r in spark.read.parquet(os.path.join(store, sub)).collect()
+        )
+        b = sorted(
+            (r["cent_label"], tuple(r["cv"]))
+            for r in spark.read.parquet(os.path.join(twin, sub)).collect()
+        )
+        assert a == b
+    a = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(os.path.join(store, ann_index.VECTORS_DIR)).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(os.path.join(twin, ann_index.VECTORS_DIR)).collect()
+    )
+    assert a == b
+
+    qa = ann_index.ivf_query(spark, store, queries).collect()
+    qb = ann_index.ivf_query(spark, twin, queries).collect()
+    assert [tuple(r) for r in qa] == [tuple(r) for r in qb]
+
+
+def test_compact_reduces_files_and_preserves_answers(spark, tmp_path):
+    """After N appends each cell dir holds N+ files; compaction brings
+    every cell to one file and leaves query answers untouched."""
+    corpus, queries = _corpus_and_queries(spark)
+    store = str(tmp_path / "store")
+    thirds = [corpus.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    ann_index.build_index(spark, store, thirds[0])
+    for part in thirds[1:]:
+        ann_index.append_vectors(spark, store, part)
+
+    def files_per_cell():
+        vdir = os.path.join(store, ann_index.VECTORS_DIR)
+        out = {}
+        for d in os.listdir(vdir):
+            if d.startswith("cell="):
+                out[d] = len(
+                    [f for f in os.listdir(os.path.join(vdir, d)) if f.endswith(".parquet")]
+                )
+        return out
+
+    before_answers = [tuple(r) for r in ann_index.ivf_query(spark, store, queries).collect()]
+    assert any(n > 1 for n in files_per_cell().values())
+
+    ann_index.compact_index(spark, store)
+    after = files_per_cell()
+    assert after and all(n == 1 for n in after.values()), after
+    after_answers = [tuple(r) for r in ann_index.ivf_query(spark, store, queries).collect()]
+    assert after_answers == before_answers
