@@ -54,11 +54,22 @@ def salted_sum(
     """Two-phase salted aggregation: groupBy (key, salt) partial sums,
     then groupBy key to reduce the partials. Identical result to a
     direct groupBy-sum; partition size bounded by 1/n_salts per key."""
+    return (
+        _salted_partials(df, key, value, n_salts)
+        .groupBy(key)
+        .agg(F.sum("__partial").alias(out))
+    )
+
+
+def _salted_partials(
+    df: DataFrame, key: str, value: str, n_salts: int
+) -> DataFrame:
+    """Phase one of salted_sum, exposed for skew tests: (key, __salt)
+    partial sums with a row count per partial — the group sizes here
+    ARE the reduce-task loads the salt exists to bound."""
     salt = (F.rand(seed=7) * n_salts).cast("int")
     return (
         df.withColumn("__salt", salt)
         .groupBy(key, "__salt")
-        .agg(F.sum(value).alias("__partial"))
-        .groupBy(key)
-        .agg(F.sum("__partial").alias(out))
+        .agg(F.sum(value).alias("__partial"), F.count(F.lit(1)).alias("__rows"))
     )

@@ -95,3 +95,100 @@ def test_zorder_lake_tight_on_both_dims(spark, tmp_path):
 
     # round-trip: no rows lost by the clustered rewrite
     assert spark.read.parquet(path).count() == e.count()
+
+
+def test_salted_agg_bounds_hot_key_partitions(spark):
+    """Skew-proofing (round-5): one key carrying 50% of all rows must
+    shatter across salts so no single reduce group holds more than a
+    small multiple of hot_rows/n_salts — the property that keeps
+    max-partition bytes bounded at 100 TB. The direct groupBy would
+    put all 50k hot rows in ONE group."""
+    from dbsink_spark.analytics.layout import _salted_partials, salted_sum
+
+    n_salts = 16
+    hot = spark.range(50_000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    cold = spark.range(50_000).select(
+        F.concat(F.lit("c"), (F.col("id") % 50).cast("string")).alias("k"),
+        F.lit(1.0).alias("v"),
+    )
+    df = hot.unionAll(cold)
+
+    parts = _salted_partials(df, "k", "v", n_salts).collect()
+    hot_groups = [r["__rows"] for r in parts if r["k"] == "hot"]
+    assert len(hot_groups) == n_salts  # every salt bucket materialized
+    # bound: no group holds more than 2x the perfect 1/n_salts share
+    assert max(hot_groups) <= 2 * (50_000 // n_salts), max(hot_groups)
+    assert sum(hot_groups) == 50_000
+
+    # and the salted total still equals the direct aggregate
+    direct = {
+        r["k"]: round(r["t"], 6)
+        for r in df.groupBy("k").agg(F.round(F.sum("v"), 6).alias("t")).collect()
+    }
+    salted = {
+        r["k"]: round(r["total"], 6)
+        for r in salted_sum(df, "k", "v", n_salts=n_salts).collect()
+    }
+    assert direct == salted
+
+
+def test_aqe_splits_skewed_fact_fact_join(spark):
+    """AQE skew-join handling (round-5): a fact-fact sort-merge join
+    whose probe side has one key at ~50% of rows must be re-planned at
+    runtime with the skewed partition split (the executed adaptive
+    plan marks the join skew=true). This is the runtime safety net for
+    joins we cannot pre-salt."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # thresholds scaled down so harness-sized data exhibits the
+        # 100 TB behavior: any post-shuffle partition over 64 KiB and
+        # 2x the median is "skewed" and gets split
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        pad = "x" * 64
+        fact_a = spark.range(40_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit(pad), F.col("id").cast("string")).alias("payload_a"),
+        )
+        fact_b = spark.range(2_000).select(
+            (F.col("id") % 1000).alias("k"),
+            F.concat(F.lit(pad), F.col("id").cast("string")).alias("payload_b"),
+        )
+        # bare join, driven through ITS OWN queryExecution: AQE only
+        # splits skewed partitions when no parent operator requires the
+        # join's output distribution (an agg on top suppresses the
+        # rewrite), and a noop write would execute a separate plan.
+        joined = fact_a.join(fact_b, "k")
+        rows = joined.collect()
+        assert len(rows) == 80_000  # hot key 7: 20k x 2 matches
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
