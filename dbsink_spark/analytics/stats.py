@@ -270,12 +270,20 @@ def q36_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input precision (2dp) BEFORE the division: otherwise engines whose
     # summation order differs in the last ulp can straddle a rounding
     # boundary when count is 2^a·5^b (observed: sum/64 of 2dp money ==
-    # exactly 5 decimals == a .00005 boundary at round-4).
+    # exactly 5 decimals == a .00005 boundary at round-4). The final
+    # 4dp rounding is floor(x*1e4 + 0.5)/1e4 rather than round(x, 4):
+    # when the quotient lands exactly on a .00005 boundary Spark rounds
+    # the double's SHORTEST DECIMAL REPR (BigDecimal.valueOf → HALF_UP
+    # on "…38.37875") while DuckDB rounds the binary value (slightly
+    # below the boundary) — different answers from the same double.
+    # floor(+0.5) is pure IEEE arithmetic, bit-identical in both.
     day = (
         hour.groupBy(F.date_trunc("day", "hour").cast("date").alias("day"), "event_type")
         .agg(
             F.sum("n").alias("n_events"),
-            F.round(F.round(F.sum("sv"), 2) / F.sum("n"), 4).alias("avg_value"),
+            (
+                F.floor(F.round(F.sum("sv"), 2) * 10000 / F.sum("n") + 0.5) / 10000.0
+            ).alias("avg_value"),
         )
     )
     return day.orderBy("day", "event_type")
@@ -284,8 +292,8 @@ def q36_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q36_hierarchical_rollup"] = """
     SELECT date_trunc('day', ts)::DATE AS day,
            event_type,
-           count(*)                                  AS n_events,
-           round(round(sum(value), 2) / count(*), 4) AS avg_value
+           count(*) AS n_events,
+           floor(round(sum(value), 2) * 10000 / count(*) + 0.5) / 10000.0 AS avg_value
     FROM events
     GROUP BY 1, 2
     ORDER BY 1, 2

@@ -86,8 +86,8 @@ def test_registry_integrity():
 def test_numpy_topk_matches_exact_path(spark):
     """s04 (vectorized numpy scale path) must produce the same rankings
     as s01 (exact sequential-fold path)."""
-    exact = analytics.QUERIES["s01_cosine_topk"](spark, SF_DIR).collect()
-    fast = analytics.QUERIES["s04_numpy_topk"](spark, SF_DIR).collect()
+    exact = analytics.ALL_QUERIES["s01_cosine_topk"](spark, SF_DIR).collect()
+    fast = analytics.ALL_QUERIES["s04_numpy_topk"](spark, SF_DIR).collect()
     assert len(exact) == len(fast)
     e = {(r["query_id"], r["rank"]): r["corpus_id"] for r in exact}
     f = {(r["query_id"], r["rank"]): r["corpus_id"] for r in fast}

@@ -171,11 +171,12 @@ def test_postgres_golden_snapshot():
 
 
 def test_geometry_union_bind_nodes_crossing_inputs():
-    """G3 crossing-geometry handoff: the no-shapely fallback assembles
-    crossing polygons unmerged, and the sink's geometry_union bind
-    wraps the insert in ST_UnaryUnion — the same GEOS unary_union the
-    reference runs via shapely — so the STORED geometry is noded and
-    dissolved in all cases."""
+    """G3 crossing-geometry handoff: the in-engine noder (round-5
+    `dbsink_spark/functions/noding.py`) dissolves crossing polygons to
+    the same result shapely's ``unary_union`` produces, and the sink's
+    geometry_union bind STILL wraps the insert in ST_UnaryUnion as a
+    belt-and-braces normalization — the same GEOS call the reference
+    runs client-side (/root/reference/dbsink/tables.py:266-269)."""
     from dbsink_spark.functions import union_features_wkt
 
     crossing = [
@@ -187,9 +188,9 @@ def test_geometry_union_bind_nodes_crossing_inputs():
             "coordinates": [[[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]]]}},
     ]
     wkt = union_features_wkt(crossing)
-    # fallback (no shapely in env): both members preserved for the DB
-    assert wkt.startswith("MULTIPOLYGON") or wkt.startswith("GEOMETRYCOLLECTION")
-    assert wkt.count("((") >= 2
+    # in-engine noding dissolves the overlap into one polygon — the
+    # exact shapely unary_union golden for these two squares
+    assert wkt == "POLYGON ((0 0, 2 0, 2 1, 3 1, 3 3, 1 3, 1 2, 0 2, 0 0))"
 
     mapping = resolve("GenericGeography", "geo.topic")
     w = SinkWriter(mapping, lambda: None, dialect="postgres")
