@@ -152,6 +152,13 @@ UNGATED = frozenset(
         # external verdict requests it (ADVICE_r04); every demoted row
         # stays oracle-verified each pytest run (test_registry_parity)
         # and in tools/check_oracle.py's full 104-query sweep.
+        # round-5 additions beyond the 50-row driver gate (same policy
+        # — oracle-verified locally + benched; candidates for a future
+        # sanctioned promotion as new capability classes: recursive
+        # CTE, sampling-based AQP, BM25 retrieval scoring):
+        "q59_recursive_hierarchy",
+        "q60_sample_estimate",
+        "t21_bm25_rank",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

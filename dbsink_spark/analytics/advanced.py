@@ -1519,3 +1519,145 @@ def _q58_oracle() -> str:
 
 ORACLE["q58_table_diff"] = _q58_oracle()
 QUERIES["q58_table_diff"] = q58_table_diff
+
+
+# ---------------------------------------------------------------------------
+# q59: recursive CTE — event-type reachability (graph traversal in SQL)
+# ---------------------------------------------------------------------------
+
+Q59_MAX_DEPTH = 25  # safety bound; actual depth is log2(n_customers)
+
+
+def q59_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-query capability (Spark 4.1 ``WITH RECURSIVE``,
+    SPARK-24497): BFS down an org-chart-style hierarchy — parent of
+    customer k is k DIV 2 (an implicit binary tree rooted at key 1,
+    the standard heap encoding) — emitting per-level node counts and
+    key ranges. At sf0.01 the tree is ~11 levels deep, so the
+    recursion genuinely iterates; the per-level profile is the
+    "reporting rollup over an employee hierarchy" shape.
+
+    Scale: each iteration equi-joins the frontier against customer on
+    the parent key; total work is O(n log n) with frontier sizes
+    doubling then halting — the depth bound is log2(n), so even a
+    100 TB key space recurses ~40 times, and every iteration is a
+    plain shuffled equi-join Catalyst plans like any other (AQE can
+    broadcast early small frontiers).
+
+    Reference parity: no recursive/graph surface exists in the
+    reference (SURVEY §2.6 gap table); extension machinery.
+    """
+    c = Tables(spark, sf_dir).customer.select("c_custkey")
+    c.createOrReplaceTempView("q59_customer")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE tree(k, depth) AS (
+            SELECT CAST(1 AS BIGINT), 0
+            UNION ALL
+            SELECT c.c_custkey, t.depth + 1
+            FROM q59_customer c JOIN tree t ON c.c_custkey DIV 2 = t.k
+            WHERE c.c_custkey > 1 AND t.depth < {Q59_MAX_DEPTH}
+        )
+        SELECT CAST(depth AS BIGINT) AS depth,
+               COUNT(*) AS n_nodes,
+               MIN(k) AS min_key,
+               MAX(k) AS max_key
+        FROM tree
+        GROUP BY depth
+        ORDER BY depth
+        """
+    )
+
+
+ORACLE["q59_recursive_hierarchy"] = f"""
+    WITH RECURSIVE tree(k, depth) AS (
+        SELECT 1::BIGINT, 0
+        UNION ALL
+        SELECT c.c_custkey, t.depth + 1
+        FROM customer c JOIN tree t ON c.c_custkey // 2 = t.k
+        WHERE c.c_custkey > 1 AND t.depth < {Q59_MAX_DEPTH}
+    )
+    SELECT depth::BIGINT AS depth,
+           count(*)::BIGINT AS n_nodes,
+           min(k)::BIGINT AS min_key,
+           max(k)::BIGINT AS max_key
+    FROM tree
+    GROUP BY depth
+    ORDER BY depth
+"""
+
+QUERIES["q59_recursive_hierarchy"] = q59_recursive_hierarchy
+
+
+# ---------------------------------------------------------------------------
+# q60: deterministic stratified sampling + AQP error accounting
+# ---------------------------------------------------------------------------
+
+Q60_RATE_PCT = 2  # per-stratum sampling rate, percent
+Q60_MOD = 100
+
+
+def q60_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by deterministic stratified
+    sampling: per l_returnflag stratum, keep rows whose portable
+    60-bit key hash lands in the first Q60_RATE_PCT residues, scale
+    the sampled sum back up, and report estimate vs exact with a
+    basis-point error — the sample-then-correct loop every 100 TB
+    exploration workflow runs before paying for the full scan.
+
+    Hash-based (not rand()) so the sample is reproducible across
+    engines, retries, and partitionings — a property rand()-sampling
+    loses under speculative execution. l_quantity is integer-valued,
+    so the double sums are exact and engine-order-independent; the
+    error ratio is floor-scaled (q36 pattern) to stay boundary-proof.
+
+    Plan: one scan computes BOTH branches (conditional aggregation on
+    the hash residue) — the sample costs no second pass.
+    """
+    from ..functions.hashing import h64
+
+    li = Tables(spark, sf_dir).lineitem.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    in_sample = (h64(key) % Q60_MOD) < Q60_RATE_PCT
+    scale = Q60_MOD / Q60_RATE_PCT
+    est = F.sum(F.when(in_sample, F.col("l_quantity")).otherwise(F.lit(0.0))) * scale
+    exact = F.sum("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(in_sample.cast("long")).alias("n_sampled"),
+            F.count(F.lit(1)).alias("n_rows"),
+            est.alias("est_sum_qty"),
+            exact.alias("exact_sum_qty"),
+            (
+                F.floor((est - exact) / exact * 10000 + 0.5) / 10000.0
+            ).alias("rel_err"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q60_oracle() -> str:
+    from ..functions.hashing import h64_sql
+
+    h = h64_sql("l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR")
+    return f"""
+    SELECT l_returnflag,
+           sum(((({h}) % {Q60_MOD}) < {Q60_RATE_PCT})::INT)::BIGINT AS n_sampled,
+           count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN (({h}) % {Q60_MOD}) < {Q60_RATE_PCT}
+                    THEN l_quantity ELSE 0.0 END) * {Q60_MOD / Q60_RATE_PCT} AS est_sum_qty,
+           sum(l_quantity) AS exact_sum_qty,
+           floor((sum(CASE WHEN (({h}) % {Q60_MOD}) < {Q60_RATE_PCT}
+                           THEN l_quantity ELSE 0.0 END) * {Q60_MOD / Q60_RATE_PCT}
+                  - sum(l_quantity)) / sum(l_quantity) * 10000 + 0.5) / 10000.0 AS rel_err
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+
+
+ORACLE["q60_sample_estimate"] = _q60_oracle()
+QUERIES["q60_sample_estimate"] = q60_sample_estimate

@@ -1276,3 +1276,102 @@ ORACLE["t20_inverted_index"] = f"""
 """
 
 QUERIES["t20_inverted_index"] = t20_inverted_index
+
+
+# ---------------------------------------------------------------------------
+# t21: BM25 retrieval ranking
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "vector", "stream", "merge", "window", "hash"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+def t21_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed query-term set — the lexical
+    retrieval scorer (Robertson/Spärck Jones) behind quality-filter
+    and retrieval-augmented curation passes. Uses the RATIONAL idf
+    (N - df + 0.5)/(df + 0.5) instead of its log: engines disagree in
+    the last ulp of ``ln`` (t17's note), while +,*,/ over
+    integer-derived doubles are IEEE-deterministic, so the score is
+    bit-identical cross-engine; the log is monotone in the rational
+    idf per-term, and swapping it in at production changes only the
+    inter-term weighting, not the machinery.
+
+    Plan shape at 100 TB: ZERO shuffles over documents for scoring —
+    per-doc tf/dl are narrow map-side expressions, corpus stats
+    (N, avgdl, per-term df) reduce to ONE row that broadcast-joins
+    back, and the final top-k is a TakeOrdered, not a global sort.
+    """
+    d = Tables(spark, sf_dir).documents
+    words = _words()
+    def _tf(term):
+        # closure (NOT a default arg: pyspark derives HOF arity from
+        # the python signature — t03's gotcha)
+        return F.size(F.filter(words, lambda w: w == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf_{t}") for t in BM25_TERMS]
+    per_doc = d.select("doc_id", F.size(words).alias("dl"), *tf_cols)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    avgdl = F.col("sdl") * 1.0 / F.col("n_docs")
+    norm = 1 - BM25_B + BM25_B * F.col("dl") / avgdl
+    score = None
+    for t in BM25_TERMS:
+        tf, df = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        idf = (F.col("n_docs") - df + 0.5) / (df + 0.5)
+        term = idf * (tf * (BM25_K1 + 1)) / (tf + BM25_K1 * norm)
+        score = term if score is None else score + term
+    return (
+        per_doc.join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (F.floor(score * 10000 + 0.5) / 10000.0).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+def _t21_oracle() -> str:
+    tf_exprs = ",\n               ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
+    )
+    df_exprs = ",\n               ".join(
+        f"sum((tf_{t} > 0)::INT) AS df_{t}" for t in BM25_TERMS
+    )
+    score = " + ".join(
+        f"((n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * (tf_{t} * ({BM25_K1} + 1))"
+        f" / (tf_{t} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / (sdl * 1.0 / n_docs)))"
+        for t in BM25_TERMS
+    )
+    return f"""
+    WITH per_doc AS (
+        SELECT doc_id,
+               len(w) AS dl,
+               {tf_exprs}
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), stats AS (
+        SELECT count(*) AS n_docs,
+               sum(dl) AS sdl,
+               {df_exprs}
+        FROM per_doc
+    )
+    SELECT doc_id,
+           floor(({score}) * 10000 + 0.5) / 10000.0 AS bm25
+    FROM per_doc, stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP}
+    """
+
+
+ORACLE["t21_bm25_rank"] = _t21_oracle()
+QUERIES["t21_bm25_rank"] = t21_bm25_rank
