@@ -209,27 +209,24 @@ def _fmt_pt(p) -> str:
 
 
 def _node_crossing_lines(lines) -> str | None:
-    """In-engine unary_union for CROSSING LineStrings: returns the
-    noded MULTILINESTRING, or None when inputs don't cross (assembly
-    path is already exact) or are degenerate (collinear overlaps →
-    DB-side dissolve)."""
-    from .noding import _seg_intersection, _segments, node_linestrings
+    """In-engine unary_union for INTERACTING LineStrings: returns the
+    noded MULTILINESTRING, or None when no pair of segments crosses,
+    T-touches, or collinearly overlaps (the assembly path is already
+    exact for those inputs)."""
+    from .noding import _segments, _segs_interact, node_linestrings
 
-    try:
-        segs = _segments(lines)
-        crossing = False
-        for i in range(len(segs)):
-            for k in range(i + 1, len(segs)):
-                if _seg_intersection(*segs[i], *segs[k]) is not None:
-                    crossing = True
-                    break
-            if crossing:
+    segs = _segments(lines)
+    crossing = False
+    for i in range(len(segs)):
+        for k in range(i + 1, len(segs)):
+            if _segs_interact(segs[i], segs[k]):
+                crossing = True
                 break
-        if not crossing:
-            return None
-        pieces = node_linestrings(lines)
-    except ValueError:
+        if crossing:
+            break
+    if not crossing:
         return None
+    pieces = node_linestrings(lines)
     return (
         "MULTILINESTRING ("
         + ", ".join("(" + ", ".join(_fmt_pt(p) for p in piece) + ")" for piece in pieces)

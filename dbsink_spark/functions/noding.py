@@ -5,26 +5,29 @@ The reference dissolves member geometries with shapely's
 ``unary_union``; this environment has no shapely, so crossing inputs
 previously fell through to an assembled-but-unmerged MULTI* that the
 sink's ``ST_UnaryUnion`` bind fixed up at the database boundary. This
-module closes the in-engine gap for the two crossing shapes that occur
-in telemetry dissolves:
+module closes the in-engine gap for the crossing shapes that occur in
+telemetry dissolves:
 
 * **Line noding** (``node_linestrings``): every segment is split at
-  its intersection points with every other segment (proper crossings
-  and T-touches), duplicates removed — the piece set GEOS produces for
-  a unary_union of crossing lines. O(S^2) pairwise intersection over
-  the member segments: member geometries per row are feature-sized
-  (device trajectories), never corpus-sized, so the quadratic term is
-  bounded per row and rows parallelize across the cluster.
-* **Convex-polygon overlap dissolve** (``union_convex_polygons``): the
-  union boundary of two overlapping convex rings via the classic
-  boundary walk (walk one ring, switch rings at each boundary
-  intersection); containment and disjoint cases handled explicitly.
+  its intersection points with every other segment (proper crossings,
+  T-touches, and collinear overlaps — overlapping collinear pieces
+  node at each other's endpoints and deduplicate), the piece set GEOS
+  produces for a unary_union of crossing lines. O(S^2) pairwise
+  intersection over the member segments: member geometries per row are
+  feature-sized (device trajectories), never corpus-sized, so the
+  quadratic term is bounded per row and rows parallelize across the
+  cluster.
+* **Convex-polygon dissolve** (``union_convex_polygons``): the union
+  of two convex rings via the boundary arrangement — node both rings
+  against each other, keep the boundary pieces not interior to the
+  other polygon (shared collinear pieces kept once when the interiors
+  lie on the same side, dropped when interiors merge across), stitch
+  the kept directed pieces into loops. Handles overlap, containment,
+  edge-sharing, corner-touch, and disjoint inputs uniformly.
 
 Exact arithmetic: intersections are computed in ``fractions.Fraction``
-and rendered through float, so goldens are reproducible bit-for-bit;
-collinear-overlap inputs (degenerate for the walk) raise ValueError
-and the caller falls back to the assembled MULTI* + DB-side dissolve
-path. Goldens in tests/test_functions.py are analytically derived (no
+and rendered through float, so goldens are reproducible bit-for-bit.
+Goldens in tests/test_functions.py are analytically derived (no
 shapely in this environment); each records its derivation.
 """
 
@@ -37,12 +40,11 @@ def _f(x) -> Fraction:
     return x if isinstance(x, Fraction) else Fraction(x).limit_denominator(10**12)
 
 
-def _seg_intersection(p1, p2, p3, p4):
-    """Intersection point of segments p1p2 and p3p4, or None.
-
-    Returns interior/endpoint intersection points (proper crossings
-    and T-touches). Collinear overlapping segments raise ValueError —
-    the caller falls back to the DB-side dissolve."""
+def _seg_nodes(p1, p2, p3, p4):
+    """Points ON segment p1p2 arising from its interaction with
+    segment p3p4: the single crossing/touch point for non-parallel
+    segments, or the endpoints of p3p4 that lie inside p1p2 for
+    collinear overlaps. Always returns a (possibly empty) list."""
     (x1, y1), (x2, y2), (x3, y3), (x4, y4) = (
         (_f(p[0]), _f(p[1])) for p in (p1, p2, p3, p4)
     )
@@ -50,29 +52,70 @@ def _seg_intersection(p1, p2, p3, p4):
     dx2, dy2 = x4 - x3, y4 - y3
     denom = dx1 * dy2 - dy1 * dx2
     if denom == 0:
-        # parallel: collinear overlap is degenerate for noding
         cross = (x3 - x1) * dy1 - (y3 - y1) * dx1
-        if cross == 0:
-            # collinear — overlapping ranges are unsupported
-            def within(a, b, c):
-                return min(a, b) <= c <= max(a, b)
+        if cross != 0:
+            return []  # parallel, not collinear
+        out = []
+        for px, py in ((x3, y3), (x4, y4)):
+            if min(x1, x2) <= px <= max(x1, x2) and min(y1, y2) <= py <= max(
+                y1, y2
+            ):
+                out.append((px, py))
+        return out
+    t = ((x3 - x1) * dy2 - (y3 - y1) * dx2) / denom
+    u = ((x3 - x1) * dy1 - (y3 - y1) * dx1) / denom
+    if 0 <= t <= 1 and 0 <= u <= 1:
+        return [(x1 + t * dx1, y1 + t * dy1)]
+    return []
 
-            overlap = (
-                within(x1, x2, x3)
-                and within(y1, y2, y3)
-                or within(x1, x2, x4)
-                and within(y1, y2, y4)
-                or within(x3, x4, x1)
-                and within(y3, y4, y1)
-            )
-            if overlap and (x1, y1, x2, y2) != (x3, y3, x4, y4):
-                raise ValueError("collinear overlapping segments")
+
+def _seg_intersection(p1, p2, p3, p4):
+    """Single intersection point of segments p1p2 and p3p4, or None.
+    Collinear overlaps return None (use :func:`_seg_nodes` /
+    :func:`_segs_interact` for those)."""
+    (x1, y1), (x2, y2), (x3, y3), (x4, y4) = (
+        (_f(p[0]), _f(p[1])) for p in (p1, p2, p3, p4)
+    )
+    dx1, dy1 = x2 - x1, y2 - y1
+    dx2, dy2 = x4 - x3, y4 - y3
+    denom = dx1 * dy2 - dy1 * dx2
+    if denom == 0:
         return None
     t = ((x3 - x1) * dy2 - (y3 - y1) * dx2) / denom
     u = ((x3 - x1) * dy1 - (y3 - y1) * dx1) / denom
     if 0 <= t <= 1 and 0 <= u <= 1:
         return (x1 + t * dx1, y1 + t * dy1)
     return None
+
+
+def _segs_interact(s1, s2) -> bool:
+    """True when noding the pair would change the piece set: a
+    crossing/T-touch at a point that is not a shared endpoint, or a
+    collinear overlap of positive length (including identical
+    segments)."""
+    (a, b), (c, d) = s1, s2
+    ax, ay = _f(a[0]), _f(a[1])
+    bx, by = _f(b[0]), _f(b[1])
+    cx, cy = _f(c[0]), _f(c[1])
+    dx_, dy_ = _f(d[0]), _f(d[1])
+    dx1, dy1 = bx - ax, by - ay
+    dx2, dy2 = dx_ - cx, dy_ - cy
+    denom = dx1 * dy2 - dy1 * dx2
+    if denom == 0:
+        if (cx - ax) * dy1 - (cy - ay) * dx1 != 0:
+            return False
+        # collinear: positive-length overlap?
+        def t(px, py):
+            return (px - ax) * dx1 + (py - ay) * dy1
+
+        lo, hi = sorted((t(cx, cy), t(dx_, dy_)))
+        return min(hi, t(bx, by)) - max(lo, 0) > 0
+    t_ = ((cx - ax) * dy2 - (cy - ay) * dx2) / denom
+    u_ = ((cx - ax) * dy1 - (cy - ay) * dx1) / denom
+    if not (0 <= t_ <= 1 and 0 <= u_ <= 1):
+        return False
+    p = (ax + t_ * dx1, ay + t_ * dy1)
+    return not (p in ((ax, ay), (bx, by)) and p in ((cx, cy), (dx_, dy_)))
 
 
 def _segments(lines):
@@ -87,16 +130,15 @@ def _segments(lines):
 
 def node_linestrings(lines: list[list[tuple]]) -> list[list[tuple]]:
     """Split every segment of ``lines`` at its intersections with all
-    other segments; return deduplicated two-point pieces as float
+    other segments (collinear overlaps node at each other's contained
+    endpoints); return deduplicated two-point pieces as float
     coordinate lists, deterministically ordered."""
     segs = _segments(lines)
     cuts: list[list] = [[] for _ in segs]
     for i in range(len(segs)):
         for k in range(i + 1, len(segs)):
-            pt = _seg_intersection(*segs[i], *segs[k])
-            if pt is not None:
-                cuts[i].append(pt)
-                cuts[k].append(pt)
+            cuts[i].extend(_seg_nodes(*segs[i], *segs[k]))
+            cuts[k].extend(_seg_nodes(*segs[k], *segs[i]))
     pieces = set()
     for (a, b), pts in zip(segs, cuts):
         dx, dy = b[0] - a[0], b[1] - a[1]
@@ -143,85 +185,118 @@ def _point_in_convex(pt, ring):
     return 0 if on_edge else 1
 
 
-def union_convex_polygons(ring_a: list[tuple], ring_b: list[tuple]):
-    """Union of two convex rings.
+def _collinear_alignment(m, direction, ring):
+    """For a point ``m`` on ``ring``'s boundary: +1 / -1 when the ring
+    edge through ``m`` is collinear with ``direction`` (aligned /
+    opposed), or None when no collinear edge passes through ``m``
+    (vertex point-touch)."""
+    ux, uy = direction
+    for k in range(len(ring)):
+        c, d = ring[k], ring[(k + 1) % len(ring)]
+        ex, ey = d[0] - c[0], d[1] - c[1]
+        if (m[0] - c[0]) * ey - (m[1] - c[1]) * ex != 0:
+            continue
+        if not (
+            min(c[0], d[0]) <= m[0] <= max(c[0], d[0])
+            and min(c[1], d[1]) <= m[1] <= max(c[1], d[1])
+        ):
+            continue
+        if ux * ey - uy * ex != 0:
+            continue
+        return 1 if ux * ex + uy * ey > 0 else -1
+    return None
 
-    Returns ("polygon", ring) for overlapping/contained inputs (ring
-    closed, CCW, float coords, lexicographically-smallest start) or
-    ("multipolygon", [ring_a, ring_b]) when disjoint."""
+
+def union_convex_polygons(ring_a: list[tuple], ring_b: list[tuple]):
+    """Union of two convex rings via the noded boundary arrangement.
+
+    Returns ("polygon", ring) when the union boundary is one loop
+    (overlap, containment, edge-sharing) — ring closed, CCW, float
+    coords, lexicographically-smallest start — or
+    ("multipolygon", [rings...]) when the interiors stay disconnected
+    (disjoint or corner-touching inputs; GEOS's unary_union likewise
+    returns MULTIPOLYGON for point-touches).
+
+    Algorithm: node each ring's edges against the other ring; keep a
+    directed piece when its midpoint is strictly outside the other
+    polygon, or ON the other boundary with the interiors on the same
+    side (collinear aligned edge — kept once via directed-edge
+    dedupe; opposed direction means the interiors merge across the
+    shared edge and BOTH copies drop); stitch kept pieces into loops,
+    preferring to continue along the same source ring at junctions so
+    touching-but-disconnected rings come back as separate loops.
+    """
     A, B = _ring_ccw(ring_a), _ring_ccw(ring_b)
 
-    # containment / disjoint short-circuits
+    # containment short-circuits
     if all(_point_in_convex(p, A) >= 0 for p in B):
         return "polygon", _close(A)
     if all(_point_in_convex(p, B) >= 0 for p in A):
         return "polygon", _close(B)
 
-    # insert each ring's boundary intersections into the other's edges
-    def with_nodes(ring, other):
+    def pieces(ring, other):
         out = []
         n = len(ring)
         for i in range(n):
             a, b = ring[i], ring[(i + 1) % n]
-            hits = []
-            m = len(other)
-            for k in range(m):
-                c, d = other[k], other[(k + 1) % m]
-                pt = _seg_intersection(a, b, c, d)
-                if pt is not None:
-                    hits.append(pt)
+            pts = {a, b}
+            for k in range(len(other)):
+                c, d = other[k], other[(k + 1) % len(other)]
+                pts.update(_seg_nodes(a, b, c, d))
             dx, dy = b[0] - a[0], b[1] - a[1]
-            hits = sorted(
-                set(hits), key=lambda p: (p[0] - a[0]) * dx + (p[1] - a[1]) * dy
-            )
-            out.append(a)
-            out.extend(h for h in hits if h != a and h != b)
+            chain = sorted(pts, key=lambda p: (p[0] - a[0]) * dx + (p[1] - a[1]) * dy)
+            out.extend((u, v) for u, v in zip(chain, chain[1:]) if u != v)
         return out
 
-    An, Bn = with_nodes(A, B), with_nodes(B, A)
-    if An == A and Bn == B:  # no boundary intersections at all
-        return "multipolygon", [_close(A), _close(B)]
+    kept: dict[tuple, int] = {}  # directed piece -> source ring tag
+    for tag, (ring, other) in enumerate(((A, B), (B, A))):
+        for u, v in pieces(ring, other):
+            m = ((u[0] + v[0]) / 2, (u[1] + v[1]) / 2)
+            side = _point_in_convex(m, other)
+            if side > 0:
+                continue  # interior to the other polygon
+            if side == 0:
+                align = _collinear_alignment(m, (v[0] - u[0], v[1] - u[1]), other)
+                if align == -1:
+                    continue  # interiors merge across this shared edge
+                # aligned shared edges dedupe below; vertex point-touch
+                # (align None) stays on the union boundary
+            kept.setdefault((u, v), tag)
 
-    rings = {0: An, 1: Bn}
-    others = {0: B, 1: A}
+    if not kept:
+        raise ValueError("no boundary pieces kept (degenerate inputs)")
 
-    # start at a vertex strictly outside the other polygon
-    start = None
-    for which in (0, 1):
-        for idx, p in enumerate(rings[which]):
-            if _point_in_convex(p, others[which]) < 0:
-                start = (which, idx)
-                break
-        if start:
-            break
-    if start is None:
-        raise ValueError("no exterior start vertex (degenerate overlap)")
-
-    out = []
-    which, idx = start
-    guard = 4 * (len(An) + len(Bn)) + 8
-    while guard:
-        guard -= 1
-        ring = rings[which]
-        p = ring[idx % len(ring)]
-        if out and p == out[0]:
-            break
-        if not out or p != out[-1]:
-            out.append(p)
-        # if p lies on the other ring's boundary, switch rings there
-        # (union walk: always leave along the boundary that stays
-        # outside the other polygon)
-        other_ring = rings[1 - which]
-        if p in other_ring and _point_in_convex(p, others[which]) == 0:
-            nxt_other = other_ring[(other_ring.index(p) + 1) % len(other_ring)]
-            if _point_in_convex(nxt_other, others[1 - which]) <= 0:
-                which = 1 - which
-                idx = other_ring.index(p) + 1
-                continue
-        idx = (idx % len(ring)) + 1
-    if not guard:
-        raise ValueError("union walk failed to close")
-    return "polygon", _close(out)
+    succ: dict[tuple, list] = {}
+    for (u, v), tag in kept.items():
+        succ.setdefault(u, []).append((v, tag))
+    unused = set(kept)
+    loops = []
+    while unused:
+        start = min(unused)
+        u0, v = start
+        tag = kept[start]
+        unused.discard(start)
+        loop = [u0]
+        cur = v
+        guard = len(kept) + 2
+        while cur != u0 and guard:
+            guard -= 1
+            loop.append(cur)
+            options = [
+                (w, t) for (w, t) in succ.get(cur, []) if (cur, w) in unused
+            ]
+            if not options:
+                raise ValueError("union stitch failed (open chain)")
+            options.sort(key=lambda wt: (wt[1] != tag, wt[0]))  # same ring first
+            w, t = options[0]
+            unused.discard((cur, w))
+            cur, tag = w, t
+        if not guard:
+            raise ValueError("union stitch failed to close")
+        loops.append(loop)
+    if len(loops) == 1:
+        return "polygon", _close(loops[0])
+    return "multipolygon", [_close(lp) for lp in sorted(loops, key=min)]
 
 
 def _close(ring):

@@ -167,9 +167,14 @@ def test_geometry_dissolve_dedup_and_multiline():
 
 
 def test_geometry_dissolve_reference_traj_multi():
-    """Reference multi-feature fixture: 10 disjoint drift trajectories
-    dissolve to ONE MULTILINESTRING (reference dbsink/tables.py:266-269
-    merges with unary_union; reference test asserts one output row)."""
+    """Reference multi-feature fixture: 10 drift trajectories that
+    share a launch point and cross dissolve to ONE MULTILINESTRING
+    (reference dbsink/tables.py:266-269 merges with unary_union;
+    reference test asserts one output row). The in-engine dissolve
+    emits the fully-noded segment arrangement (2-point pieces —
+    ST_LineMerge on the DB side reconstructs maximal linestrings);
+    noding only ever SPLITS, so every original vertex survives and
+    the piece count is at least the original segment count."""
     import json
 
     from conftest import fixture_path
@@ -178,7 +183,11 @@ def test_geometry_dissolve_reference_traj_multi():
     feats = msgs[0]["geojson"]["features"]
     wkt = union_features_wkt(feats)
     assert wkt.startswith("MULTILINESTRING (")
-    assert wkt.count("(") == 1 + len(feats)  # one ring per trajectory
+    coords = [pt for f in feats for pt in f["geometry"]["coordinates"]]
+    n_segments = sum(len(f["geometry"]["coordinates"]) - 1 for f in feats)
+    assert wkt.count("(") - 1 >= n_segments  # pieces: splits only
+    for x, y in coords:  # every original vertex survives noding
+        assert f"{x} {y}" in wkt
 
 
 def test_geometry_dissolve_reference_envelopes():
@@ -290,10 +299,38 @@ def test_union_nonconvex_declines_to_assembly():
     assert wkt.startswith("MULTIPOLYGON ")
 
 
-def test_union_collinear_overlap_declines_to_assembly():
-    # Two collinear overlapping segments: degenerate for noding; the
-    # assembled MULTILINESTRING goes to the DB-side dissolve.
+def test_union_collinear_overlap_noded_and_deduped():
+    # Two collinear overlapping segments node at each other's
+    # contained endpoints and the duplicated middle piece collapses:
+    # (0,0)-(2,0) + (1,0)-(3,0) -> (0,1), (1,2), (2,3) on y=0.
     wkt = union_features_wkt(
         [_feat("LineString", [(0, 0), (2, 0)]), _feat("LineString", [(1, 0), (3, 0)])]
     )
-    assert wkt == "MULTILINESTRING ((0 0, 2 0), (1 0, 3 0))"
+    assert wkt == "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (2 0, 3 0))"
+
+
+def test_union_shared_edge_rectangles_dissolved():
+    # Edge-sharing rectangles [0,2]x[0,1] and [1,3]x[0,1] overlap on
+    # [1,2]x[0,1]; the union is [0,3]x[0,1] with the noded collinear
+    # vertices retained (GEOS keeps arrangement nodes): bottom chain
+    # (0,0),(1,0),(2,0),(3,0), top chain mirrored.
+    wkt = union_features_wkt(
+        [
+            _feat("Polygon", [[(0, 0), (2, 0), (2, 1), (0, 1), (0, 0)]]),
+            _feat("Polygon", [[(1, 0), (3, 0), (3, 1), (1, 1), (1, 0)]]),
+        ]
+    )
+    assert wkt == "POLYGON ((0 0, 1 0, 2 0, 3 0, 3 1, 2 1, 1 1, 0 1, 0 0))"
+
+
+def test_union_stacked_rectangles_dissolved():
+    # Stacked unit squares sharing the full edge y=1: interiors merge
+    # across the shared edge (opposed directions -> dropped), union is
+    # the 1x2 rectangle with the junction vertices retained.
+    wkt = union_features_wkt(
+        [
+            _feat("Polygon", [[(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]]),
+            _feat("Polygon", [[(0, 1), (1, 1), (1, 2), (0, 2), (0, 1)]]),
+        ]
+    )
+    assert wkt == "POLYGON ((0 0, 1 0, 1 1, 1 2, 0 2, 0 1, 0 0))"

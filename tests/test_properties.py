@@ -145,3 +145,47 @@ def test_avro_lite_map_roundtrip_property(values):
             assert got == v, k
         else:
             assert got == v or (math.isnan(v) and math.isnan(got))
+
+
+# ---------------------------------------------------------------------------
+# Geometry noding: exact-area property of the arrangement union
+# ---------------------------------------------------------------------------
+
+_rect = st.tuples(
+    st.integers(-20, 20), st.integers(-20, 20),
+    st.integers(1, 15), st.integers(1, 15),
+)
+
+
+def _rect_ring(x, y, w, h):
+    return [(x, y), (x + w, y), (x + w, y + h), (x, y + h)]
+
+
+def _shoelace(closed):
+    s = 0.0
+    for (x1, y1), (x2, y2) in zip(closed, closed[1:]):
+        s += x1 * y2 - x2 * y1
+    return abs(s) / 2
+
+
+@settings(max_examples=200, deadline=None)
+@given(_rect, _rect)
+def test_rect_union_area_exact(r1, r2):
+    """For ANY two integer rectangles (overlapping, contained,
+    edge-sharing, corner-touching, disjoint) the arrangement union's
+    area equals |A| + |B| - |A∩B| exactly — Fraction arithmetic, no
+    epsilon."""
+    from dbsink_spark.functions.noding import union_convex_polygons
+
+    x1, y1, w1, h1 = r1
+    x2, y2, w2, h2 = r2
+    kind, out = union_convex_polygons(_rect_ring(*r1), _rect_ring(*r2))
+    ox = max(0, min(x1 + w1, x2 + w2) - max(x1, x2))
+    oy = max(0, min(y1 + h1, y2 + h2) - max(y1, y2))
+    expected = w1 * h1 + w2 * h2 - ox * oy
+    area = (
+        _shoelace(out)
+        if kind == "polygon"
+        else sum(_shoelace(r) for r in out)
+    )
+    assert area == expected, (kind, out)
