@@ -189,3 +189,89 @@ def test_rect_union_area_exact(r1, r2):
         else sum(_shoelace(r) for r in out)
     )
     assert area == expected, (kind, out)
+
+
+# ---------------------------------------------------------------------------
+# Geometry noding: exact-area property for general convex polygons
+# ---------------------------------------------------------------------------
+# Overlap area computed independently via exact Sutherland-Hodgman
+# clipping; union area must equal |A| + |B| - |A ∩ B| exactly.
+
+from fractions import Fraction  # noqa: E402
+
+def _hull(points):
+    pts = sorted(set(points))
+    if len(pts) < 3:
+        return None
+    def half(ps):
+        out = []
+        for p in ps:
+            while len(out) >= 2 and (
+                (out[-1][0]-out[-2][0])*(p[1]-out[-2][1])
+                - (out[-1][1]-out[-2][1])*(p[0]-out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+    lo, hi = half(pts), half(reversed(pts))
+    hull = lo[:-1] + hi[:-1]
+    return hull if len(hull) >= 3 else None
+
+def _area2(ring):
+    s = Fraction(0)
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]; x2, y2 = ring[(i+1) % n]
+        s += Fraction(x1)*Fraction(y2) - Fraction(x2)*Fraction(y1)
+    return abs(s)
+
+def _clip(subject, clip_ring):
+    # Sutherland-Hodgman, CCW clip ring, exact Fractions
+    out = [(Fraction(x), Fraction(y)) for x, y in subject]
+    n = len(clip_ring)
+    for i in range(n):
+        if not out:
+            return []
+        a = (Fraction(clip_ring[i][0]), Fraction(clip_ring[i][1]))
+        b = (Fraction(clip_ring[(i+1) % n][0]), Fraction(clip_ring[(i+1) % n][1]))
+        def inside(p):
+            return (b[0]-a[0])*(p[1]-a[1]) - (b[1]-a[1])*(p[0]-a[0]) >= 0
+        def inter(p, q):
+            dx, dy = q[0]-p[0], q[1]-p[1]
+            ex, ey = b[0]-a[0], b[1]-a[1]
+            denom = dx*ey - dy*ex
+            t = ((a[0]-p[0])*ey - (a[1]-p[1])*ex) / denom
+            return (p[0]+t*dx, p[1]+t*dy)
+        res = []
+        prev = out[-1]
+        for cur in out:
+            if inside(cur):
+                if not inside(prev):
+                    res.append(inter(prev, cur))
+                res.append(cur)
+            elif inside(prev):
+                res.append(inter(prev, cur))
+            prev = cur
+        out = res
+    return out
+
+coord = st.integers(-15, 15)
+poly_pts = st.lists(st.tuples(coord, coord), min_size=3, max_size=9)
+
+@settings(max_examples=200, deadline=None)
+@given(poly_pts, poly_pts)
+def test_convex_union_area_exact(pa, pb):
+    from dbsink_spark.functions.noding import union_convex_polygons
+    A, B = _hull(pa), _hull(pb)
+    if A is None or B is None:
+        return
+    kind, out = union_convex_polygons(A, B)
+    inter = _clip(A, B)
+    overlap2 = _area2(inter) if len(inter) >= 3 else Fraction(0)
+    expected2 = _area2(A) + _area2(B) - overlap2
+    if kind == "polygon":
+        got2 = _area2([(Fraction(x).limit_denominator(10**12), Fraction(y).limit_denominator(10**12)) for x, y in out[:-1]])
+    else:
+        got2 = sum(_area2([(Fraction(x).limit_denominator(10**12), Fraction(y).limit_denominator(10**12)) for x, y in r[:-1]]) for r in out)
+    assert got2 == expected2, (A, B, kind, out, float(got2)/2, float(expected2)/2)
+
