@@ -253,11 +253,25 @@ def _is_convex(ring) -> bool:
     return sign != 0
 
 
+def _dedup_ring(ring):
+    """Ring without its closing point or consecutive duplicates (the
+    shape :func:`_is_simple_ring` expects)."""
+    pts = [tuple(p) for p in ring]
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    out = []
+    for p in pts:
+        if not out or p != out[-1]:
+            out.append(p)
+    return out
+
+
 def _dissolve_two_convex(polys) -> str | None:
-    """In-engine unary_union for exactly two OVERLAPPING convex
-    single-ring polygons; None otherwise (assembly + DB-side dissolve
-    handles the rest)."""
-    from .noding import union_convex_polygons
+    """In-engine unary_union for exactly two SIMPLE single-ring
+    polygons (convex or not); None when inputs carry holes, are not
+    simple, or the union would enclose a hole (assembly + DB-side
+    dissolve handles those)."""
+    from .noding import _is_simple_ring, union_simple_polygons
 
     if len(polys) != 2:
         return None
@@ -266,10 +280,10 @@ def _dissolve_two_convex(polys) -> str | None:
         if len(p) != 1:  # holes → decline
             return None
         rings.append(p[0])
-    if not all(_is_convex(r) for r in rings):
+    if not all(_is_simple_ring(_dedup_ring(r)) for r in rings):
         return None
     try:
-        kind, out = union_convex_polygons(rings[0], rings[1])
+        kind, out = union_simple_polygons(rings[0], rings[1])
     except ValueError:
         return None
     if kind == "multipolygon":  # disjoint: assembly path already exact

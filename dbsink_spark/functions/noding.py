@@ -185,6 +185,68 @@ def _point_in_convex(pt, ring):
     return 0 if on_edge else 1
 
 
+def _point_in_ring(pt, ring):
+    """-1 outside, 0 on boundary, 1 strictly inside, for ANY simple
+    ring (either orientation). Exact ray cast (+x direction,
+    half-open vertex rule) in Fraction arithmetic."""
+    x, y = pt
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        # boundary?
+        cross = (b[0] - a[0]) * (y - a[1]) - (b[1] - a[1]) * (x - a[0])
+        if (
+            cross == 0
+            and min(a[0], b[0]) <= x <= max(a[0], b[0])
+            and min(a[1], b[1]) <= y <= max(a[1], b[1])
+        ):
+            return 0
+        if (a[1] > y) != (b[1] > y):
+            # exact x of the edge at height y
+            xi = a[0] + (y - a[1]) * (b[0] - a[0]) / (b[1] - a[1])
+            if xi > x:
+                inside = not inside
+    return 1 if inside else -1
+
+
+def _is_simple_ring(ring) -> bool:
+    """True when the (unclosed, deduplicated) ring is a simple
+    polygon: non-adjacent edges never interact, adjacent edges share
+    only their common vertex."""
+    n = len(ring)
+    if n < 3:
+        return False
+    edges = [(ring[i], ring[(i + 1) % n]) for i in range(n)]
+    for i in range(n):
+        for k in range(i + 1, n):
+            a, b = edges[i]
+            c, d = edges[k]
+            shared = {a, b} & {c, d}
+            if shared:
+                # adjacent: the single shared vertex must be the only
+                # contact (no collinear fold-back / spike)
+                pts = set(_seg_nodes(a, b, c, d)) | set(_seg_nodes(c, d, a, b))
+                if pts - shared:
+                    return False
+            elif _segs_interact(edges[i], edges[k]) or _seg_nodes(a, b, c, d):
+                return False
+    return True
+
+
+def _ccw_key(d):
+    """Sortable pseudo-angle key for a nonzero Fraction direction,
+    increasing counterclockwise from +x over [0, 2π)."""
+    dx, dy = d
+    if dx > 0 and dy >= 0:
+        return (0, dy / dx)
+    if dx <= 0 and dy > 0:
+        return (1, -dx / dy)
+    if dx < 0 and dy <= 0:
+        return (2, dy / dx)
+    return (3, -dx / dy)
+
+
 def _collinear_alignment(m, direction, ring):
     """For a point ``m`` on ``ring``'s boundary: +1 / -1 when the ring
     edge through ``m`` is collinear with ``direction`` (aligned /
@@ -207,15 +269,19 @@ def _collinear_alignment(m, direction, ring):
     return None
 
 
-def union_convex_polygons(ring_a: list[tuple], ring_b: list[tuple]):
-    """Union of two convex rings via the noded boundary arrangement.
+def union_simple_polygons(ring_a: list[tuple], ring_b: list[tuple]):
+    """Union of two SIMPLE rings (convex or not) via the noded
+    boundary arrangement.
 
     Returns ("polygon", ring) when the union boundary is one loop
     (overlap, containment, edge-sharing) — ring closed, CCW, float
     coords, lexicographically-smallest start — or
     ("multipolygon", [rings...]) when the interiors stay disconnected
     (disjoint or corner-touching inputs; GEOS's unary_union likewise
-    returns MULTIPOLYGON for point-touches).
+    returns MULTIPOLYGON for point-touches). Raises ValueError when
+    the union encloses a hole (a CW loop in the arrangement) — the
+    caller falls back to assembly + DB-side dissolve, which carries
+    interior rings.
 
     Algorithm: node each ring's edges against the other ring; keep a
     directed piece when its midpoint is strictly outside the other
@@ -223,16 +289,12 @@ def union_convex_polygons(ring_a: list[tuple], ring_b: list[tuple]):
     side (collinear aligned edge — kept once via directed-edge
     dedupe; opposed direction means the interiors merge across the
     shared edge and BOTH copies drop); stitch kept pieces into loops,
-    preferring to continue along the same source ring at junctions so
-    touching-but-disconnected rings come back as separate loops.
+    continuing at junctions with the RIGHTMOST turn relative to the
+    incoming direction (the planar-arrangement face-walk rule), so
+    pinch points split cleanly and touching-but-disconnected rings
+    come back as separate loops.
     """
     A, B = _ring_ccw(ring_a), _ring_ccw(ring_b)
-
-    # containment short-circuits
-    if all(_point_in_convex(p, A) >= 0 for p in B):
-        return "polygon", _close(A)
-    if all(_point_in_convex(p, B) >= 0 for p in A):
-        return "polygon", _close(B)
 
     def pieces(ring, other):
         out = []
@@ -248,11 +310,11 @@ def union_convex_polygons(ring_a: list[tuple], ring_b: list[tuple]):
             out.extend((u, v) for u, v in zip(chain, chain[1:]) if u != v)
         return out
 
-    kept: dict[tuple, int] = {}  # directed piece -> source ring tag
-    for tag, (ring, other) in enumerate(((A, B), (B, A))):
+    kept = set()  # directed pieces; set dedupes shared aligned copies
+    for ring, other in ((A, B), (B, A)):
         for u, v in pieces(ring, other):
             m = ((u[0] + v[0]) / 2, (u[1] + v[1]) / 2)
-            side = _point_in_convex(m, other)
+            side = _point_in_ring(m, other)
             if side > 0:
                 continue  # interior to the other polygon
             if side == 0:
@@ -261,42 +323,70 @@ def union_convex_polygons(ring_a: list[tuple], ring_b: list[tuple]):
                     continue  # interiors merge across this shared edge
                 # aligned shared edges dedupe below; vertex point-touch
                 # (align None) stays on the union boundary
-            kept.setdefault((u, v), tag)
+            kept.add((u, v))
 
     if not kept:
         raise ValueError("no boundary pieces kept (degenerate inputs)")
 
     succ: dict[tuple, list] = {}
-    for (u, v), tag in kept.items():
-        succ.setdefault(u, []).append((v, tag))
+    for u, v in kept:
+        succ.setdefault(u, []).append(v)
+
+    def rightmost(cur, incoming, candidates):
+        """Next vertex continuing the face walk: first direction
+        CLOCKWISE from the reversed incoming direction (exclusive), so
+        the traversed face stays on the left."""
+        ref = _ccw_key((incoming[0] * -1, incoming[1] * -1))
+        scored = []
+        for w in candidates:
+            k = _ccw_key((w[0] - cur[0], w[1] - cur[1]))
+            # clockwise distance from ref, in (0, 1]-normalized key space
+            scored.append(((k >= ref), k, w))
+        # keys < ref come first (closest clockwise), within each group
+        # LARGER key = smaller clockwise distance
+        below = sorted((s for s in scored if not s[0]), key=lambda s: s[1], reverse=True)
+        above = sorted((s for s in scored if s[0]), key=lambda s: s[1], reverse=True)
+        ordered = below + above
+        return ordered[0][2]
+
     unused = set(kept)
     loops = []
     while unused:
         start = min(unused)
         u0, v = start
-        tag = kept[start]
         unused.discard(start)
         loop = [u0]
+        prev = u0
         cur = v
         guard = len(kept) + 2
         while cur != u0 and guard:
             guard -= 1
             loop.append(cur)
-            options = [
-                (w, t) for (w, t) in succ.get(cur, []) if (cur, w) in unused
-            ]
-            if not options:
+            candidates = [w for w in succ.get(cur, []) if (cur, w) in unused]
+            if not candidates:
                 raise ValueError("union stitch failed (open chain)")
-            options.sort(key=lambda wt: (wt[1] != tag, wt[0]))  # same ring first
-            w, t = options[0]
+            w = rightmost(cur, (cur[0] - prev[0], cur[1] - prev[1]), candidates)
             unused.discard((cur, w))
-            cur, tag = w, t
+            prev, cur = cur, w
         if not guard:
             raise ValueError("union stitch failed to close")
+        # orientation: CW loop = enclosed hole -> decline to assembly
+        area2 = sum(
+            loop[i][0] * loop[(i + 1) % len(loop)][1]
+            - loop[(i + 1) % len(loop)][0] * loop[i][1]
+            for i in range(len(loop))
+        )
+        if area2 <= 0:
+            raise ValueError("union encloses a hole (CW loop)")
         loops.append(loop)
     if len(loops) == 1:
         return "polygon", _close(loops[0])
     return "multipolygon", [_close(lp) for lp in sorted(loops, key=min)]
+
+
+# convex pairs are a special case of the general arrangement union;
+# the old name stays as an alias for callers/tests
+union_convex_polygons = union_simple_polygons
 
 
 def _close(ring):

@@ -290,12 +290,28 @@ def test_union_disjoint_polygons_keep_assembly():
     assert wkt == "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"
 
 
-def test_union_nonconvex_declines_to_assembly():
-    # L-shaped (non-convex) polygon overlapping a square: the walk
-    # declines; assembly + DB-side ST_UnaryUnion handles it.
+def test_union_nonconvex_dissolved():
+    # L-shaped (non-convex) polygon overlapping a square: the general
+    # arrangement union dissolves it in-engine. Derivation: L covers
+    # [0,3]x[0,1] ∪ [0,1]x[0,3], square is [2,4]x[0,2]; overlap
+    # [2,3]x[0,1] (area 1), union area 5 + 4 - 1 = 8. Boundary CCW
+    # from (0,0) with collinear arrangement nodes retained at (2,0)
+    # and (3,0).
     lshape = [[(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3), (0, 0)]]
     square = [[(2, 0), (4, 0), (4, 2), (2, 2), (2, 0)]]
     wkt = union_features_wkt([_feat("Polygon", lshape), _feat("Polygon", square)])
+    assert wkt == (
+        "POLYGON ((0 0, 2 0, 3 0, 4 0, 4 2, 2 2, 2 1, 1 1, 1 3, 0 3, 0 0))"
+    )
+
+
+def test_union_enclosing_hole_declines_to_assembly():
+    # A U-shape plus a capping bar enclose a cavity: the union would
+    # need an interior ring, so the in-engine dissolve declines and
+    # the assembled MULTIPOLYGON goes to the DB-side ST_UnaryUnion.
+    u_shape = [[(0, 0), (3, 0), (3, 3), (2, 3), (2, 1), (1, 1), (1, 3), (0, 3), (0, 0)]]
+    cap = [[(0, 2), (0, 3), (3, 3), (3, 2), (0, 2)]]
+    wkt = union_features_wkt([_feat("Polygon", u_shape), _feat("Polygon", cap)])
     assert wkt.startswith("MULTIPOLYGON ")
 
 

@@ -275,3 +275,75 @@ def test_convex_union_area_exact(pa, pb):
         got2 = sum(_area2([(Fraction(x).limit_denominator(10**12), Fraction(y).limit_denominator(10**12)) for x, y in r[:-1]]) for r in out)
     assert got2 == expected2, (A, B, kind, out, float(got2)/2, float(expected2)/2)
 
+
+
+def _star_ring(center, radii):
+    """Simple (star-shaped) polygon: vertices at sorted angles around
+    center with the given radii. Integer-ish coords via rounding to
+    quarters keep the arithmetic exact."""
+    import math as _m
+
+    cx, cy = center
+    n = len(radii)
+    pts = []
+    for i, r in enumerate(radii):
+        th = 2 * _m.pi * i / n
+        x = round((cx + r * _m.cos(th)) * 4) / 4
+        y = round((cy + r * _m.sin(th)) * 4) / 4
+        pts.append((x, y))
+    # dedupe consecutive (tiny radii can collide after rounding)
+    out = []
+    for p in pts:
+        if not out or p != out[-1]:
+            out.append(p)
+    return out if len(set(out)) >= 3 else None
+
+
+_star = st.tuples(
+    st.tuples(st.integers(-4, 4), st.integers(-4, 4)),
+    st.lists(st.integers(1, 8), min_size=3, max_size=8),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_star, _star)
+def test_simple_union_pointwise_membership(sa, sb):
+    """Independent check of the general (non-convex) arrangement
+    union: for every strictly-classified grid point, membership in
+    the union equals membership in A or B."""
+    from dbsink_spark.functions.noding import (
+        _f,
+        _is_simple_ring,
+        _point_in_ring,
+        union_simple_polygons,
+    )
+
+    A = _star_ring(*sa)
+    B = _star_ring(*sb)
+    if A is None or B is None:
+        return
+    Af = [(_f(x), _f(y)) for x, y in A]
+    Bf = [(_f(x), _f(y)) for x, y in B]
+    if not (_is_simple_ring(Af) and _is_simple_ring(Bf)):
+        return
+    try:
+        kind, out = union_simple_polygons(A, B)
+    except ValueError:
+        return  # declined (hole) — assembly path covers it
+    loops = [out] if kind == "polygon" else out
+    loops_f = [[(_f(x), _f(y)) for x, y in lp[:-1]] for lp in loops]
+    from fractions import Fraction as _Fr
+
+    for gx in range(-13, 14, 3):
+        for gy in range(-13, 14, 3):
+            # off-lattice rational point: never ON any boundary built
+            # from quarter-lattice vertices... still guard with side==0
+            p = (_Fr(gx * 7 + 1, 7), _Fr(gy * 7 + 2, 7))
+            sa_ = _point_in_ring(p, Af)
+            sb_ = _point_in_ring(p, Bf)
+            if sa_ == 0 or sb_ == 0:
+                continue
+            su = max(_point_in_ring(p, lf) for lf in loops_f)
+            if su == 0:
+                continue
+            assert (su > 0) == (sa_ > 0 or sb_ > 0), (A, B, kind, out, p)
