@@ -159,6 +159,16 @@ UNGATED = frozenset(
         "q59_recursive_hierarchy",
         "q60_sample_estimate",
         "t21_bm25_rank",
+        # round-5 session-2 additions (same policy — candidates for a
+        # future sanctioned promotion as new capability classes:
+        # iterative graph analytics, first-principles mergeable HLL,
+        # triangle/clustering graph stats, collocation mining, data
+        # profiling):
+        "q61_pagerank",
+        "q62_hll_distinct",
+        "q63_triangle_count",
+        "t22_pmi_collocations",
+        "q64_column_profile",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

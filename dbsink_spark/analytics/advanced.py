@@ -1661,3 +1661,459 @@ def _q60_oracle() -> str:
 
 ORACLE["q60_sample_estimate"] = _q60_oracle()
 QUERIES["q60_sample_estimate"] = q60_sample_estimate
+
+
+# ---------------------------------------------------------------------------
+# q61: fixed-point PageRank — iterative graph analytics as shuffled joins
+# ---------------------------------------------------------------------------
+
+Q61_ITERS = 3
+Q61_UNIT = 1_000_000          # micro-rank fixed-point unit (1.0 == 1e6)
+Q61_DAMP_NUM, Q61_DAMP_DEN = 85, 100
+Q61_TOPK = 20
+Q61_BASE = Q61_UNIT * (Q61_DAMP_DEN - Q61_DAMP_NUM) // Q61_DAMP_DEN
+
+
+def q61_pagerank(spark: SparkSession, sf_dir: str, iters: int = Q61_ITERS) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph (edge c—s iff c
+    bought from s), run for a fixed number of power iterations as the
+    classic Pregel-as-joins pattern: each round equi-joins the rank
+    vector against the degree-annotated edge list and hash-aggregates
+    contributions on the destination.
+
+    **Fixed-point arithmetic** (BIGINT micro-ranks, integer DIV) keeps
+    every iteration exact and summation-order-independent, so the
+    DuckDB oracle matches bit-for-bit — float PageRank would drift by
+    an ulp per reduction order. All magnitudes stay < 2^60 even at
+    10^9 nodes.
+
+    Scale: the edge list (with out-degree attached) is built once and
+    cached; each iteration shuffles edge-sized contributions on dst and
+    node-sized ranks on node — the same partitioning every round, so
+    at scale the exchange reuses co-partitioned state (GraphX/Pregel's
+    operating model, expressed in DataFrames so AQE still plans each
+    round). Lineage grows linearly in iterations; for 20+ rounds at
+    real scale, localCheckpoint() every ~5 rounds truncates it (noted
+    in SCALE.md; K=3 here keeps the oracle CTE chain readable).
+
+    Reference parity: no graph surface in the reference (SURVEY §2.6
+    gap table) — extension machinery.
+    """
+    t = Tables(spark, sf_dir)
+    pairs = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # materialize the loop-invariant state once via localCheckpoint
+    # (blocks reclaimed by the ContextCleaner when these frames go out
+    # of scope — the s05 pattern): edges_deg is referenced every
+    # iteration and nodes K+1 times; without this each reference
+    # recomputes the build joins AND lineage grows superlinearly
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(Q61_UNIT).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), F.expr("pr DIV outdeg").alias("share"))
+            .groupBy("node")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(Q61_BASE)
+                + F.expr(f"{Q61_DAMP_NUM} * coalesce(contrib, 0L) DIV {Q61_DAMP_DEN}")
+            ).cast("long").alias("pr"),
+        )
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node DIV 2").alias("node_key"),
+            F.col("pr").alias("rank_micro"),
+        )
+        .orderBy(F.desc("rank_micro"), "node_type", "node_key")
+        .limit(Q61_TOPK)
+    )
+
+
+def _q61_oracle() -> str:
+    head = """
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, {unit}::BIGINT AS pr FROM nodes)""".format(unit=Q61_UNIT)
+    body = ""
+    for i in range(1, Q61_ITERS + 1):
+        body += """,
+    c{i} AS (
+        SELECT e.dst AS node, sum(r.pr // d.outdeg)::BIGINT AS contrib
+        FROM edges e JOIN deg d ON e.src = d.src JOIN r{p} r ON e.src = r.node
+        GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT n.node,
+               ({base} + ({dn} * coalesce(c.contrib, 0)) // {dd})::BIGINT AS pr
+        FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+    )""".format(i=i, p=i - 1, base=Q61_BASE, dn=Q61_DAMP_NUM, dd=Q61_DAMP_DEN)
+    return head + body + """
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           (node // 2)::BIGINT AS node_key,
+           pr::BIGINT AS rank_micro
+    FROM r{k}
+    ORDER BY rank_micro DESC, node_type, node_key
+    LIMIT {topk}
+    """.format(k=Q61_ITERS, topk=Q61_TOPK)
+
+
+ORACLE["q61_pagerank"] = _q61_oracle()
+QUERIES["q61_pagerank"] = q61_pagerank
+
+
+# ---------------------------------------------------------------------------
+# q62: hand-rolled HyperLogLog — mergeable distinct-count registers
+# ---------------------------------------------------------------------------
+
+Q62_M = 64                     # registers (b = 6 bucket bits)
+Q62_W_BITS = 54                # 60-bit h64 minus 6 bucket bits
+Q62_SHIFT = Q62_W_BITS + 1     # rho ∈ [1, 55]
+Q62_ALPHA = 0.709              # alpha_m for m = 64 (Flajolet et al. 2007)
+# exact double literal, inlined into BOTH engines so the one float
+# division is performed on identical operands
+Q62_NUM = repr(Q62_ALPHA * Q62_M * Q62_M * float(2 ** Q62_SHIFT))
+
+
+def q62_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count built from first principles on the
+    portable ``h64`` hash: bucket = low 6 bits, rho = leading-zero
+    rank of the remaining 54 bits, registers = per-bucket max(rho) —
+    the *mergeable* sketch shape (register-wise max) that lets 1000
+    executors each sketch their partitions and combine in one
+    64-row reduce, and lets daily sketches roll up to monthly without
+    rescanning (unlike exact countDistinct, whose shuffle is
+    value-cardinality-sized).
+
+    Exactness strategy: the register table is integer-exact, the
+    inverse-power sum is computed as BIGINT ``1 << (55 - m_j)`` (every
+    term exact), and the single float division NUM / S uses an inlined
+    literal numerator — bit-identical in Spark and DuckDB, so the
+    sketch ESTIMATE itself is value-hash-verified, not just bounded.
+
+    vs q29 (approx_count_distinct): that is Spark's built-in HLL++,
+    correct but opaque — this exposes the register algebra the
+    streaming maintainer (streaming/sketches.py) and any cross-system
+    exchange format need. Raw estimate only (no small-range linear
+    counting branch: n ≈ 25 m here, far above the 2.5 m cutover;
+    documented contract).
+    """
+    o = Tables(spark, sf_dir).orders.select("o_custkey")
+    from ..functions.hashing import h64
+
+    d = o.select(h64(F.col("o_custkey")).alias("h")).select(
+        (F.col("h") % Q62_M).alias("bucket"),
+        F.expr(f"h DIV {Q62_M}").alias("w"),
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(Q62_SHIFT))
+        .otherwise(F.lit(Q62_SHIFT) - F.length(F.bin(F.col("w"))))
+        .cast("long")
+    )
+    regs = d.groupBy("bucket").agg(F.max(rho).alias("m_j"))
+    summary = regs.agg(
+        F.count(F.lit(1)).alias("nonzero_registers"),
+        F.sum(F.expr(f"shiftleft(1L, {Q62_SHIFT} - m_j)")).alias("sum_pow"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    est = F.lit(float(Q62_NUM)) / F.col("sum_pow")
+    return summary.crossJoin(exact).select(
+        F.lit(Q62_M).cast("long").alias("m"),
+        "nonzero_registers",
+        "sum_pow",
+        est.alias("est_distinct"),
+        "exact_distinct",
+        (
+            F.floor((est - F.col("exact_distinct")) / F.col("exact_distinct") * 10000 + F.lit(0.5))
+            / 10000.0
+        ).alias("rel_err"),
+    )
+
+
+def _q62_oracle() -> str:
+    from ..functions.hashing import h64_sql
+
+    h = h64_sql("o_custkey::VARCHAR")
+    return f"""
+    WITH d AS (
+        SELECT ({h}) % {Q62_M} AS bucket, ({h}) // {Q62_M} AS w
+        FROM orders
+    ),
+    regs AS (
+        SELECT bucket,
+               max(CASE WHEN w = 0 THEN {Q62_SHIFT}
+                        ELSE {Q62_SHIFT} - length(bin(w)) END)::BIGINT AS m_j
+        FROM d GROUP BY bucket
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS nonzero_registers,
+               sum(1::BIGINT << ({Q62_SHIFT} - m_j))::BIGINT AS sum_pow
+        FROM regs
+    ),
+    e AS (SELECT count(DISTINCT o_custkey)::BIGINT AS exact_distinct FROM orders)
+    SELECT {Q62_M}::BIGINT AS m,
+           nonzero_registers,
+           sum_pow,
+           {Q62_NUM} / sum_pow AS est_distinct,
+           exact_distinct,
+           floor(({Q62_NUM} / sum_pow - exact_distinct) / exact_distinct * 10000 + 0.5)
+               / 10000.0 AS rel_err
+    FROM s, e
+    """
+
+
+ORACLE["q62_hll_distinct"] = _q62_oracle()
+QUERIES["q62_hll_distinct"] = q62_hll_distinct
+
+
+# ---------------------------------------------------------------------------
+# q63: triangle counting — degree-ordered compact-forward on joins
+# ---------------------------------------------------------------------------
+
+Q63_QTY_MIN = 45    # co-purchase graph restricted to high-quantity lines
+Q63_ORD_BASE = 1_000_000_000
+
+
+def q63_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph (parts appearing in the same order, restricted
+    to ``l_quantity >= 45`` lines — predicate pushed to the scan).
+
+    **Degree-ordered compact-forward** (Latapy 2008 / Schank-Wagner):
+    orient every edge from its (degree, id)-smaller endpoint, then
+    count wedges only between the two HIGHER endpoints of a shared
+    low vertex and close them with an oriented-edge equi-join. Each
+    triangle is counted exactly once from its minimum vertex, and the
+    wedge-join fan-out is bounded by out-degree ≤ O(sqrt(m)) instead
+    of max raw degree — the difference between m^1.5 and m·d_max
+    work on a skewed 100 TB graph. All joins are hash equi-joins on
+    node ids; no cartesian anywhere.
+
+    Integer-exact output: counts are BIGINT; the clustering
+    coefficient is floor-scaled basis points via integer division
+    (3·T·10⁴ DIV paths₂), so no float ever forms.
+    """
+    li = (
+        Tables(spark, sf_dir)
+        .lineitem.filter(F.col("l_quantity") >= Q63_QTY_MIN)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        # edges feeds degree, orientation, and the edge count; ej (below)
+        # is probed three times by the wedge/closing joins — materialize
+        # both once (s05 localCheckpoint pattern) instead of recomputing
+        # the self-join per reference
+        .localCheckpoint(eager=True)
+    )
+    und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ordv = deg.select(
+        F.col("u").alias("node"),
+        (F.col("deg") * F.lit(Q63_ORD_BASE) + F.col("u")).alias("ordk"),
+    )
+    ej = (
+        edges.join(ordv.select(F.col("node").alias("u"), F.col("ordk").alias("ord_u")), "u")
+        .join(ordv.select(F.col("node").alias("v"), F.col("ordk").alias("ord_v")), "v")
+        .select(
+            F.when(F.col("ord_u") < F.col("ord_v"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(F.col("ord_u") < F.col("ord_v"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.least("ord_u", "ord_v").alias("ord_src"),
+            F.greatest("ord_u", "ord_v").alias("ord_dst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1, e2 = ej.alias("e1"), ej.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.ord_dst") < F.col("e2.ord_dst")),
+    ).select(F.col("e1.dst").alias("wv"), F.col("e2.dst").alias("ww"))
+    tri = wedges.join(
+        ej.select(F.col("src").alias("wv"), F.col("dst").alias("ww")), ["wv", "ww"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nn = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).alias("n_paths2"),
+    )
+    return (
+        nn.crossJoin(counts)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_paths2",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_paths2 = 0 THEN 0L"
+                " ELSE 3 * n_triangles * 10000 DIV n_paths2 END"
+            ).alias("clustering_bp"),
+        )
+    )
+
+
+ORACLE["q63_triangle_count"] = f"""
+    WITH li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= {Q63_QTY_MIN}
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (
+        SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    deg AS (SELECT u, count(*)::BIGINT AS deg FROM und GROUP BY u),
+    ordv AS (SELECT u AS node, deg * {Q63_ORD_BASE} + u AS ordk FROM deg),
+    ej AS (
+        SELECT CASE WHEN ou.ordk < ov.ordk THEN e.u ELSE e.v END AS src,
+               CASE WHEN ou.ordk < ov.ordk THEN e.v ELSE e.u END AS dst,
+               greatest(ou.ordk, ov.ordk) AS ord_dst
+        FROM edges e
+        JOIN ordv ou ON e.u = ou.node
+        JOIN ordv ov ON e.v = ov.node
+    ),
+    wedges AS (
+        SELECT e1.dst AS wv, e2.dst AS ww
+        FROM ej e1 JOIN ej e2
+          ON e1.src = e2.src AND e1.ord_dst < e2.ord_dst
+    ),
+    tri AS (
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM wedges w JOIN ej e ON w.wv = e.src AND w.ww = e.dst
+    ),
+    counts AS (SELECT count(*)::BIGINT AS n_edges FROM edges),
+    nn AS (
+        SELECT count(*)::BIGINT AS n_nodes,
+               sum(deg * (deg - 1) // 2)::BIGINT AS n_paths2
+        FROM deg
+    )
+    SELECT n_nodes, n_edges, n_paths2, n_triangles,
+           (CASE WHEN n_paths2 = 0 THEN 0
+                 ELSE 3 * n_triangles * 10000 // n_paths2 END)::BIGINT AS clustering_bp
+    FROM nn, counts, tri
+"""
+
+QUERIES["q63_triangle_count"] = q63_triangle_count
+
+
+# ---------------------------------------------------------------------------
+# q64: data profiling — per-column stats in ONE pass, unpivoted
+# ---------------------------------------------------------------------------
+
+# doubles are excluded on purpose: their VARCHAR rendering is
+# engine-specific ('1.0' vs '1'), which would break the value hash for
+# zero analytic benefit — the profiler contract covers integral,
+# string, and temporal columns
+Q64_COLS = (
+    ("l_orderkey", "bigint"),
+    ("l_partkey", "bigint"),
+    ("l_suppkey", "bigint"),
+    ("l_linenumber", "int"),
+    ("l_returnflag", "string"),
+    ("l_linestatus", "string"),
+    ("l_shipdate", "timestamp"),
+)
+
+
+def q64_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiler: per-column null count, exact distinct count,
+    and min/max — the first query every ingestion pipeline runs on a
+    new 100 TB drop to decide partitioning keys, null policies, and
+    dictionary-encoding candidates.
+
+    ONE scan: all 7 columns' aggregates compute in a single wide
+    aggregation (Catalyst plans the multi-distinct via Expand — a 7×
+    row expansion but map-side partial-aggregated, far cheaper than 7
+    scans of a 100 TB table), then a ``stack`` unpivot reshapes the
+    single wide row into the per-column report. At extreme scale swap
+    ``countDistinct`` for ``approx_count_distinct`` (the q29/q62
+    machinery); exact here so the oracle hash-verifies.
+
+    Timestamps are rendered via an explicit format string — engine
+    default casts disagree on fractional seconds.
+    """
+    li = Tables(spark, sf_dir).lineitem
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, typ in Q64_COLS:
+        aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if typ == "timestamp":
+            aggs.append(F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(f"mn_{c}"))
+            aggs.append(F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"mx_{c}"))
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"mn_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"mx_{c}"))
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in Q64_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(Q64_COLS)}, {stack_args}) AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val").orderBy("col_name")
+
+
+def _q64_oracle() -> str:
+    parts = []
+    for c, typ in Q64_COLS:
+        if typ == "timestamp":
+            mn = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn = f"min({c})::VARCHAR"
+            mx = f"max({c})::VARCHAR"
+        parts.append(
+            f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+               sum(({c} IS NULL)::INT)::BIGINT AS n_nulls,
+               count(DISTINCT {c})::BIGINT AS n_distinct,
+               {mn} AS min_val, {mx} AS max_val
+            FROM lineitem"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+ORACLE["q64_column_profile"] = _q64_oracle()
+QUERIES["q64_column_profile"] = q64_column_profile

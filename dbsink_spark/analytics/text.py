@@ -1375,3 +1375,93 @@ def _t21_oracle() -> str:
 
 ORACLE["t21_bm25_rank"] = _t21_oracle()
 QUERIES["t21_bm25_rank"] = t21_bm25_rank
+
+
+# ---------------------------------------------------------------------------
+# t22: collocation mining — integer-scaled PMI over adjacent bigrams
+# ---------------------------------------------------------------------------
+
+T22_MIN_PAIR = 5        # bigram support floor
+T22_SCALE = 1000        # fixed-point PMI-ratio scale
+T22_TOPK = 25
+
+
+def t22_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: rank adjacent word pairs by a fixed-point
+    pointwise-mutual-information score — `n_ab·N·SCALE DIV (n_a·n_b)`,
+    a strictly monotone transform of PMI (log of the same ratio) kept
+    in BIGINT so the oracle matches exactly (libm ``log`` differs in
+    the last ulp between JVM and C and would break the value hash).
+
+    Plan shape: one explode produces positions, a self-free bigram
+    expansion via ``transform(sequence(...))`` (no join needed for
+    adjacency — the array is already ordered), then two word-count
+    aggregations (unigrams, bigrams) joined back on each side of the
+    pair. Both lookup joins are vocabulary-sized — broadcastable at
+    any corpus scale since vocab ≪ corpus — and map-side partial
+    aggregation bounds shuffle volume by vocab × partitions.
+
+    LLM-pipeline use: multi-word-expression detection for tokenizer
+    vocab curation and boilerplate phrase discovery.
+    """
+    d = Tables(spark, sf_dir).documents.select(_words().alias("w"))
+    bi = d.filter(F.size("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = (
+        Tables(spark, sf_dir)
+        .documents.select(F.explode(_words()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_term"))
+    )
+    tot = uni.agg(F.sum("n_term").alias("n_total"))
+    pairs = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab")).filter(
+        F.col("n_ab") >= T22_MIN_PAIR
+    )
+    return (
+        pairs.join(F.broadcast(uni.select(F.col("term").alias("w1"), F.col("n_term").alias("n_a"))), "w1")
+        .join(F.broadcast(uni.select(F.col("term").alias("w2"), F.col("n_term").alias("n_b"))), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(f"n_ab * n_total * {T22_SCALE} DIV (n_a * n_b)").alias("pmi_scaled"),
+        )
+        .orderBy(F.desc("pmi_scaled"), "w1", "w2")
+        .limit(T22_TOPK)
+    )
+
+
+ORACLE["t22_pmi_collocations"] = f"""
+    WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+    bi AS (
+        SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM t WHERE len(w) >= 2
+    ),
+    pairs AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2, count(*)::BIGINT AS n_ab
+        FROM bi GROUP BY 1, 2
+        HAVING count(*) >= {T22_MIN_PAIR}
+    ),
+    uni AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    cnt AS (SELECT term, count(*)::BIGINT AS n_term FROM uni GROUP BY term),
+    tot AS (SELECT sum(n_term)::BIGINT AS n_total FROM cnt)
+    SELECT p.w1, p.w2, p.n_ab,
+           a.n_term AS n_a, b.n_term AS n_b,
+           (p.n_ab * t.n_total * {T22_SCALE} // (a.n_term * b.n_term))::BIGINT AS pmi_scaled
+    FROM pairs p
+    JOIN cnt a ON p.w1 = a.term
+    JOIN cnt b ON p.w2 = b.term
+    CROSS JOIN tot t
+    ORDER BY pmi_scaled DESC, w1, w2
+    LIMIT {T22_TOPK}
+"""
+
+QUERIES["t22_pmi_collocations"] = t22_pmi_collocations

@@ -245,3 +245,110 @@ class BitmapMaintainer:
         if trigger:
             stream = stream.trigger(**trigger)
         return stream.start()
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained HyperLogLog registers (q62's streaming twin)
+# ---------------------------------------------------------------------------
+
+
+def batch_hll(df: DataFrame, item_col: str) -> DataFrame:
+    """(bucket, m_j) partial HLL register table for one batch — the
+    same bucket/rho algebra as the batch sketch
+    (analytics.advanced.q62_hll_distinct), reduced per-batch by
+    map-side-combinable ``max``."""
+    from ..analytics.advanced import Q62_M, Q62_SHIFT
+
+    d = df.select(h64(F.col(item_col)).alias("h")).select(
+        (F.col("h") % Q62_M).alias("bucket"),
+        F.expr(f"h DIV {Q62_M}").alias("w"),
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(Q62_SHIFT))
+        .otherwise(F.lit(Q62_SHIFT) - F.length(F.bin(F.col("w"))))
+        .cast("long")
+    )
+    return d.groupBy("bucket").agg(F.max(rho).alias("m_j"))
+
+
+class HLLMaintainer:
+    """Maintains HyperLogLog registers in a DBAPI target from a
+    streaming source of items — the streaming twin of q62.
+
+    Register-wise ``max`` is mergeable AND idempotent (like
+    BitmapMaintainer's OR, unlike count-min's addition): replaying a
+    micro-batch leaves the registers unchanged, so the maintained
+    state is correct under at-least-once delivery with no batch-id
+    bookkeeping. State is a fixed m-row table regardless of stream
+    volume, and at all times equals what a batch q62 over everything
+    streamed so far would build (asserted register-for-register in
+    tests). Daily register tables union+max into monthly ones without
+    rescanning — the sketch-rollup property exact distinct lacks."""
+
+    def __init__(self, connect, table: str = "hll_registers", dialect: str = "duckdb"):
+        self.connect = connect
+        self.table = table
+        self.dialect = dialect
+
+    def ensure_table(self) -> None:
+        conn = self.connect()
+        try:
+            conn.execute(
+                f"CREATE TABLE IF NOT EXISTS {quoted(self.table)} ("
+                "bucket BIGINT, m_j BIGINT, PRIMARY KEY (bucket))"
+            )
+        finally:
+            conn.close()
+
+    def merge_batch(self, regs_df: DataFrame, batch_id: int | None = None) -> None:
+        rows = [(r["bucket"], r["m_j"]) for r in regs_df.collect()]
+        if not rows:
+            return
+        sql = (
+            f"INSERT INTO {quoted(self.table)} (bucket, m_j) VALUES (?, ?) "
+            "ON CONFLICT (bucket) DO UPDATE SET m_j = greatest(m_j, excluded.m_j)"
+        )
+        if self.dialect == "postgres":
+            sql = sql.replace("?", "%s")
+        conn = self.connect()
+        try:
+            if self.dialect == "duckdb":
+                conn.executemany(sql, rows)
+            else:
+                with conn.cursor() as cur:
+                    cur.executemany(sql, rows)
+                conn.commit()
+        finally:
+            conn.close()
+
+    def estimate_sql(self) -> str:
+        """SQL serving the HLL distinct estimate straight from the
+        maintained registers — identical formula to q62 (raw estimate;
+        same inlined numerator literal)."""
+        from ..analytics.advanced import Q62_NUM, Q62_SHIFT
+
+        return (
+            f"SELECT {Q62_NUM} / sum(1::BIGINT << ({Q62_SHIFT} - m_j)) AS est_distinct "
+            f"FROM {quoted(self.table)}"
+        )
+
+    def run(
+        self,
+        source: DataFrame,
+        item_col: str,
+        checkpoint: str,
+        trigger: dict | None = None,
+    ) -> StreamingQuery:
+        self.ensure_table()
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.merge_batch(batch_hll(batch_df, item_col), batch_id)
+
+        stream = (
+            source.writeStream.outputMode("append")
+            .foreachBatch(fn)
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger:
+            stream = stream.trigger(**trigger)
+        return stream.start()

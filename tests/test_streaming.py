@@ -693,3 +693,66 @@ def test_batch_bitmap_rejects_negative_ids(spark):
     with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as ei:
         batch_bitmap(bad, "event_type", "user_id").collect()
     assert "id-domain contract" in str(ei.value)
+
+
+def test_streaming_hll_registers_match_batch_and_idempotent(spark, tmp_path):
+    """After two micro-batches the maintained HLL registers must equal
+    (register-for-register) a batch build over everything streamed so
+    far, the served estimate must equal q62's formula on those
+    registers, and re-merging a replayed batch must leave the store
+    unchanged (register max is idempotent)."""
+    import duckdb
+
+    from dbsink_spark.analytics.advanced import Q62_NUM, Q62_SHIFT
+    from dbsink_spark.streaming.sketches import HLLMaintainer, batch_hll
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    batch1 = list(range(1, 400))
+    batch2 = list(range(350, 700))
+    with open(indir / "b0.json", "w") as f:
+        for u in batch1:
+            f.write(json.dumps({"item": u}) + "\n")
+
+    db = str(tmp_path / "hll.duckdb")
+
+    def connect():
+        return duckdb.connect(db)
+
+    m = HLLMaintainer(connect)
+    src = (
+        spark.readStream.schema("item long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    q = m.run(src, "item", str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    with open(indir / "b1.json", "w") as f:
+        for u in batch2:
+            f.write(json.dumps({"item": u}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    # registers == batch build over the union
+    full = spark.createDataFrame([(u,) for u in batch1 + batch2], ["item"])
+    want = {
+        r["bucket"]: r["m_j"] for r in batch_hll(full, "item").collect()
+    }
+    con = duckdb.connect(db)
+    got = dict(con.execute("SELECT bucket, m_j FROM hll_registers").fetchall())
+    assert got == want
+
+    # served estimate equals the q62 formula over those registers
+    est = con.execute(m.estimate_sql()).fetchone()[0]
+    s = sum(1 << (Q62_SHIFT - mj) for mj in want.values())
+    assert est == float(Q62_NUM) / s
+    # raw HLL at m=64 on ~700 distinct: sanity-band the estimate
+    assert 0.5 * 699 < est < 1.5 * 699
+
+    before = sorted(con.execute("SELECT * FROM hll_registers").fetchall())
+    con.close()
+    replay = spark.createDataFrame([(u,) for u in batch2], ["item"])
+    m.merge_batch(batch_hll(replay, "item"))
+    con = duckdb.connect(db)
+    after = sorted(con.execute("SELECT * FROM hll_registers").fetchall())
+    assert after == before
