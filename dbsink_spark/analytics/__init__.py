@@ -169,6 +169,8 @@ UNGATED = frozenset(
         "q63_triangle_count",
         "t22_pmi_collocations",
         "q64_column_profile",
+        "q65_kmv_set_ops",
+        "q66_sequence_pattern",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

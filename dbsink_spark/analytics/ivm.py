@@ -1,0 +1,199 @@
+"""Incremental view maintenance (IVM) for aggregate views.
+
+Maintains a grouped-aggregate materialized view (count / sum / sum of
+squares per group — the sufficient statistics for count, sum, avg,
+variance) against a stream of INSERTS AND DELETES (retractions),
+without ever rescanning the base table: each change batch reduces to a
+group-sized partial delta, and only the store buckets containing
+touched groups are rewritten.
+
+This is the batch-lake twin of ``streaming.RollupMaintainer`` (which
+additively upserts into a DBAPI target but cannot retract): the
+retraction algebra here is the standard signed-multiset construction —
+every change row carries ``op`` ∈ {+1, −1}, partials are
+``sum(op)``, ``sum(op·v)``, ``sum(op·v²)``, and a group whose
+maintained count reaches zero is DELETED from the view, so the view
+after any change sequence equals a fresh aggregate over the net base
+table (the equivalence pytest proves exactly that, including
+insert→delete→reinsert round-trips).
+
+Store layout: parquet partitioned by ``bucket = pmod(h64(group), N)``.
+A maintenance step reads ONLY the buckets its delta touches (partition
+pruning on the bucket key), merges state+delta with a full-outer join
+on the group, and dynamically overwrites just those buckets — cost
+scales with the change batch, not the view, and untouched bucket files
+are byte-identical afterwards (tested). At 100 TB the view is
+group-cardinality-sized and a daily CDC batch touches the buckets of
+its own groups only — the Materialize/Flink-SQL cost model on plain
+parquet.
+
+Serving: ``serve()`` derives avg/variance from the sufficient
+statistics — no base-table access.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h64
+
+N_BUCKETS = 16
+
+_STATE_COLS = ("grp", "bucket", "n", "s", "s2")
+
+
+class AggView:
+    """A bucket-partitioned, retraction-capable aggregate view."""
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = N_BUCKETS):
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+
+    # -- construction ------------------------------------------------------
+
+    def _bucket(self, grp_col) -> F.Column:
+        return F.pmod(h64(grp_col), F.lit(self.n_buckets)).cast("int")
+
+    def init(self, base: DataFrame | None, group_col: str, value_col: str) -> None:
+        """Build the view from an optional initial base table (pass
+        ``None`` to start empty)."""
+        if base is None:
+            # empty store: just the directory — a partitioned write of
+            # zero rows emits no readable footer, so reads go through
+            # _read_state()'s empty fallback until the first maintain()
+            import os
+
+            os.makedirs(self.path, exist_ok=True)
+            return
+        state = (
+            base.select(
+                F.col(group_col).cast("string").alias("grp"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("s"),
+                F.sum(F.col("v") * F.col("v")).alias("s2"),
+            )
+            .withColumn("bucket", self._bucket(F.col("grp")))
+            .select(*_STATE_COLS)
+        )
+        state.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
+
+    # -- maintenance -------------------------------------------------------
+
+    def delta_partials(self, changes: DataFrame, group_col: str, value_col: str,
+                       op_col: str = "op") -> DataFrame:
+        """Reduce a change batch (rows with op ∈ {+1, −1}) to per-group
+        signed partials — batch-sized work, map-side combinable."""
+        return (
+            changes.select(
+                F.col(group_col).cast("string").alias("grp"),
+                F.col(value_col).cast("double").alias("v"),
+                F.col(op_col).cast("long").alias("op"),
+            )
+            .groupBy("grp")
+            .agg(
+                F.sum("op").alias("dn"),
+                F.sum(F.col("op") * F.col("v")).alias("ds"),
+                F.sum(F.col("op") * F.col("v") * F.col("v")).alias("ds2"),
+            )
+            .withColumn("bucket", self._bucket(F.col("grp")))
+        )
+
+    def maintain(self, changes: DataFrame, group_col: str, value_col: str,
+                 op_col: str = "op") -> dict:
+        """Apply one change batch. Reads and rewrites ONLY the buckets
+        the batch touches. Returns maintenance stats."""
+        delta = self.delta_partials(changes, group_col, value_col, op_col)
+        delta = delta.localCheckpoint(eager=True)  # tiny; read 3×
+        buckets = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
+        if not buckets:
+            return {"buckets_rewritten": 0, "groups_touched": 0}
+
+        state = self._read_state().filter(F.col("bucket").isin(buckets))
+        merged = (
+            state.join(delta, ["grp", "bucket"], "full_outer")
+            .select(
+                "grp",
+                "bucket",
+                (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+                (F.coalesce("s", F.lit(0.0)) + F.coalesce("ds", F.lit(0.0))).alias("s"),
+                (F.coalesce("s2", F.lit(0.0)) + F.coalesce("ds2", F.lit(0.0))).alias("s2"),
+            )
+            .filter(F.col("n") > 0)
+        )
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.repartition(max(1, len(buckets)), "bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.path)
+        )
+        # dynamic overwrite only replaces partitions PRESENT in the
+        # write; a touched bucket whose every group was deleted writes
+        # zero rows and would keep its stale files — drop those
+        # directories explicitly (with a table format this is the
+        # delete-manifest entry; on plain parquet it's an fs delete)
+        surviving = {r["bucket"] for r in merged.select("bucket").distinct().collect()}
+        import shutil
+
+        for b in set(buckets) - surviving:
+            part_dir = f"{self.path}/bucket={b}"
+            shutil.rmtree(part_dir, ignore_errors=True)
+        return {
+            "buckets_rewritten": len(buckets),
+            "groups_touched": delta.count(),
+        }
+
+    # -- serving -----------------------------------------------------------
+
+    def _read_state(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.path).select(*_STATE_COLS)
+        except Exception:
+            # store initialized empty and never maintained
+            return self.spark.createDataFrame(
+                [], "grp string, bucket int, n long, s double, s2 double"
+            )
+
+    def state(self) -> DataFrame:
+        return self._read_state()
+
+    def serve(self) -> DataFrame:
+        """Aggregates derived from the sufficient statistics alone."""
+        st = self.state()
+        return st.select(
+            "grp",
+            F.col("n").alias("cnt"),
+            F.col("s").alias("total"),
+            (F.col("s") / F.col("n")).alias("avg"),
+            F.when(
+                F.col("n") > 1,
+                (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1),
+            ).alias("var_samp"),
+        ).orderBy("grp")
+
+
+def full_recompute(base: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """The non-incremental truth: a fresh aggregate over the net base
+    table, shaped like ``AggView.serve()`` (for equivalence tests)."""
+    return (
+        base.select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("total"),
+            F.avg("v").alias("avg"),
+            F.var_samp("v").alias("var_samp"),
+        )
+        .orderBy("grp")
+    )

@@ -538,3 +538,123 @@ from ..functions.hashing import h64_sql as _h64s  # noqa: E402
 ORACLE["q54_kmv_distinct"] = ORACLE["q54_kmv_distinct"].replace("{h}", _h64s("word"))
 
 QUERIES["q54_kmv_distinct"] = q54_kmv_distinct
+
+
+# ---------------------------------------------------------------------------
+# q65: KMV/theta set operations — sketch-estimated union ∩ intersection
+# ---------------------------------------------------------------------------
+
+Q65_K = 64
+Q65_SRC_A, Q65_SRC_B = "src0", "src1"
+
+
+def q65_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on KMV sketches: estimate the
+    distinct-union and distinct-intersection of two sources' word sets
+    from K-minimum-values state alone — the capability that lets a
+    planner answer "how much do these two 50 TB corpora overlap?"
+    from two K-long sketches instead of a corpus-sized join.
+
+    Estimator (Dasgupta et al., theta sketches): union sketch = K
+    smallest of merged min-sets with threshold t_k; p = |{union
+    sample} ∩ A ∩ B|; est_union = (K−1)·2⁶⁰/t_k,
+    est_inter = p·est_union/K, Jaccard ≈ p/K. Everything up to the
+    final two roundings is BIGINT-exact (hash sets, t_k, p), so the
+    oracle verifies the sketch STATE and the estimates byte-for-byte;
+    exact counts ride along to expose the error.
+
+    Scale: per-source state is K longs; the membership probe joins the
+    K-row union sample (broadcast) against the two hash sets —
+    corpus-side work is one distinct-hash aggregate per source, the
+    same shuffle any exact distinct pays, after which all set algebra
+    is sketch-sized.
+    """
+    from ..functions.hashing import h64
+
+    d = Tables(spark, sf_dir).documents.filter(
+        F.col("source").isin(Q65_SRC_A, Q65_SRC_B)
+    )
+    hashes = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .select("source", h64(F.col("word")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = hashes.filter(F.col("source") == Q65_SRC_A).select("h")
+    b = hashes.filter(F.col("source") == Q65_SRC_B).select("h")
+    union_k = (
+        a.union(b)
+        .distinct()
+        .orderBy("h")
+        .limit(Q65_K)
+        .localCheckpoint(eager=True)
+    )
+    t_k = union_k.agg(F.max("h").alias("t_k"))
+    p = (
+        union_k.join(a, "h", "left_semi")
+        .join(b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("p_common"))
+    )
+    exact_union = a.union(b).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    exact_inter = a.join(b, "h", "left_semi").agg(F.count(F.lit(1)).alias("n_inter"))
+    num = (Q65_K - 1) * float(1 << 60)
+    est_u = F.round(F.lit(num) / F.col("t_k"), 2)
+    est_i = F.round(F.lit(num) / F.col("t_k") * F.col("p_common") / Q65_K, 2)
+    return (
+        t_k.crossJoin(p)
+        .crossJoin(exact_union)
+        .crossJoin(exact_inter)
+        .select(
+            F.lit(Q65_SRC_A).alias("source_a"),
+            F.lit(Q65_SRC_B).alias("source_b"),
+            "t_k",
+            "p_common",
+            est_u.alias("est_union"),
+            est_i.alias("est_inter"),
+            F.expr(f"p_common * 10000 DIV {Q65_K}").alias("jaccard_est_bp"),
+            "n_union",
+            "n_inter",
+        )
+    )
+
+
+def _q65_oracle() -> str:
+    from ..functions.hashing import h64_sql
+
+    h = h64_sql("word")
+    num = (Q65_K - 1) * float(1 << 60)
+    return f"""
+    WITH hashes AS (
+        SELECT DISTINCT source, {h} AS h
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+              FROM documents
+              WHERE source IN ('{Q65_SRC_A}', '{Q65_SRC_B}'))
+    ),
+    a AS (SELECT h FROM hashes WHERE source = '{Q65_SRC_A}'),
+    b AS (SELECT h FROM hashes WHERE source = '{Q65_SRC_B}'),
+    union_k AS (
+        SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b))
+        ORDER BY h LIMIT {Q65_K}
+    ),
+    tk AS (SELECT max(h) AS t_k FROM union_k),
+    p AS (
+        SELECT count(*)::BIGINT AS p_common FROM union_k u
+        WHERE EXISTS (SELECT 1 FROM a WHERE a.h = u.h)
+          AND EXISTS (SELECT 1 FROM b WHERE b.h = u.h)
+    ),
+    eu AS (SELECT count(DISTINCT h)::BIGINT AS n_union
+           FROM (SELECT h FROM a UNION ALL SELECT h FROM b)),
+    ei AS (SELECT count(*)::BIGINT AS n_inter FROM a
+           WHERE EXISTS (SELECT 1 FROM b WHERE b.h = a.h))
+    SELECT '{Q65_SRC_A}' AS source_a, '{Q65_SRC_B}' AS source_b,
+           t_k, p_common,
+           round({num} / t_k, 2) AS est_union,
+           round({num} / t_k * p_common / {Q65_K}, 2) AS est_inter,
+           (p_common * 10000 // {Q65_K})::BIGINT AS jaccard_est_bp,
+           n_union, n_inter
+    FROM tk, p, eu, ei
+    """
+
+
+ORACLE["q65_kmv_set_ops"] = _q65_oracle()
+QUERIES["q65_kmv_set_ops"] = q65_kmv_set_ops

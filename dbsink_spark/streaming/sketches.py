@@ -352,3 +352,108 @@ class HLLMaintainer:
         if trigger:
             stream = stream.trigger(**trigger)
         return stream.start()
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained fixed-bin histogram (q27's streaming twin)
+# — additive like count-min, but also serves approx QUANTILES
+# ---------------------------------------------------------------------------
+
+HIST_BIN_WIDTH = 50.0
+
+
+def batch_histogram(df: DataFrame, value_col: str,
+                    bin_width: float = HIST_BIN_WIDTH) -> DataFrame:
+    """(bin, cnt) partial histogram for one batch — the same
+    floor(value/width) binning as analytics.advanced.q27_histogram,
+    map-side combinable."""
+    return (
+        df.select(F.floor(F.col(value_col) / bin_width).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+class HistogramMaintainer:
+    """Maintains an additive fixed-bin histogram in a DBAPI target —
+    q27's streaming twin, and the distribution-statistics member of
+    the maintainer family (Rollup=sums, CountMin=frequency,
+    Bitmap/HLL=distinct, Histogram=quantiles).
+
+    Bin counts merge by addition (mergeable; exactly-once via the
+    stream checkpoint like CountMin). State is |occupied bins| rows
+    regardless of volume. ``quantile_sql`` serves an approximate
+    quantile by walking the cumulative histogram — error bounded by
+    one bin width, the classic NDV-free equi-width scheme; tighten by
+    shrinking bin width, whose only cost is state rows."""
+
+    def __init__(self, connect, table: str = "histogram",
+                 dialect: str = "duckdb", bin_width: float = HIST_BIN_WIDTH):
+        self.connect = connect
+        self.table = table
+        self.dialect = dialect
+        self.bin_width = bin_width
+
+    def ensure_table(self) -> None:
+        conn = self.connect()
+        try:
+            conn.execute(
+                f"CREATE TABLE IF NOT EXISTS {quoted(self.table)} ("
+                "bin BIGINT, cnt BIGINT, PRIMARY KEY (bin))"
+            )
+        finally:
+            conn.close()
+
+    def merge_batch(self, hist_df: DataFrame, batch_id: int | None = None) -> None:
+        rows = [(r["bin"], r["cnt"]) for r in hist_df.collect()]
+        if not rows:
+            return
+        sql = (
+            f"INSERT INTO {quoted(self.table)} (bin, cnt) VALUES (?, ?) "
+            "ON CONFLICT (bin) DO UPDATE SET cnt = cnt + excluded.cnt"
+        )
+        if self.dialect == "postgres":
+            sql = sql.replace("?", "%s")
+        conn = self.connect()
+        try:
+            if self.dialect == "duckdb":
+                conn.executemany(sql, rows)
+            else:
+                with conn.cursor() as cur:
+                    cur.executemany(sql, rows)
+                conn.commit()
+        finally:
+            conn.close()
+
+    def quantile_sql(self, q: float) -> str:
+        """SQL serving the approximate q-quantile from the maintained
+        bins: the left edge of the first bin whose cumulative count
+        reaches q · total (error ≤ one bin width)."""
+        t = quoted(self.table)
+        return (
+            f"SELECT CAST(min(bin) * {self.bin_width} AS DOUBLE) AS q_approx FROM ("
+            f"  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,"
+            f"         (SELECT sum(cnt) FROM {t}) AS total"
+            f"  FROM {t}) WHERE cum >= {q} * total"
+        )
+
+    def run(
+        self,
+        source: DataFrame,
+        value_col: str,
+        checkpoint: str,
+        trigger: dict | None = None,
+    ) -> StreamingQuery:
+        self.ensure_table()
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.merge_batch(batch_histogram(batch_df, value_col, self.bin_width))
+
+        stream = (
+            source.writeStream.outputMode("append")
+            .foreachBatch(fn)
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger:
+            stream = stream.trigger(**trigger)
+        return stream.start()

@@ -756,3 +756,54 @@ def test_streaming_hll_registers_match_batch_and_idempotent(spark, tmp_path):
     con = duckdb.connect(db)
     after = sorted(con.execute("SELECT * FROM hll_registers").fetchall())
     assert after == before
+
+
+def test_streaming_histogram_matches_batch_and_serves_quantile(spark, tmp_path):
+    """After two micro-batches the maintained histogram equals the
+    batch histogram over the union, and the served approximate median
+    is within one bin width of the exact median."""
+    import duckdb
+
+    from dbsink_spark.streaming.sketches import (
+        HIST_BIN_WIDTH,
+        HistogramMaintainer,
+        batch_histogram,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    vals1 = [float(v) for v in range(0, 500, 3)]
+    vals2 = [float(v) for v in range(100, 900, 7)]
+    with open(indir / "b0.json", "w") as f:
+        for v in vals1:
+            f.write(json.dumps({"value": v}) + "\n")
+
+    db = str(tmp_path / "hist.duckdb")
+
+    def connect():
+        return duckdb.connect(db)
+
+    m = HistogramMaintainer(connect)
+    src = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    q = m.run(src, "value", str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    with open(indir / "b1.json", "w") as f:
+        for v in vals2:
+            f.write(json.dumps({"value": v}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    full = spark.createDataFrame([(v,) for v in vals1 + vals2], ["value"])
+    want = {r["bin"]: r["cnt"] for r in batch_histogram(full, "value").collect()}
+    con = duckdb.connect(db)
+    got = dict(con.execute("SELECT bin, cnt FROM histogram").fetchall())
+    assert got == want
+
+    served = con.execute(m.quantile_sql(0.5)).fetchone()[0]
+    exact = sorted(vals1 + vals2)[len(vals1 + vals2) // 2]
+    assert abs(served - exact) <= HIST_BIN_WIDTH
+    con.close()
