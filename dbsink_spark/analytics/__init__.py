@@ -171,6 +171,9 @@ UNGATED = frozenset(
         "q64_column_profile",
         "q65_kmv_set_ops",
         "q66_sequence_pattern",
+        "q67_weighted_sample",
+        "q68_weighted_median",
+        "q69_seasonal_anomaly",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

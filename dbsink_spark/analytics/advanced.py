@@ -2223,3 +2223,248 @@ ORACLE["q66_sequence_pattern"] = f"""
 """
 
 QUERIES["q66_sequence_pattern"] = q66_sequence_pattern
+
+
+# ---------------------------------------------------------------------------
+# q67: weighted (importance) sampling + Horvitz-Thompson estimation
+# ---------------------------------------------------------------------------
+
+Q67_MOD = 5000
+Q67_P_PER_UNIT = 2   # inclusion prob = l_quantity * 2 / 5000
+
+
+def q67_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling: rows sample with probability PROPORTIONAL
+    TO SIZE (l_quantity), and the Horvitz-Thompson estimator
+    (Σ vᵢ/pᵢ over the sample) unbiasedly recovers population totals —
+    the variance-optimal upgrade of q60's uniform sampling when row
+    contributions are skewed, which is exactly the 100 TB case (a few
+    giant documents/orders dominate any total).
+
+    Deterministic PPS membership: row i samples iff
+    h64(key) % 5000 < 2·wᵢ — a pure function of the row, so the
+    sample is identical across engines, retries, and partitionings
+    (q60's auditability property, extended to weighted designs).
+    Output: per returnflag, sample size, HT estimate of total
+    revenue, exact total, error (round-at-the-end, q01's float
+    pattern).
+    """
+    from ..functions.hashing import h64
+
+    li = Tables(spark, sf_dir).lineitem.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    w = F.col("l_quantity").cast("long")
+    in_sample = (h64(key) % Q67_MOD) < (w * Q67_P_PER_UNIT)
+    # HT term: v / p = v * MOD / (2w)
+    ht = F.when(
+        in_sample, F.col("l_extendedprice") * Q67_MOD / (w * Q67_P_PER_UNIT)
+    ).otherwise(F.lit(0.0))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(in_sample.cast("long")).alias("n_sampled"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(ht), 2).alias("ht_est_revenue"),
+            F.round(F.sum("l_extendedprice"), 2).alias("exact_revenue"),
+            F.floor(
+                (F.sum(ht) - F.sum("l_extendedprice"))
+                / F.sum("l_extendedprice")
+                * 10000
+                + F.lit(0.5)
+            ).alias("err_bp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q67_oracle() -> str:
+    from ..functions.hashing import h64_sql
+
+    h = h64_sql("l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR")
+    w = "l_quantity::BIGINT"
+    ht = (
+        f"CASE WHEN ({h}) % {Q67_MOD} < {w} * {Q67_P_PER_UNIT} "
+        f"THEN l_extendedprice * {Q67_MOD} / ({w} * {Q67_P_PER_UNIT}) ELSE 0.0 END"
+    )
+    return f"""
+    SELECT l_returnflag,
+           sum((({h}) % {Q67_MOD} < {w} * {Q67_P_PER_UNIT})::INT)::BIGINT AS n_sampled,
+           count(*)::BIGINT AS n_rows,
+           round(sum({ht}), 2) AS ht_est_revenue,
+           round(sum(l_extendedprice), 2) AS exact_revenue,
+           floor((sum({ht}) - sum(l_extendedprice)) / sum(l_extendedprice) * 10000
+                 + 0.5)::BIGINT AS err_bp
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+
+
+ORACLE["q67_weighted_sample"] = _q67_oracle()
+QUERIES["q67_weighted_sample"] = q67_weighted_sample
+
+
+# ---------------------------------------------------------------------------
+# q68: weighted median / weighted quantiles (cumulative-weight selection)
+# ---------------------------------------------------------------------------
+
+
+def q68_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the price below which half the QUANTITY (not
+    half the rows) sits, per returnflag — the inventory-weighted
+    distribution cut no built-in computes. Pure SELECTION, no float
+    summation: order rows by price (ties broken by key), one
+    cumulative-weight window over INTEGER quantities, pick the first
+    row reaching half the group's total weight. Bit-deterministic on
+    any engine.
+
+    Scale: one shuffle on the group key; the cumulative window is the
+    same sort the exact-percentile family (q26) pays. At 100 TB use
+    the maintained histogram (streaming.HistogramMaintainer) for the
+    approximate twin; this is the exact path.
+    """
+    li = Tables(spark, sf_dir).lineitem.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_extendedprice",
+    )
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    cum = (
+        li.withColumn("cum_w", F.sum("w").over(win))
+        .withColumn("tot_w", F.sum("w").over(tot))
+        .filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+    )
+    pick = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("weighted_median_price"),
+            "cum_w",
+            "tot_w",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["q68_weighted_median"] = """
+    WITH cum AS (
+        SELECT l_returnflag, l_extendedprice,
+               sum(l_quantity::BIGINT) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS cum_w,
+               sum(l_quantity::BIGINT) OVER (PARTITION BY l_returnflag) AS tot_w,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS rn0,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    hit AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS rn
+        FROM cum WHERE cum_w * 2 >= tot_w
+    )
+    SELECT l_returnflag,
+           l_extendedprice AS weighted_median_price,
+           cum_w::BIGINT AS cum_w, tot_w::BIGINT AS tot_w
+    FROM hit WHERE rn = 1
+    ORDER BY l_returnflag
+"""
+
+QUERIES["q68_weighted_median"] = q68_weighted_median
+
+
+# ---------------------------------------------------------------------------
+# q69: seasonal-baseline anomaly detection (selection-based, no float sums)
+# ---------------------------------------------------------------------------
+
+Q69_K = 3  # MAD multiplier
+
+
+def q69_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: the baseline for an event
+    is the MEDIAN of its own (event_type, hour-of-day) seasonal cell,
+    and a point is anomalous when it deviates from its cell baseline
+    by more than K× the cell's MAD — q46's robust-statistics machinery
+    made seasonal, which is what real telemetry needs (3 AM traffic is
+    not 3 PM traffic).
+
+    Determinism: baseline and MAD are SELECTION-based (percentile),
+    never float sums, so every intermediate is bit-identical across
+    engines and the threshold comparison cannot flip on a summation
+    ulp (the q46 design rule).
+
+    Scale: seasonal cells are a tiny dimension (|types|×24) computed
+    in one corpus shuffle and broadcast back; flagging is then a
+    map-side filter — the join carries 3 doubles per cell, not data.
+    """
+    e = Tables(spark, sf_dir).events.select(
+        "event_type", F.hour("ts").alias("hod"), "value", "event_id"
+    )
+    cells = e.groupBy("event_type", "hod").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(cells), ["event_type", "hod"]).withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mads = dev.groupBy("event_type", "hod").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mads), ["event_type", "hod"]).withColumn(
+        "is_anom", (F.col("adev") > Q69_K * F.col("mad")).cast("long")
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_anom").alias("n_anomalies"),
+            F.expr("sum(is_anom) * 10000 DIV count(*)").alias("anom_rate_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q69_seasonal_anomaly"] = f"""
+    WITH e AS (
+        SELECT event_type, extract(hour FROM ts)::INT AS hod, value, event_id
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, hod, quantile_cont(value, 0.5) AS med
+        FROM e GROUP BY event_type, hod
+    ),
+    dev AS (
+        SELECT e.event_type, e.hod, e.value, abs(e.value - c.med) AS adev
+        FROM e JOIN cells c USING (event_type, hod)
+    ),
+    mads AS (
+        SELECT event_type, hod, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type, hod
+    )
+    SELECT d.event_type,
+           count(*)::BIGINT AS n_events,
+           sum((d.adev > {Q69_K} * m.mad)::INT)::BIGINT AS n_anomalies,
+           (sum((d.adev > {Q69_K} * m.mad)::INT) * 10000 // count(*))::BIGINT AS anom_rate_bp
+    FROM dev d JOIN mads m USING (event_type, hod)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+"""
+
+QUERIES["q69_seasonal_anomaly"] = q69_seasonal_anomaly
