@@ -174,6 +174,7 @@ UNGATED = frozenset(
         "q67_weighted_sample",
         "q68_weighted_median",
         "q69_seasonal_anomaly",
+        "q70_gram_matrix",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

@@ -2468,3 +2468,69 @@ ORACLE["q69_seasonal_anomaly"] = f"""
 """
 
 QUERIES["q69_seasonal_anomaly"] = q69_seasonal_anomaly
+
+
+# ---------------------------------------------------------------------------
+# q70: Gram / covariance matrix of the embedding corpus (PCA prep)
+# ---------------------------------------------------------------------------
+
+Q70_SCALE = 1_000_000  # fixed-point quantization of per-row products
+
+
+def q70_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix Xᵀ X of the embedding corpus (upper
+    triangle) — the d×d sufficient statistic behind PCA/whitening,
+    which is how SemDeDup-style pipelines decorrelate embeddings
+    before cosine pruning (d11's preprocessing step).
+
+    Outer-product aggregation: each row expands to its d(d+1)/2 upper-
+    triangle products and a hash aggregate reduces them — map-side
+    partial aggregation collapses every partition to ≤ d² cells before
+    the exchange, so shuffle volume is d² × partitions no matter how
+    many rows (n=10⁹ shuffles the same 2080 cells as n=500). Per-row
+    products are QUANTIZED to BIGINT sixth-decimal fixed point before
+    summation: the sum is then exact and reduction-order-independent —
+    cross-engine reproducible where a double Gram would drift by
+    partitioning (each float read widens to double exactly; one IEEE
+    multiply per pair is deterministic).
+
+    At 100 TB the result (d² longs) broadcasts back for the projection
+    pass; the quantization error is bounded by n·5e-7 per cell and is
+    the price of a mergeable-exact statistic.
+    """
+    e = Tables(spark, sf_dir).embeddings
+    tr = (
+        "transform(embedding, (x, i) -> "
+        "  filter(transform(embedding, (y, j) -> "
+        f"    struct(i AS i, j AS j, CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * {Q70_SCALE} + 0.5d) AS BIGINT) AS q)"
+        "  ), s -> s.j >= s.i))"
+    )
+    return (
+        e.select(F.explode(F.flatten(F.expr(tr))).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.q").alias("gram_q6"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("i", "j")
+    )
+
+
+ORACLE["q70_gram_matrix"] = f"""
+    WITH u AS (
+        SELECT vec_id,
+               unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS idx
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.idx - 1 AS i, b.idx - 1 AS j,
+               floor(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) * {Q70_SCALE} + 0.5)::BIGINT AS q
+        FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.idx >= a.idx
+    )
+    SELECT i::BIGINT AS i, j::BIGINT AS j,
+           sum(q)::BIGINT AS gram_q6,
+           count(*)::BIGINT AS n_rows
+    FROM pairs
+    GROUP BY i, j
+    ORDER BY i, j
+"""
+
+QUERIES["q70_gram_matrix"] = q70_gram_matrix

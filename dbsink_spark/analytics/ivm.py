@@ -150,6 +150,29 @@ class AggView:
             "groups_touched": delta.count(),
         }
 
+    # -- streaming ---------------------------------------------------------
+
+    def run(self, source: DataFrame, group_col: str, value_col: str,
+            checkpoint: str, op_col: str = "op", trigger: dict | None = None):
+        """Maintain the view from a streaming CDC source (rows carry
+        op ∈ {+1, −1}) — each micro-batch applies one maintain() step.
+        Exactly-once via the stream checkpoint: a replayed batch is
+        NOT idempotent for signed partials (addition), so the
+        checkpoint is the delivery contract, like CountMinMaintainer
+        and unlike the max/OR maintainers."""
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.maintain(batch_df, group_col, value_col, op_col)
+
+        stream = (
+            source.writeStream.outputMode("append")
+            .foreachBatch(fn)
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger:
+            stream = stream.trigger(**trigger)
+        return stream.start()
+
     # -- serving -----------------------------------------------------------
 
     def _read_state(self) -> DataFrame:
