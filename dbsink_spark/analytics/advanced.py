@@ -1667,11 +1667,15 @@ QUERIES["q60_sample_estimate"] = q60_sample_estimate
 # q61: fixed-point PageRank — iterative graph analytics as shuffled joins
 # ---------------------------------------------------------------------------
 
+from .graph import (  # noqa: E402 — q61's oracle mirrors the core's constants
+    PR_BASE as Q61_BASE,
+    PR_DAMP_DEN as Q61_DAMP_DEN,
+    PR_DAMP_NUM as Q61_DAMP_NUM,
+    PR_UNIT as Q61_UNIT,
+)
+
 Q61_ITERS = 3
-Q61_UNIT = 1_000_000          # micro-rank fixed-point unit (1.0 == 1e6)
-Q61_DAMP_NUM, Q61_DAMP_DEN = 85, 100
 Q61_TOPK = 20
-Q61_BASE = Q61_UNIT * (Q61_DAMP_DEN - Q61_DAMP_NUM) // Q61_DAMP_DEN
 
 
 def q61_pagerank(spark: SparkSession, sf_dir: str, iters: int = Q61_ITERS) -> DataFrame:
@@ -1697,8 +1701,12 @@ def q61_pagerank(spark: SparkSession, sf_dir: str, iters: int = Q61_ITERS) -> Da
     in SCALE.md; K=3 here keeps the oracle CTE chain readable).
 
     Reference parity: no graph surface in the reference (SURVEY §2.6
-    gap table) — extension machinery.
+    gap table) — extension machinery. Core: ``graph.pagerank_ranks``
+    (property-tested against a brute-force python PageRank on random
+    graphs in tests/test_graph_properties.py).
     """
+    from .graph import pagerank_ranks
+
     t = Tables(spark, sf_dir)
     pairs = (
         t.lineitem.select("l_orderkey", "l_suppkey")
@@ -1715,31 +1723,7 @@ def q61_pagerank(spark: SparkSession, sf_dir: str, iters: int = Q61_ITERS) -> Da
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # materialize the loop-invariant state once via localCheckpoint
-    # (blocks reclaimed by the ContextCleaner when these frames go out
-    # of scope — the s05 pattern): edges_deg is referenced every
-    # iteration and nodes K+1 times; without this each reference
-    # recomputes the build joins AND lineage grows superlinearly
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
-    nodes = (
-        edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
-    )
-    ranks = nodes.select("node", F.lit(Q61_UNIT).cast("long").alias("pr"))
-    for _ in range(iters):
-        contrib = (
-            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
-            .select(F.col("dst").alias("node"), F.expr("pr DIV outdeg").alias("share"))
-            .groupBy("node")
-            .agg(F.sum("share").alias("contrib"))
-        )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(Q61_BASE)
-                + F.expr(f"{Q61_DAMP_NUM} * coalesce(contrib, 0L) DIV {Q61_DAMP_DEN}")
-            ).cast("long").alias("pr"),
-        )
+    ranks = pagerank_ranks(edges, iters)
     return (
         ranks.select(
             F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -1903,7 +1887,7 @@ QUERIES["q62_hll_distinct"] = q62_hll_distinct
 # ---------------------------------------------------------------------------
 
 Q63_QTY_MIN = 45    # co-purchase graph restricted to high-quantity lines
-Q63_ORD_BASE = 1_000_000_000
+from .graph import TRI_ORD_BASE as Q63_ORD_BASE  # noqa: E402 — oracle mirrors the core
 
 
 def q63_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1923,8 +1907,12 @@ def q63_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Integer-exact output: counts are BIGINT; the clustering
     coefficient is floor-scaled basis points via integer division
-    (3·T·10⁴ DIV paths₂), so no float ever forms.
+    (3·T·10⁴ DIV paths₂), so no float ever forms. Core:
+    ``graph.triangle_stats`` (property-tested against brute-force
+    triangle enumeration on random graphs).
     """
+    from .graph import triangle_stats
+
     li = (
         Tables(spark, sf_dir)
         .lineitem.filter(F.col("l_quantity") >= Q63_QTY_MIN)
@@ -1939,56 +1927,8 @@ def q63_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
-        # edges feeds degree, orientation, and the edge count; ej (below)
-        # is probed three times by the wedge/closing joins — materialize
-        # both once (s05 localCheckpoint pattern) instead of recomputing
-        # the self-join per reference
-        .localCheckpoint(eager=True)
     )
-    und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    ordv = deg.select(
-        F.col("u").alias("node"),
-        (F.col("deg") * F.lit(Q63_ORD_BASE) + F.col("u")).alias("ordk"),
-    )
-    ej = (
-        edges.join(ordv.select(F.col("node").alias("u"), F.col("ordk").alias("ord_u")), "u")
-        .join(ordv.select(F.col("node").alias("v"), F.col("ordk").alias("ord_v")), "v")
-        .select(
-            F.when(F.col("ord_u") < F.col("ord_v"), F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(F.col("ord_u") < F.col("ord_v"), F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.least("ord_u", "ord_v").alias("ord_src"),
-            F.greatest("ord_u", "ord_v").alias("ord_dst"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    e1, e2 = ej.alias("e1"), ej.alias("e2")
-    wedges = e1.join(
-        e2,
-        (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.ord_dst") < F.col("e2.ord_dst")),
-    ).select(F.col("e1.dst").alias("wv"), F.col("e2.dst").alias("ww"))
-    tri = wedges.join(
-        ej.select(F.col("src").alias("wv"), F.col("dst").alias("ww")), ["wv", "ww"]
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
-    counts = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    nn = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.expr("deg * (deg - 1) DIV 2")).alias("n_paths2"),
-    )
-    return (
-        nn.crossJoin(counts)
-        .crossJoin(tri)
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_paths2",
-            "n_triangles",
-            F.expr(
-                "CASE WHEN n_paths2 = 0 THEN 0L"
-                " ELSE 3 * n_triangles * 10000 DIV n_paths2 END"
-            ).alias("clustering_bp"),
-        )
-    )
+    return triangle_stats(edges)
 
 
 ORACLE["q63_triangle_count"] = f"""

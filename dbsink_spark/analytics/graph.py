@@ -1,0 +1,123 @@
+"""Reusable distributed graph primitives (DataFrame-native).
+
+The query-registry entries (q61 PageRank, q63 triangles, d09 connected
+components) are thin wrappers over these: the cores take a plain edge
+DataFrame so they compose with ANY graph a pipeline derives — and so
+property tests can drive them with random graphs against brute-force
+references (tests/test_graph_properties.py), independent of the
+harness tables.
+
+Design rules shared by all primitives:
+* fixed-point BIGINT arithmetic where iteration accumulates (PageRank)
+  — summation-order-independent, so results are reproducible across
+  engines, retries, and partitionings;
+* loop-invariant state localCheckpointed ONCE (blocks reclaimed by the
+  ContextCleaner when the frames go out of scope);
+* every stage an equi-join / hash aggregate on node ids — AQE-skew-
+  splittable, no cartesian anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_UNIT = 1_000_000
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+PR_BASE = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+
+TRI_ORD_BASE = 1_000_000_000
+
+
+def pagerank_ranks(edges: DataFrame, iters: int) -> DataFrame:
+    """Fixed-point PageRank over a DIRECTED edge list ``(src, dst)``.
+
+    Returns (node, pr) with pr in micro-ranks (1.0 == 1e6):
+    ``pr = 0.15 + 0.85 · Σ_in pr(u) DIV outdeg(u)`` per iteration, all
+    BIGINT. Nodes are the union of src values (every node must appear
+    as a source at least once — guaranteed for symmetrized undirected
+    graphs; dangling-node mass redistribution is out of scope and
+    documented at the call sites).
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # loop-invariant: materialize once (see module docstring)
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(PR_UNIT).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), F.expr("pr DIV outdeg").alias("share"))
+            .groupBy("node")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(PR_BASE)
+                + F.expr(f"{PR_DAMP_NUM} * coalesce(contrib, 0L) DIV {PR_DAMP_DEN}")
+            )
+            .cast("long")
+            .alias("pr"),
+        )
+    return ranks
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Triangle count + wedge stats of an UNDIRECTED simple graph given
+    as its canonical edge list ``(u, v)`` with ``u < v``, distinct.
+
+    Degree-ordered compact-forward (Latapy 2008): orient every edge
+    from its (degree, id)-smaller endpoint; each triangle is counted
+    exactly once from its minimum vertex, and wedge fan-out is bounded
+    by oriented out-degree ≤ O(√m). Returns ONE row:
+    (n_nodes, n_edges, n_paths2, n_triangles, clustering_bp) — the
+    coefficient is integer basis points (3·T·10⁴ DIV paths₂).
+    """
+    edges = edges.localCheckpoint(eager=True)
+    und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ordv = deg.select(
+        F.col("u").alias("node"),
+        (F.col("deg") * F.lit(TRI_ORD_BASE) + F.col("u")).alias("ordk"),
+    )
+    ej = (
+        edges.join(ordv.select(F.col("node").alias("u"), F.col("ordk").alias("ord_u")), "u")
+        .join(ordv.select(F.col("node").alias("v"), F.col("ordk").alias("ord_v")), "v")
+        .select(
+            F.when(F.col("ord_u") < F.col("ord_v"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(F.col("ord_u") < F.col("ord_v"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.least("ord_u", "ord_v").alias("ord_src"),
+            F.greatest("ord_u", "ord_v").alias("ord_dst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1, e2 = ej.alias("e1"), ej.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.ord_dst") < F.col("e2.ord_dst")),
+    ).select(F.col("e1.dst").alias("wv"), F.col("e2.dst").alias("ww"))
+    tri = wedges.join(
+        ej.select(F.col("src").alias("wv"), F.col("dst").alias("ww")), ["wv", "ww"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nn = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).alias("n_paths2"),
+    )
+    return (
+        nn.crossJoin(counts)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_paths2",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_paths2 = 0 THEN 0L"
+                " ELSE 3 * n_triangles * 10000 DIV n_paths2 END"
+            ).alias("clustering_bp"),
+        )
+    )

@@ -1,0 +1,111 @@
+"""Property tests for the graph cores (analytics/graph.py): random
+graphs, brute-force python references.
+
+The query-registry wrappers (q61/q63) are oracle-verified against
+DuckDB on the harness tables; these tests independently verify the
+ALGORITHMS on adversarial random structure — hub skew, disconnected
+components, near-cliques — where the harness graph is benign.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from dbsink_spark.analytics.graph import (
+    PR_BASE,
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_UNIT,
+    pagerank_ranks,
+    triangle_stats,
+)
+
+
+def _pagerank_reference(edges: list[tuple[int, int]], iters: int) -> dict[int, int]:
+    """Brute-force fixed-point PageRank, same integer algebra."""
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    nodes = set(out)
+    pr = {n: PR_UNIT for n in nodes}
+    for _ in range(iters):
+        contrib: dict[int, int] = {n: 0 for n in nodes}
+        for s, ds in out.items():
+            share = pr[s] // len(ds)
+            for d in ds:
+                if d in contrib:
+                    contrib[d] += share
+        pr = {n: PR_BASE + PR_DAMP_NUM * contrib[n] // PR_DAMP_DEN for n in nodes}
+    return pr
+
+
+def _random_undirected(rng: random.Random, n: int, p: float) -> list[tuple[int, int]]:
+    return [
+        (u, v) for u, v in itertools.combinations(range(n), 2) if rng.random() < p
+    ]
+
+
+def test_pagerank_matches_reference_on_random_graphs(spark):
+    rng = random.Random(7)
+    for trial, (n, p) in enumerate([(12, 0.3), (20, 0.15), (8, 0.6)]):
+        und = _random_undirected(rng, n, p)
+        directed = und + [(v, u) for u, v in und]
+        if not directed:
+            continue
+        df = spark.createDataFrame(directed, ["src", "dst"])
+        got = {r["node"]: r["pr"] for r in pagerank_ranks(df, 4).collect()}
+        want = _pagerank_reference(directed, 4)
+        assert got == want, f"trial {trial}"
+
+
+def test_pagerank_hub_skew(spark):
+    """A star graph (one hub, all spokes) — the worst-case skew shape:
+    the hub must absorb all spoke mass exactly."""
+    n = 30
+    und = [(0, i) for i in range(1, n)]
+    directed = und + [(v, u) for u, v in und]
+    df = spark.createDataFrame(directed, ["src", "dst"])
+    got = {r["node"]: r["pr"] for r in pagerank_ranks(df, 3).collect()}
+    want = _pagerank_reference(directed, 3)
+    assert got == want
+    # hub outranks every spoke
+    assert got[0] > max(v for k, v in got.items() if k != 0)
+
+
+def _triangles_brute(edges: list[tuple[int, int]]) -> int:
+    es = {frozenset(e) for e in edges}
+    nodes = sorted({x for e in edges for x in e})
+    return sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {a, b} in es and {a, c} in es and {b, c} in es
+    )
+
+
+def test_triangle_stats_match_brute_force(spark):
+    rng = random.Random(11)
+    for trial, (n, p) in enumerate([(10, 0.4), (14, 0.25), (7, 0.9), (16, 0.1)]):
+        und = _random_undirected(rng, n, p)
+        if not und:
+            continue
+        df = spark.createDataFrame(und, ["u", "v"])
+        [row] = triangle_stats(df).collect()
+        assert row["n_edges"] == len(und), f"trial {trial}"
+        assert row["n_triangles"] == _triangles_brute(und), f"trial {trial}"
+        # paths2 = sum over nodes of C(deg, 2)
+        deg: dict[int, int] = {}
+        for u, v in und:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        assert row["n_nodes"] == len(deg)
+        assert row["n_paths2"] == sum(d * (d - 1) // 2 for d in deg.values())
+
+
+def test_triangle_stats_clique(spark):
+    """K6: C(6,3)=20 triangles, clustering coefficient exactly 1."""
+    und = list(itertools.combinations(range(6), 2))
+    df = spark.createDataFrame(und, ["u", "v"])
+    [row] = triangle_stats(df).collect()
+    assert row["n_triangles"] == 20
+    assert row["clustering_bp"] == 10000
