@@ -175,6 +175,7 @@ UNGATED = frozenset(
         "q68_weighted_median",
         "q69_seasonal_anomaly",
         "q70_gram_matrix",
+        "q71_time_travel",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

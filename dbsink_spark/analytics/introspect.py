@@ -1,0 +1,97 @@
+"""Plan introspection: structured physical-plan statistics as data.
+
+The scale discipline this engine enforces in tests (shuffle budgets,
+no cartesians, pushed filters, broadcast dims) is exposed here as a
+library API so PIPELINES can enforce it too — a pre-flight check
+before an expensive run, a CI gate on a user's own queries, or an
+audit table of plan shapes over time. ``plan_stats`` parses the
+compiled physical plan; ``assert_scale_safe`` raises with a readable
+reason when a plan violates the chosen budget.
+
+This is plain string analysis of ``executedPlan`` (the same source
+``tools/plan_budget.py`` and tests/test_plans.py read) — stable
+across Spark 3.5/4.x formats for the operators named here, and
+deliberately dependency-free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class PlanStats:
+    hash_exchanges: int = 0
+    range_exchanges: int = 0
+    single_partition_exchanges: int = 0
+    broadcast_exchanges: int = 0
+    broadcast_hash_joins: int = 0
+    sort_merge_joins: int = 0
+    broadcast_nested_loop_joins: int = 0
+    cartesian_products: int = 0
+    parquet_scans: int = 0
+    scans_with_pushed_filters: int = 0
+    wholestage_codegen_spans: int = 0
+    python_evals: int = 0           # row-at-a-time Python UDFs (BatchEvalPython)
+    arrow_evals: int = 0            # vectorized (ArrowEvalPython / mapInPandas)
+    notes: list[str] = field(default_factory=list)
+
+    def as_dict(self) -> dict:
+        return asdict(self)
+
+
+def plan_stats(df: DataFrame) -> PlanStats:
+    """Parse the compiled physical plan of ``df`` into counters."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = PlanStats()
+    s.hash_exchanges = plan.count("Exchange hashpartitioning")
+    s.range_exchanges = plan.count("Exchange rangepartitioning")
+    s.single_partition_exchanges = plan.count("Exchange SinglePartition")
+    s.broadcast_exchanges = plan.count("BroadcastExchange")
+    s.broadcast_hash_joins = plan.count("BroadcastHashJoin")
+    s.sort_merge_joins = plan.count("SortMergeJoin")
+    s.broadcast_nested_loop_joins = plan.count("BroadcastNestedLoopJoin")
+    s.cartesian_products = plan.count("CartesianProduct")
+    s.parquet_scans = plan.count("FileScan parquet")
+    # a scan with at least one pushed predicate renders a non-empty
+    # PushedFilters list
+    s.scans_with_pushed_filters = plan.count("PushedFilters: [") - plan.count(
+        "PushedFilters: []"
+    )
+    s.wholestage_codegen_spans = plan.count("WholeStageCodegen")
+    s.python_evals = plan.count("BatchEvalPython")
+    s.arrow_evals = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+    if s.cartesian_products:
+        s.notes.append("cartesian product present — unbounded pairwise work")
+    if s.python_evals:
+        s.notes.append("row-at-a-time Python UDF in plan — use Arrow/pandas path")
+    return s
+
+
+def assert_scale_safe(
+    df: DataFrame,
+    max_hash_exchanges: int | None = None,
+    allow_single_partition: bool = True,
+    allow_python_udf: bool = False,
+) -> PlanStats:
+    """Raise ``ValueError`` (with the offending counters) when the
+    plan breaks a scale budget; return the stats otherwise."""
+    s = plan_stats(df)
+    problems = []
+    if s.cartesian_products:
+        problems.append(f"{s.cartesian_products} CartesianProduct node(s)")
+    if not allow_python_udf and s.python_evals:
+        problems.append(f"{s.python_evals} row-at-a-time Python UDF node(s)")
+    if max_hash_exchanges is not None and s.hash_exchanges > max_hash_exchanges:
+        problems.append(
+            f"{s.hash_exchanges} hash exchanges > budget {max_hash_exchanges}"
+        )
+    if not allow_single_partition and s.single_partition_exchanges:
+        problems.append(
+            f"{s.single_partition_exchanges} SinglePartition exchange(s)"
+        )
+    if problems:
+        raise ValueError("plan not scale-safe: " + "; ".join(problems))
+    return s

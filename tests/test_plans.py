@@ -183,3 +183,50 @@ def test_shuffle_budget_not_exceeded(spark):
             over[name] = (allowed, got)
         spark.catalog.clearCache()
     assert not over, f"shuffle budget exceeded (allowed, got): {over}"
+
+
+def test_plan_stats_counts_known_shapes(spark):
+    """introspect.plan_stats on a broadcast-join query must see the
+    broadcast and the scan's pushed filters; a deliberate cartesian
+    must trip assert_scale_safe."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.introspect import assert_scale_safe, plan_stats
+
+    df = analytics.ALL_QUERIES["q03_broadcast_join"](spark, SF_DIR)
+    s = plan_stats(df)
+    assert s.broadcast_hash_joins >= 1
+    assert s.parquet_scans >= 2
+    assert s.cartesian_products == 0
+    assert s.python_evals == 0
+    assert_scale_safe(df)  # no raise
+
+    # budget violation reported with counters
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash exchanges > budget"):
+        assert_scale_safe(df, max_hash_exchanges=0)
+
+    # a genuine cartesian trips the check
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    cart = a.join(b.hint("shuffle_replicate_nl"), F.lit(True))
+    with _pytest.raises(ValueError, match="CartesianProduct"):
+        assert_scale_safe(cart)
+
+
+def test_plan_stats_flags_python_udf(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from dbsink_spark.analytics.introspect import assert_scale_safe, plan_stats
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    df = spark.range(10).select(slow("id").alias("y"))
+    s = plan_stats(df)
+    assert s.python_evals >= 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Python UDF"):
+        assert_scale_safe(df)
