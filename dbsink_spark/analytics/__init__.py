@@ -176,6 +176,8 @@ UNGATED = frozenset(
         "q69_seasonal_anomaly",
         "q70_gram_matrix",
         "q71_time_travel",
+        "d14_source_overlap_matrix",
+        "q72_skew_profile",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

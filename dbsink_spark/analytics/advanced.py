@@ -2591,3 +2591,77 @@ ORACLE["q71_time_travel"] = f"""
 """
 
 QUERIES["q71_time_travel"] = q71_time_travel
+
+
+# ---------------------------------------------------------------------------
+# q72: shuffle-key skew profiler (pre-flight partition diagnostics)
+# ---------------------------------------------------------------------------
+
+Q72_NPART = 32
+
+
+def q72_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight skew diagnosis for candidate shuffle keys: simulate
+    the hash partitioner (pmod(h64(key), N)) and report each key's
+    partition-occupancy profile — max/min partition, the largest
+    partition's share, and the skew ratio (max ÷ ideal) in basis
+    points. This is the question you answer BEFORE a 100 TB shuffle:
+    q72 on `event_type` shows a 5-value key concentrating ~2000‰ of
+    rows in one partition (→ salt it, layout.salted_agg), while
+    `user_id` hashes near-uniform (→ shuffle as-is). Pairs with
+    introspect.assert_scale_safe: that gates the PLAN, this gates the
+    DATA.
+
+    One scan per candidate key, all-integer output (DIV arithmetic) —
+    engine-exact. The profiler itself is skew-immune: it aggregates
+    the 8-byte partition id, never the key payload.
+    """
+    from ..functions.hashing import h64
+
+    e = Tables(spark, sf_dir).events
+
+    def profile(key_col: str) -> DataFrame:
+        part = F.pmod(h64(F.col(key_col)), F.lit(Q72_NPART))
+        per = e.groupBy(part.alias("p")).agg(F.count(F.lit(1)).alias("c"))
+        return per.agg(
+            F.lit(key_col).alias("key_name"),
+            F.count(F.lit(1)).alias("n_occupied"),
+            F.sum("c").alias("total_rows"),
+            F.max("c").alias("max_part"),
+            F.min("c").alias("min_part"),
+            F.expr("max(c) * 10000 DIV sum(c)").alias("max_share_bp"),
+            F.expr(f"max(c) * 10000 * {Q72_NPART} DIV sum(c)").alias("skew_ratio_bp"),
+        )
+
+    return profile("event_type").unionAll(profile("user_id")).orderBy("key_name")
+
+
+def _q72_oracle() -> str:
+    from ..functions.hashing import h64_sql
+
+    def one(key: str, cast: str) -> str:
+        h = h64_sql(f"{key}::{cast}")
+        return f"""
+        SELECT '{key}' AS key_name,
+               count(*)::BIGINT AS n_occupied,
+               sum(c)::BIGINT AS total_rows,
+               max(c)::BIGINT AS max_part,
+               min(c)::BIGINT AS min_part,
+               (max(c) * 10000 // sum(c))::BIGINT AS max_share_bp,
+               (max(c) * 10000 * {Q72_NPART} // sum(c))::BIGINT AS skew_ratio_bp
+        FROM (
+            SELECT (({h}) % {Q72_NPART} + {Q72_NPART}) % {Q72_NPART} AS p,
+                   count(*)::BIGINT AS c
+            FROM events GROUP BY 1
+        )"""
+
+    return (
+        one("event_type", "VARCHAR")
+        + " UNION ALL "
+        + one("user_id", "VARCHAR")
+        + " ORDER BY key_name"
+    )
+
+
+ORACLE["q72_skew_profile"] = _q72_oracle()
+QUERIES["q72_skew_profile"] = q72_skew_profile

@@ -658,3 +658,126 @@ def _q65_oracle() -> str:
 
 ORACLE["q65_kmv_set_ops"] = _q65_oracle()
 QUERIES["q65_kmv_set_ops"] = q65_kmv_set_ops
+
+
+# ---------------------------------------------------------------------------
+# d14: cross-source overlap MATRIX from per-source theta sketches
+# ---------------------------------------------------------------------------
+
+D14_K = 64
+D14_U = float(1 << 60)
+
+
+def d14_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise contamination audit across ALL corpus sources at
+    sketch cost: one KMV/theta sketch per source (K smallest distinct
+    word hashes + threshold t_k), then every source-pair's
+    intersection/union distinct estimates computed from the SKETCHES
+    ALONE — S² pair estimates from S sketches, never S² corpus joins.
+    This generalizes q65 (one fixed pair) to the full matrix: the
+    "which of my 200 crawl snapshots overlap enough to dedup
+    together" planning query, answered before paying for any join.
+
+    Theta intersection estimator: θ = min(t_k_a, t_k_b);
+    est_inter = |{S_a ∩ S_b : h < θ}| · 2⁶⁰ / θ;
+    est_union = est_a + est_b − est_inter (inclusion-exclusion).
+    Everything through the set algebra is BIGINT-exact (sketch
+    arrays, θ, sample counts), so the oracle verifies the estimates
+    value-for-value.
+
+    Scale: per-source sketch build is the q54 window top-K (one
+    distinct-hash shuffle — paid once, reused for every pair); the
+    pair stage joins a |S|-row sketch table to itself (broadcast
+    nested loop over S² sketch-sized rows — S=20 here; at S=10⁴ it is
+    still a 10⁸-cheap-array-ops job, no corpus access).
+    """
+    from ..functions.hashing import h64
+
+    d = Tables(spark, sf_dir).documents
+    hashes = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .select("source", h64(F.col("word")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    sketches = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= D14_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"), F.max("h").alias("t_k"))
+        .withColumn("est", F.round(F.lit((D14_K - 1) * D14_U) / F.col("t_k"), 2))
+        .localCheckpoint(eager=True)
+    )
+    a = sketches.select(
+        F.col("source").alias("src_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("t_k").alias("tk_a"),
+        F.col("est").alias("est_a"),
+    )
+    b = sketches.select(
+        F.col("source").alias("src_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("t_k").alias("tk_b"),
+        F.col("est").alias("est_b"),
+    )
+    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+    theta = F.least("tk_a", "tk_b")
+    common = F.size(
+        F.filter(
+            F.array_intersect("sk_a", "sk_b"), lambda x: x < theta
+        )
+    ).cast("long")
+    est_inter = F.round(common * F.lit(D14_U) / theta, 2)
+    return pairs.select(
+        "src_a",
+        "src_b",
+        theta.alias("theta"),
+        common.alias("common_below_theta"),
+        "est_a",
+        "est_b",
+        est_inter.alias("est_inter"),
+        F.round(F.col("est_a") + F.col("est_b") - est_inter, 2).alias("est_union"),
+    ).orderBy("src_a", "src_b")
+
+
+def _d14_oracle() -> str:
+    from ..functions.hashing import h64_sql
+
+    h = h64_sql("word")
+    num = (D14_K - 1) * D14_U
+    return f"""
+    WITH hashes AS (
+        SELECT DISTINCT source, {h} AS h
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+    ),
+    ranked AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hashes
+    ),
+    sketches AS (
+        SELECT source,
+               list_sort(list(h)) AS sk,
+               max(h) AS t_k,
+               round({num} / max(h), 2) AS est
+        FROM ranked WHERE rn <= {D14_K} GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           least(a.t_k, b.t_k) AS theta,
+           len(list_filter(list_intersect(a.sk, b.sk),
+                           x -> x < least(a.t_k, b.t_k)))::BIGINT AS common_below_theta,
+           a.est AS est_a, b.est AS est_b,
+           round(len(list_filter(list_intersect(a.sk, b.sk),
+                                 x -> x < least(a.t_k, b.t_k)))
+                 * {D14_U} / least(a.t_k, b.t_k), 2) AS est_inter,
+           round(a.est + b.est
+                 - round(len(list_filter(list_intersect(a.sk, b.sk),
+                                         x -> x < least(a.t_k, b.t_k)))
+                         * {D14_U} / least(a.t_k, b.t_k), 2), 2) AS est_union
+    FROM sketches a JOIN sketches b ON a.source < b.source
+    ORDER BY src_a, src_b
+    """
+
+
+ORACLE["d14_source_overlap_matrix"] = _d14_oracle()
+QUERIES["d14_source_overlap_matrix"] = d14_source_overlap_matrix
