@@ -178,6 +178,7 @@ UNGATED = frozenset(
         "q71_time_travel",
         "d14_source_overlap_matrix",
         "q72_skew_profile",
+        "t23_leakage_free_split",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

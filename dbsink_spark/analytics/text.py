@@ -1465,3 +1465,117 @@ ORACLE["t22_pmi_collocations"] = f"""
 """
 
 QUERIES["t22_pmi_collocations"] = t22_pmi_collocations
+
+
+# ---------------------------------------------------------------------------
+# t23: leakage-free train/eval split (near-dup clusters stay together)
+# ---------------------------------------------------------------------------
+
+T23_TRAIN_PCT = 80
+
+
+def t23_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-aware dataset split: the unit of assignment is
+    the NEAR-DUP CLUSTER (d09's connected components over verified
+    d03 pairs), not the document — so two near-duplicates can never
+    land on opposite sides of a train/eval split, the leakage mode
+    that silently inflates every eval metric (t12's plain hash split
+    has exactly this hole, which this operator closes).
+
+    Assignment is deterministic: split = h64(cluster-representative)
+    band, so the split is reproducible across engines/runs and
+    documents ADDED to an existing cluster later inherit its side
+    (stable under incremental ingest — the d03 signature-store
+    property). Emits the audit alongside: n_leaky_pairs counts
+    verified near-dup pairs crossing the split boundary and MUST be
+    zero — the oracle proves it, not just asserts it.
+
+    Scale: cluster labels are pair-list-sized (d09), the split is a
+    map-side hash on an 8-byte group id, and the audit join is
+    pair-list-sized — corpus cost is one broadcast-joined projection.
+    """
+    from ..functions.hashing import h64
+    from .dedup import d03_minhash_lsh, d09_dup_clusters
+
+    d = Tables(spark, sf_dir).documents.select("doc_id")
+    clusters = d09_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    assign = (
+        d.join(F.broadcast(clusters), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("gid"),
+        )
+        .select(
+            "doc_id",
+            "gid",
+            F.when(
+                F.pmod(h64(F.col("gid")), 100) < T23_TRAIN_PCT, F.lit("train")
+            )
+            .otherwise(F.lit("eval"))
+            .alias("split"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = d03_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    leak = (
+        pairs.join(
+            assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .agg(
+            F.sum((F.col("sa") != F.col("sb")).cast("long")).alias("n_leaky_pairs"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    per = assign.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("gid").alias("n_groups"),
+    )
+    return per.crossJoin(leak).orderBy("split")
+
+
+def _t23_oracle() -> str:
+    from ..functions.hashing import h64_sql
+    from .dedup import ORACLE as DEDUP_ORACLE
+
+    h = h64_sql("gid::VARCHAR")
+    return f"""
+    WITH clusters AS (
+        SELECT doc_id, cluster_id FROM ({DEDUP_ORACLE["d09_dup_clusters"]}) c
+    ),
+    assign AS (
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS gid
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    ),
+    split AS (
+        SELECT doc_id, gid,
+               CASE WHEN ((({h}) % 100) + 100) % 100 < {T23_TRAIN_PCT}
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM assign
+    ),
+    pairs AS (SELECT doc_a, doc_b FROM ({DEDUP_ORACLE["d03_minhash_lsh"]}) p),
+    leak AS (
+        SELECT sum((sa.split <> sb.split)::INT)::BIGINT AS n_leaky_pairs,
+               count(*)::BIGINT AS n_pairs
+        FROM pairs
+        JOIN split sa ON pairs.doc_a = sa.doc_id
+        JOIN split sb ON pairs.doc_b = sb.doc_id
+    ),
+    per AS (
+        SELECT split, count(*)::BIGINT AS n_docs,
+               count(DISTINCT gid)::BIGINT AS n_groups
+        FROM split GROUP BY split
+    )
+    SELECT split, n_docs, n_groups, n_leaky_pairs, n_pairs
+    FROM per, leak
+    ORDER BY split
+    """
+
+
+ORACLE["t23_leakage_free_split"] = _t23_oracle()
+QUERIES["t23_leakage_free_split"] = t23_leakage_free_split
