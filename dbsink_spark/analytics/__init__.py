@@ -179,6 +179,8 @@ UNGATED = frozenset(
         "d14_source_overlap_matrix",
         "q72_skew_profile",
         "t23_leakage_free_split",
+        "t24_phrase_search",
+        "q73_clamped_running_sum",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

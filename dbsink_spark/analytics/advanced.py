@@ -2665,3 +2665,93 @@ def _q72_oracle() -> str:
 
 ORACLE["q72_skew_profile"] = _q72_oracle()
 QUERIES["q72_skew_profile"] = q72_skew_profile
+
+
+# ---------------------------------------------------------------------------
+# q73: clamped running balance — inherently-sequential state, applyInPandas
+# ---------------------------------------------------------------------------
+
+Q73_DRAW = 50.0  # per-event draw; balance = clamp(bal + value - DRAW, 0)
+
+
+def q73_clamped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped (reset-at-zero) running balance per user — inventory /
+    credit semantics: ``bal ← max(0, bal + value − 50)`` over the
+    user's (ts, event_id)-ordered events, counting the resets. This
+    recurrence is NOT window-expressible (each step depends on the
+    clamped previous step — no prefix-sum decomposition exists), so it
+    is the showcase for the custom-stateful tier of the operator
+    hierarchy: Arrow-batched ``applyInPandas`` per key, the same
+    machinery the streaming device tracker uses, with sequential numpy
+    inside the group.
+
+    Exactness: the per-row op order is fixed by the data (sequential),
+    and both engines perform the identical IEEE double adds/compares —
+    so even this float recurrence hash-matches the DuckDB oracle
+    (which replays the recurrence as a RECURSIVE CTE stepping rn→rn+1;
+    same ops, same order, same bits).
+
+    Scale: one shuffle on user_id; groups stream through Arrow in
+    batches; state is O(1) per group. The 100 TB posture is q50's:
+    bucket the changelog by key so the group sort is per-bucket.
+    """
+    import pandas as pd
+
+    e = Tables(spark, sf_dir).events.select("user_id", "ts", "event_id", "value")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal = 0.0
+        resets = 0
+        for v in pdf["value"].to_numpy():
+            nxt = bal + (v - Q73_DRAW)
+            if nxt < 0.0:
+                bal = 0.0
+                resets += 1
+            else:
+                bal = nxt
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "final_balance": [bal],
+                "n_resets": [resets],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(run, "user_id long, final_balance double, n_resets long, n_events long")
+        .orderBy("user_id")
+    )
+
+
+ORACLE["q73_clamped_running_sum"] = f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    nev AS (SELECT user_id, max(rn) AS n_events FROM seq GROUP BY user_id),
+    bal(user_id, rn, bal, resets) AS (
+        SELECT user_id, rn,
+               CASE WHEN 0 + (value - {Q73_DRAW}) < 0 THEN 0
+                    ELSE 0 + (value - {Q73_DRAW}) END,
+               (0 + (value - {Q73_DRAW}) < 0)::BIGINT
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn,
+               CASE WHEN b.bal + (s.value - {Q73_DRAW}) < 0 THEN 0
+                    ELSE b.bal + (s.value - {Q73_DRAW}) END,
+               b.resets + (b.bal + (s.value - {Q73_DRAW}) < 0)::BIGINT
+        FROM bal b JOIN seq s ON s.user_id = b.user_id AND s.rn = b.rn + 1
+    )
+    SELECT b.user_id,
+           b.bal AS final_balance,
+           b.resets AS n_resets,
+           n.n_events::BIGINT AS n_events
+    FROM bal b JOIN nev n ON b.user_id = n.user_id AND b.rn = n.n_events
+    ORDER BY b.user_id
+"""
+
+QUERIES["q73_clamped_running_sum"] = q73_clamped_running_sum

@@ -1579,3 +1579,87 @@ def _t23_oracle() -> str:
 
 ORACLE["t23_leakage_free_split"] = _t23_oracle()
 QUERIES["t23_leakage_free_split"] = t23_leakage_free_split
+
+
+# ---------------------------------------------------------------------------
+# t24: positional phrase search over the inverted index
+# ---------------------------------------------------------------------------
+
+T24_PHRASES = ("table hash", "merge group", "the fast key")
+
+
+def t24_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval from a POSITIONAL index: build (term,
+    doc_id, pos) postings once, then resolve each query phrase by
+    joining its terms' postings with the position offsets aligned
+    (pos₂ = pos₁+1, …) — the classic phrase-query plan every search
+    engine runs, completing the retrieval family (t20 index → t21
+    BM25 ranking → t24 phrase semantics).
+
+    Per phrase: the first term's postings are the driver; each further
+    term is an equi-join on (doc_id, pos−offset). Join input is
+    postings-of-the-phrase-terms only (term-pruned — at 100 TB the
+    positional index is term-hash-partitioned like t20, so each term's
+    postings read one partition). Emits per phrase: matching docs,
+    total occurrences — deterministic integers.
+    """
+    d = Tables(spark, sf_dir).documents
+    pos = (
+        d.select("doc_id", F.posexplode(_words()).alias("pos", "term"))
+        .filter(F.col("term") != "")
+        .localCheckpoint(eager=True)
+    )
+
+    out = None
+    for phrase in T24_PHRASES:
+        terms = phrase.split(" ")
+        cur = pos.filter(F.col("term") == terms[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        for k, t in enumerate(terms[1:], start=1):
+            nxt = pos.filter(F.col("term") == t).select(
+                "doc_id", (F.col("pos") - k).alias("p0")
+            )
+            cur = cur.join(nxt, ["doc_id", "p0"])
+        agg = cur.agg(
+            F.lit(phrase).alias("phrase"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out.orderBy("phrase")
+
+
+def _t24_oracle() -> str:
+    parts = []
+    for phrase in T24_PHRASES:
+        terms = phrase.split(" ")
+        joins = []
+        for k, t in enumerate(terms):
+            joins.append(
+                f"(SELECT doc_id, i - {k} AS p0 FROM pos WHERE term = '{t}') t{k}"
+            )
+        frm = joins[0]
+        for k in range(1, len(terms)):
+            frm += f" JOIN {joins[k]} USING (doc_id, p0)"
+        parts.append(
+            f"""SELECT '{phrase}' AS phrase,
+               count(DISTINCT doc_id)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_occurrences
+            FROM {frm}"""
+        )
+    body = " UNION ALL ".join(parts)
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (
+        SELECT doc_id, w[i] AS term, i
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t)
+        WHERE w[i] <> ''
+    )
+    {body}
+    ORDER BY phrase
+    """
+
+
+ORACLE["t24_phrase_search"] = _t24_oracle()
+QUERIES["t24_phrase_search"] = t24_phrase_search
