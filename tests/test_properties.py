@@ -269,10 +269,20 @@ def test_convex_union_area_exact(pa, pb):
     inter = _clip(A, B)
     overlap2 = _area2(inter) if len(inter) >= 3 else Fraction(0)
     expected2 = _area2(A) + _area2(B) - overlap2
+    # Rational recovery of the float output coords: every true vertex is
+    # p/q with q ≤ ~1800 (edge-pair cross products of integer coords in
+    # [-15,15]), and the float carries ≲1e-13 absolute error. The cap D
+    # must satisfy 1/(q·D) ≫ float-error or limit_denominator can snap
+    # to a nearer junk fraction (D=10**12 sat exactly on that boundary
+    # and hypothesis found a failing pair); D=10**6 leaves ~4 orders of
+    # margin while still recovering every q ≤ 1800 exactly.
+    def _rat(v):
+        return Fraction(v).limit_denominator(10**6)
+
     if kind == "polygon":
-        got2 = _area2([(Fraction(x).limit_denominator(10**12), Fraction(y).limit_denominator(10**12)) for x, y in out[:-1]])
+        got2 = _area2([(_rat(x), _rat(y)) for x, y in out[:-1]])
     else:
-        got2 = sum(_area2([(Fraction(x).limit_denominator(10**12), Fraction(y).limit_denominator(10**12)) for x, y in r[:-1]]) for r in out)
+        got2 = sum(_area2([(_rat(x), _rat(y)) for x, y in r[:-1]]) for r in out)
     assert got2 == expected2, (A, B, kind, out, float(got2)/2, float(expected2)/2)
 
 
