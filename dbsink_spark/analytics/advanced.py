@@ -2034,8 +2034,12 @@ def q64_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pair_cols = []
     for c, typ in Q64_COLS:
+        # distinct counting needs an INJECTIVE rendering, not a pretty
+        # one: micros-precision format — whole-second truncation would
+        # conflate sub-second-distinct timestamps the oracle's raw
+        # count(DISTINCT) keeps apart
         v = (
-            F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
+            F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             if typ == "timestamp"
             else F.col(c).cast("string")
         )
@@ -2057,8 +2061,18 @@ def q64_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
     )
     return (
-        stacked.join(F.broadcast(nd), "col_name")
-        .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+        # LEFT join: an all-NULL column has no pass-2 row but must still
+        # profile (n_distinct = 0) — an inner join would silently drop
+        # exactly the null-policy case the profiler exists to surface
+        stacked.join(F.broadcast(nd), "col_name", "left")
+        .select(
+            "col_name",
+            "n_rows",
+            "n_nulls",
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            "min_val",
+            "max_val",
+        )
         .orderBy("col_name")
     )
 
@@ -2364,6 +2378,9 @@ def q69_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = e.join(F.broadcast(cells), ["event_type", "hod"]).withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
+    # dev feeds BOTH the MAD aggregate and the flagging join —
+    # checkpoint so the corpus scan + cell join run once, not twice
+    dev = dev.localCheckpoint(eager=False)
     mads = dev.groupBy("event_type", "hod").agg(
         F.expr("percentile(adev, 0.5)").alias("mad")
     )

@@ -62,7 +62,16 @@ def plan_stats(df: DataFrame) -> PlanStats:
     )
     s.wholestage_codegen_spans = plan.count("WholeStageCodegen")
     s.python_evals = plan.count("BatchEvalPython")
-    s.arrow_evals = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+    # every Arrow-batched Python execution shape: scalar pandas UDFs,
+    # mapInPandas, applyInPandas (FlatMapGroupsInPandas node), grouped
+    # stateful (FlatMapGroupsWithStateInPandas), and applyInArrow
+    s.arrow_evals = (
+        plan.count("ArrowEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("FlatMapGroupsWithStateInPandas")
+        + plan.count("FlatMapGroupsInArrow")
+    )
     if s.cartesian_products:
         s.notes.append("cartesian product present — unbounded pairwise work")
     if s.python_evals:

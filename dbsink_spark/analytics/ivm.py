@@ -105,13 +105,27 @@ class AggView:
         )
 
     def maintain(self, changes: DataFrame, group_col: str, value_col: str,
-                 op_col: str = "op") -> dict:
+                 op_col: str = "op", batch_id: int | None = None) -> dict:
         """Apply one change batch. Reads and rewrites ONLY the buckets
-        the batch touches. Returns maintenance stats."""
+        the batch touches. Returns maintenance stats.
+
+        Replay safety: signed-delta application is NOT idempotent, so
+        when ``batch_id`` is given (the foreachBatch contract), an
+        already-applied id is detected via a marker under
+        ``_applied_batches/`` and skipped. The marker is created after
+        the state write commits; the residual window (crash between
+        data commit and marker creation) is the plain-parquet
+        limitation a table format's atomic commit closes — documented,
+        not hidden.
+        """
+        if batch_id is not None and self._batch_applied(batch_id):
+            return {"buckets_rewritten": 0, "groups_touched": 0, "skipped": True}
         delta = self.delta_partials(changes, group_col, value_col, op_col)
         delta = delta.localCheckpoint(eager=True)  # tiny; read 3×
         buckets = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
         if not buckets:
+            if batch_id is not None:
+                self._mark_applied(batch_id)
             return {"buckets_rewritten": 0, "groups_touched": 0}
 
         state = self._read_state().filter(F.col("bucket").isin(buckets))
@@ -124,8 +138,16 @@ class AggView:
                 (F.coalesce("s", F.lit(0.0)) + F.coalesce("ds", F.lit(0.0))).alias("s"),
                 (F.coalesce("s2", F.lit(0.0)) + F.coalesce("ds2", F.lit(0.0))).alias("s2"),
             )
-            .filter(F.col("n") > 0)
         )
+        # Rows reaching n == 0 stay in the write as TOMBSTONES: dynamic
+        # overwrite only replaces partitions PRESENT in the write, so a
+        # touched bucket whose every group was deleted needs at least
+        # one row or its stale files would survive. Tombstones are
+        # dropped again at the next rewrite of their bucket
+        # (_read_state filters n > 0), so they never accumulate beyond
+        # one batch's deletions — and unlike an fs delete, this works
+        # identically on any filesystem (s3a/hdfs/local) and is atomic
+        # with the state write itself.
         merged = merged.localCheckpoint(eager=True)
         (
             merged.repartition(max(1, len(buckets)), "bucket")
@@ -134,21 +156,32 @@ class AggView:
             .partitionBy("bucket")
             .parquet(self.path)
         )
-        # dynamic overwrite only replaces partitions PRESENT in the
-        # write; a touched bucket whose every group was deleted writes
-        # zero rows and would keep its stale files — drop those
-        # directories explicitly (with a table format this is the
-        # delete-manifest entry; on plain parquet it's an fs delete)
-        surviving = {r["bucket"] for r in merged.select("bucket").distinct().collect()}
-        import shutil
-
-        for b in set(buckets) - surviving:
-            part_dir = f"{self.path}/bucket={b}"
-            shutil.rmtree(part_dir, ignore_errors=True)
+        if batch_id is not None:
+            self._mark_applied(batch_id)
         return {
             "buckets_rewritten": len(buckets),
             "groups_touched": delta.count(),
         }
+
+    # -- replay ledger ------------------------------------------------------
+
+    def _ledger_dir(self) -> str:
+        import os
+
+        d = os.path.join(self.path, "_applied_batches")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _batch_applied(self, batch_id: int) -> bool:
+        import os
+
+        return os.path.exists(os.path.join(self._ledger_dir(), str(batch_id)))
+
+    def _mark_applied(self, batch_id: int) -> None:
+        import os
+
+        with open(os.path.join(self._ledger_dir(), str(batch_id)), "w") as f:
+            f.write("applied\n")
 
     # -- streaming ---------------------------------------------------------
 
@@ -156,13 +189,17 @@ class AggView:
             checkpoint: str, op_col: str = "op", trigger: dict | None = None):
         """Maintain the view from a streaming CDC source (rows carry
         op ∈ {+1, −1}) — each micro-batch applies one maintain() step.
-        Exactly-once via the stream checkpoint: a replayed batch is
-        NOT idempotent for signed partials (addition), so the
-        checkpoint is the delivery contract, like CountMinMaintainer
-        and unlike the max/OR maintainers."""
+
+        Delivery: foreachBatch is AT-LEAST-ONCE (a batch whose effects
+        committed but whose checkpoint offset didn't is replayed on
+        restart), and signed-partial addition is not idempotent — so
+        ``batch_id`` is forwarded to maintain(), which dedups replays
+        via the applied-batches ledger. Effectively-once up to the
+        ledger's documented commit window."""
 
         def fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.maintain(batch_df, group_col, value_col, op_col)
+            self.maintain(batch_df, group_col, value_col, op_col,
+                          batch_id=batch_id)
 
         stream = (
             source.writeStream.outputMode("append")
@@ -177,7 +214,13 @@ class AggView:
 
     def _read_state(self) -> DataFrame:
         try:
-            return self.spark.read.parquet(self.path).select(*_STATE_COLS)
+            # n > 0 drops tombstones: deleted groups awaiting their
+            # bucket's next rewrite (see maintain())
+            return (
+                self.spark.read.parquet(self.path)
+                .select(*_STATE_COLS)
+                .filter(F.col("n") > 0)
+            )
         except Exception:
             # store initialized empty and never maintained
             return self.spark.createDataFrame(

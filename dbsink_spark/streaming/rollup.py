@@ -5,11 +5,12 @@ Each micro-batch is reduced to (bucket, key) partial aggregates
 (count + sum — the composable partials), then MERGED into a target
 table with an additive ``ON CONFLICT DO UPDATE SET n = n + excluded.n``
 — so the table always holds the exact aggregate over everything
-streamed so far, and a re-run from a checkpoint never double-counts a
-processed batch (exactly-once via checkpoint + idempotent replay is
-NOT claimed here: additive merge is at-least-once sensitive, which is
-why production pairs it with the checkpoint's batch tracking, exactly
-like Spark's own ``foreachBatch`` docs prescribe).
+streamed so far. Additive merge is at-least-once sensitive (a replayed
+micro-batch would double-count), so merge_batch dedups replays through
+the transactional batch ledger shared with the sketch maintainers
+(``sketches.apply_batch_once``): the marker commits in the same
+transaction as the merge, exactly the idempotent-writer pattern
+Spark's own ``foreachBatch`` docs prescribe.
 
 At 100 TB this is the materialized-view maintenance pattern: the
 micro-batch partial agg is map-side combined (tiny shuffle keyed by
@@ -82,7 +83,7 @@ class RollupMaintainer:
                 "rollup — coarsen the bucket, reduce key cardinality, or "
                 "raise the cap"
             )
-        if not rows:
+        if not rows and batch_id is None:
             return
         sql = (
             f"INSERT INTO {quoted(self.table)} (bucket, key, n, sv) "
@@ -92,16 +93,11 @@ class RollupMaintainer:
         )
         if self.dialect == "postgres":
             sql = sql.replace("?", "%s")
-        conn = self.connect()
-        try:
-            if self.dialect == "duckdb":
-                conn.executemany(sql, rows)
-            else:
-                with conn.cursor() as cur:
-                    cur.executemany(sql, rows)
-                conn.commit()
-        finally:
-            conn.close()
+        # additive merge is replay-sensitive: the shared transactional
+        # batch ledger makes an at-least-once foreachBatch replay a no-op
+        from .sketches import apply_batch_once
+
+        apply_batch_once(self.connect, self.dialect, self.table, sql, rows, batch_id)
 
     def run(
         self,

@@ -27,6 +27,78 @@ from ..functions.hashing import MINHASH_COEFFS, affine, h64
 CM_D = 4
 CM_W = 1024
 
+LEDGER_TABLE = "_applied_batches"
+
+
+def apply_batch_once(connect, dialect: str, table: str, sql: str, rows,
+                     batch_id: int | None) -> bool:
+    """Execute an ADDITIVE upsert with replay protection: when
+    ``batch_id`` is given, a ledger marker row commits in the SAME
+    transaction as the merge, so foreachBatch's at-least-once replay
+    of an already-committed batch is a clean no-op — there is no
+    applied-but-unmarked window (unlike a file-marker scheme).
+    Returns False when the batch was already applied.
+
+    Idempotent maintainers (bitmap OR, HLL max) don't need this —
+    their replay is naturally absorbing; the ADDITIVE family
+    (count-min, histogram, rollup) doubles on replay without it.
+    """
+    led = quoted(LEDGER_TABLE)
+    ddl = (
+        f"CREATE TABLE IF NOT EXISTS {led} ("
+        "sink_table VARCHAR, batch_id BIGINT, "
+        "PRIMARY KEY (sink_table, batch_id))"
+    )
+    conn = connect()
+    try:
+        if dialect == "postgres":
+            with conn.cursor() as cur:
+                if batch_id is not None:
+                    cur.execute(ddl)
+                    cur.execute(
+                        f"SELECT 1 FROM {led} WHERE sink_table = %s"
+                        " AND batch_id = %s",
+                        (table, batch_id),
+                    )
+                    if cur.fetchone():
+                        conn.rollback()
+                        return False
+                    cur.execute(
+                        f"INSERT INTO {led} VALUES (%s, %s)", (table, batch_id)
+                    )
+                if rows:
+                    cur.executemany(sql, rows)
+            conn.commit()
+            return True
+        # duckdb (driver-local DBAPI)
+        conn.execute("BEGIN TRANSACTION")
+        try:
+            if batch_id is not None:
+                conn.execute(ddl)
+                hit = conn.execute(
+                    f"SELECT 1 FROM {led} WHERE sink_table = ?"
+                    " AND batch_id = ?",
+                    [table, batch_id],
+                ).fetchone()
+                if hit:
+                    conn.execute("ROLLBACK")
+                    return False
+                conn.execute(
+                    f"INSERT INTO {led} VALUES (?, ?)", [table, batch_id]
+                )
+            if rows:
+                conn.executemany(sql, rows)
+            conn.execute("COMMIT")
+            return True
+        except Exception:
+            try:
+                conn.execute("ROLLBACK")
+            except Exception:
+                pass
+            raise
+    finally:
+        conn.close()
+
 
 def batch_grid(df: DataFrame, item_col: str) -> DataFrame:
     """(d, bucket, cnt) partial grid for one batch of items."""
@@ -68,7 +140,7 @@ class CountMinMaintainer:
 
     def merge_batch(self, grid_df: DataFrame, batch_id: int | None = None) -> None:
         rows = [(r["d"], r["bucket"], r["cnt"]) for r in grid_df.collect()]
-        if not rows:
+        if not rows and batch_id is None:
             return
         sql = (
             f"INSERT INTO {quoted(self.table)} (d, bucket, cnt) VALUES (?, ?, ?) "
@@ -76,16 +148,7 @@ class CountMinMaintainer:
         )
         if self.dialect == "postgres":
             sql = sql.replace("?", "%s")
-        conn = self.connect()
-        try:
-            if self.dialect == "duckdb":
-                conn.executemany(sql, rows)
-            else:
-                with conn.cursor() as cur:
-                    cur.executemany(sql, rows)
-                conn.commit()
-        finally:
-            conn.close()
+        apply_batch_once(self.connect, self.dialect, self.table, sql, rows, batch_id)
 
     def estimate_sql(self, item_hash: int) -> str:
         """SQL that serves the point estimate for one item (by its h64
@@ -380,8 +443,10 @@ class HistogramMaintainer:
     the maintainer family (Rollup=sums, CountMin=frequency,
     Bitmap/HLL=distinct, Histogram=quantiles).
 
-    Bin counts merge by addition (mergeable; exactly-once via the
-    stream checkpoint like CountMin). State is |occupied bins| rows
+    Bin counts merge by addition — NOT replay-idempotent, so
+    merge_batch dedups via the transactional batch ledger
+    (``apply_batch_once``), like CountMin and unlike the absorbing
+    OR/max maintainers. State is |occupied bins| rows
     regardless of volume. ``quantile_sql`` serves an approximate
     quantile by walking the cumulative histogram — error bounded by
     one bin width, the classic NDV-free equi-width scheme; tighten by
@@ -406,7 +471,7 @@ class HistogramMaintainer:
 
     def merge_batch(self, hist_df: DataFrame, batch_id: int | None = None) -> None:
         rows = [(r["bin"], r["cnt"]) for r in hist_df.collect()]
-        if not rows:
+        if not rows and batch_id is None:
             return
         sql = (
             f"INSERT INTO {quoted(self.table)} (bin, cnt) VALUES (?, ?) "
@@ -414,16 +479,7 @@ class HistogramMaintainer:
         )
         if self.dialect == "postgres":
             sql = sql.replace("?", "%s")
-        conn = self.connect()
-        try:
-            if self.dialect == "duckdb":
-                conn.executemany(sql, rows)
-            else:
-                with conn.cursor() as cur:
-                    cur.executemany(sql, rows)
-                conn.commit()
-        finally:
-            conn.close()
+        apply_batch_once(self.connect, self.dialect, self.table, sql, rows, batch_id)
 
     def quantile_sql(self, q: float) -> str:
         """SQL serving the approximate q-quantile from the maintained
@@ -447,7 +503,9 @@ class HistogramMaintainer:
         self.ensure_table()
 
         def fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.merge_batch(batch_histogram(batch_df, value_col, self.bin_width))
+            self.merge_batch(
+                batch_histogram(batch_df, value_col, self.bin_width), batch_id
+            )
 
         stream = (
             source.writeStream.outputMode("append")

@@ -12,8 +12,6 @@ import pytest
 
 from dbsink_spark.analytics.ivm import AggView, full_recompute
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
-
 
 def _rows(df):
     return sorted(
@@ -139,6 +137,45 @@ def test_ivm_empty_init_then_maintain(spark, tmp_path):
     )
     [r] = view.serve().collect()
     assert (r["grp"], r["cnt"], r["total"], r["avg"]) == ("x", 2, 6.0, 3.0)
+
+
+def test_ivm_replayed_batch_id_is_deduplicated(spark, tmp_path):
+    """foreachBatch is at-least-once: applying the same batch_id twice
+    must leave the view as if applied once (signed deltas would
+    otherwise double)."""
+    base = spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["grp", "v"])
+    view = AggView(spark, str(tmp_path / "view"))
+    view.init(base, "grp", "v")
+    changes = spark.createDataFrame([("a", 5.0, 1)], ["grp", "v", "op"])
+    view.maintain(changes, "grp", "v", batch_id=7)
+    stats = view.maintain(changes, "grp", "v", batch_id=7)  # replay
+    assert stats.get("skipped") is True
+    [a] = [r for r in view.serve().collect() if r["grp"] == "a"]
+    assert (a["cnt"], a["total"]) == (2, 6.0)
+
+
+def test_ivm_emptied_bucket_has_no_stale_state(spark, tmp_path):
+    """Deleting EVERY group of a bucket must not resurrect old state on
+    the next read (tombstone rows force the partition rewrite; readers
+    filter them), and a later reinsert starts clean."""
+    # single-bucket store so one delete batch empties a whole bucket
+    base = spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["grp", "v"])
+    view = AggView(spark, str(tmp_path / "view"), n_buckets=1)
+    view.init(base, "grp", "v")
+    view.maintain(
+        spark.createDataFrame(
+            [("a", 1.0, -1), ("b", 2.0, -1)], ["grp", "v", "op"]
+        ),
+        "grp",
+        "v",
+    )
+    assert view.state().count() == 0
+    # reinsert after full emptiness: no ghosts, fresh stats
+    view.maintain(
+        spark.createDataFrame([("a", 9.0, 1)], ["grp", "v", "op"]), "grp", "v"
+    )
+    [r] = view.serve().collect()
+    assert (r["grp"], r["cnt"], r["total"]) == ("a", 1, 9.0)
 
 
 def test_ivm_streaming_cdc_maintenance(spark, tmp_path):

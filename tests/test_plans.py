@@ -230,3 +230,14 @@ def test_plan_stats_flags_python_udf(spark):
 
     with _pytest.raises(ValueError, match="Python UDF"):
         assert_scale_safe(df)
+
+
+def test_plan_stats_counts_apply_in_pandas(spark):
+    """applyInPandas (FlatMapGroupsInPandas) is Arrow-batched Python
+    execution and must show in arrow_evals — q73 is exactly that tier."""
+    from dbsink_spark.analytics.introspect import plan_stats
+
+    df = analytics.ALL_QUERIES["q73_clamped_running_sum"](spark, SF_DIR)
+    s = plan_stats(df)
+    assert s.arrow_evals >= 1, s
+    assert s.python_evals == 0, s

@@ -807,3 +807,56 @@ def test_streaming_histogram_matches_batch_and_serves_quantile(spark, tmp_path):
     exact = sorted(vals1 + vals2)[len(vals1 + vals2) // 2]
     assert abs(served - exact) <= HIST_BIN_WIDTH
     con.close()
+
+
+def test_additive_maintainers_dedupe_replayed_batch(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the same batch_id into
+    an ADDITIVE maintainer (count-min / histogram / rollup) must be a
+    no-op — the ledger marker commits in the same transaction as the
+    merge (sketches.apply_batch_once)."""
+    import duckdb
+
+    from dbsink_spark.streaming.rollup import RollupMaintainer
+    from dbsink_spark.streaming.sketches import (
+        CountMinMaintainer,
+        HistogramMaintainer,
+        batch_grid,
+        batch_histogram,
+    )
+
+    db = str(tmp_path / "replay.duckdb")
+
+    def connect():
+        return duckdb.connect(db)
+
+    items = spark.createDataFrame([("a",), ("b",), ("a",)], ["item"])
+
+    cm = CountMinMaintainer(connect, table="cm")
+    cm.ensure_table()
+    grid = batch_grid(items, "item").localCheckpoint(eager=True)
+    cm.merge_batch(grid, batch_id=0)
+    cm.merge_batch(grid, batch_id=0)  # replay
+    con = duckdb.connect(db)
+    assert con.execute("SELECT sum(cnt) FROM cm").fetchone()[0] == 3 * 4  # CM_D
+
+    hm = HistogramMaintainer(connect, table="hist")
+    hm.ensure_table()
+    vals = spark.createDataFrame([(1.0,), (2.0,), (7.5,)], ["v"])
+    hist = batch_histogram(vals, "v", hm.bin_width).localCheckpoint(eager=True)
+    hm.merge_batch(hist, batch_id=0)
+    hm.merge_batch(hist, batch_id=0)  # replay
+    assert con.execute("SELECT sum(cnt) FROM hist").fetchone()[0] == 3
+
+    rm = RollupMaintainer(connect, table="roll")
+    rm.ensure_table()
+    ev = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "k1", 2.0)], ["ts", "key", "v"]
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "key", "v")
+    partials = rm.partials(ev, "ts", "key", "v").localCheckpoint(eager=True)
+    rm.merge_batch(partials, batch_id=5)
+    rm.merge_batch(partials, batch_id=5)  # replay
+    assert con.execute('SELECT sum(n) FROM "roll"').fetchone()[0] == 1
+    # distinct batch ids for the same sink DO apply
+    rm.merge_batch(partials, batch_id=6)
+    assert con.execute('SELECT sum(n) FROM "roll"').fetchone()[0] == 2
+    con.close()
