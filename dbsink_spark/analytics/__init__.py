@@ -186,6 +186,7 @@ UNGATED = frozenset(
         # Deequ-style constraint audit, materialized-rollup rewrite):
         "q74_constraint_audit",
         "q75_mv_rewrite",
+        "t25_lm_familiarity",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

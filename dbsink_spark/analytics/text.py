@@ -1663,3 +1663,148 @@ def _t24_oracle() -> str:
 
 ORACLE["t24_phrase_search"] = _t24_oracle()
 QUERIES["t24_phrase_search"] = t24_phrase_search
+
+
+# ---------------------------------------------------------------------------
+# t25: n-gram LM familiarity scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+T25_REF_SOURCE = "src0"  # the curated reference corpus (CCNet: Wikipedia)
+T25_PPM = 1_000_000  # probability scale (parts per million)
+T25_LOW_PPM = 20_000  # per-doc mean familiarity below this = low quality
+
+
+def t25_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: train a bigram language model on
+    a curated REFERENCE source, score every document's bigrams by
+    Laplace-smoothed conditional probability, and report per-source
+    familiarity + low-quality counts — the "does this text look like
+    the reference distribution" filter LLM pipelines run before
+    training (CCNet scores against a Wikipedia KenLM).
+
+    Integer-exact by construction: instead of float log-perplexity,
+    each bigram scores ``(c12 + 1) · 1e6 div (c1 + V)`` — the
+    Laplace-smoothed probability in parts-per-million, floor-divided on
+    BIGINT counts, so every per-doc and per-source statistic is exact
+    across engines (no libm ln, no summation-order drift). Monotone in
+    the smoothed probability, so the FILTERING behavior matches the
+    log-space formulation rank-for-rank per bigram.
+
+    Scale: the LM is reference-vocab-bounded (reference corpus is
+    curated and small by design — CCNet's is one language's Wikipedia)
+    and BROADCAST twice (bigram counts, unigram counts); the scored
+    corpus never shuffles for scoring — map-side broadcast joins — and
+    aggregates shuffle (source, doc_id) partials only. Docs with < 2
+    tokens have no bigrams and are excluded (documented; CCNet drops
+    them too).
+    """
+    d = Tables(spark, sf_dir).documents
+    w = _words()
+    bigrams = F.expr(
+        "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
+        "         slice(w, 2, greatest(size(w) - 1, 0)),"
+        "         (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    bg = (
+        d.select("doc_id", "source", F.col("text"))
+        .withColumn("w", w)
+        .select("doc_id", "source", F.explode(bigrams).alias("g"))
+        .select("doc_id", "source", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+
+    ref_tok = (
+        d.filter(F.col("source") == T25_REF_SOURCE)
+        .select(F.explode(w).alias("t"))
+    )
+    lm1 = ref_tok.groupBy(F.col("t").alias("u1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    lm2 = (
+        bg.filter(F.col("source") == T25_REF_SOURCE)
+        .groupBy(F.col("w1").alias("b1"), F.col("w2").alias("b2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    vocab = lm1.agg(F.count(F.lit(1)).alias("v"))
+
+    scored = (
+        bg.join(
+            F.broadcast(lm2),
+            (F.col("w1") == F.col("b1")) & (F.col("w2") == F.col("b2")),
+            "left",
+        )
+        .join(F.broadcast(lm1), F.col("w1") == F.col("u1"), "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"((coalesce(c12, 0) + 1) * {T25_PPM})"
+                " div (coalesce(c1, 0) + v)"
+            ).alias("p_ppm"),
+        )
+    )
+    per_doc = scored.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_bg"),
+        F.sum("p_ppm").alias("p_sum"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bg").alias("n_bigrams"),
+            F.sum("p_sum").alias("fam_sum"),
+            F.expr("sum(p_sum) div sum(n_bg)").alias("fam_ppm"),
+            F.sum(
+                (F.expr("p_sum div n_bg") < T25_LOW_PPM).cast("long")
+            ).alias("n_low_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["t25_lm_familiarity"] = f"""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT doc_id, source, w,
+                     unnest(generate_series(1, len(w) - 1)) AS i
+              FROM t)
+    ),
+    lm1 AS (
+        SELECT u1, count(*)::BIGINT AS c1
+        FROM (SELECT unnest(w) AS u1 FROM t WHERE source = '{T25_REF_SOURCE}')
+        GROUP BY u1
+    ),
+    lm2 AS (
+        SELECT w1 AS b1, w2 AS b2, count(*)::BIGINT AS c12
+        FROM bg WHERE source = '{T25_REF_SOURCE}'
+        GROUP BY 1, 2
+    ),
+    vocab AS (SELECT count(*)::BIGINT AS v FROM lm1),
+    scored AS (
+        SELECT bg.doc_id, bg.source,
+               ((coalesce(lm2.c12, 0) + 1) * {T25_PPM})
+                 // (coalesce(lm1.c1, 0) + vocab.v) AS p_ppm
+        FROM bg
+        LEFT JOIN lm2 ON bg.w1 = lm2.b1 AND bg.w2 = lm2.b2
+        LEFT JOIN lm1 ON bg.w1 = lm1.u1
+        CROSS JOIN vocab
+    ),
+    per_doc AS (
+        SELECT source, doc_id, count(*)::BIGINT AS n_bg,
+               sum(p_ppm)::BIGINT AS p_sum
+        FROM scored GROUP BY source, doc_id
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_bg)::BIGINT AS n_bigrams,
+           sum(p_sum)::BIGINT AS fam_sum,
+           (sum(p_sum) // sum(n_bg))::BIGINT AS fam_ppm,
+           sum((p_sum // n_bg < {T25_LOW_PPM})::INT)::BIGINT AS n_low_quality
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+"""
+QUERIES["t25_lm_familiarity"] = t25_lm_familiarity
