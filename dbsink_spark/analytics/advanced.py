@@ -2694,51 +2694,75 @@ Q73_DRAW = 50.0  # per-event draw; balance = clamp(bal + value - DRAW, 0)
 def q73_clamped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clamped (reset-at-zero) running balance per user — inventory /
     credit semantics: ``bal ← max(0, bal + value − 50)`` over the
-    user's (ts, event_id)-ordered events, counting the resets. This
-    recurrence is NOT window-expressible (each step depends on the
-    clamped previous step — no prefix-sum decomposition exists), so it
-    is the showcase for the custom-stateful tier of the operator
-    hierarchy: Arrow-batched ``applyInPandas`` per key, the same
-    machinery the streaming device tracker uses, with sequential numpy
-    inside the group.
+    user's (ts, event_id)-ordered events, counting the resets — the
+    showcase for the custom-stateful (sequential-recurrence) tier of
+    the operator hierarchy.
 
-    Exactness: the per-row op order is fixed by the data (sequential),
-    and both engines perform the identical IEEE double adds/compares —
-    so even this float recurrence hash-matches the DuckDB oracle
-    (which replays the recurrence as a RECURSIVE CTE stepping rn→rn+1;
-    same ops, same order, same bits).
+    Honesty note on expressibility: the ONE-sided clamp does have a
+    prefix-sum closed form (the reflected-walk identity
+    ``S_i = C_i − min(0, min_{j≤i} C_j)``), so a pure-window plan
+    exists in exact arithmetic. The sequential tier is used anyway,
+    deliberately: (a) it generalizes to the TWO-sided clamp
+    (bounded inventory ``min(cap, max(0, ·))``) where no such
+    decomposition exists, and (b) bit-exactness — the closed form
+    reassociates the float additions, while the sequential replay
+    performs the identical IEEE op sequence as the oracle's RECURSIVE
+    CTE (same ops, same order, same bits — the hash match depends on
+    it).
 
-    Scale: one shuffle on user_id; groups stream through Arrow in
-    batches; state is O(1) per group. The 100 TB posture is q50's:
-    bucket the changelog by key so the group sort is per-bucket.
+    Execution shape: NOT per-group applyInPandas (10k single-group
+    Arrow round-trips measured 5.6 s at sf0.1) but ONE ``mapInPandas``
+    pass over hash-partitioned, (user, ts, event_id)-sorted
+    partitions — groups are contiguous, state carries across Arrow
+    batch boundaries, and the whole partition is a single python/numpy
+    sweep (0.9 s). Same shuffle count, ~6× less Arrow overhead.
+
+    Scale: one shuffle on user_id + per-partition sort; state is O(1)
+    per group and one emit row per user. The 100 TB posture is q50's:
+    bucket the changelog by key so the sort is per-bucket.
     """
     import pandas as pd
 
     e = Tables(spark, sf_dir).events.select("user_id", "ts", "event_id", "value")
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    def run(batches):
+        cur = None
         bal = 0.0
         resets = 0
-        for v in pdf["value"].to_numpy():
-            nxt = bal + (v - Q73_DRAW)
-            if nxt < 0.0:
-                bal = 0.0
-                resets += 1
-            else:
-                bal = nxt
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "final_balance": [bal],
-                "n_resets": [resets],
-                "n_events": [len(pdf)],
-            }
-        )
+        n = 0
+        out = {"user_id": [], "final_balance": [], "n_resets": [], "n_events": []}
+
+        def emit():
+            out["user_id"].append(cur)
+            out["final_balance"].append(bal)
+            out["n_resets"].append(resets)
+            out["n_events"].append(n)
+
+        for pdf in batches:
+            for uid, v in zip(
+                pdf["user_id"].to_numpy(), pdf["value"].to_numpy()
+            ):
+                if uid != cur:
+                    if cur is not None:
+                        emit()
+                    cur, bal, resets, n = uid, 0.0, 0, 0
+                nxt = bal + (v - Q73_DRAW)
+                if nxt < 0.0:
+                    bal = 0.0
+                    resets += 1
+                else:
+                    bal = nxt
+                n += 1
+        if cur is not None:
+            emit()
+        yield pd.DataFrame(out)
 
     return (
-        e.groupBy("user_id")
-        .applyInPandas(run, "user_id long, final_balance double, n_resets long, n_events long")
+        e.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            run, "user_id long, final_balance double, n_resets long, n_events long"
+        )
         .orderBy("user_id")
     )
 
