@@ -187,6 +187,7 @@ UNGATED = frozenset(
         "q74_constraint_audit",
         "q75_mv_rewrite",
         "t25_lm_familiarity",
+        "q76_join_size_profile",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

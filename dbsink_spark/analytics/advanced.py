@@ -2796,3 +2796,92 @@ ORACLE["q73_clamped_running_sum"] = f"""
 """
 
 QUERIES["q73_clamped_running_sum"] = q73_clamped_running_sum
+
+
+# ---------------------------------------------------------------------------
+# q76: join-size profiling from per-key count profiles (planner stats)
+# ---------------------------------------------------------------------------
+
+
+def q76_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality profiling WITHOUT executing the join — the
+    planner pre-flight that completes the introspection trio: q72
+    profiles shuffle-key skew (data side), introspect.plan_stats
+    audits the compiled plan (plan side), and this computes, for each
+    candidate join, its EXACT output cardinality and per-key skew from
+    per-key count profiles alone:
+
+        |A ⋈ B on k| = Σ_k cnt_A(k) · cnt_B(k)
+
+    Cost model (the whole point): two map-side-combinable key-count
+    aggregations + one key-cardinality-sized join of the count tables —
+    O(|keys|) state instead of O(|join output|) work, so you learn a
+    join would explode (or which key dominates its output) for the
+    price of two scans. At 100 TB this is how you budget the shuffle
+    before committing to it; the max-key share tells you whether to
+    salt (q72's remedy) before the first real run.
+
+    All outputs are exact BIGINT (products and sums of counts): the
+    "estimate" is exact because count-by-key is a lossless profile —
+    swap the count tables for KMV/theta sketches (q54/q65 machinery)
+    when even the key profile is too large, trading exactness for
+    state, same query shape.
+    """
+    t = Tables(spark, sf_dir)
+
+    def profile(name: str, left: DataFrame, lk: str, right: DataFrame, rk: str) -> DataFrame:
+        la = left.groupBy(F.col(lk).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+        rb = right.groupBy(F.col(rk).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+        per_key = la.join(rb, "k").select(
+            "k", (F.col("ca") * F.col("cb")).alias("rows_k")
+        )
+        return per_key.agg(
+            F.lit(name).alias("join_name"),
+            F.coalesce(F.sum("rows_k"), F.lit(0)).alias("est_rows"),
+            F.coalesce(F.max("rows_k"), F.lit(0)).alias("max_key_rows"),
+            F.count(F.lit(1)).alias("n_match_keys"),
+            F.coalesce(
+                F.expr("max(rows_k) * 10000 div sum(rows_k)"), F.lit(0)
+            ).alias("max_key_share_bp"),
+        )
+
+    outs = [
+        profile("customer_orders", t.customer, "c_custkey", t.orders, "o_custkey"),
+        profile("orders_lineitem", t.orders, "o_orderkey", t.lineitem, "l_orderkey"),
+        profile("part_lineitem", t.part, "p_partkey", t.lineitem, "l_partkey"),
+        profile("supplier_lineitem", t.supplier, "s_suppkey", t.lineitem, "l_suppkey"),
+    ]
+    res = outs[0]
+    for d in outs[1:]:
+        res = res.unionByName(d)
+    return res.orderBy("join_name")
+
+
+ORACLE["q76_join_size_profile"] = """
+    WITH prof AS (
+        SELECT 'customer_orders' AS join_name, a.k, a.ca * b.cb AS rows_k
+        FROM (SELECT c_custkey AS k, count(*) AS ca FROM customer GROUP BY 1) a
+        JOIN (SELECT o_custkey AS k, count(*) AS cb FROM orders GROUP BY 1) b USING (k)
+        UNION ALL
+        SELECT 'orders_lineitem', a.k, a.ca * b.cb
+        FROM (SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY 1) a
+        JOIN (SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY 1) b USING (k)
+        UNION ALL
+        SELECT 'part_lineitem', a.k, a.ca * b.cb
+        FROM (SELECT p_partkey AS k, count(*) AS ca FROM part GROUP BY 1) a
+        JOIN (SELECT l_partkey AS k, count(*) AS cb FROM lineitem GROUP BY 1) b USING (k)
+        UNION ALL
+        SELECT 'supplier_lineitem', a.k, a.ca * b.cb
+        FROM (SELECT s_suppkey AS k, count(*) AS ca FROM supplier GROUP BY 1) a
+        JOIN (SELECT l_suppkey AS k, count(*) AS cb FROM lineitem GROUP BY 1) b USING (k)
+    )
+    SELECT join_name,
+           sum(rows_k)::BIGINT AS est_rows,
+           max(rows_k)::BIGINT AS max_key_rows,
+           count(*)::BIGINT AS n_match_keys,
+           (max(rows_k) * 10000 // sum(rows_k))::BIGINT AS max_key_share_bp
+    FROM prof
+    GROUP BY join_name
+    ORDER BY join_name
+"""
+QUERIES["q76_join_size_profile"] = q76_join_size_profile
