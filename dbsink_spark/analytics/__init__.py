@@ -188,6 +188,7 @@ UNGATED = frozenset(
         "q75_mv_rewrite",
         "t25_lm_familiarity",
         "q76_join_size_profile",
+        "q77_bitmap_index_serve",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

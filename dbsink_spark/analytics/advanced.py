@@ -2885,3 +2885,72 @@ ORACLE["q76_join_size_profile"] = """
     ORDER BY join_name
 """
 QUERIES["q76_join_size_profile"] = q76_join_size_profile
+
+
+# ---------------------------------------------------------------------------
+# q77: bitmap-index serving (conjunctive predicate counts from bitmaps)
+# ---------------------------------------------------------------------------
+
+
+def q77_bitmap_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index SERVING: build one 64-bit-word bitmap per value of
+    each low-cardinality column (order status, order priority, keyed by
+    o_orderkey bit position), then answer every conjunctive count
+    ``status = x AND priority = y`` by word-aligned ``AND`` + popcount
+    — the base table is scanned once per indexed column at BUILD time
+    and never again at QUERY time (the classic OLAP bitmap index;
+    q56 builds distinct-count bitmaps, this one serves predicates).
+
+    The DuckDB oracle computes the DIRECT ``GROUP BY status, priority``
+    counts, so the hash match IS the proof that index-serving equals
+    scanning — same design as q75's rewrite proof.
+
+    Scale: an indexed column's bitmap is |values| × keyspace/64 words,
+    built with one map-side-combinable ``bit_or``; a conjunctive query
+    is a word-aligned equi-join of two value-slices — cost scales with
+    bitmap words, not base rows, and ANDing more predicates adds joins
+    of the same shape, which is why warehouses keep these as secondary
+    indexes. Id contract (q56's): bit keys are NON-NEGATIVE int64.
+    """
+    o = Tables(spark, sf_dir).orders
+
+    def bitmaps(col: str) -> DataFrame:
+        return (
+            o.select(
+                F.col(col).alias("v"),
+                F.shiftright(F.col("o_orderkey"), 6).alias("word_idx"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(o_orderkey % 64 AS INT))"
+                ).alias("bit"),
+            )
+            .groupBy("v", "word_idx")
+            .agg(F.bit_or("bit").alias("bits"))
+        )
+
+    bs = bitmaps("o_orderstatus").withColumnsRenamed(
+        {"v": "o_orderstatus", "bits": "bits_s"}
+    )
+    bp = bitmaps("o_orderpriority").withColumnsRenamed(
+        {"v": "o_orderpriority", "bits": "bits_p"}
+    )
+    return (
+        bs.join(bp, "word_idx")
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.bit_count(F.col("bits_s").bitwiseAND(F.col("bits_p"))).alias("pc"),
+        )
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("pc").cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") > 0)
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+ORACLE["q77_bitmap_index_serve"] = """
+    SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+"""
+QUERIES["q77_bitmap_index_serve"] = q77_bitmap_index_serve
