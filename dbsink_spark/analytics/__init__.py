@@ -189,6 +189,7 @@ UNGATED = frozenset(
         "t25_lm_familiarity",
         "q76_join_size_profile",
         "q77_bitmap_index_serve",
+        "q78_temporal_enrich",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

@@ -2954,3 +2954,85 @@ ORACLE["q77_bitmap_index_serve"] = """
     ORDER BY o_orderstatus, o_orderpriority
 """
 QUERIES["q77_bitmap_index_serve"] = q77_bitmap_index_serve
+
+
+# ---------------------------------------------------------------------------
+# q78: point-in-time temporal enrichment against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+
+def q78_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct enrichment: each event is joined to the
+    state its user held ONE HOUR BEFORE the event, looked up from
+    q50's SCD2 validity intervals (``valid_from ≤ t < valid_to∨∞``) —
+    the temporal-join discipline that prevents feature leakage in
+    training pipelines (a feature computed "as of" serving time must
+    not see later state; Feathr/Tecton call this a point-in-time
+    join). The lag makes the lookup non-trivial: events in the head
+    hour of a user's history have NO valid state and surface as
+    ``<none>`` — exactly the rows a naive (leaky) join would silently
+    enrich with FUTURE state.
+
+    Emits the (state_1h_ago × current event_type) contingency matrix:
+    the drift signal between held state and current activity.
+
+    Scale: equi-join on user_id with an interval filter; per-user
+    fan-in is the user's CHANGE count (runs collapse in the SCD2
+    build, q50), so the join multiplicity is dim-bounded, not
+    event-bounded. Intervals partition time, so ≤ 1 dim row survives
+    per event — the join cannot explode. Same 100 TB posture as q50:
+    bucket both sides by user.
+    """
+    dim = q50_scd2_intervals(spark, sf_dir).localCheckpoint(eager=False)
+    e = Tables(spark, sf_dir).events.select(
+        "user_id", "event_type", (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("t")
+    )
+    joined = e.join(
+        dim,
+        (e["user_id"] == dim["user_id"])
+        & (dim["valid_from"] <= e["t"])
+        & (dim["valid_to"].isNull() | (e["t"] < dim["valid_to"])),
+        "left",
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(dim["state"], F.lit("<none>")).alias("state_1h_ago"),
+            e["event_type"].alias("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("state_1h_ago", "event_type")
+    )
+
+
+ORACLE["q78_temporal_enrich"] = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE prev IS NULL OR prev <> event_type
+    ), dim AS (
+        SELECT user_id,
+               event_type AS state,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM changes
+    ), e AS (
+        SELECT user_id, event_type, ts - INTERVAL 1 HOUR AS t FROM events
+    )
+    SELECT coalesce(d.state, '<none>') AS state_1h_ago,
+           e.event_type,
+           count(*)::BIGINT AS n_events
+    FROM e
+    LEFT JOIN dim d
+      ON e.user_id = d.user_id
+     AND d.valid_from <= e.t
+     AND (d.valid_to IS NULL OR e.t < d.valid_to)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+QUERIES["q78_temporal_enrich"] = q78_temporal_enrich
