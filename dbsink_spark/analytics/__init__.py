@@ -190,6 +190,7 @@ UNGATED = frozenset(
         "q76_join_size_profile",
         "q77_bitmap_index_serve",
         "q78_temporal_enrich",
+        "t26_rake_keyphrases",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import h64_sql
 from .tables import Tables
@@ -1808,3 +1809,134 @@ ORACLE["t25_lm_familiarity"] = f"""
     ORDER BY source
 """
 QUERIES["t25_lm_familiarity"] = t25_lm_familiarity
+
+
+# ---------------------------------------------------------------------------
+# t26: RAKE keyphrase extraction (gaps-and-islands phrase mining)
+# ---------------------------------------------------------------------------
+
+T26_TOP = 15
+T26_SCALE = 10_000  # word-score fixed-point scale
+
+
+def t26_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (gaps-and-islands over token
+    positions), each word scores ``degree/freq`` over the phrase
+    corpus (degree = summed length of phrases containing the word —
+    its co-occurrence mass; freq = its phrase occurrences), and a
+    phrase scores the sum of its words — the classic unsupervised
+    keyword extractor, all from counts.
+
+    Integer-exact: word scores are fixed-point
+    ``degree·10⁴ div freq`` (floor-div on BIGINT counts), phrase
+    scores are integer sums of those — no float ratio crosses an
+    engine boundary. Identical phrase TEXT implies identical word
+    multiset implies identical score, so the final group-by-phrase is
+    well-defined; ordering (score desc, phrase) is total.
+
+    Scale: tokenize+islands is one window pass per doc partition;
+    word stats are a vocab-sized aggregate BROADCAST back onto
+    occurrences (corpus never shuffles for scoring — t25's shape);
+    phrase assembly groups on (doc, island), co-partitioned with the
+    island window's shuffle. Top-K is a TakeOrdered, not a global
+    sort.
+    """
+    d = Tables(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", F.posexplode(_words()).alias("pos", "term")
+    ).withColumn(
+        "is_stop",
+        F.col("term").isin(*STOPWORDS["en"]) | (F.col("term") == ""),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ns = (
+        tok.filter(~F.col("is_stop"))
+        .withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .select("doc_id", "grp", "pos", "term")
+    )
+    plen = ns.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    occ = ns.join(plen, ["doc_id", "grp"])
+    stats = occ.groupBy(F.col("term").alias("s_term")).agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("len").alias("degree")
+    )
+    scored = occ.join(F.broadcast(stats), F.col("term") == F.col("s_term")).select(
+        "doc_id",
+        "grp",
+        "pos",
+        "term",
+        F.expr(f"degree * {T26_SCALE} div freq").alias("s"),
+    )
+    phrases = scored.groupBy("doc_id", "grp").agg(
+        F.expr(
+            "array_join(transform(sort_array(collect_list(struct(pos, term))),"
+            " x -> x.term), ' ')"
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("s").alias("score"),
+    )
+    return (
+        phrases.filter(F.col("n_words") >= 2)
+        .groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score").alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(T26_TOP)
+    )
+
+
+ORACLE["t26_rake_keyphrases"] = f"""
+    WITH tok AS (
+        SELECT doc_id, i AS pos, w[i] AS term
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents))
+    ),
+    ns AS (
+        SELECT doc_id, pos, term,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM tok
+        WHERE term <> '' AND term NOT IN ({{stoplist}})
+    ),
+    plen AS (
+        SELECT doc_id, grp, count(*)::BIGINT AS len
+        FROM ns GROUP BY doc_id, grp
+    ),
+    occ AS (
+        SELECT ns.doc_id, ns.grp, ns.pos, ns.term, plen.len
+        FROM ns JOIN plen USING (doc_id, grp)
+    ),
+    stats AS (
+        SELECT term, count(*)::BIGINT AS freq, sum(len)::BIGINT AS degree
+        FROM occ GROUP BY term
+    ),
+    scored AS (
+        SELECT occ.doc_id, occ.grp, occ.pos, occ.term,
+               (stats.degree * {T26_SCALE} // stats.freq)::BIGINT AS s
+        FROM occ JOIN stats USING (term)
+    ),
+    phrases AS (
+        SELECT doc_id, grp,
+               string_agg(term, ' ' ORDER BY pos) AS phrase,
+               count(*)::BIGINT AS n_words,
+               sum(s)::BIGINT AS score
+        FROM scored GROUP BY doc_id, grp
+    )
+    SELECT phrase,
+           max(n_words)::BIGINT AS n_words,
+           count(*)::BIGINT AS n_occurrences,
+           max(score)::BIGINT AS score
+    FROM phrases
+    WHERE n_words >= 2
+    GROUP BY phrase
+    ORDER BY score DESC, phrase
+    LIMIT {T26_TOP}
+"""
+ORACLE["t26_rake_keyphrases"] = ORACLE["t26_rake_keyphrases"].replace(
+    "{stoplist}", ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+)
+QUERIES["t26_rake_keyphrases"] = t26_rake_keyphrases
