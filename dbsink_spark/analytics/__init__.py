@@ -191,6 +191,7 @@ UNGATED = frozenset(
         "q77_bitmap_index_serve",
         "q78_temporal_enrich",
         "t26_rake_keyphrases",
+        "q79_attribution",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

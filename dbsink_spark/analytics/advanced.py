@@ -3036,3 +3036,97 @@ ORACLE["q78_temporal_enrich"] = """
     ORDER BY 1, 2
 """
 QUERIES["q78_temporal_enrich"] = q78_temporal_enrich
+
+
+# ---------------------------------------------------------------------------
+# q79: multi-touch attribution (first/last-touch credit per conversion)
+# ---------------------------------------------------------------------------
+
+Q79_TOUCHES = ("click", "view")
+Q79_CONVERSION = "purchase"
+
+
+def q79_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: every conversion (purchase) credits the
+    FIRST and the LAST touchpoint (click/view) that preceded it in the
+    user's (ts, event_id)-ordered stream — the two bookend models of
+    the attribution family (q40's funnel counts journeys; this assigns
+    per-conversion credit). Conversions with no prior touch credit
+    ``<none>`` — surfaced, not dropped, because untracked-channel
+    volume is the number attribution consumers argue about.
+
+    One window pass computes both models: running FIRST (ignorenulls
+    first_value over unbounded preceding) and running LAST (ignorenulls
+    last_value up to current row) of the touch type, read at
+    conversion rows. Deterministic: the stream orders by the unique
+    (ts, event_id) key; outputs are integer counts.
+
+    Scale: single shuffle on user_id shared by both window frames
+    (same partitioning + ordering); conversions filter AFTER the
+    windows read their carried values, then a touch-cardinality-sized
+    aggregate. No self-join of events to events — the naive
+    per-conversion lookback join is quadratic in dense streams.
+    """
+    from pyspark.sql.window import Window as W_
+
+    e = Tables(spark, sf_dir).events.select("user_id", "event_type", "ts", "event_id")
+    touch = F.when(
+        F.col("event_type").isin(*Q79_TOUCHES), F.col("event_type")
+    )
+    w = (
+        W_.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W_.unboundedPreceding, -1)
+    )
+    marked = e.select(
+        "user_id",
+        "event_type",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    conv = marked.filter(F.col("event_type") == Q79_CONVERSION)
+    out = conv.select(
+        F.lit("first_touch").alias("model"),
+        F.coalesce("first_touch", F.lit("<none>")).alias("touch_type"),
+    ).unionAll(
+        conv.select(
+            F.lit("last_touch").alias("model"),
+            F.coalesce("last_touch", F.lit("<none>")).alias("touch_type"),
+        )
+    )
+    return (
+        out.groupBy("model", "touch_type")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .orderBy("model", "touch_type")
+    )
+
+
+ORACLE["q79_attribution"] = f"""
+    WITH marked AS (
+        SELECT user_id, event_type,
+               first_value(CASE WHEN event_type IN ('click', 'view')
+                                THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS first_touch,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_touch
+        FROM events
+    ),
+    conv AS (SELECT * FROM marked WHERE event_type = '{Q79_CONVERSION}'),
+    credited AS (
+        SELECT 'first_touch' AS model,
+               coalesce(first_touch, '<none>') AS touch_type
+        FROM conv
+        UNION ALL
+        SELECT 'last_touch', coalesce(last_touch, '<none>') FROM conv
+    )
+    SELECT model, touch_type, count(*)::BIGINT AS n_conversions
+    FROM credited
+    GROUP BY model, touch_type
+    ORDER BY model, touch_type
+"""
+QUERIES["q79_attribution"] = q79_attribution
