@@ -108,3 +108,108 @@ def file_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-based streaming source with the same (key, value) shape —
     used to exercise the full streaming pipeline without a broker."""
     return spark.readStream.schema(KV_SCHEMA).json(path)
+
+
+def dbapi_table_source(
+    spark: SparkSession,
+    db_path: str,
+    table: str,
+    split_col: str,
+    n_splits: int = 8,
+    columns: list[str] | None = None,
+    predicate: str | None = None,
+) -> DataFrame:
+    """Federated partitioned read of a DuckDB table — the JDBC-style
+    ``partitionColumn/numPartitions`` source pattern for a DBAPI
+    database the sink writes (round-trip: what this engine sinks it
+    can also scan back distributed).
+
+    Split planning is driver-side and tiny (one min/max query); each
+    Spark task then opens its OWN read-only connection and pulls ONLY
+    its ``split_col`` range via Arrow — so extraction parallelism is
+    ``n_splits`` and no single process ever materializes the table.
+    ``columns`` prunes projection and ``predicate`` pushes a WHERE
+    clause INTO the database per split: filter + projection run where
+    the data lives, the classic federation pushdown.
+
+    Ranges use integer-floor boundaries (lo + i·width) with the last
+    split unbounded above, so every row lands in exactly one split
+    regardless of gaps/skew in the key. At 100 TB-lake scale the same
+    shape fans out over table SHARDS; per-split DBAPI connections are
+    the bottleneck a real warehouse replaces with its bulk-unload API.
+
+    Security note: ``table`` / ``split_col`` / ``columns`` are
+    interpolated identifiers and ``predicate`` is raw SQL — callers
+    own them (library-internal contract, same as the sink's DDL).
+    """
+    import duckdb
+
+    con = duckdb.connect(db_path, read_only=True)
+    try:
+        lo, hi = con.execute(
+            f"SELECT min({split_col}), max({split_col}) FROM {table}"
+            + (f" WHERE {predicate}" if predicate else "")
+        ).fetchone()
+        probe_cols = "*" if columns is None else ", ".join(columns)
+        schema_df = con.execute(
+            f"SELECT {probe_cols} FROM {table} LIMIT 0"
+        ).arrow()
+    finally:
+        con.close()
+
+    empty = lo is None
+    arrow_schema = schema_df.schema
+    spark_schema = ", ".join(
+        f"{f.name} {_duck_to_spark_type(f.type)}" for f in arrow_schema
+    )
+    if empty:
+        return spark.createDataFrame([], spark_schema)
+
+    width = max(1, (int(hi) - int(lo)) // n_splits + 1)
+    bounds = [
+        (int(lo) + i * width, None if i == n_splits - 1 else int(lo) + (i + 1) * width)
+        for i in range(n_splits)
+    ]
+
+    def read_split(batches):
+        import duckdb as _d
+
+        for pdf in batches:
+            for s_lo, s_hi in zip(pdf["s_lo"], pdf["s_hi"]):
+                rng = f"{split_col} >= {s_lo}"
+                if s_hi == s_hi and s_hi is not None:  # NaN-safe
+                    rng += f" AND {split_col} < {int(s_hi)}"
+                where = f"WHERE {rng}" + (
+                    f" AND ({predicate})" if predicate else ""
+                )
+                c = _d.connect(db_path, read_only=True)
+                try:
+                    yield c.execute(
+                        f"SELECT {probe_cols} FROM {table} {where}"
+                    ).df()
+                finally:
+                    c.close()
+
+    splits = spark.createDataFrame(
+        [(float(b[0]), float(b[1]) if b[1] is not None else None) for b in bounds],
+        "s_lo double, s_hi double",
+    ).repartition(n_splits)
+    return splits.mapInPandas(read_split, spark_schema)
+
+
+def _duck_to_spark_type(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_int64(t) or pa.types.is_uint32(t):
+        return "long"
+    if pa.types.is_int32(t) or pa.types.is_int16(t) or pa.types.is_int8(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "double"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_date(t):
+        return "date"
+    return "string"

@@ -73,3 +73,42 @@ def test_cli_date_filter(tmp_path):
     # the 2 in-window messages share identical upsert keys → the
     # last-writer-wins dedup collapses them to one upserted row
     assert n == 1
+
+
+def test_dbapi_table_source_round_trip(spark, tmp_path):
+    """The sink's database can be scanned back DISTRIBUTED: range
+    splits partition the key space exactly (no dup/loss), projection
+    and predicate push into the database."""
+    import duckdb
+
+    from dbsink_spark.sources import dbapi_table_source
+
+    db = str(tmp_path / "fed.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE m AS SELECT i AS id, i % 7 AS grp, 'v' || i AS s "
+        "FROM range(0, 1000) t(i)"
+    )
+    # gaps + skew in the split key
+    con.execute("DELETE FROM m WHERE id BETWEEN 200 AND 700")
+    con.close()
+
+    df = dbapi_table_source(spark, db, "m", "id", n_splits=4)
+    rows = df.collect()
+    # BETWEEN is inclusive: 200 survivors below + 299 above = 499
+    assert len(rows) == 499
+    assert {r["id"] for r in rows} == set(range(200)) | set(range(701, 1000))
+    assert df.rdd.getNumPartitions() == 4
+
+    # projection + predicate pushdown
+    df2 = dbapi_table_source(
+        spark, db, "m", "id", n_splits=3, columns=["id", "grp"], predicate="grp = 3"
+    )
+    got = df2.collect()
+    assert set(df2.columns) == {"id", "grp"}
+    assert all(r["grp"] == 3 for r in got)
+    assert len(got) == sum(1 for i in list(range(200)) + list(range(701, 1000)) if i % 7 == 3)
+
+    # empty result (predicate matches nothing)
+    df3 = dbapi_table_source(spark, db, "m", "id", predicate="grp = 99")
+    assert df3.count() == 0
