@@ -95,3 +95,19 @@ def Tables_count(spark):
     from dbsink_spark.analytics.tables import Tables
 
     return Tables(spark, SF_SMOKE).lineitem.count()
+
+
+def test_t25_reference_source_is_most_familiar(spark):
+    """Semantic sanity for the LM quality scorer: the reference
+    corpus's own documents must score the highest mean familiarity —
+    the LM was trained on them (CCNet's Wikipedia scores Wikipedia
+    best)."""
+    from dbsink_spark.analytics.text import T25_REF_SOURCE, t25_lm_familiarity
+
+    rows = t25_lm_familiarity(spark, SF_SMOKE).collect()
+    best = max(rows, key=lambda r: r["fam_ppm"])
+    assert best["source"] == T25_REF_SOURCE
+    # and every source's audit is internally consistent
+    for r in rows:
+        assert 0 <= r["n_low_quality"] <= r["n_docs"]
+        assert r["fam_ppm"] == r["fam_sum"] // r["n_bigrams"]
