@@ -192,6 +192,7 @@ UNGATED = frozenset(
         "q78_temporal_enrich",
         "t26_rake_keyphrases",
         "q79_attribution",
+        "q80_holt_forecast",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

@@ -3130,3 +3130,123 @@ ORACLE["q79_attribution"] = f"""
     ORDER BY model, touch_type
 """
 QUERIES["q79_attribution"] = q79_attribution
+
+
+# ---------------------------------------------------------------------------
+# q80: double exponential smoothing forecast (Holt's linear trend)
+# ---------------------------------------------------------------------------
+
+Q80_HORIZON = 7  # days ahead to forecast
+
+
+def q80_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend forecast per event type: daily value totals
+    smoothed by the classic recurrences (α = β = 1/2)
+
+        level_t = α·y_t + (1−α)(level_{t−1} + trend_{t−1})
+        trend_t = β(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+
+    and a 7-day-ahead projection ``level + h·trend`` — the
+    second member of the forecasting family (q06 fits one global
+    linear regression; Holt adapts level AND slope recursively, which
+    is what short-horizon ops dashboards actually run).
+
+    The recurrence is order-dependent state (the sequential tier, like
+    q73): computed in ONE mapInPandas sweep over type-partitioned,
+    day-sorted daily aggregates. α = β = 1/2 are exact binary
+    fractions and the daily inputs are integer cents, so every
+    intermediate is an exact dyadic double on both engines; the DuckDB
+    oracle replays the identical recurrence as a RECURSIVE CTE —
+    bit-equal, no tolerance.
+
+    Scale: the heavy work is the per-(type, day) aggregation — one
+    map-side-combinable shuffle over the corpus; the smoothing pass
+    runs over |types|·|days| rows (dashboard-sized, thousands at
+    most). Series state is O(1); horizon extension is arithmetic.
+    """
+    import pandas as pd
+
+    e = Tables(spark, sf_dir).events
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y_c"))
+    )
+
+    def smooth(batches):
+        cur = None
+        level = trend = 0.0
+        first = True
+        n = 0
+        out = {"event_type": [], "n_days": [], "level_c": [], "trend_c": [],
+               "forecast_c": []}
+
+        def emit():
+            out["event_type"].append(cur)
+            out["n_days"].append(n)
+            out["level_c"].append(level)
+            out["trend_c"].append(trend)
+            out["forecast_c"].append(level + Q80_HORIZON * trend)
+
+        for pdf in batches:
+            for et, y in zip(pdf["event_type"].to_numpy(), pdf["y_c"].to_numpy()):
+                if et != cur:
+                    if cur is not None:
+                        emit()
+                    cur, level, trend, first, n = et, 0.0, 0.0, True, 0
+                y = float(y)
+                if first:
+                    level, trend, first = y, 0.0, False
+                else:
+                    prev = level
+                    level = 0.5 * y + 0.5 * (level + trend)
+                    trend = 0.5 * (level - prev) + 0.5 * trend
+                n += 1
+        if cur is not None:
+            emit()
+        yield pd.DataFrame(out)
+
+    return (
+        daily.repartition("event_type")
+        .sortWithinPartitions("event_type", "day")
+        .mapInPandas(
+            smooth,
+            "event_type string, n_days long, level_c double, trend_c double,"
+            " forecast_c double",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q80_holt_forecast"] = f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               sum(round(value * 100)::BIGINT) AS y_c
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type, y_c,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily
+    ),
+    nd AS (SELECT event_type, max(rn) AS n_days FROM seq GROUP BY 1),
+    hw(event_type, rn, level_c, trend_c) AS (
+        SELECT event_type, rn, y_c::DOUBLE, 0.0::DOUBLE
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.rn,
+               0.5 * s.y_c + 0.5 * (h.level_c + h.trend_c),
+               0.5 * ((0.5 * s.y_c + 0.5 * (h.level_c + h.trend_c))
+                      - h.level_c) + 0.5 * h.trend_c
+        FROM hw h JOIN seq s
+          ON s.event_type = h.event_type AND s.rn = h.rn + 1
+    )
+    SELECT h.event_type,
+           n.n_days::BIGINT AS n_days,
+           h.level_c, h.trend_c,
+           h.level_c + {Q80_HORIZON} * h.trend_c AS forecast_c
+    FROM hw h JOIN nd n ON h.event_type = n.event_type AND h.rn = n.n_days
+    ORDER BY h.event_type
+"""
+QUERIES["q80_holt_forecast"] = q80_holt_forecast
