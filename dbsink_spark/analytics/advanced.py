@@ -2854,7 +2854,11 @@ def q76_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = outs[0]
     for d in outs[1:]:
         res = res.unionByName(d)
-    return res.orderBy("join_name")
+    # a join with ZERO matching keys profiles as est_rows=0 from an
+    # empty per-key frame; drop it like the oracle's GROUP BY does
+    # (the absence of the row IS the "this join produces nothing"
+    # signal)
+    return res.filter(F.col("n_match_keys") > 0).orderBy("join_name")
 
 
 ORACLE["q76_join_size_profile"] = """
@@ -3101,15 +3105,16 @@ def q79_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_q79_touches = ", ".join(f"'{t}'" for t in Q79_TOUCHES)
 ORACLE["q79_attribution"] = f"""
     WITH marked AS (
         SELECT user_id, event_type,
-               first_value(CASE WHEN event_type IN ('click', 'view')
+               first_value(CASE WHEN event_type IN ({_q79_touches})
                                 THEN event_type END IGNORE NULLS)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                    AS first_touch,
-               last_value(CASE WHEN event_type IN ('click', 'view')
+               last_value(CASE WHEN event_type IN ({_q79_touches})
                                THEN event_type END IGNORE NULLS)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)

@@ -63,13 +63,16 @@ def plan_stats(df: DataFrame) -> PlanStats:
     s.wholestage_codegen_spans = plan.count("WholeStageCodegen")
     s.python_evals = plan.count("BatchEvalPython")
     # every Arrow-batched Python execution shape: scalar pandas UDFs,
-    # mapInPandas, applyInPandas (FlatMapGroupsInPandas node), grouped
-    # stateful (FlatMapGroupsWithStateInPandas), and applyInArrow
+    # mapInPandas/mapInArrow, applyInPandas (FlatMapGroupsInPandas —
+    # whose WithState variant, FlatMapGroupsInPandasWithState, is
+    # counted by prefix), and applyInArrow. Substrings verified
+    # non-overlapping ("MapInPandas" is not inside
+    # "FlatMapGroupsInPandas": Map is followed by Groups there).
     s.arrow_evals = (
         plan.count("ArrowEvalPython")
         + plan.count("MapInPandas")
+        + plan.count("MapInArrow")
         + plan.count("FlatMapGroupsInPandas")
-        + plan.count("FlatMapGroupsWithStateInPandas")
         + plan.count("FlatMapGroupsInArrow")
     )
     if s.cartesian_products:

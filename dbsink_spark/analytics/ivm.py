@@ -164,6 +164,18 @@ class AggView:
         }
 
     # -- replay ledger ------------------------------------------------------
+    #
+    # SCOPE: the marker files live via local filesystem APIs, which is
+    # correct exactly when `path` is driver-visible storage (this
+    # environment, NFS, fuse mounts). On an object store the markers
+    # would need the same fs client as the state — or, better, the
+    # table format's atomic commit (Delta/Iceberg txn id) which also
+    # closes the commit-window caveat in maintain(). Markers are
+    # pruned to the most recent LEDGER_KEEP so the directory stays
+    # bounded; a replay older than the horizon cannot happen through a
+    # streaming checkpoint (offsets only move forward).
+
+    LEDGER_KEEP = 256
 
     def _ledger_dir(self) -> str:
         import os
@@ -180,8 +192,15 @@ class AggView:
     def _mark_applied(self, batch_id: int) -> None:
         import os
 
-        with open(os.path.join(self._ledger_dir(), str(batch_id)), "w") as f:
+        d = self._ledger_dir()
+        with open(os.path.join(d, str(batch_id)), "w") as f:
             f.write("applied\n")
+        marks = sorted((int(x) for x in os.listdir(d) if x.isdigit()))
+        for old in marks[: -self.LEDGER_KEEP]:
+            try:
+                os.remove(os.path.join(d, str(old)))
+            except OSError:
+                pass
 
     # -- streaming ---------------------------------------------------------
 

@@ -97,24 +97,31 @@ def q74_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cu_checks = [row("customer.acctbal_nonneg", cu, F.col("neg_bal"))]
 
-    # referential integrity: anti-join counts (dim side broadcastable)
+    # referential integrity: anti-join counts (dim side broadcastable).
+    # A NULL FK is NOT an orphan here — null-ness is the completeness
+    # check's job, and the SQL-standard NOT IN the oracle uses drops
+    # NULLs too (divergent semantics would break the gate the moment a
+    # null FK appears). Row totals reuse the o/li checkpointed
+    # aggregates — no extra base-table scan just to recount.
     fk_cust = (
-        t.orders.join(
+        t.orders.filter(F.col("o_custkey").isNotNull())
+        .join(
             F.broadcast(t.customer.select("c_custkey")),
             F.col("o_custkey") == F.col("c_custkey"),
             "left_anti",
         )
         .agg(F.count(F.lit(1)).alias("viol"))
-        .crossJoin(t.orders.agg(F.count(F.lit(1)).alias("n")))
+        .crossJoin(o.select("n"))
     )
     fk_ord = (
-        t.lineitem.join(
+        t.lineitem.filter(F.col("l_orderkey").isNotNull())
+        .join(
             t.orders.select("o_orderkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left_anti",
         )
         .agg(F.count(F.lit(1)).alias("viol"))
-        .crossJoin(t.lineitem.agg(F.count(F.lit(1)).alias("n")))
+        .crossJoin(li.select("n"))
     )
     fk_checks = [
         row("orders.fk_customer", fk_cust, F.col("viol")),
@@ -157,11 +164,15 @@ WITH o AS (
 ), fkc AS (
   SELECT (SELECT count(*) FROM orders) AS n,
          (SELECT count(*) FROM orders
-           WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS viol
+           WHERE o_custkey IS NOT NULL
+             AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey IS NOT NULL)) AS viol
 ), fko AS (
   SELECT (SELECT count(*) FROM lineitem) AS n,
          (SELECT count(*) FROM lineitem
-           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS viol
+           WHERE l_orderkey IS NOT NULL
+             AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                     WHERE o_orderkey IS NOT NULL)) AS viol
 ), dc AS (
   SELECT count(*) AS n,
          sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)::BIGINT AS empty_text
@@ -236,7 +247,10 @@ def q75_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("cnt").alias("n_items"),
-            (F.sum("qty_c") / 100).cast("long").alias("sum_qty"),
+            # integer floor-div, NOT float /: a double quotient's
+            # rounding breaks the bit-for-bit oracle match once sums
+            # pass ~2^53 cents
+            F.expr("sum(qty_c) div 100").alias("sum_qty"),
             F.sum("price_c").alias("revenue_cents"),
         )
         .orderBy("l_returnflag", "ship_year")

@@ -165,10 +165,16 @@ def dbapi_table_source(
     if empty:
         return spark.createDataFrame([], spark_schema)
 
-    width = max(1, (int(hi) - int(lo)) // n_splits + 1)
+    # Bounds stay INTEGRAL end to end (int64 columns, upper bound of
+    # the last split is hi+1 — never a float, never NULL): shipping
+    # bounds as doubles silently corrupts keys beyond 2^53, duplicating
+    # or dropping boundary rows.
+    lo, hi = int(lo), int(hi)
+    width = max(1, (hi - lo) // n_splits + 1)
     bounds = [
-        (int(lo) + i * width, None if i == n_splits - 1 else int(lo) + (i + 1) * width)
+        (lo + i * width, min(lo + (i + 1) * width, hi + 1))
         for i in range(n_splits)
+        if lo + i * width <= hi
     ]
 
     def read_split(batches):
@@ -176,11 +182,10 @@ def dbapi_table_source(
 
         for pdf in batches:
             for s_lo, s_hi in zip(pdf["s_lo"], pdf["s_hi"]):
-                rng = f"{split_col} >= {s_lo}"
-                if s_hi == s_hi and s_hi is not None:  # NaN-safe
-                    rng += f" AND {split_col} < {int(s_hi)}"
-                where = f"WHERE {rng}" + (
-                    f" AND ({predicate})" if predicate else ""
+                where = (
+                    f"WHERE {split_col} >= {int(s_lo)}"
+                    f" AND {split_col} < {int(s_hi)}"
+                    + (f" AND ({predicate})" if predicate else "")
                 )
                 c = _d.connect(db_path, read_only=True)
                 try:
@@ -191,25 +196,32 @@ def dbapi_table_source(
                     c.close()
 
     splits = spark.createDataFrame(
-        [(float(b[0]), float(b[1]) if b[1] is not None else None) for b in bounds],
-        "s_lo double, s_hi double",
-    ).repartition(n_splits)
+        bounds, "s_lo long, s_hi long"
+    ).repartition(max(1, len(bounds)))
     return splits.mapInPandas(read_split, spark_schema)
 
 
 def _duck_to_spark_type(t) -> str:
+    # mirror what duckdb's .df() hands the Arrow batch (DECIMAL →
+    # float64, UBIGINT → uint64 → needs decimal(20,0) to not overflow
+    # long); an unmapped type would crash Arrow serialization, so
+    # anything unknown raises instead of silently claiming "string"
     import pyarrow as pa
 
+    if pa.types.is_uint64(t):
+        return "decimal(20,0)"
     if pa.types.is_int64(t) or pa.types.is_uint32(t):
         return "long"
-    if pa.types.is_int32(t) or pa.types.is_int16(t) or pa.types.is_int8(t):
+    if pa.types.is_integer(t):
         return "int"
-    if pa.types.is_floating(t):
-        return "double"
+    if pa.types.is_decimal(t) or pa.types.is_floating(t):
+        return "double"  # duckdb .df() renders DECIMAL as float64
     if pa.types.is_timestamp(t):
         return "timestamp"
     if pa.types.is_boolean(t):
         return "boolean"
     if pa.types.is_date(t):
         return "date"
-    return "string"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    raise TypeError(f"dbapi_table_source: unsupported column type {t}")

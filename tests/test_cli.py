@@ -112,3 +112,25 @@ def test_dbapi_table_source_round_trip(spark, tmp_path):
     # empty result (predicate matches nothing)
     df3 = dbapi_table_source(spark, db, "m", "id", predicate="grp = 99")
     assert df3.count() == 0
+
+
+def test_dbapi_table_source_decimal_and_unsigned(spark, tmp_path):
+    """DECIMAL and UBIGINT columns survive the federated read (the
+    sink writes both); unmapped exotic types raise instead of
+    mis-declaring string."""
+    import duckdb
+
+    from dbsink_spark.sources import dbapi_table_source
+
+    db = str(tmp_path / "types.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE t AS SELECT i AS id, (i / 4.0)::DECIMAL(15,2) AS amt, "
+        "(18446744073709551615 - i)::UBIGINT AS big FROM range(0, 40) r(i)"
+    )
+    con.close()
+    df = dbapi_table_source(spark, db, "t", "id", n_splits=3)
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 40
+    assert float(rows[8]["amt"]) == 2.0
+    assert int(rows[0]["big"]) == 18446744073709551615

@@ -233,11 +233,29 @@ def test_plan_stats_flags_python_udf(spark):
 
 
 def test_plan_stats_counts_apply_in_pandas(spark):
-    """applyInPandas (FlatMapGroupsInPandas) is Arrow-batched Python
-    execution and must show in arrow_evals — q73 is exactly that tier."""
+    """EVERY Arrow-batched shape must count in arrow_evals: an inline
+    applyInPandas (FlatMapGroupsInPandas node — q73's former tier) and
+    the mapInPandas tier q73 now uses. Both zero python_evals."""
     from dbsink_spark.analytics.introspect import plan_stats
 
-    df = analytics.ALL_QUERIES["q73_clamped_running_sum"](spark, SF_DIR)
-    s = plan_stats(df)
+    # applyInPandas → FlatMapGroupsInPandas
+    import pandas as pd
+
+    def ident(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf
+
+    grouped = (
+        spark.range(10)
+        .withColumnRenamed("id", "k")
+        .groupBy("k")
+        .applyInPandas(ident, "k long")
+    )
+    s = plan_stats(grouped)
     assert s.arrow_evals >= 1, s
     assert s.python_evals == 0, s
+
+    # mapInPandas (q73's current execution shape)
+    df = analytics.ALL_QUERIES["q73_clamped_running_sum"](spark, SF_DIR)
+    s2 = plan_stats(df)
+    assert s2.arrow_evals >= 1, s2
+    assert s2.python_evals == 0, s2
