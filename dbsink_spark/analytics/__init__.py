@@ -193,6 +193,7 @@ UNGATED = frozenset(
         "t26_rake_keyphrases",
         "q79_attribution",
         "q80_holt_forecast",
+        "q81_time_to_convert",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

@@ -3255,3 +3255,127 @@ ORACLE["q80_holt_forecast"] = f"""
     ORDER BY h.event_type
 """
 QUERIES["q80_holt_forecast"] = q80_holt_forecast
+
+
+# ---------------------------------------------------------------------------
+# q81: funnel time-to-convert (stage-gap latency distribution)
+# ---------------------------------------------------------------------------
+
+
+def q81_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel LATENCY: for users who complete q40's strictly-ordered
+    view→click→purchase funnel, the distribution of the stage gaps
+    (first view→first later click, that click→first later purchase,
+    and end-to-end) — q40 answers "how many convert", this answers
+    "how long it takes", the product-analytics pair.
+
+    Gaps are exact integer SECONDS (epoch arithmetic); the median /
+    p90 are interpolating percentiles over those integers (q26's
+    cross-engine contract: Spark ``percentile`` == DuckDB
+    ``quantile_cont``, identical interpolation arithmetic on exact
+    inputs, boundary-rounded at 4 decimals).
+
+    Scale: q40's own plan shape — three stage aggregates chained on
+    user_id so one hash-partitioning serves the whole funnel; the gap
+    relation is converting-users-sized, and the final percentile
+    aggregate is 3 rows out.
+    """
+    e = Tables(spark, sf_dir).events
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.first("t1").alias("t1"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("t3"),
+            F.first("t1").alias("t1"),
+            F.first("t2").alias("t2"),
+        )
+    )
+    # exact micros difference floor-divided to seconds — unix_timestamp
+    # truncates EACH timestamp first, which disagrees with the oracle's
+    # fractional epoch subtraction on sub-second timestamps
+    sec = lambda a, b: F.expr(  # noqa: E731
+        f"(unix_micros({b}) - unix_micros({a})) div 1000000"
+    )
+    gaps = s3.select(
+        sec("t1", "t2").alias("view_to_click"),
+        sec("t2", "t3").alias("click_to_purchase"),
+        sec("t1", "t3").alias("view_to_purchase"),
+    )
+    stacked = gaps.select(
+        F.expr(
+            "stack(3,"
+            " '1_view_to_click', view_to_click,"
+            " '2_click_to_purchase', click_to_purchase,"
+            " '3_view_to_purchase', view_to_purchase)"
+            " AS (stage_gap, gap_s)"
+        )
+    )
+    return (
+        stacked.groupBy("stage_gap")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.expr("percentile(CAST(gap_s AS DOUBLE), 0.5)"), 4).alias("median_s"),
+            F.round(F.expr("percentile(CAST(gap_s AS DOUBLE), 0.9)"), 4).alias("p90_s"),
+            F.min("gap_s").alias("min_s"),
+            F.max("gap_s").alias("max_s"),
+        )
+        .orderBy("stage_gap")
+    )
+
+
+ORACLE["q81_time_to_convert"] = """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2, any_value(s1.t1) AS t1
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3,
+               any_value(s2.t1) AS t1, any_value(s2.t2) AS t2
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    ),
+    gaps AS (
+        SELECT ((epoch_us(t2) - epoch_us(t1)) // 1000000)::BIGINT AS view_to_click,
+               ((epoch_us(t3) - epoch_us(t2)) // 1000000)::BIGINT AS click_to_purchase,
+               ((epoch_us(t3) - epoch_us(t1)) // 1000000)::BIGINT AS view_to_purchase
+        FROM s3
+    ),
+    stacked AS (
+        SELECT '1_view_to_click' AS stage_gap, view_to_click AS gap_s FROM gaps
+        UNION ALL
+        SELECT '2_click_to_purchase', click_to_purchase FROM gaps
+        UNION ALL
+        SELECT '3_view_to_purchase', view_to_purchase FROM gaps
+    )
+    SELECT stage_gap,
+           count(*)::BIGINT AS n_users,
+           round(quantile_cont(gap_s::DOUBLE, 0.5), 4) AS median_s,
+           round(quantile_cont(gap_s::DOUBLE, 0.9), 4) AS p90_s,
+           min(gap_s)::BIGINT AS min_s,
+           max(gap_s)::BIGINT AS max_s
+    FROM stacked
+    GROUP BY stage_gap
+    ORDER BY stage_gap
+"""
+QUERIES["q81_time_to_convert"] = q81_time_to_convert
