@@ -194,6 +194,7 @@ UNGATED = frozenset(
         "q79_attribution",
         "q80_holt_forecast",
         "q81_time_to_convert",
+        "q82_basket_pairs",
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",

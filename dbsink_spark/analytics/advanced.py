@@ -3379,3 +3379,83 @@ ORACLE["q81_time_to_convert"] = """
     ORDER BY stage_gap
 """
 QUERIES["q81_time_to_convert"] = q81_time_to_convert
+
+
+# ---------------------------------------------------------------------------
+# q82: market-basket pair mining (association rules: support / lift)
+# ---------------------------------------------------------------------------
+
+Q82_TOP = 20
+
+
+def q82_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent item-PAIR mining over order baskets: for every pair of
+    parts bought in the same order, support (co-occurrence count) and
+    integer-scaled LIFT — the association-rule primitive behind
+    "frequently bought together".
+
+    The pair generation is a SELF-JOIN ON THE BASKET KEY with
+    ``p1 < p2`` — output is Σ k_i·(k_i−1)/2 over basket sizes, bounded
+    by the small per-order item count, never a corpus cross join (the
+    naive item×item matrix is |parts|² and DOA at scale). Item
+    supports are one count-by-key aggregate joined back BROADCAST
+    (part-cardinality-sized).
+
+    Lift is emitted in integer basis points
+    ``n_pair·n_orders·10⁴ div (n_a·n_b)`` — counts only, exact
+    cross-engine (a float lift would drift in the division). Top-K by
+    (support, pair) is total-ordered and TakeOrdered-planned.
+    """
+    li = Tables(spark, sf_dir).lineitem
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    supp = items.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    return (
+        pairs.join(F.broadcast(supp.withColumnsRenamed({"pk": "pa", "n_item": "n_a"})), "pa")
+        .join(F.broadcast(supp.withColumnsRenamed({"pk": "pb", "n_item": "n_b"})), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "n_pair",
+            F.expr("n_pair * n_orders * 10000 div (n_a * n_b)").alias("lift_bp"),
+        )
+        .orderBy(F.desc("n_pair"), "pa", "pb")
+        .limit(Q82_TOP)
+    )
+
+
+ORACLE["q82_basket_pairs"] = f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM items),
+    supp AS (SELECT pk, count(*)::BIGINT AS n_item FROM items GROUP BY pk),
+    pairs AS (
+        SELECT a.pk AS pa, b.pk AS pb, count(*)::BIGINT AS n_pair
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+    )
+    SELECT pa, pb, n_pair,
+           (n_pair * n_orders.n_orders * 10000
+              // (sa.n_item * sb.n_item))::BIGINT AS lift_bp
+    FROM pairs
+    JOIN supp sa ON pairs.pa = sa.pk
+    JOIN supp sb ON pairs.pb = sb.pk
+    CROSS JOIN n_orders
+    ORDER BY n_pair DESC, pa, pb
+    LIMIT {Q82_TOP}
+"""
+QUERIES["q82_basket_pairs"] = q82_basket_pairs
