@@ -259,3 +259,13 @@ def test_plan_stats_counts_apply_in_pandas(spark):
     s2 = plan_stats(df)
     assert s2.arrow_evals >= 1, s2
     assert s2.python_evals == 0, s2
+
+
+def test_temporal_enrich_joins_on_equi_key(spark):
+    """q78's interval filter must ride the user_id EQUI join (hash or
+    broadcast-hash with the range as residual condition) — a nested
+    loop over events × dim would be quadratic."""
+    df = analytics.ALL_QUERIES["q78_temporal_enrich"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
