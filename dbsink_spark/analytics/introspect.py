@@ -74,6 +74,8 @@ def plan_stats(df: DataFrame) -> PlanStats:
         + plan.count("MapInArrow")
         + plan.count("FlatMapGroupsInPandas")
         + plan.count("FlatMapGroupsInArrow")
+        + plan.count("FlatMapCoGroupsInPandas")
+        + plan.count("FlatMapCoGroupsInArrow")
     )
     if s.cartesian_products:
         s.notes.append("cartesian product present — unbounded pairwise work")

@@ -165,40 +165,79 @@ def dbapi_table_source(
     if empty:
         return spark.createDataFrame([], spark_schema)
 
-    # Bounds stay INTEGRAL end to end (int64 columns, upper bound of
-    # the last split is hi+1 — never a float, never NULL): shipping
-    # bounds as doubles silently corrupts keys beyond 2^53, duplicating
-    # or dropping boundary rows.
-    lo, hi = int(lo), int(hi)
+    # Bounds stay INTEGRAL end to end (int64 columns — doubles corrupt
+    # keys beyond 2^53, duplicating or dropping boundary rows). Edge
+    # rules that keep "every row in exactly one split" literally true:
+    #   * lo floors (int() truncates TOWARD ZERO and would drop
+    #     negative-fractional keys below the first bound);
+    #   * the LAST split is flagged unbounded-above (is_last) instead
+    #     of computing hi+1, which overflows int64 at the max key and
+    #     excludes fractional keys above floor(hi);
+    #   * NULL keys ride the FIRST split (`OR key IS NULL`, Spark's
+    #     own JDBC-source rule) — min/max never sees them, and a
+    #     range predicate alone would silently drop them.
+    import math
+
+    lo, hi = math.floor(lo), math.floor(hi)
     width = max(1, (hi - lo) // n_splits + 1)
-    bounds = [
-        (lo + i * width, min(lo + (i + 1) * width, hi + 1))
-        for i in range(n_splits)
-        if lo + i * width <= hi
-    ]
+    bounds = []
+    for i in range(n_splits):
+        s_lo = lo + i * width
+        if s_lo > hi:
+            break
+        s_hi = min(s_lo + width, hi)  # ignored when is_last
+        bounds.append((s_lo, s_hi, s_lo + width > hi, i == 0))
+    bounds[-1] = (bounds[-1][0], bounds[-1][1], True, bounds[-1][3])
 
     def read_split(batches):
         import duckdb as _d
 
         for pdf in batches:
-            for s_lo, s_hi in zip(pdf["s_lo"], pdf["s_hi"]):
-                where = (
-                    f"WHERE {split_col} >= {int(s_lo)}"
-                    f" AND {split_col} < {int(s_hi)}"
-                    + (f" AND ({predicate})" if predicate else "")
+            for s_lo, s_hi, is_last, is_first in zip(
+                pdf["s_lo"], pdf["s_hi"], pdf["is_last"], pdf["is_first"]
+            ):
+                rng = f"{split_col} >= {int(s_lo)}"
+                if not is_last:
+                    rng += f" AND {split_col} < {int(s_hi)}"
+                if is_first:
+                    rng = f"(({rng}) OR {split_col} IS NULL)"
+                where = f"WHERE {rng}" + (
+                    f" AND ({predicate})" if predicate else ""
                 )
                 c = _d.connect(db_path, read_only=True)
                 try:
-                    yield c.execute(
+                    # fetch via Arrow and keep integer columns NULLABLE
+                    # (pandas extension dtypes): plain .df() renders a
+                    # BIGINT-with-NULLs column as float64/NaN, which
+                    # either corrupts values past 2^53 through the
+                    # float detour or crashes the Arrow cast back
+                    tbl = c.execute(
                         f"SELECT {probe_cols} FROM {table} {where}"
-                    ).df()
+                    ).arrow()
+                    yield tbl.to_pandas(types_mapper=_nullable_int_mapper)
                 finally:
                     c.close()
 
     splits = spark.createDataFrame(
-        bounds, "s_lo long, s_hi long"
+        bounds, "s_lo long, s_hi long, is_last boolean, is_first boolean"
     ).repartition(max(1, len(bounds)))
     return splits.mapInPandas(read_split, spark_schema)
+
+
+def _nullable_int_mapper(t):
+    """types_mapper for pyarrow.Table.to_pandas: integer columns use
+    pandas NULLABLE extension dtypes so NULLs don't force a lossy
+    float64 detour; everything else keeps the default mapping."""
+    import pandas as pd
+    import pyarrow as pa
+
+    return {
+        pa.int64(): pd.Int64Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.int16(): pd.Int16Dtype(),
+        pa.int8(): pd.Int8Dtype(),
+        pa.uint32(): pd.UInt32Dtype(),
+    }.get(t)
 
 
 def _duck_to_spark_type(t) -> str:

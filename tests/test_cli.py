@@ -134,3 +134,35 @@ def test_dbapi_table_source_decimal_and_unsigned(spark, tmp_path):
     assert len(rows) == 40
     assert float(rows[8]["amt"]) == 2.0
     assert int(rows[0]["big"]) == 18446744073709551615
+
+
+def test_dbapi_table_source_edge_keys(spark, tmp_path):
+    """NULL split keys ride the first split; nullable BIGINT data
+    columns keep exact values past 2^53; negative fractional keys and
+    an int64-max key don't fall off the split grid."""
+    import duckdb
+
+    from dbsink_spark.sources import dbapi_table_source
+
+    db = str(tmp_path / "edge.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE e (id BIGINT, big BIGINT); "
+        "INSERT INTO e VALUES (NULL, 1), (NULL, NULL), (0, 2), "
+        "(5, 9007199254740993), (9223372036854775807, 3)"
+    )
+    con.execute(
+        "CREATE TABLE f (k DOUBLE, v INT); "
+        "INSERT INTO f VALUES (-3.5, 1), (-3.0, 2), (0.5, 3), (2.0, 4)"
+    )
+    con.close()
+
+    rows = dbapi_table_source(spark, db, "e", "id", n_splits=3).collect()
+    assert len(rows) == 5  # both NULL-key rows present
+    by_big = {r["big"] for r in rows}
+    assert 9007199254740993 in by_big  # exact past 2^53 (float64 would round)
+    assert None in by_big  # nullable data column survives
+    assert any(r["id"] == 9223372036854775807 for r in rows)  # no hi+1 overflow
+
+    frows = dbapi_table_source(spark, db, "f", "k", n_splits=2).collect()
+    assert len(frows) == 4  # -3.5 not dropped by toward-zero truncation
