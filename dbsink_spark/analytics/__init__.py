@@ -156,45 +156,45 @@ UNGATED = frozenset(
         # — oracle-verified locally + benched; candidates for a future
         # sanctioned promotion as new capability classes: recursive
         # CTE, sampling-based AQP, BM25 retrieval scoring):
-        "q59_recursive_hierarchy",
+        # "q59_recursive_hierarchy",  # PROMOTED to gate in round-6 rotation
         "q60_sample_estimate",
-        "t21_bm25_rank",
+        # "t21_bm25_rank",  # PROMOTED to gate in round-6 rotation
         # round-5 session-2 additions (same policy — candidates for a
         # future sanctioned promotion as new capability classes:
         # iterative graph analytics, first-principles mergeable HLL,
         # triangle/clustering graph stats, collocation mining, data
         # profiling):
-        "q61_pagerank",
-        "q62_hll_distinct",
-        "q63_triangle_count",
+        # "q61_pagerank",  # PROMOTED to gate in round-6 rotation
+        # "q62_hll_distinct",  # PROMOTED to gate in round-6 rotation
+        # "q63_triangle_count",  # PROMOTED to gate in round-6 rotation
         "t22_pmi_collocations",
-        "q64_column_profile",
+        # "q64_column_profile",  # PROMOTED to gate in round-6 rotation
         "q65_kmv_set_ops",
         "q66_sequence_pattern",
         "q67_weighted_sample",
-        "q68_weighted_median",
+        # "q68_weighted_median",  # PROMOTED to gate in round-6 rotation
         "q69_seasonal_anomaly",
         "q70_gram_matrix",
         "q71_time_travel",
         "d14_source_overlap_matrix",
         "q72_skew_profile",
-        "t23_leakage_free_split",
+        # "t23_leakage_free_split",  # PROMOTED to gate in round-6 rotation
         "t24_phrase_search",
-        "q73_clamped_running_sum",
+        # "q73_clamped_running_sum",  # PROMOTED to gate in round-6 rotation
         # round-5 session-3 additions (same policy — candidates for a
         # future sanctioned promotion as new capability classes:
         # Deequ-style constraint audit, materialized-rollup rewrite):
-        "q74_constraint_audit",
+        # "q74_constraint_audit",  # PROMOTED to gate in round-6 rotation
         "q75_mv_rewrite",
         "t25_lm_familiarity",
-        "q76_join_size_profile",
+        # "q76_join_size_profile",  # PROMOTED to gate in round-6 rotation
         "q77_bitmap_index_serve",
-        "q78_temporal_enrich",
-        "t26_rake_keyphrases",
+        # "q78_temporal_enrich",  # PROMOTED to gate in round-6 rotation
+        # "t26_rake_keyphrases",  # PROMOTED to gate in round-6 rotation
         "q79_attribution",
-        "q80_holt_forecast",
+        # "q80_holt_forecast",  # PROMOTED to gate in round-6 rotation
         "q81_time_to_convert",
-        "q82_basket_pairs",
+        # "q82_basket_pairs",  # PROMOTED to gate in round-6 rotation
         "q02_filter_project",
         "q03_broadcast_join",
         "q07_semi_join",
@@ -210,6 +210,56 @@ UNGATED = frozenset(
         "s01_cosine_topk",
         "t01_doc_stats",
         "t05_fingerprint",
+        # ROUND-6 GATE ROTATION — requested by VERDICT_r05 "Next round
+        # #1": promote 15 never-gated session-3-wave rows (q59 q61 q62
+        # q63 q64 q68 q73 q74 q76 q78 q80 q82 t21 t23 t26 — all
+        # uncommented above) so they face the real driver comparator;
+        # these 15 previously-gated rows demote in exchange, each
+        # redundant with machinery that stays gated or promotes:
+        #   q13 window top-k — rank-filter window machinery ⊂ gated
+        #       q44 range-frame windows (same Window-spec plan path)
+        #   q29 approx sketches — approx-distinct ⊂ gated q54 KMV +
+        #       promoted q62 HLL; quantiles ⊂ promoted q68 median
+        #   q32 zscore anomaly — moment aggs ⊂ promoted q64 profile;
+        #       residual anomaly ⊂ promoted q80 Holt
+        #   q47 OHLC — first/last time aggs ⊂ gated q48 interp/gapfill
+        #       + promoted q80 trend machinery
+        #   q55 ntile quartiles — distribution cut-points ⊂ promoted
+        #       q68 weighted-median + gated q44 window frames
+        #   d04 simhash — band equi-join candidate generation = gated
+        #       d03 MinHash; bit_count verify ⊂ gated q56 bitmaps
+        #   d11 semdedup — embedding-cluster dedup = gated d06
+        #       near-dup + gated s02 centroid assignment
+        #   d12 span dedup — span fingerprinting ⊂ gated t07
+        #       winnowing + gated d08 n-gram join
+        #   s06 kmeans update — gated s02 assign + plain hash-agg mean
+        #   s08 PQ codes — per-subspace centroid assign = s02 machinery
+        #   t03 lang id — n-gram profile scoring ⊂ gated t02 quality
+        #       rules + promoted t21 BM25 scoring
+        #   t16 BPE merge step — pair-count machinery ⊂ gated t19 apply
+        #   t17 DSIR weights — hashed-ngram tf/df ratios ⊂ promoted
+        #       t21 BM25 + gated t13 mixture weighting
+        #   t18 top terms — per-group term ranking ⊂ promoted t26 RAKE
+        #       + promoted t21 BM25
+        #   m03 frame sample — binary mapInPandas plumbing = gated m01
+        # Rotation policy unchanged: composition moves ONLY on external
+        # verdict sanction; demoted rows stay oracle-verified each
+        # pytest run (test_registry_parity) + tools/check_oracle.py.
+        "q13_window_topk_per_group",
+        "q29_approx_sketches",
+        "q32_zscore_anomaly",
+        "q47_ohlc",
+        "q55_ntile_quartiles",
+        "d04_simhash",
+        "d11_semdedup",
+        "d12_span_dedup",
+        "s06_kmeans_update",
+        "s08_pq_codes",
+        "t03_lang_id",
+        "t16_bpe_merge_step",
+        "t17_importance_weights",
+        "t18_top_terms",
+        "m03_frame_sample",
     }
 )
 

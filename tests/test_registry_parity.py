@@ -50,7 +50,9 @@ def test_multimodal_not_registry_tail():
     # r01 lost m01-m03 to the gate's 50-row cut; they must sit well
     # inside the first 50 now.
     order = list(analytics.QUERIES)
-    for name in ("m01_media_features", "m03_frame_sample"):
+    # (m03 demoted in the round-6 rotation — m01 carries the gated
+    # binary-mapInPandas capability class; m03 is parity-tested below.)
+    for name in ("m01_media_features",):
         assert order.index(name) < 45, (name, order.index(name))
 
 
@@ -101,12 +103,14 @@ def test_headline_operators_are_gated():
     timeseries ops (curated round-2: d08/d09/s06/q42 promoted in place
     of four redundant agg variants; round-4: q56/s09/d13/t19 promoted
     in place of q11/s03/d05/q18; round-5 rotation per VERDICT_r04 #1
-    demoted s01/q42 — their capability classes stay gated via s04/s09
-    and promoted q48 — see analytics.UNGATED rationale)."""
+    demoted s01/q42; round-6 rotation per VERDICT_r05 #1 promoted the
+    15-row session-3 wave (q59/q61/q62/q63/q64/q68/q73/q74/q76/q78/
+    q80/q82/t21/t23/t26) and demoted q13/q29/q32/q47/q55/d04/d11/d12/
+    s06/s08/t03/t16/t17/t18/m03 — each capability class stays gated
+    via the rows named in analytics.UNGATED's rationale)."""
     headline = {
         "d01_dedup_exact",
         "d03_minhash_lsh",
-        "d04_simhash",
         "d13_editdist_near_dup",
         "d06_embedding_near_dup",
         "d08_decontaminate",
@@ -114,22 +118,31 @@ def test_headline_operators_are_gated():
         "s02_centroid_assign",
         "s09_ann_recall",
         "s04_numpy_topk",
-        "s06_kmeans_update",
         "d10_containment",
         "s07_knn_graph",
         "t14_pii_redact",
         "q22_asof_join",
         "m01_media_features",
-        "m03_frame_sample",
-        "t16_bpe_merge_step",
-        "t17_importance_weights",
-        "d11_semdedup",
-        "d12_span_dedup",
         "q49_zorder_index",
-        "s08_pq_codes",
         "q51_countmin",
         "q56_bitmap_distinct",
         "t19_bpe_apply",
+        # round-6 promotions (first-time gate rows):
+        "q59_recursive_hierarchy",
+        "q61_pagerank",
+        "q62_hll_distinct",
+        "q63_triangle_count",
+        "q64_column_profile",
+        "q68_weighted_median",
+        "q73_clamped_running_sum",
+        "q74_constraint_audit",
+        "q76_join_size_profile",
+        "q78_temporal_enrich",
+        "q80_holt_forecast",
+        "q82_basket_pairs",
+        "t21_bm25_rank",
+        "t23_leakage_free_split",
+        "t26_rake_keyphrases",
     }
     missing = headline - set(analytics.QUERIES)
     assert not missing, missing
