@@ -2211,9 +2211,16 @@ def q67_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
     w = F.col("l_quantity").cast("long")
     in_sample = (h64(key) % Q67_MOD) < (w * Q67_P_PER_UNIT)
-    # HT term: v / p = v * MOD / (2w)
+    # HT term: v / p = v * MOD / min(2w, MOD). The divisor clamps at
+    # probability 1: a row with 2w >= MOD is ALWAYS sampled (h % MOD
+    # < MOD unconditionally), so its true inclusion probability is 1
+    # and an unclamped divisor would under-weight it (v·MOD/2w < v),
+    # silently biasing the estimate. Latent under TPC-H's quantity cap
+    # of 50, but this is a reusable weighted-sampling design — clamp
+    # mirrored in the oracle.
+    p_num = F.least(w * Q67_P_PER_UNIT, F.lit(Q67_MOD))
     ht = F.when(
-        in_sample, F.col("l_extendedprice") * Q67_MOD / (w * Q67_P_PER_UNIT)
+        in_sample, F.col("l_extendedprice") * Q67_MOD / p_num
     ).otherwise(F.lit(0.0))
     return (
         li.groupBy("l_returnflag")
@@ -2240,7 +2247,8 @@ def _q67_oracle() -> str:
     w = "l_quantity::BIGINT"
     ht = (
         f"CASE WHEN ({h}) % {Q67_MOD} < {w} * {Q67_P_PER_UNIT} "
-        f"THEN l_extendedprice * {Q67_MOD} / ({w} * {Q67_P_PER_UNIT}) ELSE 0.0 END"
+        f"THEN l_extendedprice * {Q67_MOD}"
+        f" / least({w} * {Q67_P_PER_UNIT}, {Q67_MOD}) ELSE 0.0 END"
     )
     return f"""
     SELECT l_returnflag,

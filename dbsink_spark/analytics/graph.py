@@ -79,9 +79,21 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     edges = edges.localCheckpoint(eager=True)
     und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # ordk = deg·BASE + id is injective ONLY for ids in [0, TRI_ORD_BASE);
+    # outside that domain ordk collisions break orientation injectivity
+    # and triangles are silently miscounted, so the contract is enforced
+    # in-plan (distributed, no extra pass) instead of assumed. Graphs
+    # with larger ids should remap to dense ids first (zipWithIndex /
+    # dense_rank), which a 100 TB pipeline needs anyway for ordk to stay
+    # in 64 bits.
     ordv = deg.select(
         F.col("u").alias("node"),
-        (F.col("deg") * F.lit(TRI_ORD_BASE) + F.col("u")).alias("ordk"),
+        F.expr(
+            f"CASE WHEN u < 0 OR u >= {TRI_ORD_BASE} THEN"
+            f" raise_error('triangle_stats: node id out of [0, {TRI_ORD_BASE})"
+            " — remap to dense ids first (ordk encoding contract)')"
+            f" ELSE deg * {TRI_ORD_BASE}L + u END"
+        ).alias("ordk"),
     )
     ej = (
         edges.join(ordv.select(F.col("node").alias("u"), F.col("ordk").alias("ord_u")), "u")

@@ -236,19 +236,26 @@ class AggView:
     # -- serving -----------------------------------------------------------
 
     def _read_state(self) -> DataFrame:
+        # Distinguish "store initialized empty, never maintained" from a
+        # genuine read failure: maintain() merges deltas INTO this frame,
+        # so silently treating a transient parquet error (corrupt file,
+        # storage hiccup) as empty state would destructively rewrite the
+        # touched buckets with delta-only values. Only the known
+        # empty-store case (no parquet files at the path →
+        # AnalysisException at plan time) falls back to the empty frame;
+        # every other error propagates so maintain() aborts.
+        from pyspark.errors import AnalysisException
+
         try:
-            # n > 0 drops tombstones: deleted groups awaiting their
-            # bucket's next rewrite (see maintain())
-            return (
-                self.spark.read.parquet(self.path)
-                .select(*_STATE_COLS)
-                .filter(F.col("n") > 0)
-            )
-        except Exception:
-            # store initialized empty and never maintained
+            df = self.spark.read.parquet(self.path).select(*_STATE_COLS)
+        except AnalysisException:
+            # path missing / empty — store never maintained
             return self.spark.createDataFrame(
                 [], "grp string, bucket int, n long, s double, s2 double"
             )
+        # n > 0 drops tombstones: deleted groups awaiting their
+        # bucket's next rewrite (see maintain())
+        return df.filter(F.col("n") > 0)
 
     def state(self) -> DataFrame:
         return self._read_state()

@@ -80,7 +80,12 @@ def q74_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem: range check + composite-key uniqueness, one scan
     li = t.lineitem.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct("l_orderkey", "l_linenumber").alias("nd_key"),
+        # struct-wrapped: bare count_distinct(a, b) drops rows where ANY
+        # key column is NULL, while the oracle's count(DISTINCT (a, b))
+        # counts ROW(NULL, x) as a distinct non-null struct — exactly the
+        # divergence this uniqueness audit exists to catch. A struct is
+        # never NULL even when its fields are, so both engines agree.
+        F.count_distinct(F.struct("l_orderkey", "l_linenumber")).alias("nd_key"),
         F.sum(
             ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("long")
         ).alias("bad_disc"),

@@ -146,8 +146,13 @@ def dbapi_table_source(
 
     con = duckdb.connect(db_path, read_only=True)
     try:
-        lo, hi = con.execute(
-            f"SELECT min({split_col}), max({split_col}) FROM {table}"
+        # count(*) alongside min/max: min() is NULL both for "no rows"
+        # AND for "rows exist but every split key is NULL" — the second
+        # case must still emit a split (the documented contract is
+        # "NULL keys ride the first split / every row lands in exactly
+        # one split"), not silently drop the rows.
+        lo, hi, n_rows = con.execute(
+            f"SELECT min({split_col}), max({split_col}), count(*) FROM {table}"
             + (f" WHERE {predicate}" if predicate else "")
         ).fetchone()
         probe_cols = "*" if columns is None else ", ".join(columns)
@@ -157,13 +162,18 @@ def dbapi_table_source(
     finally:
         con.close()
 
-    empty = lo is None
     arrow_schema = schema_df.schema
     spark_schema = ", ".join(
         f"{f.name} {_duck_to_spark_type(f.type)}" for f in arrow_schema
     )
-    if empty:
+    if n_rows == 0:
         return spark.createDataFrame([], spark_schema)
+    if lo is None:
+        # all matching rows have NULL split keys: one first+last split
+        # whose range predicate (key >= 0) matches nothing by
+        # construction, so the is_first `OR key IS NULL` clause carries
+        # every row — the normal read path, no special casing below.
+        lo = hi = 0
 
     # Bounds stay INTEGRAL end to end (int64 columns — doubles corrupt
     # keys beyond 2^53, duplicating or dropping boundary rows). Edge

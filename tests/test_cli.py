@@ -166,3 +166,36 @@ def test_dbapi_table_source_edge_keys(spark, tmp_path):
 
     frows = dbapi_table_source(spark, db, "f", "k", n_splits=2).collect()
     assert len(frows) == 4  # -3.5 not dropped by toward-zero truncation
+
+
+def test_dbapi_table_source_all_null_keys(spark, tmp_path):
+    """A table whose matching rows ALL have NULL split keys has
+    min(key) IS NULL while still containing rows — they must ride a
+    single IS-NULL split, not be silently dropped (round-5 advice)."""
+    import duckdb
+
+    from dbsink_spark.sources import dbapi_table_source
+
+    db = str(tmp_path / "allnull.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE g (id BIGINT, v INT); "
+        "INSERT INTO g VALUES (NULL, 1), (NULL, 2), (NULL, 3), (7, 4)"
+    )
+    con.close()
+
+    rows = dbapi_table_source(spark, db, "g", "id", n_splits=4).collect()
+    assert len(rows) == 4
+
+    # predicate filters away every non-NULL-key row → lo IS NULL but
+    # 3 rows still match
+    rows = dbapi_table_source(
+        spark, db, "g", "id", n_splits=4, predicate="v < 4"
+    ).collect()
+    assert sorted(r["v"] for r in rows) == [1, 2, 3]
+    assert all(r["id"] is None for r in rows)
+
+    # genuinely empty stays empty
+    assert (
+        dbapi_table_source(spark, db, "g", "id", predicate="v > 99").count() == 0
+    )

@@ -139,6 +139,40 @@ def test_ivm_empty_init_then_maintain(spark, tmp_path):
     assert (r["grp"], r["cnt"], r["total"], r["avg"]) == ("x", 2, 6.0, 3.0)
 
 
+def test_ivm_corrupt_state_read_raises_instead_of_wiping(spark, tmp_path):
+    """A transient/corrupt state read must ABORT maintenance, not be
+    treated as empty state — the merge would otherwise overwrite the
+    touched buckets with delta-only values and permanently lose prior
+    group history (round-5 advice). Only the known never-maintained
+    case (no parquet at the path) maps to the empty frame."""
+    import glob
+    import os
+
+    import pytest
+
+    view = AggView(spark, str(tmp_path / "view"))
+    view.init(
+        spark.createDataFrame([("x", 2.0), ("x", 4.0)], ["grp", "v"]), "grp", "v"
+    )
+    assert view.serve().count() == 1
+
+    # corrupt every state parquet file in place
+    for f in glob.glob(os.path.join(str(tmp_path / "view"), "**", "*.parquet"),
+                       recursive=True):
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet file")
+
+    with pytest.raises(Exception) as ei:
+        view.maintain(
+            spark.createDataFrame([("x", 8.0, 1)], ["grp", "v", "op"]),
+            "grp",
+            "v",
+        )
+    # must be the real read error surfacing, not AnalysisException-from-
+    # missing-path (the path exists; its files are corrupt)
+    assert "Parquet" in str(ei.value) or "parquet" in str(ei.value)
+
+
 def test_ivm_replayed_batch_id_is_deduplicated(spark, tmp_path):
     """foreachBatch is at-least-once: applying the same batch_id twice
     must leave the view as if applied once (signed deltas would
