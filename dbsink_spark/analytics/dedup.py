@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import MINHASH_COEFFS, affine, affine_sql, h64, h64_sql
 from .tables import Tables
@@ -162,11 +163,28 @@ def _verify_jaccard(cand: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-def banded_sigs(docs: DataFrame) -> DataFrame:
+# Skew guard for the LSH band self-join (SCALE.md "cap bucket size
+# with a count-filter"): a degenerate bucket with B members fans out
+# B·(B-1)/2 candidate pairs — one boilerplate cluster of 10⁵ docs is
+# 5·10⁹ pairs from a single bucket. OFF by default (None) because
+# dropping a bucket trades recall for boundedness: docs in a skipped
+# bucket can still pair through their other BANDS-1 bands, but a pair
+# agreeing ONLY in the capped band is lost. Set to a positive int per
+# corpus when fanout is pathological.
+LSH_BUCKET_CAP: int | None = None
+
+
+def banded_sigs(docs: DataFrame, bucket_cap: int | None = None) -> DataFrame:
     """(doc_id, band_id, bucket) LSH band rows from hashed docs — the
     join key relation both the batch (d03) and incremental paths use.
     The bucket key packs the band's minhash rows (values < 2^30
-    each)."""
+    each). ``bucket_cap`` (default module ``LSH_BUCKET_CAP``) drops
+    band rows in buckets with more than that many members BEFORE the
+    self-join, bounding per-bucket candidate fanout to cap·(cap-1)/2;
+    the occupancy count shuffles on the same (band_id, bucket) key the
+    downstream join needs, so it adds no new shuffle shape."""
+    if bucket_cap is None:
+        bucket_cap = LSH_BUCKET_CAP
     sigs = docs.select("doc_id", *_minhash_sig(F.col("shh")))
     rows_per_band = MINHASH_K // BANDS
     band_cols = []
@@ -175,10 +193,18 @@ def banded_sigs(docs: DataFrame) -> DataFrame:
         for r in range(rows_per_band):
             bucket = bucket * F.lit(1000000007) + F.col(f"mh{b * rows_per_band + r}")
         band_cols.append(F.struct(F.lit(b).alias("band_id"), bucket.alias("bucket")))
-    return (
+    out = (
         sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
         .select("doc_id", "bb.band_id", "bb.bucket")
     )
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_id", "bucket")
+        out = (
+            out.withColumn("_bc", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bc") <= F.lit(int(bucket_cap)))
+            .drop("_bc")
+        )
+    return out
 
 
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,6 +28,9 @@ PR_BASE = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
 
 TRI_ORD_BASE = 1_000_000_000
 
+# pagerank lineage-truncation cadence (see pagerank_ranks loop)
+PR_CHECKPOINT_EVERY = 5
+
 
 def pagerank_ranks(edges: DataFrame, iters: int) -> DataFrame:
     """Fixed-point PageRank over a DIRECTED edge list ``(src, dst)``.
@@ -46,7 +49,15 @@ def pagerank_ranks(edges: DataFrame, iters: int) -> DataFrame:
         edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     )
     ranks = nodes.select("node", F.lit(PR_UNIT).cast("long").alias("pr"))
-    for _ in range(iters):
+    for it in range(iters):
+        # lineage truncation: each round nests a join+agg over the
+        # previous ranks plan, so plan depth grows linearly and
+        # Catalyst re-analysis goes quadratic — fine at K=3, minutes of
+        # driver time at K=20+. Checkpoint every PR_CHECKPOINT_EVERY
+        # rounds to reset lineage (eager, so the cut is real); values
+        # are bit-identical either way (BIGINT fixed-point).
+        if it > 0 and it % PR_CHECKPOINT_EVERY == 0:
+            ranks = ranks.localCheckpoint(eager=True)
         contrib = (
             edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), F.expr("pr DIV outdeg").alias("share"))

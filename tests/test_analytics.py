@@ -343,3 +343,53 @@ def test_incremental_near_dups_equals_batch_restriction(spark, tmp_path):
         F.size("w") >= 3
     ).count()
     assert n_sig == n_docs
+
+
+def test_lsh_bucket_cap_bounds_degenerate_fanout(spark):
+    """Skew guard (round-5 verdict #9): a pathological corpus with one
+    large ~identical cluster must not fan the band self-join out
+    quadratically when the bucket cap is on. Off by default, the cap
+    drops band rows in over-full buckets BEFORE the join."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics import dedup
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(300)]
+    cluster_text = " ".join(rng.choice(vocab) for _ in range(40))
+    rows = [(i, cluster_text, "s") for i in range(30)] + [
+        (100 + i, " ".join(rng.choice(vocab) for _ in range(40)), "s")
+        for i in range(30)
+    ]
+    docs = dedup.hash_docs(
+        spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    ).persist()
+
+    def candidates(banded):
+        a, b = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+            .dropDuplicates(["da", "db"])
+            .count()
+        )
+
+    uncapped = candidates(dedup.banded_sigs(docs))
+    assert uncapped >= 30 * 29 // 2  # the identical cluster alone
+
+    capped = candidates(dedup.banded_sigs(docs, bucket_cap=8))
+    # every surviving bucket has ≤ 8 members → ≤ 28 pairs per bucket;
+    # the 30-member cluster buckets are gone entirely
+    assert capped < 30 * 29 // 2
+    assert capped <= 28 * dedup.BANDS * 60  # loose structural bound
+
+    # default path unchanged: module default is None (off)
+    assert dedup.LSH_BUCKET_CAP is None
+    docs.unpersist()

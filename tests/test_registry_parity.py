@@ -44,6 +44,11 @@ def test_registry_count_matches_documented():
     m = re.search(r"driver gate, (\d+) more verified locally", readme)
     assert m, "README ungated-count line missing"
     assert int(m.group(1)) == len(analytics.UNGATED)
+    # quickstart count (round-5 verdict: this line went stale at 104
+    # while the two lines above were guarded — cover it too)
+    m = re.search(r"# (\d+)/(\d+) queries hash-match", readme)
+    assert m, "README quickstart oracle-count line missing"
+    assert int(m.group(1)) == int(m.group(2)) == len(analytics.ALL_QUERIES)
 
 
 def test_multimodal_not_registry_tail():
