@@ -143,15 +143,16 @@ def union_features_wkt(features: list[dict]) -> str | None:
     2. fallback (this environment): exact-duplicate geometries are
        deduplicated; crossing LineStrings are NODED in-engine
        (functions/noding.py: segments split at every intersection —
-       the unary_union piece set) and two overlapping convex Polygons
-       are DISSOLVED in-engine (boundary-walk union); remaining
-       same-type features assemble into the MULTI* geometry —
-       identical to ``unary_union`` for disjoint inputs (the
-       reference's multi-feature fixtures: 10 disjoint drift
-       trajectories → MULTILINESTRING).
-    3. residual cases the pure-python path declines (collinear
-       overlapping segments, non-convex or 3+ overlapping polygons,
-       holes): the assembled MULTI* is dissolved at the database
+       the unary_union piece set) and N single-ring SIMPLE polygons
+       (convex or not) are DISSOLVED in-engine (noded boundary-walk
+       union, pairwise-merged to fixpoint); remaining same-type
+       features assemble into the MULTI* geometry — identical to
+       ``unary_union`` for disjoint inputs (the reference's
+       multi-feature fixtures: 10 disjoint drift trajectories →
+       MULTILINESTRING).
+    3. residual cases the pure-python path declines (input polygons
+       with interior rings, non-simple rings, unions that enclose a
+       hole): the assembled MULTI* is dissolved at the database
        boundary — the ``geometry_union`` bind wraps the insert in
        PostGIS ``ST_UnaryUnion`` (the same GEOS unary_union the
        reference calls via shapely), a no-op when the in-engine result
@@ -194,7 +195,7 @@ def union_features_wkt(features: list[dict]) -> str | None:
             + ")"
         )
     if all(k == "Polygon" for k in kinds):
-        dissolved = _dissolve_two_convex([g["coordinates"] for g in uniq])
+        dissolved = _dissolve_polygons([g["coordinates"] for g in uniq])
         if dissolved is not None:
             return dissolved
         return "MULTIPOLYGON (" + ", ".join(w[len("POLYGON ") :] for w in wkts) + ")"
@@ -266,14 +267,16 @@ def _dedup_ring(ring):
     return out
 
 
-def _dissolve_two_convex(polys) -> str | None:
-    """In-engine unary_union for exactly two SIMPLE single-ring
-    polygons (convex or not); None when inputs carry holes, are not
-    simple, or the union would enclose a hole (assembly + DB-side
-    dissolve handles those)."""
-    from .noding import _is_simple_ring, union_simple_polygons
+def _dissolve_polygons(polys) -> str | None:
+    """In-engine unary_union for N SIMPLE single-ring polygons
+    (convex or not): pairwise-merge-to-fixpoint over the noded
+    boundary arrangement (noding.union_many_simple_polygons). None
+    when inputs carry holes, are not simple, the union would enclose
+    a hole, or nothing interacts (assembly — exact for disjoint — or
+    DB-side dissolve handles those)."""
+    from .noding import _is_simple_ring, union_many_simple_polygons
 
-    if len(polys) != 2:
+    if len(polys) < 2:
         return None
     rings = []
     for p in polys:
@@ -283,9 +286,17 @@ def _dissolve_two_convex(polys) -> str | None:
     if not all(_is_simple_ring(_dedup_ring(r)) for r in rings):
         return None
     try:
-        kind, out = union_simple_polygons(rings[0], rings[1])
+        kind, out = union_many_simple_polygons(rings)
     except ValueError:
         return None
-    if kind == "multipolygon":  # disjoint: assembly path already exact
-        return None
-    return "POLYGON ((" + ", ".join(_fmt_pt(p) for p in out) + "))"
+    if kind == "polygon":
+        return "POLYGON ((" + ", ".join(_fmt_pt(p) for p in out) + "))"
+    if kind == "multipolygon":
+        return "MULTIPOLYGON (" + ", ".join(
+            "((" + ", ".join(_fmt_pt(p) for p in ring) + "))" for ring in out
+        ) + ")"
+    return None  # unchanged: disjoint inputs, assembly already exact
+
+
+# backwards-compatible name (pre-round-6 the path was pair-only)
+_dissolve_two_convex = _dissolve_polygons

@@ -295,6 +295,17 @@ def union_simple_polygons(ring_a: list[tuple], ring_b: list[tuple]):
     come back as separate loops.
     """
     A, B = _ring_ccw(ring_a), _ring_ccw(ring_b)
+    kind, loops = _union_loops(A, B)
+    if kind == "polygon":
+        return "polygon", _close(loops[0])
+    return "multipolygon", [_close(lp) for lp in sorted(loops, key=min)]
+
+
+def _union_loops(A, B):
+    """Core of :func:`union_simple_polygons` over CCW Fraction rings
+    (unclosed): returns ("polygon", [loop]) or ("multipolygon",
+    [loops...]) with loops as CCW Fraction vertex lists, so N-way
+    union can chain pairwise results WITHOUT a float round-trip."""
 
     def pieces(ring, other):
         out = []
@@ -380,8 +391,51 @@ def union_simple_polygons(ring_a: list[tuple], ring_b: list[tuple]):
             raise ValueError("union encloses a hole (CW loop)")
         loops.append(loop)
     if len(loops) == 1:
-        return "polygon", _close(loops[0])
-    return "multipolygon", [_close(lp) for lp in sorted(loops, key=min)]
+        return "polygon", loops
+    return "multipolygon", loops
+
+
+def union_many_simple_polygons(rings: list[list[tuple]]):
+    """Union of N simple rings (convex or not) by pairwise merge to
+    fixpoint — the general in-engine dissolve behind G3 (reference
+    ``unary_union`` over arbitrary member polygons,
+    dbsink/tables.py:266-269).
+
+    Any pair whose union is a single loop (overlap, containment,
+    edge-sharing) merges; the merged CCW Fraction loop re-enters the
+    work list exactly (no float round-trip), so chained merges stay
+    bit-reproducible. Pairs whose union stays disconnected (disjoint /
+    corner-touch — GEOS likewise keeps MULTIPOLYGON) never merge, and
+    each merge drops the ring count by one, so the loop terminates.
+
+    Returns ("polygon", closed_ring), ("multipolygon",
+    [closed_rings...]) when at least one merge happened, or
+    ("unchanged", None) when no pair interacted (the caller's MULTI*
+    assembly is already exact for disjoint inputs). Raises ValueError
+    when any pairwise union encloses a hole or fails to stitch — the
+    caller falls back to assembly + DB-side ``ST_UnaryUnion``, which
+    carries interior rings.
+    """
+    work = [_ring_ccw(r) for r in rings]
+    merged_any = False
+    merged = True
+    while merged and len(work) > 1:
+        merged = False
+        for i in range(len(work) - 1):
+            for j in range(i + 1, len(work)):
+                kind, loops = _union_loops(work[i], work[j])
+                if kind == "polygon":
+                    work = [w for k, w in enumerate(work) if k not in (i, j)]
+                    work.append(loops[0])
+                    merged = merged_any = True
+                    break
+            if merged:
+                break
+    if len(work) == 1:
+        return "polygon", _close(work[0])
+    if merged_any:
+        return "multipolygon", [_close(w) for w in sorted(work, key=min)]
+    return "unchanged", None
 
 
 # convex pairs are a special case of the general arrangement union;

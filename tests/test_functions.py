@@ -350,3 +350,73 @@ def test_union_stacked_rectangles_dissolved():
         ]
     )
     assert wkt == "POLYGON ((0 0, 1 0, 1 1, 1 2, 0 2, 0 1, 0 0))"
+
+
+def test_union_three_chained_rectangles_dissolved():
+    """Round-6 G3 completion: THREE mutually-overlapping polygons
+    dissolve in-engine (pairwise merge to fixpoint). Derivation:
+    [0,2]x[0,2] ∪ [1,3]x[0,2] ∪ [2,4]x[0,2] = [0,4]x[0,2]; the first
+    merge nodes the bottom/top chains at x=1,2,3 and the second adds
+    x=3's piece, so the arrangement nodes (1,0),(2,0),(3,0) and their
+    top mirrors are retained (GEOS likewise keeps noded collinear
+    vertices)."""
+    wkt = union_features_wkt(
+        [
+            _feat("Polygon", [[(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]]),
+            _feat("Polygon", [[(1, 0), (3, 0), (3, 2), (1, 2), (1, 0)]]),
+            _feat("Polygon", [[(2, 0), (4, 0), (4, 2), (2, 2), (2, 0)]]),
+        ]
+    )
+    assert wkt == (
+        "POLYGON ((0 0, 1 0, 2 0, 3 0, 4 0, 4 2, 3 2, 2 2, 1 2, 0 2, 0 0))"
+    )
+
+
+def test_union_three_polygons_one_disjoint_multipolygon():
+    """Two overlapping squares merge; a third disjoint square stays a
+    separate part — the dissolve emits the MERGED multipolygon, not
+    the raw assembly. Derivation: [0,2]² ∪ [1,3]x[0,2] = [0,3]x[0,2]
+    (nodes at x=1,2); [10,11]² is disjoint."""
+    wkt = union_features_wkt(
+        [
+            _feat("Polygon", [[(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]]),
+            _feat("Polygon", [[(1, 0), (3, 0), (3, 2), (1, 2), (1, 0)]]),
+            _feat("Polygon", [[(10, 10), (11, 10), (11, 11), (10, 11), (10, 10)]]),
+        ]
+    )
+    assert wkt == (
+        "MULTIPOLYGON (((0 0, 1 0, 2 0, 3 0, 3 2, 2 2, 1 2, 0 2, 0 0)), "
+        "((10 10, 11 10, 11 11, 10 11, 10 10)))"
+    )
+
+
+def test_union_nonconvex_pair_bar_through_arm():
+    """Non-convex L with a vertical bar crossing its bottom arm.
+    Derivation: L covers [0,4]x[0,1] ∪ [0,1]x[0,4] (area 4+4-1 = 7);
+    bar [2,3]x[-1,2] (area 3) crosses the arm with overlap
+    [2,3]x[0,1] (area 1) → union area 9. The boundary walks below the
+    arm through the bar's underhang and above through its overhang;
+    arrangement nodes at (2,0),(3,0),(2,1),(3,1)."""
+    lshape = [[(0, 0), (4, 0), (4, 1), (1, 1), (1, 4), (0, 4), (0, 0)]]
+    bar = [[(2, -1), (3, -1), (3, 2), (2, 2), (2, -1)]]
+    wkt = union_features_wkt([_feat("Polygon", lshape), _feat("Polygon", bar)])
+    assert wkt == (
+        "POLYGON ((0 0, 2 0, 2 -1, 3 -1, 3 0, 4 0, 4 1, 3 1, 3 2, 2 2, "
+        "2 1, 1 1, 1 4, 0 4, 0 0))"
+    )
+
+
+def test_union_four_bars_donut_declines_to_assembly():
+    """Four bars forming a frame enclose a cavity: some pairwise
+    merges succeed but the closing merge would need an interior ring,
+    so the whole dissolve declines and the assembled MULTIPOLYGON
+    goes to the DB-side ST_UnaryUnion (which carries holes)."""
+    bottom = [[(0, 0), (3, 0), (3, 1), (0, 1), (0, 0)]]
+    right = [[(2, 0), (3, 0), (3, 3), (2, 3), (2, 0)]]
+    top = [[(0, 2), (3, 2), (3, 3), (0, 3), (0, 2)]]
+    left = [[(0, 0), (1, 0), (1, 3), (0, 3), (0, 0)]]
+    wkt = union_features_wkt(
+        [_feat("Polygon", r) for r in (bottom, right, top, left)]
+    )
+    assert wkt.startswith("MULTIPOLYGON ")
+    assert wkt.count("((") == 4  # raw assembly, all four members
