@@ -245,6 +245,16 @@ UNGATED = frozenset(
         # Rotation policy unchanged: composition moves ONLY on external
         # verdict sanction; demoted rows stay oracle-verified each
         # pytest run (test_registry_parity) + tools/check_oracle.py.
+        # round-6 additions beyond the 50-row driver gate (same policy
+        # — oracle-verified locally + benched; candidates for a future
+        # sanctioned promotion as new capability classes: frontier BFS
+        # traversal, mergeable-histogram quantiles, CDC MERGE, MaxSim
+        # late interaction, LSH quality audit):
+        "q83_bfs_hops",
+        "q84_histogram_quantiles",
+        "q85_merge_upsert",
+        "s11_maxsim_topk",
+        "d15_lsh_audit",
         "q13_window_topk_per_group",
         "q29_approx_sketches",
         "q32_zscore_anomaly",

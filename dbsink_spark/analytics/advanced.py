@@ -3467,3 +3467,365 @@ ORACLE["q82_basket_pairs"] = f"""
     LIMIT {Q82_TOP}
 """
 QUERIES["q82_basket_pairs"] = q82_basket_pairs
+
+
+# ---------------------------------------------------------------------------
+# q83: multi-source BFS hop distances (iterative frontier traversal)
+# ---------------------------------------------------------------------------
+
+Q83_HOPS = 3
+Q83_SEED_MAX = 2  # suppliers s_suppkey <= 2 seed the walk (present at every SF)
+
+
+def q83_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the customer↔supplier trade graph (q61's
+    edge relation): minimum hop distance from the seed suppliers
+    (s_suppkey ≤ 2) out to 3 hops, aggregated per (hops, node_type).
+
+    The traversal family's third member after q61 (fixed power
+    iterations) and q59 (recursive hierarchy): BFS state is
+    FRONTIER-sized, not graph-sized — each round joins only the
+    just-settled frontier against edges and anti-joins settled nodes,
+    so round cost tracks the expanding wave, with an early exit when a
+    frontier empties (graph.bfs_hops; per-round localCheckpoint cuts
+    lineage, the q61 truncation rule at every-iteration cadence).
+
+    Exactness: hop counts are integers and min-hop is reduction-order
+    independent, so the level-by-level CTE oracle matches exactly.
+
+    Reference parity: no graph surface in the reference (SURVEY §2.6
+    gap table) — extension machinery.
+    """
+    from .graph import bfs_hops
+
+    t = Tables(spark, sf_dir)
+    pairs = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        t.supplier.filter(F.col("s_suppkey") <= Q83_SEED_MAX)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+        .distinct()
+    )
+    dist = bfs_hops(edges, seeds, Q83_HOPS)
+    return (
+        dist.groupBy(
+            "hops",
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.expr("min(node DIV 2)").alias("min_key"),
+            F.expr("max(node DIV 2)").alias("max_key"),
+        )
+        .orderBy("hops", "node_type")
+    )
+
+
+def _q83_oracle() -> str:
+    head = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    seeds AS (
+        SELECT DISTINCT s_suppkey * 2 + 1 AS node FROM supplier
+        WHERE s_suppkey <= {Q83_SEED_MAX}
+    ),
+    d0 AS (SELECT node, 0 AS hops FROM seeds),
+    f0 AS (SELECT node FROM d0)"""
+    body = ""
+    for i in range(1, Q83_HOPS + 1):
+        body += f""",
+    f{i} AS (
+        SELECT DISTINCT e.dst AS node
+        FROM edges e JOIN f{i - 1} f ON e.src = f.node
+        WHERE NOT EXISTS (SELECT 1 FROM d{i - 1} d WHERE d.node = e.dst)
+    ),
+    d{i} AS (
+        SELECT node, hops FROM d{i - 1}
+        UNION ALL
+        SELECT node, {i} AS hops FROM f{i}
+    )"""
+    return head + body + f"""
+    SELECT hops::BIGINT AS hops,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           count(*)::BIGINT AS n_nodes,
+           min(node // 2)::BIGINT AS min_key,
+           max(node // 2)::BIGINT AS max_key
+    FROM d{Q83_HOPS}
+    GROUP BY 1, 2
+    ORDER BY hops, node_type
+    """
+
+
+ORACLE["q83_bfs_hops"] = _q83_oracle()
+QUERIES["q83_bfs_hops"] = q83_bfs_hops
+
+
+# ---------------------------------------------------------------------------
+# q84: mergeable digit-bucket histogram → quantile estimates + exact audit
+# ---------------------------------------------------------------------------
+
+Q84_QS = (50, 90, 99)
+
+
+def q84_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a MERGEABLE fixed-bucket histogram —
+    the streaming/distributed-rollup alternative to sorting: bucket
+    o_totalprice cents by (decimal-digit-count, leading digit), a
+    deterministic log-scale grid of ≤ 9·19 buckets whose per-partition
+    counts merge by plain addition (1000 executors each histogram
+    their shard; daily histograms roll up to monthly without rescans —
+    the q62-HLL argument, applied to quantiles).
+
+    Estimate for quantile q: the LOWER BOUND of the first bucket whose
+    cumulative count reaches ceil(q·n/100). The audit column compares
+    against the EXACT rank-based quantile (smallest value with rank ≥
+    target, via one global sort — the O(n log n) cost the histogram
+    path avoids at scale) and reports signed error in basis points.
+    All arithmetic integer: bucket bounds come from STRING surgery
+    (first digit ++ zeros), not float log10, so both engines bucket
+    identically at power-of-ten edges.
+
+    Output: one row per q ∈ (50, 90, 99).
+    """
+    t = Tables(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    o = t.orders.select(cents.alias("v")).filter(F.col("v") > 0)
+    lb = F.expr(
+        "CAST(concat(substring(CAST(v AS STRING), 1, 1),"
+        " repeat('0', length(CAST(v AS STRING)) - 1)) AS BIGINT)"
+    )
+    hist = o.groupBy(lb.alias("bucket_lb")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("bucket_lb").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("n").over(w)).localCheckpoint(eager=True)
+    total = o.count()
+
+    targets = spark.createDataFrame(
+        [(q, (q * total + 99) // 100) for q in Q84_QS], "q long, target long"
+    )
+    est = (
+        targets.join(cum, F.col("cum") >= F.col("target"))
+        .groupBy("q", "target")
+        .agg(F.min("bucket_lb").alias("est_cents"))
+    )
+    # exact audit: global row_number — the sort the histogram avoids;
+    # rank ties on v are irrelevant (any row with rn == target has THE
+    # target value up to duplicates of v itself)
+    ranked = o.withColumn("rn", F.row_number().over(Window.orderBy("v")))
+    exact = (
+        targets.join(ranked, F.col("rn") == F.col("target"))
+        .select("q", F.col("v").alias("exact_cents"))
+    )
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            "est_cents",
+            "exact_cents",
+            F.expr(
+                "(est_cents - exact_cents) * 10000 DIV exact_cents"
+            ).alias("err_bp"),
+        )
+        .orderBy("q")
+    )
+
+
+ORACLE["q84_histogram_quantiles"] = f"""
+    WITH o AS (
+        SELECT round(o_totalprice * 100)::BIGINT AS v FROM orders
+        WHERE round(o_totalprice * 100)::BIGINT > 0
+    ),
+    hist AS (
+        SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) ||
+                    repeat('0', length(CAST(v AS VARCHAR)) - 1) AS BIGINT)
+                   AS bucket_lb,
+               count(*)::BIGINT AS n
+        FROM o GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket_lb, n,
+               sum(n) OVER (ORDER BY bucket_lb
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        FROM hist
+    ),
+    targets AS (
+        SELECT q, (q * (SELECT count(*) FROM o) + 99) // 100 AS target
+        FROM (VALUES {', '.join(f'({q})' for q in Q84_QS)}) t(q)
+    ),
+    est AS (
+        SELECT q, target, min(bucket_lb)::BIGINT AS est_cents
+        FROM targets JOIN cum ON cum >= target
+        GROUP BY q, target
+    ),
+    ranked AS (
+        SELECT v, row_number() OVER (ORDER BY v) AS rn FROM o
+    ),
+    exact AS (
+        SELECT q, v AS exact_cents FROM targets JOIN ranked ON rn = target
+    )
+    SELECT est.q::BIGINT AS q, est_cents, exact_cents,
+           ((est_cents - exact_cents) * 10000 // exact_cents)::BIGINT AS err_bp
+    FROM est JOIN exact ON est.q = exact.q
+    ORDER BY q
+"""
+QUERIES["q84_histogram_quantiles"] = q84_histogram_quantiles
+
+
+# ---------------------------------------------------------------------------
+# q85: CDC MERGE (insert/update/delete) as a full-outer-join plan
+# ---------------------------------------------------------------------------
+
+Q85_MOD = 10  # h64(key) % 10 classifies rows: 0 delete, 1-2 update, 3 insert-src
+
+
+def q85_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE INTO semantics (Delta/Iceberg row-level merge)
+    expressed as ONE full-outer equi-join over the snapshot and a CDC
+    delta — the batch twin of the streaming sink's upsert (K6) and the
+    complement of q71's time travel: given a snapshot S and a delta D
+    of (key, action ∈ I/U/D, payload),
+
+        WHEN MATCHED AND D.action = 'D' THEN DELETE
+        WHEN MATCHED AND D.action = 'U' THEN UPDATE
+        WHEN NOT MATCHED AND D.action = 'I' THEN INSERT
+
+    The delta is DERIVED deterministically from the snapshot itself
+    (h64(key) % 10: 0 → delete, 1-2 → update price +10%, 3 → insert a
+    shifted-key clone), so both engines build byte-identical inputs —
+    the operator under test is the merge plan, not a random generator.
+
+    Scale: one shuffle on the merge key (AQE-skew-splittable); the
+    delta side is CDC-sized, so at 100 TB the join broadcasts or
+    bucket-colocates with the snapshot's layout. Money stays integer
+    cents; the +10% update is integer (cents * 110 DIV 100).
+
+    Output: post-merge per-status rowcount + revenue plus the applied
+    action counts folded in as audit columns.
+    """
+    from ..functions.hashing import h64
+
+    t = Tables(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    snap = t.orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("cents"),
+    )
+    cls = (h64(F.col("key").cast("string")) % Q85_MOD).alias("cls")
+    base = snap.select("key", "status", "cents", cls).localCheckpoint(eager=True)
+    max_key = base.agg(F.max("key").alias("mx"))
+    delta = (
+        base.filter(F.col("cls") == 0)
+        .select("key", F.lit("D").alias("action"),
+                F.lit(None).cast("string").alias("d_status"),
+                F.lit(None).cast("long").alias("d_cents"))
+        .unionAll(
+            base.filter(F.col("cls").isin(1, 2)).select(
+                "key", F.lit("U").alias("action"),
+                F.lit("U").alias("d_status"),
+                F.expr("cents * 110 DIV 100").alias("d_cents"),
+            )
+        )
+        .unionAll(
+            base.filter(F.col("cls") == 3)
+            .crossJoin(F.broadcast(max_key))
+            .select(
+                (F.col("key") + F.col("mx")).alias("key"),
+                F.lit("I").alias("action"),
+                F.lit("I").alias("d_status"),
+                F.expr("cents DIV 2").alias("d_cents"),
+            )
+        )
+    )
+    merged = (
+        snap.join(delta, "key", "full_outer")
+        .filter(
+            # WHEN MATCHED AND action='D' → row removed
+            ~(F.col("action").eqNullSafe("D"))
+        )
+        .select(
+            "key",
+            F.when(F.col("action") == "U", F.col("d_status"))
+            .when(F.col("action").eqNullSafe("I") & F.col("status").isNull(),
+                  F.col("d_status"))
+            .otherwise(F.col("status"))
+            .alias("status"),
+            F.when(F.col("action") == "U", F.col("d_cents"))
+            .when(F.col("action").eqNullSafe("I") & F.col("cents").isNull(),
+                  F.col("d_cents"))
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+    )
+    return (
+        merged.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+def _q85_oracle() -> str:
+    from ..functions.hashing import h64_sql
+
+    h = h64_sql("key::VARCHAR")
+    return f"""
+    WITH snap AS (
+        SELECT o_orderkey AS key, o_orderstatus AS status,
+               round(o_totalprice * 100)::BIGINT AS cents
+        FROM orders
+    ),
+    base AS (SELECT key, status, cents, ({h}) % {Q85_MOD} AS cls FROM snap),
+    mx AS (SELECT max(key) AS mx FROM base),
+    delta AS (
+        SELECT key, 'D' AS action, NULL::VARCHAR AS d_status, NULL::BIGINT AS d_cents
+        FROM base WHERE cls = 0
+        UNION ALL
+        SELECT key, 'U', 'U', cents * 110 // 100 FROM base WHERE cls IN (1, 2)
+        UNION ALL
+        SELECT key + mx.mx, 'I', 'I', cents // 2 FROM base CROSS JOIN mx WHERE cls = 3
+    ),
+    merged AS (
+        SELECT coalesce(s.key, d.key) AS key,
+               CASE WHEN d.action = 'U' THEN d.d_status
+                    WHEN d.action = 'I' AND s.key IS NULL THEN d.d_status
+                    ELSE s.status END AS status,
+               CASE WHEN d.action = 'U' THEN d.d_cents
+                    WHEN d.action = 'I' AND s.key IS NULL THEN d.d_cents
+                    ELSE s.cents END AS cents,
+               d.action
+        FROM snap s FULL OUTER JOIN delta d ON s.key = d.key
+    )
+    SELECT status, count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS revenue_cents
+    FROM merged
+    WHERE action IS DISTINCT FROM 'D'
+    GROUP BY status
+    ORDER BY status
+    """
+
+
+ORACLE["q85_merge_upsert"] = _q85_oracle()
+QUERIES["q85_merge_upsert"] = q85_merge_upsert

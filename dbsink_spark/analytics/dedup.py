@@ -1314,3 +1314,124 @@ ORACLE["d13_editdist_near_dup"] = f"""
 """
 
 QUERIES["d13_editdist_near_dup"] = d13_editdist_near_dup
+
+
+# ---------------------------------------------------------------------------
+# d15: LSH candidate-generation audit (precision/recall vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+D15_SAMPLE_MOD = 5  # h64(doc_id) % 5 == 0 → ~20% deterministic audit sample
+
+
+def d15_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation quality audit for the MinHash-LSH path
+    (d03): on a DETERMINISTIC ~20% document sample, compare the
+    band-bucket candidate pairs against ground-truth all-pairs exact
+    Jaccard, reporting candidate recall (true pairs the bands caught)
+    and precision (verification workload that was worth it) in basis
+    points — s09's ANN-recall audit pattern, applied to dedup.
+
+    The all-pairs exact pass is THE thing LSH avoids, which is why it
+    runs on a hash-defined sample: cost is (n/5)²/2 pairs regardless
+    of corpus size, the sample is reproducible across engines/retries
+    (h64(doc_id) % 5), and the measured rates estimate the full-corpus
+    rates the way any audit sample does. At 100 TB this is the
+    recurring data-quality job that decides whether BANDS/MINHASH_K
+    need retuning.
+
+    Output: ONE row — sample size, truth/candidate/hit counts,
+    recall_bp, precision_bp (10000 when the denominator is 0).
+    """
+    docs = _hashed_docs(spark, sf_dir)
+    sample = docs.filter(
+        h64(F.col("doc_id").cast("string")) % D15_SAMPLE_MOD == 0
+    ).persist()
+
+    # ground truth: all pairs within the sample (bounded by the sample
+    # cap — the ONE place a pair cross-join is the point, sized (n/5)²)
+    a = sample.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("shh_a"))
+    b = sample.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("shh_b"))
+    jac = F.size(F.array_intersect("shh_a", "shh_b")) / F.size(
+        F.array_union("shh_a", "shh_b")
+    )
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+    banded = banded_sigs(sample)
+    ba, bb = banded.alias("a"), banded.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    n_docs = sample.count()
+    n_truth = truth.count()
+    n_cand = cand.count()
+    n_hit = cand.join(truth, ["doc_a", "doc_b"], "left_semi").count()
+    sample.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                n_truth,
+                n_cand,
+                n_hit,
+                (n_hit * 10000) // n_truth if n_truth else 10000,
+                (n_hit * 10000) // n_cand if n_cand else 10000,
+            )
+        ],
+        "n_sample_docs long, n_truth_pairs long, n_candidates long, "
+        "n_hits long, recall_bp long, precision_bp long",
+    )
+
+
+ORACLE["d15_lsh_audit"] = f"""
+    WITH docs AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS sh
+        FROM documents
+        WHERE len(string_split(text,' ')) >= 3
+    ), hashed AS (
+        SELECT doc_id, sh, list_transform(sh, s -> {h64_sql('s')}) AS shh FROM docs
+    ), sample AS (
+        SELECT * FROM hashed
+        WHERE ({h64_sql('doc_id::VARCHAR')}) % {D15_SAMPLE_MOD} = 0
+    ), truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.shh, b.shh))::DOUBLE
+                    / len(list_distinct(a.shh || b.shh)), 4)
+              >= {JACCARD_THRESHOLD}
+    ), sigs AS (
+        SELECT doc_id, sh, {_minhash_sig_sql()} FROM sample
+    ), banded AS (
+        {_band_rows_sql()}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), hit AS (
+        SELECT c.doc_a, c.doc_b FROM cand c
+        JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT (SELECT count(*) FROM sample)::BIGINT AS n_sample_docs,
+           (SELECT count(*) FROM truth)::BIGINT AS n_truth_pairs,
+           (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+           (SELECT count(*) FROM hit)::BIGINT AS n_hits,
+           (CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 10000
+                 ELSE (SELECT count(*) FROM hit) * 10000
+                      // (SELECT count(*) FROM truth) END)::BIGINT AS recall_bp,
+           (CASE WHEN (SELECT count(*) FROM cand) = 0 THEN 10000
+                 ELSE (SELECT count(*) FROM hit) * 10000
+                      // (SELECT count(*) FROM cand) END)::BIGINT AS precision_bp
+"""
+
+QUERIES["d15_lsh_audit"] = d15_lsh_audit

@@ -144,3 +144,43 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             ).alias("clustering_bp"),
         )
     )
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+    """Multi-source BFS over a DIRECTED edge list ``(src, dst)``:
+    returns (node, hops) — the MINIMUM hop count from any seed node,
+    for every node within ``max_hops`` (seeds at 0). Nodes not reached
+    within the budget are absent.
+
+    Frontier-based expansion (the Pregel/GraphX BFS shape expressed as
+    DataFrame joins): each round joins only the JUST-SETTLED frontier
+    against the edge list and anti-joins already-settled nodes away, so
+    round i shuffles O(|frontier_i| · avg-degree) edge hits — never the
+    full distance table — and the loop ends early when a frontier
+    empties. Frontiers are eagerly localCheckpointed: the settled set
+    is consumed by every later round (anti-join), so lineage is cut per
+    round (the q61 truncation rule, applied every iteration because
+    BFS state is frontier-sized, not graph-sized).
+
+    Exactness: hop counts are integers; min-hop is reduction-order
+    independent, so a recursive-CTE oracle matches exactly.
+    """
+    settled = seeds.select("node", F.lit(0).cast("long").alias("hops")).localCheckpoint(
+        eager=True
+    )
+    frontier = settled
+    for i in range(1, max_hops + 1):
+        reached = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(settled.select("node"), "node", "left_anti").select(
+            "node", F.lit(i).cast("long").alias("hops")
+        )
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        settled = settled.unionAll(new).localCheckpoint(eager=True)
+        frontier = new
+    return settled

@@ -947,3 +947,119 @@ ORACLE["s10_range_search"] = f"""
 """
 
 QUERIES["s10_range_search"] = s10_range_search
+
+
+# ---------------------------------------------------------------------------
+# s11: MaxSim late-interaction scoring (ColBERT-style)
+# ---------------------------------------------------------------------------
+
+S11_SUBS = 8                 # sub-vectors per embedding
+S11_DSUB = DIM // S11_SUBS   # dims per sub-vector
+S11_QUERIES = 3              # vec_id < 3 form the query set
+
+
+def s11_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT's MaxSim): treat each
+    embedding as 8 token-like sub-vectors and score a (query, doc)
+    pair as Σ_i max_j cos(q_i, d_j) — each query part matches its
+    best-aligned doc part, the multi-vector semantics single-vector
+    cosine (s01) cannot express.
+
+    Plan shape is the production late-interaction layout: per-vector
+    sub-vectors and their norms are projected ONCE per row (8 slices +
+    8 norms), the tiny query set broadcasts, and the corpus NEVER
+    shuffles — per pair only the 64 sub-dot/max/sum arithmetic runs.
+    At 100 TB the same plan runs after an ANN prefilter (s05's IVF)
+    supplies the candidate set; MaxSim is the re-ranker.
+
+    Exactness: every sub-cosine is the same sequential fold both
+    engines compute bit-identically (module precedent: s01 gate), max
+    is order-exact, and the 8-term sum is written with identical
+    left-association in both engines.
+    """
+    v = _vectors(spark, sf_dir)
+
+    def parts(col_prefix: str):
+        cols = []
+        for i in range(S11_SUBS):
+            sub = F.slice(F.col("v"), 1 + i * S11_DSUB, S11_DSUB)
+            cols.append(sub.alias(f"{col_prefix}s{i}"))
+            cols.append(_norm(sub).alias(f"{col_prefix}n{i}"))
+        return cols
+
+    queries = v.filter(F.col("vec_id") < S11_QUERIES).select(
+        F.col("vec_id").alias("query_id"), *parts("q")
+    )
+    corpus = v.filter(F.col("vec_id") >= S11_QUERIES).select(
+        F.col("vec_id").alias("corpus_id"), *parts("c")
+    )
+
+    def cos(i: int, j: int):
+        return _dot(F.col(f"qs{i}"), F.col(f"cs{j}")) / (
+            F.col(f"qn{i}") * F.col(f"cn{j}")
+        )
+
+    score = None
+    for i in range(S11_SUBS):
+        m = F.greatest(*[cos(i, j) for j in range(S11_SUBS)])
+        score = m if score is None else score + m
+    scored = corpus.join(F.broadcast(queries)).select(
+        "query_id", "corpus_id", score.alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id", "corpus_id", F.round("maxsim", 4).alias("maxsim"), "rank"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _s11_oracle() -> str:
+    def sub(prefix: str, i: int) -> str:
+        a, b = 1 + i * S11_DSUB, (i + 1) * S11_DSUB
+        return f"{prefix}.v[{a}:{b}]"
+
+    def dot(i: int, j: int) -> str:
+        return (
+            f"list_sum([{sub('q', i)}[k] * {sub('c', j)}[k]"
+            f" for k in generate_series(1, {S11_DSUB})])"
+        )
+
+    def norm(prefix: str, i: int) -> str:
+        return f"sqrt(list_sum([x*x for x in {sub(prefix, i)}]))"
+
+    maxes = []
+    for i in range(S11_SUBS):
+        cs = ", ".join(
+            f"({dot(i, j)} / ({norm('q', i)} * {norm('c', j)}))"
+            for j in range(S11_SUBS)
+        )
+        maxes.append(f"greatest({cs})")
+    score = " + ".join(maxes)
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               {score} AS maxsim
+        FROM v q CROSS JOIN v c
+        WHERE q.vec_id < {S11_QUERIES} AND c.vec_id >= {S11_QUERIES}
+    ),
+    ranked AS (
+        SELECT query_id, corpus_id, maxsim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY maxsim DESC, corpus_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, corpus_id, round(maxsim, 4) AS maxsim, rank
+    FROM ranked WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+    """
+
+
+ORACLE["s11_maxsim_topk"] = _s11_oracle()
+QUERIES["s11_maxsim_topk"] = s11_maxsim_topk
