@@ -1331,13 +1331,17 @@ def d15_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and precision (verification workload that was worth it) in basis
     points — s09's ANN-recall audit pattern, applied to dedup.
 
-    The all-pairs exact pass is THE thing LSH avoids, which is why it
-    runs on a hash-defined sample: cost is (n/5)²/2 pairs regardless
-    of corpus size, the sample is reproducible across engines/retries
-    (h64(doc_id) % 5), and the measured rates estimate the full-corpus
-    rates the way any audit sample does. At 100 TB this is the
-    recurring data-quality job that decides whether BANDS/MINHASH_K
-    need retuning.
+    Ground truth is EXACT pairwise Jaccard over the sample, computed
+    through the inverted shingle index (d05's plan: explode →
+    equi-join on hash → shared-count; pairs sharing zero shingles have
+    Jaccard 0 < threshold and rightly never materialize) — an
+    all-pairs array compare of the same sample measured ~60× slower at
+    sf0.1. The hash-defined sample (h64(doc_id) % 5) keeps the audit's
+    cost a fixed fraction of one dedup pass, reproducible across
+    engines/retries; the measured rates estimate the full-corpus rates
+    the way any audit sample does. At 100 TB this is the recurring
+    data-quality job that decides whether BANDS/MINHASH_K need
+    retuning.
 
     Output: ONE row — sample size, truth/candidate/hit counts,
     recall_bp, precision_bp (10000 when the denominator is 0).
@@ -1347,16 +1351,24 @@ def d15_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         h64(F.col("doc_id").cast("string")) % D15_SAMPLE_MOD == 0
     ).persist()
 
-    # ground truth: all pairs within the sample (bounded by the sample
-    # cap — the ONE place a pair cross-join is the point, sized (n/5)²)
-    a = sample.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("shh_a"))
-    b = sample.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("shh_b"))
-    jac = F.size(F.array_intersect("shh_a", "shh_b")) / F.size(
-        F.array_union("shh_a", "shh_b")
+    inv = sample.select("doc_id", "n_sh", F.explode("shh").alias("h"))
+    ia, ib = inv.alias("a"), inv.alias("b")
+    shared = (
+        ia.join(
+            ib,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    jac = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
     truth = (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        shared.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -1373,10 +1385,22 @@ def d15_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
+    # one job for all three pair counts (separate .count() actions
+    # would recompute truth and cand once each for the hit join)
     n_docs = sample.count()
-    n_truth = truth.count()
-    n_cand = cand.count()
-    n_hit = cand.join(truth, ["doc_a", "doc_b"], "left_semi").count()
+    marked = truth.select(
+        "doc_a", "doc_b", F.lit(1).alias("is_t")
+    ).join(
+        cand.select("doc_a", "doc_b", F.lit(1).alias("is_c")),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    row = marked.agg(
+        F.coalesce(F.sum("is_t"), F.lit(0)).alias("t"),
+        F.coalesce(F.sum("is_c"), F.lit(0)).alias("c"),
+        F.coalesce(F.sum(F.col("is_t") * F.col("is_c")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    n_truth, n_cand, n_hit = row["t"], row["c"], row["h"]
     sample.unpersist()
     return spark.createDataFrame(
         [

@@ -129,3 +129,51 @@ def test_triangle_stats_clique(spark):
     [row] = triangle_stats(df).collect()
     assert row["n_triangles"] == 20
     assert row["clustering_bp"] == 10000
+
+
+def _bfs_reference(edges, seeds, max_hops):
+    from collections import deque
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for w in adj.get(u, []):
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    return dist
+
+
+def test_bfs_hops_matches_reference_on_random_graphs(spark):
+    from dbsink_spark.analytics.graph import bfs_hops
+
+    rng = random.Random(13)
+    for trial, (n, p, max_hops) in enumerate(
+        [(15, 0.15, 3), (25, 0.08, 4), (10, 0.4, 2)]
+    ):
+        und = _random_undirected(rng, n, p)
+        directed = und + [(v, u) for u, v in und]
+        if not directed:
+            continue
+        seeds = [0, 1]
+        df = spark.createDataFrame(directed, ["src", "dst"])
+        sf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+        got = {r["node"]: r["hops"] for r in bfs_hops(df, sf, max_hops).collect()}
+        assert got == _bfs_reference(directed, seeds, max_hops), f"trial {trial}"
+
+
+def test_bfs_early_exit_on_exhausted_frontier(spark):
+    """A 2-node path exhausts in 1 hop; asking for 10 must terminate
+    (empty-frontier break) and return exactly the reachable set."""
+    from dbsink_spark.analytics.graph import bfs_hops
+
+    df = spark.createDataFrame([(0, 1), (1, 0)], ["src", "dst"])
+    sf = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(df, sf, 10).collect()}
+    assert got == {0: 0, 1: 1}
