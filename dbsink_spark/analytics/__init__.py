@@ -255,6 +255,10 @@ UNGATED = frozenset(
         "q85_merge_upsert",
         "s11_maxsim_topk",
         "d15_lsh_audit",
+        # (second round-6 batch: dominance/skyline queries, categorical
+        # independence testing)
+        "q86_skyline",
+        "q87_chi_square",
         "q13_window_topk_per_group",
         "q29_approx_sketches",
         "q32_zscore_anomaly",

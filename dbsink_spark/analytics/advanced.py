@@ -3829,3 +3829,169 @@ def _q85_oracle() -> str:
 
 ORACLE["q85_merge_upsert"] = _q85_oracle()
 QUERIES["q85_merge_upsert"] = q85_merge_upsert
+
+
+# ---------------------------------------------------------------------------
+# q86: skyline (Pareto frontier) query
+# ---------------------------------------------------------------------------
+
+
+def q86_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: the Pareto-optimal orders minimizing BOTH
+    (o_totalprice, o_orderdate) — no other order is ≤ in both
+    dimensions and < in one. Dominance queries are their own operator
+    class (no groupBy/join expresses them); the classic naive plan is
+    the O(n²) NOT-EXISTS self-join.
+
+    Plan: ONE window over the (price, date)-sorted DISTINCT point set.
+    After sorting, every point ordered before p has price ≤ p.price —
+    and dominates p iff its date ≤ p.date (ties collapse into the
+    distinct grid first, so the equal-price case is strict in date by
+    construction). Hence p survives iff
+    min(date) OVER (preceding rows) > p.date: the sort-filter-skyline
+    (SFS) sweep as a window expression, O(n log n), no self-join.
+
+    Scale: the distinct grid is grouped FIRST (map-side combinable) —
+    the window sees distinct (price, date) points, not rows. The
+    global sort is the residual cost; at 100 TB prepend the standard
+    sample prune (skyline of a ~1e-4 broadcast sample filters ~all
+    dominated points before the sort; removing dominated points never
+    changes the skyline, so the plan stays exact — SCALE.md).
+
+    Output: the skyline points (price cents, date, multiplicity),
+    cheapest first — E[size] ≈ ln(n) for independent dims.
+    """
+    t = Tables(spark, sf_dir)
+    pts = (
+        t.orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+            F.col("o_orderdate").alias("order_date"),
+        )
+        .groupBy("price_cents", "order_date")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = (
+        Window.orderBy("price_cents", "order_date")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("best_prev", F.min("order_date").over(w))
+        .filter(F.col("best_prev").isNull() | (F.col("best_prev") > F.col("order_date")))
+        .select("price_cents", "order_date", "n_orders")
+        .orderBy("price_cents")
+    )
+
+
+ORACLE["q86_skyline"] = """
+    WITH pts AS (
+        SELECT round(o_totalprice * 100)::BIGINT AS price_cents,
+               o_orderdate AS order_date,
+               count(*)::BIGINT AS n_orders
+        FROM orders
+        GROUP BY 1, 2
+    ),
+    swept AS (
+        SELECT price_cents, order_date, n_orders,
+               min(order_date) OVER (ORDER BY price_cents, order_date
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS best_prev
+        FROM pts
+    )
+    SELECT price_cents, order_date, n_orders
+    FROM swept
+    WHERE best_prev IS NULL OR best_prev > order_date
+    ORDER BY price_cents
+"""
+QUERIES["q86_skyline"] = q86_skyline
+
+
+# ---------------------------------------------------------------------------
+# q87: chi-square independence test over a contingency table
+# ---------------------------------------------------------------------------
+
+
+def q87_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test for o_orderstatus ×
+    o_orderpriority: Χ² = Σ (O−E)²/E over the contingency table with
+    E = row_total·col_total/n — the categorical-association member of
+    the statistics family (q31 covers numeric correlation, q43
+    regression; this is the test a data-quality pipeline runs on
+    label×source grids to catch drift).
+
+    Cross-engine float exactness uses the ordered-fold pattern (q80's
+    recurrence discipline): marginals are integer window sums over the
+    cell grid, each cell's (O−E)²/E term is computed with an identical
+    op sequence, and the final reduction folds the terms in (status,
+    priority) order via a sorted-list aggregate — never a
+    partition-order-dependent float sum. The grid is |statuses| ×
+    |priorities| (~15 cells) after a map-side-combinable count, so the
+    fold is driver-row-sized at any corpus scale.
+
+    Output: ONE row — n, grid dims, degrees of freedom, chi2 (6 dp).
+    """
+    t = Tables(spark, sf_dir)
+    cells = t.orders.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ws = Window.partitionBy("s")
+    wp = Window.partitionBy("p")
+    wn = Window.partitionBy()
+    g = cells.select(
+        "s",
+        "p",
+        "o",
+        F.sum("o").over(ws).alias("r"),
+        F.sum("o").over(wp).alias("c"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    term = F.expr("pow(o - (r * c) / n, 2) / ((r * c) / n)")
+    folded = g.select(F.struct("s", "p", term.alias("t"), "n").alias("cell")).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("cell")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count_distinct(F.col("cell.s")).alias("n_rows_dim"),
+        F.count_distinct(F.col("cell.p")).alias("n_cols_dim"),
+        F.max(F.col("cell.n")).alias("n"),
+    )
+    return folded.select(
+        "n",
+        "n_cells",
+        F.expr("(n_rows_dim - 1) * (n_cols_dim - 1)").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+    )
+
+
+ORACLE["q87_chi_square"] = """
+    WITH cells AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p, count(*)::BIGINT AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT s, p, o,
+               sum(o) OVER (PARTITION BY s)::BIGINT AS r,
+               sum(o) OVER (PARTITION BY p)::BIGINT AS c,
+               sum(o) OVER ()::BIGINT AS n
+        FROM cells
+    ),
+    terms AS (
+        SELECT s, p, n,
+               pow(o - (r * c) / n, 2) / ((r * c) / n) AS t
+        FROM g
+    ),
+    folded AS (
+        SELECT list_sum(list(t ORDER BY s, p)) AS chi2,
+               count(*)::BIGINT AS n_cells,
+               count(DISTINCT s)::BIGINT AS n_rows_dim,
+               count(DISTINCT p)::BIGINT AS n_cols_dim,
+               max(n)::BIGINT AS n
+        FROM terms
+    )
+    SELECT n, n_cells,
+           ((n_rows_dim - 1) * (n_cols_dim - 1))::BIGINT AS dof,
+           round(chi2, 6) AS chi2
+    FROM folded
+"""
+QUERIES["q87_chi_square"] = q87_chi_square
