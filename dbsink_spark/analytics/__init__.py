@@ -259,6 +259,8 @@ UNGATED = frozenset(
         # independence testing)
         "q86_skyline",
         "q87_chi_square",
+        "q88_hll_rollup",
+        "t27_zipf_fit",
         "q13_window_topk_per_group",
         "q29_approx_sketches",
         "q32_zscore_anomaly",

@@ -3995,3 +3995,126 @@ ORACLE["q87_chi_square"] = """
     FROM folded
 """
 QUERIES["q87_chi_square"] = q87_chi_square
+
+
+# ---------------------------------------------------------------------------
+# q88: sketch rollup — daily HLL registers merged to monthly, vs direct
+# ---------------------------------------------------------------------------
+
+
+def q88_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch ROLLUP pattern q62 argues for, actually
+    executed: per-day HLL registers over events.user_id are merged
+    register-wise (max) into monthly sketches, next to a direct
+    monthly sketch built from the raw rows — the registers_match
+    column PROVES the merge is lossless (max is associative), which is
+    the property that lets a 100 TB pipeline keep 64-row daily sketch
+    tables and answer any coarser distinct-count without rescanning
+    raw data.
+
+    All register arithmetic is integer (q62's first-principles HLL on
+    the portable h64); the single float division per month uses the
+    inlined literal numerator, so estimates hash-match cross-engine.
+
+    Output: one row per month — register count, merged estimate,
+    exact distinct, registers_match (always true: the test is that
+    BOTH engines agree it is).
+    """
+    e = Tables(spark, sf_dir).events
+    h = _q62_h64_user()
+    d = e.select(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        (h % Q62_M).alias("bucket"),
+        (h / F.lit(Q62_M)).cast("long").alias("w"),
+        "user_id",
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(Q62_SHIFT))
+        .otherwise(F.lit(Q62_SHIFT) - F.length(F.bin(F.col("w"))))
+        .cast("long")
+    )
+    daily = d.groupBy("month", "day", "bucket").agg(F.max(rho).alias("m_j"))
+    merged = daily.groupBy("month", "bucket").agg(F.max("m_j").alias("m_j"))
+    direct = d.groupBy("month", "bucket").agg(F.max(rho).alias("m_j_direct"))
+    regs = merged.join(direct, ["month", "bucket"])
+    per_month = regs.groupBy("month").agg(
+        F.count(F.lit(1)).alias("nonzero_registers"),
+        F.sum(F.expr(f"shiftleft(1L, {Q62_SHIFT} - m_j)")).alias("sum_pow"),
+        F.min((F.col("m_j") == F.col("m_j_direct")).cast("int")).alias("regs_eq"),
+    )
+    exact = d.groupBy("month").agg(F.countDistinct("user_id").alias("exact_distinct"))
+    est = F.lit(float(Q62_NUM)) / F.col("sum_pow")
+    return (
+        per_month.join(exact, "month")
+        .select(
+            "month",
+            "nonzero_registers",
+            "sum_pow",
+            est.alias("est_distinct"),
+            "exact_distinct",
+            (F.col("regs_eq") == 1).alias("registers_match"),
+        )
+        .orderBy("month")
+    )
+
+
+def _q62_h64_user():
+    from ..functions.hashing import h64
+
+    return h64(F.col("user_id").cast("string"))
+
+
+def _q88_oracle() -> str:
+    from ..functions.hashing import h64_sql
+
+    h = h64_sql("user_id::VARCHAR")
+    return f"""
+    WITH d AS (
+        SELECT date_trunc('month', ts)::DATE AS month,
+               date_trunc('day', ts)::DATE AS day,
+               ({h}) % {Q62_M} AS bucket,
+               ({h}) // {Q62_M} AS w,
+               user_id
+        FROM events
+    ),
+    rows_rho AS (
+        SELECT month, day, bucket, user_id,
+               CASE WHEN w = 0 THEN {Q62_SHIFT}
+                    ELSE {Q62_SHIFT} - length(bin(w)) END AS rho
+        FROM d
+    ),
+    daily AS (
+        SELECT month, day, bucket, max(rho)::BIGINT AS m_j
+        FROM rows_rho GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT month, bucket, max(m_j)::BIGINT AS m_j FROM daily GROUP BY 1, 2
+    ),
+    direct AS (
+        SELECT month, bucket, max(rho)::BIGINT AS m_j_direct
+        FROM rows_rho GROUP BY 1, 2
+    ),
+    per_month AS (
+        SELECT m.month,
+               count(*)::BIGINT AS nonzero_registers,
+               sum(1::BIGINT << ({Q62_SHIFT} - m.m_j))::BIGINT AS sum_pow,
+               min((m.m_j = x.m_j_direct)::INT) AS regs_eq
+        FROM merged m JOIN direct x ON m.month = x.month AND m.bucket = x.bucket
+        GROUP BY m.month
+    ),
+    exact AS (
+        SELECT month, count(DISTINCT user_id)::BIGINT AS exact_distinct
+        FROM d GROUP BY month
+    )
+    SELECT p.month, nonzero_registers, sum_pow,
+           {Q62_NUM} / sum_pow AS est_distinct,
+           exact_distinct,
+           regs_eq = 1 AS registers_match
+    FROM per_month p JOIN exact e ON p.month = e.month
+    ORDER BY p.month
+    """
+
+
+ORACLE["q88_hll_rollup"] = _q88_oracle()
+QUERIES["q88_hll_rollup"] = q88_hll_rollup

@@ -1940,3 +1940,115 @@ ORACLE["t26_rake_keyphrases"] = ORACLE["t26_rake_keyphrases"].replace(
     "{stoplist}", ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 )
 QUERIES["t26_rake_keyphrases"] = t26_rake_keyphrases
+
+
+# ---------------------------------------------------------------------------
+# t27: Zipf-law fit + Heaps vocabulary-growth statistics
+# ---------------------------------------------------------------------------
+
+T27_TOP = 100  # rank-frequency fit over the top-100 terms
+
+
+def t27_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-distribution diagnostics: fit ln(freq) = a + s·ln(rank)
+    over the top-100 terms (Zipf's law predicts s ≈ −1 for natural
+    language) and report Heaps'-law inputs (total tokens, vocabulary
+    size). A corpus whose Zipf slope drifts between snapshots has a
+    changed generator — boilerplate floods flatten it, dedup bugs
+    steepen it — so this is the drift alarm a training-data pipeline
+    keeps on every ingest batch, next to t02's per-doc quality gates.
+
+    The heavy pass is the vocabulary count (t09's word-count shuffle,
+    map-side combinable). The OLS fit runs over exactly 100
+    (rank, freq) pairs and uses the ordered-fold float discipline
+    (q87): per-term ln() is computed row-wise, the five regression
+    sums fold a rank-SORTED list, so both engines produce identical
+    doubles. Rank ties break by term text — deterministic.
+
+    Output: ONE row — n_tokens, vocab_size, top-N mass, Zipf slope
+    and intercept (6 dp).
+    """
+    d = Tables(spark, sf_dir).documents
+    ex = d.select(F.explode(_words()).alias("term"))
+    vocab = ex.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    totals = vocab.agg(
+        F.sum("tf").alias("n_tokens"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    w = Window.orderBy(F.desc("tf"), "term")
+    top = (
+        vocab.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= T27_TOP)
+        .select(
+            "rank",
+            "tf",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("tf").cast("double")).alias("y"),
+        )
+    )
+    cells = top.select(F.struct("rank", "x", "y", "tf").alias("c"))
+    folded = cells.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("c.tf").alias("top_mass"),
+        F.aggregate(
+            F.array_sort(F.collect_list("c")), F.lit(0.0), lambda a, s: a + s["x"]
+        ).alias("sx"),
+        F.aggregate(
+            F.array_sort(F.collect_list("c")), F.lit(0.0), lambda a, s: a + s["y"]
+        ).alias("sy"),
+        F.aggregate(
+            F.array_sort(F.collect_list("c")),
+            F.lit(0.0),
+            lambda a, s: a + s["x"] * s["y"],
+        ).alias("sxy"),
+        F.aggregate(
+            F.array_sort(F.collect_list("c")),
+            F.lit(0.0),
+            lambda a, s: a + s["x"] * s["x"],
+        ).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("k")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k")
+    return folded.crossJoin(F.broadcast(totals)).select(
+        "n_tokens",
+        "vocab_size",
+        F.col("top_mass").alias("top100_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+ORACLE["t27_zipf_fit"] = f"""
+    WITH ex AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (SELECT term, count(*)::BIGINT AS tf FROM ex GROUP BY term),
+    totals AS (
+        SELECT sum(tf)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab_size
+        FROM vocab
+    ),
+    top AS (
+        SELECT rank, tf, ln(rank::DOUBLE) AS x, ln(tf::DOUBLE) AS y
+        FROM (
+            SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rank
+            FROM vocab
+        )
+        WHERE rank <= {T27_TOP}
+    ),
+    folded AS (
+        SELECT count(*)::BIGINT AS k,
+               sum(tf)::BIGINT AS top_mass,
+               list_sum(list(x ORDER BY rank)) AS sx,
+               list_sum(list(y ORDER BY rank)) AS sy,
+               list_sum(list(x * y ORDER BY rank)) AS sxy,
+               list_sum(list(x * x ORDER BY rank)) AS sxx
+        FROM top
+    )
+    SELECT n_tokens, vocab_size, top_mass AS top100_tokens,
+           round((sxy - sx * sy / k) / (sxx - sx * sx / k), 6) AS zipf_slope,
+           round((sy - ((sxy - sx * sy / k) / (sxx - sx * sx / k)) * sx) / k, 6)
+               AS zipf_intercept
+    FROM folded, totals
+"""
+QUERIES["t27_zipf_fit"] = t27_zipf_fit
