@@ -3619,7 +3619,10 @@ def q84_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = o.groupBy(lb.alias("bucket_lb")).agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy("bucket_lb").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("n").over(w)).localCheckpoint(eager=True)
-    total = o.count()
+    # total = max cumulative count on the checkpointed ≤171-row bucket
+    # frame — an `o.count()` here would rescan the table from parquet
+    # just to recompute Σn the histogram job already produced
+    total = cum.agg(F.max("cum")).collect()[0][0]
 
     targets = spark.createDataFrame(
         [(q, (q * total + 99) // 100) for q in Q84_QS], "q long, target long"
@@ -3930,9 +3933,17 @@ def q87_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: ONE row — n, grid dims, degrees of freedom, chi2 (6 dp).
     """
     t = Tables(spark, sf_dir)
-    cells = t.orders.groupBy(
+    seen = t.orders.groupBy(
         F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
     ).agg(F.count(F.lit(1)).alias("o"))
+    # COMPLETE the grid: a (status, priority) combination absent from
+    # the data still contributes (0−E)²/E = E to the statistic (E > 0
+    # whenever both levels occur elsewhere) — dropping empty cells
+    # understates Χ² exactly in the drift case this test exists for.
+    grid = seen.select("s").distinct().crossJoin(seen.select("p").distinct())
+    cells = grid.join(seen, ["s", "p"], "left").select(
+        "s", "p", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+    )
     ws = Window.partitionBy("s")
     wp = Window.partitionBy("p")
     wn = Window.partitionBy()
@@ -3965,9 +3976,15 @@ def q87_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q87_chi_square"] = """
-    WITH cells AS (
+    WITH seen AS (
         SELECT o_orderstatus AS s, o_orderpriority AS p, count(*)::BIGINT AS o
         FROM orders GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT rs.s, cs.p, coalesce(seen.o, 0)::BIGINT AS o
+        FROM (SELECT DISTINCT s FROM seen) rs
+        CROSS JOIN (SELECT DISTINCT p FROM seen) cs
+        LEFT JOIN seen ON seen.s = rs.s AND seen.p = cs.p
     ),
     g AS (
         SELECT s, p, o,
@@ -4022,13 +4039,16 @@ def q88_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = Tables(spark, sf_dir).events
     h = _q62_h64_user()
+    # w via integer DIV (q62's pattern): `h / 64` would detour through
+    # double (53-bit mantissa) and can truncate to a different long
+    # than DuckDB's exact `//` near 2^60 — a flaky hash-gate bomb
     d = e.select(
         F.date_trunc("month", "ts").cast("date").alias("month"),
         F.date_trunc("day", "ts").cast("date").alias("day"),
         (h % Q62_M).alias("bucket"),
-        (h / F.lit(Q62_M)).cast("long").alias("w"),
+        h.alias("h"),
         "user_id",
-    )
+    ).withColumn("w", F.expr(f"h DIV {Q62_M}")).drop("h")
     rho = (
         F.when(F.col("w") == 0, F.lit(Q62_SHIFT))
         .otherwise(F.lit(Q62_SHIFT) - F.length(F.bin(F.col("w"))))

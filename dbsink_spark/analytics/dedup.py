@@ -173,8 +173,15 @@ def _verify_jaccard(cand: DataFrame, docs: DataFrame) -> DataFrame:
 # corpus when fanout is pathological.
 LSH_BUCKET_CAP: int | None = None
 
+# sentinel: distinguishes "caller did not choose" (-> module default)
+# from an explicit bucket_cap=None opt-out (incremental band STORES
+# must never cap: their occupancy counts would be per-batch, not
+# cumulative, silently disabling the guard for slowly-accreting
+# buckets while dropping early batches' rows on partial counts)
+_CAP_UNSET = object()
 
-def banded_sigs(docs: DataFrame, bucket_cap: int | None = None) -> DataFrame:
+
+def banded_sigs(docs: DataFrame, bucket_cap=_CAP_UNSET) -> DataFrame:
     """(doc_id, band_id, bucket) LSH band rows from hashed docs — the
     join key relation both the batch (d03) and incremental paths use.
     The bucket key packs the band's minhash rows (values < 2^30
@@ -183,7 +190,7 @@ def banded_sigs(docs: DataFrame, bucket_cap: int | None = None) -> DataFrame:
     self-join, bounding per-bucket candidate fanout to cap·(cap-1)/2;
     the occupancy count shuffles on the same (band_id, bucket) key the
     downstream join needs, so it adds no new shuffle shape."""
-    if bucket_cap is None:
+    if bucket_cap is _CAP_UNSET:
         bucket_cap = LSH_BUCKET_CAP
     sigs = docs.select("doc_id", *_minhash_sig(F.col("shh")))
     rows_per_band = MINHASH_K // BANDS

@@ -165,6 +165,9 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     Exactness: hop counts are integers; min-hop is reduction-order
     independent, so a recursive-CTE oracle matches exactly.
     """
+    # loop-invariant: materialize once (module rule) — every round's
+    # frontier join would otherwise replay the full edge-derivation plan
+    edges = edges.localCheckpoint(eager=True)
     settled = seeds.select("node", F.lit(0).cast("long").alias("hops")).localCheckpoint(
         eager=True
     )

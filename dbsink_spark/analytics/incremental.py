@@ -44,7 +44,7 @@ def append_batch(spark: SparkSession, path: str, docs: DataFrame) -> None:
     """Hash a (doc_id, text, source) batch and append its signatures."""
     bands_path, sh_path = _store_paths(path)
     hashed = hash_docs(docs).persist()
-    banded_sigs(hashed).write.mode("append").partitionBy("band_id").parquet(bands_path)
+    banded_sigs(hashed, bucket_cap=None).write.mode("append").partitionBy("band_id").parquet(bands_path)
     hashed.select("doc_id", "shh", "n_sh").write.mode("append").parquet(sh_path)
     hashed.unpersist()
 
@@ -63,7 +63,7 @@ def incremental_near_dups(
     """
     bands_path, sh_path = _store_paths(path)
     hashed = hash_docs(new_docs).persist()
-    new_banded = banded_sigs(hashed).persist()
+    new_banded = banded_sigs(hashed, bucket_cap=None).persist()
 
     have_history = os.path.isdir(bands_path) and any(
         not p.startswith("_") for p in os.listdir(bands_path)

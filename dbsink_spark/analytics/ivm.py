@@ -247,12 +247,17 @@ class AggView:
         from pyspark.errors import AnalysisException
 
         try:
-            df = self.spark.read.parquet(self.path).select(*_STATE_COLS)
+            df = self.spark.read.parquet(self.path)
         except AnalysisException:
             # path missing / empty — store never maintained
             return self.spark.createDataFrame(
                 [], "grp string, bucket int, n long, s double, s2 double"
             )
+        # OUTSIDE the try: a readable path whose files lack the state
+        # columns (schema drift, foreign parquet) is NOT an empty store
+        # — the unresolved-column AnalysisException must surface, or
+        # maintain() would rewrite buckets against fabricated state.
+        df = df.select(*_STATE_COLS)
         # n > 0 drops tombstones: deleted groups awaiting their
         # bucket's next rewrite (see maintain())
         return df.filter(F.col("n") > 0)

@@ -186,7 +186,7 @@ def test_pg_hstore_and_geometry_binds():
     # geometry must be queryable BY PostGIS, not an opaque blob
     assert _pg_query(f'SELECT max(ST_NPoints(geom)) FROM "{table}"')[0][0] > 0
     # hstore must be queryable BY key
-    assert _pg_query(f"SELECT count(*) FROM \"{table}\" WHERE values ? 'mfr'")
+    assert _pg_query(f"SELECT count(*) FROM \"{table}\" WHERE values ? 'mfr'")[0][0] > 0
 
 
 @pytest.mark.integration
@@ -237,7 +237,7 @@ def test_kafka_round_trip(tmp_path):
         str(tmp_path / "ckpt"),
         trigger={"availableNow": True},
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow drain did not finish in 120s"
 
     import duckdb
 
