@@ -261,6 +261,8 @@ UNGATED = frozenset(
         "q87_chi_square",
         "q88_hll_rollup",
         "t27_zipf_fit",
+        "d16_cluster_keeper",
+        "q89_bitemporal_asof",
         "q13_window_topk_per_group",
         "q29_approx_sketches",
         "q32_zscore_anomaly",

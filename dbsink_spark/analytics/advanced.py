@@ -4138,3 +4138,127 @@ def _q88_oracle() -> str:
 
 ORACLE["q88_hll_rollup"] = _q88_oracle()
 QUERIES["q88_hll_rollup"] = q88_hll_rollup
+
+
+# ---------------------------------------------------------------------------
+# q89: bitemporal AS OF (transaction time × valid time)
+# ---------------------------------------------------------------------------
+
+Q89_TX_ASOF = "1996-01-01"     # transaction-time cut: what did we KNOW then
+Q89_VALID_ASOF = "1995-09-01"  # valid-time cut: what was TRUE then
+Q89_MOD = 4
+
+
+def q89_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal AS OF query — the two-axis time travel that q71
+    (transaction-time only) and q50/q78 (valid-time only) each cover
+    half of: reconstruct what the system BELIEVED on Q89_TX_ASOF about
+    what was TRUE on Q89_VALID_ASOF.
+
+    The version history is DERIVED deterministically from orders
+    (h64(key) % 4: 0 → a retroactive price correction recorded 30 days
+    after the order, 1 → a scheduled future price change recorded at
+    +10 days effective +60 days), so both engines audit the identical
+    ledger and the operator under test is the resolution plan:
+
+    1. transaction axis — per (key, valid_from), the LATEST version
+       recorded on or before the tx cut wins (later recordings
+       supersede);
+    2. valid axis — per key, among surviving versions the latest
+       valid_from on or before the valid cut applies.
+
+    Both resolutions are one row_number window each on the same key
+    partitioning (one shuffle, reused); money stays integer cents.
+
+    Output: per-status rowcount + believed revenue.
+    """
+    from ..functions.hashing import h64
+
+    t = Tables(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = t.orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("odate"),
+        cents.alias("cents"),
+        (h64(F.col("o_orderkey").cast("string")) % Q89_MOD).alias("cls"),
+    )
+    v0 = base.select(
+        "key", "status", F.col("odate").alias("valid_from"),
+        F.col("odate").alias("tx_from"), "cents",
+    )
+    v_corr = base.filter(F.col("cls") == 0).select(
+        "key", "status", F.col("odate").alias("valid_from"),
+        F.date_add("odate", 30).alias("tx_from"),
+        F.expr("cents * 105 DIV 100").alias("cents"),
+    )
+    v_sched = base.filter(F.col("cls") == 1).select(
+        "key", "status", F.date_add("odate", 60).alias("valid_from"),
+        F.date_add("odate", 10).alias("tx_from"),
+        F.expr("cents * 90 DIV 100").alias("cents"),
+    )
+    ledger = v0.unionAll(v_corr).unionAll(v_sched)
+    known = ledger.filter(F.col("tx_from") <= F.lit(Q89_TX_ASOF))
+    w_tx = Window.partitionBy("key", "valid_from").orderBy(F.desc("tx_from"))
+    latest_known = known.withColumn("rn", F.row_number().over(w_tx)).filter(
+        F.col("rn") == 1
+    )
+    applicable = latest_known.filter(F.col("valid_from") <= F.lit(Q89_VALID_ASOF))
+    w_v = Window.partitionBy("key").orderBy(F.desc("valid_from"))
+    current = applicable.withColumn("rn2", F.row_number().over(w_v)).filter(
+        F.col("rn2") == 1
+    )
+    return (
+        current.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("believed_revenue_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+def _q89_oracle() -> str:
+    from ..functions.hashing import h64_sql
+
+    h = h64_sql("o_orderkey::VARCHAR")
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey AS key, o_orderstatus AS status,
+               o_orderdate AS odate,
+               round(o_totalprice * 100)::BIGINT AS cents,
+               ({h}) % {Q89_MOD} AS cls
+        FROM orders
+    ),
+    ledger AS (
+        SELECT key, status, odate AS valid_from, odate AS tx_from, cents
+        FROM base
+        UNION ALL
+        SELECT key, status, odate, odate + INTERVAL 30 DAY,
+               cents * 105 // 100
+        FROM base WHERE cls = 0
+        UNION ALL
+        SELECT key, status, odate + INTERVAL 60 DAY,
+               odate + INTERVAL 10 DAY, cents * 90 // 100
+        FROM base WHERE cls = 1
+    ),
+    known AS (
+        SELECT *, row_number() OVER (PARTITION BY key, valid_from
+                                     ORDER BY tx_from DESC) AS rn
+        FROM ledger WHERE tx_from <= DATE '{Q89_TX_ASOF}'
+    ),
+    applicable AS (
+        SELECT *, row_number() OVER (PARTITION BY key
+                                     ORDER BY valid_from DESC) AS rn2
+        FROM known
+        WHERE rn = 1 AND valid_from <= DATE '{Q89_VALID_ASOF}'
+    )
+    SELECT status, count(*)::BIGINT AS n_orders,
+           sum(cents)::BIGINT AS believed_revenue_cents
+    FROM applicable WHERE rn2 = 1
+    GROUP BY status ORDER BY status
+    """
+
+
+ORACLE["q89_bitemporal_asof"] = _q89_oracle()
+QUERIES["q89_bitemporal_asof"] = q89_bitemporal_asof

@@ -1466,3 +1466,67 @@ ORACLE["d15_lsh_audit"] = f"""
 """
 
 QUERIES["d15_lsh_audit"] = d15_lsh_audit
+
+
+# ---------------------------------------------------------------------------
+# d16: cluster-representative selection (dedup canonicalization)
+# ---------------------------------------------------------------------------
+
+
+def d16_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonicalization step that turns d09's duplicate clusters
+    into a keep/drop decision: per cluster, KEEP the longest member
+    (n_chars DESC, doc_id ASC tiebreak — deterministic integer keys,
+    never a float score) and count what drops. This is the step a
+    training-data pipeline actually executes after near-dup detection;
+    d09 labels clusters, d16 chooses survivors.
+
+    Plan: d09's cluster mapping (duplicate-count-sized, NOT
+    corpus-sized) joins doc metadata, one row_number window per
+    cluster picks the keeper. At 100 TB the join keys are (doc_id →
+    n_chars) longs; the corpus text never moves.
+
+    Output: one row per multi-doc cluster — cluster_id, keeper, its
+    length, cluster size, drops — largest clusters first.
+    """
+    clusters = d09_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    meta = Tables(spark, sf_dir).documents.select("doc_id", "n_chars")
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = clusters.join(meta, "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("keeper_chars"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+        .orderBy(F.desc("cluster_size"), "cluster_id")
+    )
+
+
+ORACLE["d16_cluster_keeper"] = f"""
+    WITH clusters AS (
+        SELECT doc_id, cluster_id FROM ({ORACLE["d09_dup_clusters"]}) t
+    ),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_id,
+           max(CASE WHEN rn = 1 THEN doc_id END)::BIGINT AS keeper_doc_id,
+           max(CASE WHEN rn = 1 THEN n_chars END)::BIGINT AS keeper_chars,
+           count(*)::BIGINT AS cluster_size,
+           (count(*) - 1)::BIGINT AS n_dropped
+    FROM ranked
+    GROUP BY cluster_id
+    ORDER BY cluster_size DESC, cluster_id
+"""
+
+QUERIES["d16_cluster_keeper"] = d16_cluster_keeper
