@@ -263,6 +263,7 @@ UNGATED = frozenset(
         "t27_zipf_fit",
         "d16_cluster_keeper",
         "q89_bitemporal_asof",
+        "q90_cusum",
         "q13_window_topk_per_group",
         "q29_approx_sketches",
         "q32_zscore_anomaly",

@@ -4262,3 +4262,131 @@ def _q89_oracle() -> str:
 
 ORACLE["q89_bitemporal_asof"] = _q89_oracle()
 QUERIES["q89_bitemporal_asof"] = q89_bitemporal_asof
+
+
+# ---------------------------------------------------------------------------
+# q90: CUSUM change detection (sequential-state tier)
+# ---------------------------------------------------------------------------
+
+Q90_SLACK_DIV = 20   # slack k = mean/20 (half the shift we want to catch)
+Q90_H_DIV = 1        # alarm threshold H = mean/1 (one average day of excess)
+
+
+def q90_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection over the MONTHLY order
+    revenue series: S_t = max(0, S_{t-1} + (x_t − μ − k)), alarm and
+    restart when S_t > H — the sequential-state member of the anomaly
+    family (q32 z-score and q69 seasonal residuals are memoryless;
+    CUSUM accumulates evidence, which is what catches small sustained
+    shifts).
+
+    ALL integer arithmetic (cents; μ, k, H are floor-divided
+    constants), so the recurrence is bit-exact and the recursive-CTE
+    oracle hash-matches — no float tolerance, unlike textbook CUSUM.
+
+    Scale: the corpus pass is the per-month revenue aggregation
+    (map-side combinable); the sweep runs over the dashboard-sized
+    monthly series (~84 points, SF-independent) with O(1) state
+    (q73/q80's execution shape — one mapInPandas pass over the
+    date-sorted series). Two passes by design: μ must exist before
+    the sweep.
+
+    Output: ONE row — series length, μ, k, H, alarm count, max and
+    final CUSUM.
+    """
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("day")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    ).localCheckpoint(eager=True)
+    g = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("tot")
+    ).collect()[0]
+    n_days, mean = int(g["n"]), int(g["tot"]) // int(g["n"])
+    k = mean // Q90_SLACK_DIV
+    hh = mean // Q90_H_DIV
+
+    def run(batches):
+        s = 0
+        mx = 0
+        alarms = 0
+        for pdf in batches:
+            for x in pdf["x"].to_numpy():
+                s = s + (int(x) - mean - k)
+                if s < 0:
+                    s = 0
+                if s > mx:
+                    mx = s
+                if s > hh:
+                    alarms += 1
+                    s = 0
+        yield pd.DataFrame(
+            {
+                "n_periods": [n_days],
+                "mean_cents": [mean],
+                "slack_cents": [k],
+                "threshold_cents": [hh],
+                "n_alarms": [alarms],
+                "max_cusum": [mx],
+                "final_cusum": [s],
+            }
+        )
+
+    return (
+        daily.withColumn("g", F.lit(0))
+        .repartition("g")
+        .sortWithinPartitions("day")
+        .mapInPandas(
+            run,
+            "n_periods long, mean_cents long, slack_cents long, "
+            "threshold_cents long, n_alarms long, max_cusum long, "
+            "final_cusum long",
+        )
+    )
+
+
+ORACLE["q90_cusum"] = f"""
+    WITH RECURSIVE daily AS (
+        SELECT date_trunc('month', o_orderdate)::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS x
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    params AS (
+        SELECT count(*)::BIGINT AS n,
+               (sum(x) // count(*))::BIGINT AS mean,
+               ((sum(x) // count(*)) // {Q90_SLACK_DIV})::BIGINT AS k,
+               ((sum(x) // count(*)) // {Q90_H_DIV})::BIGINT AS hh
+        FROM daily
+    ),
+    cs(rn, s, mx, alarms) AS (
+        SELECT seq.rn,
+               CASE WHEN greatest(0, seq.x - p.mean - p.k) > p.hh THEN 0
+                    ELSE greatest(0, seq.x - p.mean - p.k) END,
+               greatest(0, seq.x - p.mean - p.k),
+               (greatest(0, seq.x - p.mean - p.k) > p.hh)::BIGINT
+        FROM seq, params p WHERE seq.rn = 1
+        UNION ALL
+        SELECT s2.rn,
+               CASE WHEN greatest(0, c.s + (s2.x - p.mean - p.k)) > p.hh THEN 0
+                    ELSE greatest(0, c.s + (s2.x - p.mean - p.k)) END,
+               greatest(c.mx, greatest(0, c.s + (s2.x - p.mean - p.k))),
+               c.alarms +
+                   (greatest(0, c.s + (s2.x - p.mean - p.k)) > p.hh)::BIGINT
+        FROM cs c JOIN seq s2 ON s2.rn = c.rn + 1, params p
+    ),
+    last AS (SELECT * FROM cs ORDER BY rn DESC LIMIT 1)
+    SELECT p.n AS n_periods, p.mean AS mean_cents, p.k AS slack_cents,
+           p.hh AS threshold_cents,
+           last.alarms::BIGINT AS n_alarms,
+           last.mx::BIGINT AS max_cusum,
+           last.s::BIGINT AS final_cusum
+    FROM last, params p
+"""
+QUERIES["q90_cusum"] = q90_cusum
