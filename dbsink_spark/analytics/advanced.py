@@ -4198,7 +4198,13 @@ def q89_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cents * 90 DIV 100").alias("cents"),
     )
     ledger = v0.unionAll(v_corr).unionAll(v_sched)
-    known = ledger.filter(F.col("tx_from") <= F.lit(Q89_TX_ASOF))
+    # pre-partition on key: hashpartitioning(key) satisfies BOTH
+    # windows' clustering ((key, valid_from) is a subset-cluster), so
+    # the ledger shuffles ONCE — without this the two windows compile
+    # to two separate hash exchanges (review-verified: 3 -> 2)
+    known = ledger.filter(
+        F.col("tx_from") <= F.lit(Q89_TX_ASOF)
+    ).repartition("key")
     w_tx = Window.partitionBy("key", "valid_from").orderBy(F.desc("tx_from"))
     latest_known = known.withColumn("rn", F.row_number().over(w_tx)).filter(
         F.col("rn") == 1
@@ -4269,7 +4275,7 @@ QUERIES["q89_bitemporal_asof"] = q89_bitemporal_asof
 # ---------------------------------------------------------------------------
 
 Q90_SLACK_DIV = 20   # slack k = mean/20 (half the shift we want to catch)
-Q90_H_DIV = 1        # alarm threshold H = mean/1 (one average day of excess)
+Q90_H_DIV = 1        # alarm threshold H = mean/1 (one average MONTH of excess)
 
 
 def q90_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4297,16 +4303,19 @@ def q90_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     t = Tables(spark, sf_dir)
-    daily = (
+    # persist (not localCheckpoint): the series is consumed twice
+    # (parameter pass + sweep) but keeping lineage visible lets the
+    # plan-budget guard see the aggregation's exchange
+    monthly = (
         t.orders.groupBy(
-            F.date_trunc("month", "o_orderdate").cast("date").alias("day")
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
         )
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
-    ).localCheckpoint(eager=True)
-    g = daily.agg(
+    ).persist()
+    g = monthly.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("tot")
     ).collect()[0]
-    n_days, mean = int(g["n"]), int(g["tot"]) // int(g["n"])
+    n_periods, mean = int(g["n"]), int(g["tot"]) // int(g["n"])
     k = mean // Q90_SLACK_DIV
     hh = mean // Q90_H_DIV
 
@@ -4314,8 +4323,10 @@ def q90_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = 0
         mx = 0
         alarms = 0
+        seen = False
         for pdf in batches:
             for x in pdf["x"].to_numpy():
+                seen = True
                 s = s + (int(x) - mean - k)
                 if s < 0:
                     s = 0
@@ -4324,9 +4335,11 @@ def q90_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if s > hh:
                     alarms += 1
                     s = 0
+        if not seen:  # guard: an empty partition must not emit a row
+            return
         yield pd.DataFrame(
             {
-                "n_periods": [n_days],
+                "n_periods": [n_periods],
                 "mean_cents": [mean],
                 "slack_cents": [k],
                 "threshold_cents": [hh],
@@ -4337,9 +4350,8 @@ def q90_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        daily.withColumn("g", F.lit(0))
-        .repartition("g")
-        .sortWithinPartitions("day")
+        monthly.repartition(1)
+        .sortWithinPartitions("month")
         .mapInPandas(
             run,
             "n_periods long, mean_cents long, slack_cents long, "
@@ -4350,20 +4362,20 @@ def q90_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q90_cusum"] = f"""
-    WITH RECURSIVE daily AS (
-        SELECT date_trunc('month', o_orderdate)::DATE AS day,
+    WITH RECURSIVE monthly AS (
+        SELECT date_trunc('month', o_orderdate)::DATE AS month,
                sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS x
         FROM orders GROUP BY 1
     ),
     seq AS (
-        SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily
+        SELECT month, x, row_number() OVER (ORDER BY month) AS rn FROM monthly
     ),
     params AS (
         SELECT count(*)::BIGINT AS n,
                (sum(x) // count(*))::BIGINT AS mean,
                ((sum(x) // count(*)) // {Q90_SLACK_DIV})::BIGINT AS k,
                ((sum(x) // count(*)) // {Q90_H_DIV})::BIGINT AS hh
-        FROM daily
+        FROM monthly
     ),
     cs(rn, s, mx, alarms) AS (
         SELECT seq.rn,

@@ -1491,9 +1491,7 @@ def d16_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     clusters = d09_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     meta = Tables(spark, sf_dir).documents.select("doc_id", "n_chars")
-    from pyspark.sql.window import Window as _W
-
-    w = _W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
     ranked = clusters.join(meta, "doc_id").withColumn(
         "rn", F.row_number().over(w)
     )
