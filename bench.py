@@ -81,7 +81,11 @@ def main() -> None:
     # vendor-mapping throughput: exact Python path (mapInPandas) vs the
     # all-JVM fixed-schema twin on the same replicated wire messages
     # (reference 516-row health_and_status fixture x200 ≈ 103k msgs).
-    # The ratio is the Python-tax the fast path removes at 100 TB.
+    # Measured conclusion (round 6, also at x600 ≈ 310k): the paths are
+    # at execution PARITY on this message shape (ratio 0.93-1.26 by
+    # boot, min-of-5) — the fast path's case is structural (no Python
+    # worker pool, no Arrow hop, fuses into the scan/stream stage),
+    # not throughput; the ratio here guards against regressing either.
     from pyspark.sql import functions as SF
 
     from dbsink_spark.mappings import resolve
@@ -95,16 +99,28 @@ def main() -> None:
         .persist()
     )
     wire.count()
+    # Plan construction is timed SEPARATELY from execution: a
+    # production pipeline analyzes the transform once per
+    # query/stream and executes it per micro-batch, so folding the
+    # fast path's ~1.4 s Catalyst analysis of its wide expression
+    # tree into every timed run (as this bench did through round 5)
+    # misstates the per-row throughput both paths deliver at scale.
+    # Both numbers are recorded; speedup compares execution.
     nwic = {}
     for label, lookup in (("exact", "NwicFloatReports"), ("fast", "NwicFloatReportsFast")):
         mapping = resolve(lookup, "bench")
+        t0 = time.time()
+        transformed = mapping.transform(wire)
+        transformed.schema  # force analysis
+        nwic[f"{label}_plan_sec"] = round(time.time() - t0, 3)
         runs = []
-        for _ in range(2):
+        for _ in range(5):  # min-of-5: the paths are within noise of
+            # each other, so a small sample decides the ratio by luck
             t0 = time.time()
-            mapping.transform(wire).write.format("noop").mode("overwrite").save()
+            transformed.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         nwic[label] = round(min(runs), 3)
-    nwic["speedup"] = round(nwic["exact"] / max(nwic["fast"], 1e-9), 1)
+    nwic["speedup"] = round(nwic["exact"] / max(nwic["fast"], 1e-9), 2)
     spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
@@ -126,27 +142,21 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
-    short = {name.split("_")[0]: sec for name, sec in timings.items()}
+    # 2-decimal rounding + a tighter noisy cap: 147 queries pushed the
+    # 3-decimal line to ~2.2 KB, past the driver's 2000-byte stdout
+    # tail (the r03 truncation class). Full 3-decimal values stay in
+    # BENCH_LOCAL.json.
+    short = {name.split("_")[0]: round(sec, 2) for name, sec in timings.items()}
     assert len(short) == len(timings), "short-prefix collision in query names"
-    # stdout budget is ~2000 bytes (driver tail-captures): full medians
-    # live in BENCH_LOCAL.json; the line carries the median TOTAL plus
-    # only the queries where median visibly diverges from min (the
-    # noise candidates a reviewer needs to classify a drift).
-    divergent = sorted(
-        (
-            name
-            for name in timings
-            if medians[name] - timings[name] > max(0.15, 0.25 * timings[name])
-        ),
-        key=lambda n: timings[n] - medians[n],  # most divergent first
-    )[:10]  # cap keeps the stdout line inside the driver's ~2KB tail
-    noisy = {n.split("_")[0]: [timings[n], medians[n]] for n in divergent}
+    # stdout budget is ~2000 bytes (driver tail-captures): at 147
+    # queries even the 2-decimal short map leaves no room for the
+    # per-query noisy list, so the line carries only the median TOTAL;
+    # full per-query min+median maps live in the committed
+    # BENCH_LOCAL.json (the diffable artifact).
     line = {
         **payload,
         "queries": short,
-        "queries_median": None,  # full map in BENCH_LOCAL.json
         "value_median_total": round(sum(medians.values()), 3),
-        "noisy_min_med": noisy,
     }
     del line["queries_median"]
     print(json.dumps(line, separators=(",", ":")))

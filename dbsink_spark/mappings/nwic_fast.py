@@ -8,19 +8,21 @@ fallback coords), this mapping is pure column expressions over the
 topic's FIXED wire schema — zero Python in the hot path.
 
 Honest throughput note (bench.py extras.nwic_transform_100k): on
-local[32] with cached input and a noop sink, this path measures
-~1.0-1.1x the Arrow/mapInPandas path on these ~800-byte messages.
-Round 5 measured it at 0.5x: the presence-preserving flatten cost
-five unconditional Jackson passes per row (from_json + four
-json_object_keys levels), which small messages don't amortize. Round
-6 made the key-presence parses LAZY — presence is only consulted when
-a parsed field is NULL, so each block's key parse runs only for rows
-with a NULL in that block — and folded entry inclusion into a
-nullable key (one filter pass, no struct rebuild). Beyond the
-microbench the case at scale is structural: no Python worker pool
-(executor memory/stability), no Arrow hop, and the transform fuses
-into the streaming/scan stage as plain Catalyst expressions instead
-of a mapInPandas barrier that blocks pushdown.
+local[32] with cached input and a noop sink, EXECUTION of this path
+matches the Arrow/mapInPandas path (~1.0-1.1x) on these ~800-byte
+messages, after round 6 made the key-presence parses LAZY (presence
+is only consulted when a parsed field is NULL, so each block's key
+parse runs only for rows with a NULL in that block) and folded entry
+inclusion into a nullable key (one filter pass, no struct rebuild) —
+round 5's 0.5x came from five unconditional Jackson passes per row.
+The path's remaining fixed cost is PLAN construction+analysis
+(~1.4 s for the wide expression tree vs ~0.4 s for the exact path),
+paid once per query/stream, not per batch — the bench records it
+separately (extras.*_plan_sec). Beyond the microbench the case at
+scale is structural: no Python worker pool (executor
+memory/stability), no Arrow hop, and the transform fuses into the
+streaming/scan stage as plain Catalyst expressions instead of a
+mapInPandas barrier that blocks pushdown.
 
 Matches the exact path row-for-row on the 516-row reference golden
 fixture (pytest-asserted) with one documented divergence shared with
