@@ -264,6 +264,8 @@ UNGATED = frozenset(
         "d16_cluster_keeper",
         "q89_bitemporal_asof",
         "q90_cusum",
+        "t28_crosslingual_align",
+        "q91_proration",
         "q13_window_topk_per_group",
         "q29_approx_sketches",
         "q32_zscore_anomaly",

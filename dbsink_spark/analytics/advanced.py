@@ -4402,3 +4402,128 @@ ORACLE["q90_cusum"] = f"""
     FROM last, params p
 """
 QUERIES["q90_cusum"] = q90_cusum
+
+
+# ---------------------------------------------------------------------------
+# q91: exact proration — largest-remainder (Hamilton) allocation
+# ---------------------------------------------------------------------------
+
+Q91_BUDGET_CENTS = 1_000_000_00  # allocate a fixed $1M budget (in cents)
+
+
+def q91_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact budget proration across groups with largest-remainder
+    (Hamilton) rounding: allocate Q91_BUDGET proportionally to each
+    nation's revenue such that the shares are integers and SUM EXACTLY
+    to the budget — the allocation op every financial pipeline needs
+    (naive floor() leaks cents; naive round() over- or under-shoots).
+
+    Integer algebra end-to-end: weights are first QUANTIZED to ~ppb
+    (w' = w DIV max(1, W DIV 10⁹)) so B·w' stays far inside int64 at
+    ANY corpus scale — raw cents weights would overflow B·w around
+    nation-revenue ~9·10¹⁰ (Spark non-ANSI would wrap silently,
+    DuckDB would raise; the quantization makes both engines exact and
+    identical). Then base_i = B·w'_i DIV W', remainder_i = B·w'_i MOD
+    W', and the leftover L = B − Σ base (0 ≤ L < n_groups) goes one
+    unit each to the L largest remainders (ties by nation key — total
+    order, deterministic). One window ranks remainders; everything
+    before it is a map-side-combinable aggregate, so the allocation
+    step runs on a |groups|-sized relation at any corpus scale. The
+    invariant Σ alloc = B is emitted as a column both engines must
+    agree is exact.
+    """
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("w")
+        )
+    )
+    tot = rev.agg(F.sum("w").alias("tw"))
+    b = F.lit(Q91_BUDGET_CENTS)
+    wq = rev.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "w",
+        F.expr(f"w DIV greatest(1L, tw DIV {10**9})").alias("wq"),
+    )
+    wall = Window.partitionBy()
+    scored = wq.select(
+        "nation",
+        "w",
+        "wq",
+        F.greatest(F.sum("wq").over(wall), F.lit(1)).alias("twq"),
+    ).select(
+        "nation",
+        "w",
+        F.expr(f"{Q91_BUDGET_CENTS} * wq DIV twq").alias("base"),
+        F.expr(f"{Q91_BUDGET_CENTS} * wq % twq").alias("rem"),
+    )
+    wnd = Window.orderBy(F.desc("rem"), "nation")
+    leftover = F.lit(Q91_BUDGET_CENTS) - F.sum("base").over(
+        Window.partitionBy()
+    )
+    alloc = scored.select(
+        "nation",
+        "w",
+        "base",
+        "rem",
+        F.row_number().over(wnd).alias("rr"),
+        leftover.alias("lo"),
+    ).select(
+        "nation",
+        "w",
+        (F.col("base") + (F.col("rr") <= F.col("lo")).cast("long")).alias(
+            "alloc_cents"
+        ),
+    )
+    chk = alloc.agg(F.sum("alloc_cents").alias("s")).select(
+        (F.col("s") == b).alias("sums_exact")
+    )
+    return (
+        alloc.crossJoin(F.broadcast(chk))
+        .select("nation", "w", "alloc_cents", "sums_exact")
+        .orderBy("nation")
+    )
+
+
+ORACLE["q91_proration"] = f"""
+    WITH rev AS (
+        SELECT c_nationkey AS nation,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS w
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    ),
+    tot AS (SELECT sum(w)::BIGINT AS tw FROM rev),
+    wq AS (
+        SELECT nation, w,
+               (w // greatest(1, tw // {10**9}))::BIGINT AS wq
+        FROM rev, tot
+    ),
+    scored AS (
+        SELECT nation, w,
+               ({Q91_BUDGET_CENTS} * wq // twq)::BIGINT AS base,
+               ({Q91_BUDGET_CENTS} * wq % twq)::BIGINT AS rem
+        FROM (SELECT *, greatest(sum(wq) OVER (), 1)::BIGINT AS twq FROM wq)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, nation) AS rr,
+               {Q91_BUDGET_CENTS} - sum(base) OVER () AS lo
+        FROM scored
+    ),
+    alloc AS (
+        SELECT nation, w,
+               (base + (rr <= lo)::INT)::BIGINT AS alloc_cents
+        FROM ranked
+    ),
+    chk AS (
+        SELECT sum(alloc_cents) = {Q91_BUDGET_CENTS} AS sums_exact FROM alloc
+    )
+    SELECT nation, w, alloc_cents, sums_exact
+    FROM alloc, chk
+    ORDER BY nation
+"""
+QUERIES["q91_proration"] = q91_proration

@@ -2052,3 +2052,107 @@ ORACLE["t27_zipf_fit"] = f"""
     FROM folded, totals
 """
 QUERIES["t27_zipf_fit"] = t27_zipf_fit
+
+
+# ---------------------------------------------------------------------------
+# t28: cross-lingual alignment candidates (bitext mining, lexical tier)
+# ---------------------------------------------------------------------------
+
+T28_DF_MIN, T28_DF_MAX = 2, 3  # "rare phrase": appears in 2-3 docs corpus-wide
+T28_MIN_SHARED = 3             # candidate pairs share >= 3 rare phrases
+T28_TOP = 20
+
+
+def t28_crosslingual_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual document-alignment candidates — the lexical tier
+    of bitext mining (Resnik & Smith's STRAND lineage): documents in
+    DIFFERENT languages that share rare 3-word phrases (names, codes,
+    quoted strings survive translation verbatim) are candidate
+    translation pairs, the recall stage an embedding aligner (s-ops)
+    would re-rank.
+
+    Plan shape is the inverted-index discipline every dedup op uses:
+    distinct (doc, shingle) pairs → corpus-wide document frequency →
+    keep only RARE shingles (df 2-3; the df cap kills boilerplate
+    fanout exactly like d10's stop-fingerprint trick) → equi-join on
+    the shingle restricted to cross-language pairs → per-pair shared
+    counts. Cost tracks rare-phrase co-occurrence, never |docs|².
+
+    Output: top-20 pairs by shared-phrase count (ties by ids), with
+    both languages carried for the downstream aligner.
+    """
+    d = Tables(spark, sf_dir).documents
+    dw = d.withColumn("w", _words()).filter(F.size("w") >= 3)
+    w = F.col("w")
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+    )
+    sh = (
+        dw.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array_distinct(
+                    F.transform(F.sequence(F.lit(1), F.size(w) - 2), shingle)
+                )
+            ).alias("s"),
+        )
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rare = dfreq.filter(
+        (F.col("df") >= T28_DF_MIN) & (F.col("df") <= T28_DF_MAX)
+    ).select("s")
+    rsh = sh.join(rare, "s")
+    a, b = rsh.alias("a"), rsh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.lang") != F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.lang").alias("lang_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_rare_phrases"))
+        .filter(F.col("shared_rare_phrases") >= T28_MIN_SHARED)
+    )
+    return (
+        pairs.orderBy(F.desc("shared_rare_phrases"), "doc_a", "doc_b")
+        .limit(T28_TOP)
+    )
+
+
+ORACLE["t28_crosslingual_align"] = f"""
+    WITH d AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, lang,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in generate_series(1, len(w) - 2)]) AS s
+        FROM d
+    ),
+    dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    rare AS (
+        SELECT s FROM dfreq WHERE df BETWEEN {T28_DF_MIN} AND {T28_DF_MAX}
+    ),
+    rsh AS (SELECT sh.* FROM sh JOIN rare USING (s)),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, a.lang AS lang_a,
+               b.doc_id AS doc_b, b.lang AS lang_b,
+               count(*)::BIGINT AS shared_rare_phrases
+        FROM rsh a JOIN rsh b
+          ON a.s = b.s AND a.doc_id < b.doc_id AND a.lang <> b.lang
+        GROUP BY 1, 2, 3, 4
+        HAVING count(*) >= {T28_MIN_SHARED}
+    )
+    SELECT * FROM pairs
+    ORDER BY shared_rare_phrases DESC, doc_a, doc_b
+    LIMIT {T28_TOP}
+"""
+QUERIES["t28_crosslingual_align"] = t28_crosslingual_align
