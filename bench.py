@@ -159,7 +159,12 @@ def main() -> None:
         "value_median_total": round(sum(medians.values()), 3),
     }
     del line["queries_median"]
-    print(json.dumps(line, separators=(",", ":")))
+    out_line = json.dumps(line, separators=(",", ":"))
+    # the driver tail-captures the LAST 2000 bytes of stdout: a longer
+    # line loses its leading '{' and parses as null (the r03 failure
+    # class) — fail HERE, in local runs, not in a graded one
+    assert len(out_line) < 1950, f"stdout line {len(out_line)}B >= 1950"
+    print(out_line)
 
 
 if __name__ == "__main__":

@@ -3873,15 +3873,21 @@ def q86_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("price_cents", "order_date")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    w = (
-        Window.orderBy("price_cents", "order_date")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    return skyline_min2d(pts, "price_cents", "order_date").orderBy("price_cents")
+
+
+def skyline_min2d(pts: DataFrame, x: str, y: str) -> DataFrame:
+    """SFS sweep core over a DISTINCT (x, y) point grid (minimize
+    both): a point survives iff min(y) over the (x, y)-sorted
+    preceding rows exceeds its y. Separated from q86 so the sweep is
+    independently property-tested against brute-force dominance
+    (tests/test_analytics.py) — the oracle alone could not catch a
+    bug mirrored into both engines' SQL."""
+    w = Window.orderBy(x, y).rowsBetween(Window.unboundedPreceding, -1)
     return (
-        pts.withColumn("best_prev", F.min("order_date").over(w))
-        .filter(F.col("best_prev").isNull() | (F.col("best_prev") > F.col("order_date")))
-        .select("price_cents", "order_date", "n_orders")
-        .orderBy("price_cents")
+        pts.withColumn("_bp", F.min(y).over(w))
+        .filter(F.col("_bp").isNull() | (F.col("_bp") > F.col(y)))
+        .drop("_bp")
     )
 
 

@@ -2081,22 +2081,14 @@ def t28_crosslingual_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: top-20 pairs by shared-phrase count (ties by ids), with
     both languages carried for the downstream aligner.
     """
+    from .dedup import _shingles
+
     d = Tables(spark, sf_dir).documents
     dw = d.withColumn("w", _words()).filter(F.size("w") >= 3)
-    w = F.col("w")
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
-    )
-    sh = (
-        dw.select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.array_distinct(
-                    F.transform(F.sequence(F.lit(1), F.size(w) - 2), shingle)
-                )
-            ).alias("s"),
-        )
+    sh = dw.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(_shingles(F.col("w")))).alias("s"),
     )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     rare = dfreq.filter(

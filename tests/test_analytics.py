@@ -401,9 +401,6 @@ def test_skyline_matches_brute_force(spark):
     to deserve an independent check beyond the oracle fixture)."""
     import random
 
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
     rng = random.Random(17)
     pts = [(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(120)]
 
@@ -415,14 +412,10 @@ def test_skyline_matches_brute_force(spark):
     grid = sorted(set(pts))
     want = sorted(p for p in grid if not dominated(p, grid))
 
+    from dbsink_spark.analytics.advanced import skyline_min2d
+
     df = spark.createDataFrame(pts, ["x", "y"]).groupBy("x", "y").count()
-    w = Window.orderBy("x", "y").rowsBetween(Window.unboundedPreceding, -1)
-    got = (
-        df.withColumn("bp", F.min("y").over(w))
-        .filter(F.col("bp").isNull() | (F.col("bp") > F.col("y")))
-        .select("x", "y")
-        .collect()
-    )
+    got = skyline_min2d(df, "x", "y").select("x", "y").collect()
     assert sorted((r["x"], r["y"]) for r in got) == want
 
 
@@ -451,16 +444,16 @@ def test_merge_upsert_invariants(spark):
     n_ins = len(by_cls.get(3, []))
 
     # reconstruct the merged per-status totals' row math from the class
-    # counts: merged rows = snapshot - deletes + inserts
+    # counts: merged rows = snapshot - deletes + inserts (ONE
+    # execution — the plan includes an eager checkpoint of the
+    # classified snapshot, so don't run it twice for a derivable sum)
     from dbsink_spark.analytics.advanced import q85_merge_upsert
 
-    merged_rows = q85_merge_upsert(spark, sf).agg(
-        F.sum("n_rows").alias("n")
-    ).collect()[0]["n"]
+    out = {r["status"]: r for r in q85_merge_upsert(spark, sf).collect()}
+    merged_rows = sum(r["n_rows"] for r in out.values())
     assert merged_rows == len(snap) - n_del + n_ins
 
     # status 'U' rows == update-classified keys; status 'I' == inserts
-    out = {r["status"]: r for r in q85_merge_upsert(spark, sf).collect()}
     n_upd = len(by_cls.get(1, [])) + len(by_cls.get(2, []))
     assert out.get("U") and out["U"]["n_rows"] == n_upd
     assert out.get("I") and out["I"]["n_rows"] == n_ins
