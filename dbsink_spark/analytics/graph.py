@@ -184,6 +184,10 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
         new = new.localCheckpoint(eager=True)
         if new.isEmpty():
             break
-        settled = settled.unionAll(new).localCheckpoint(eager=True)
+        # NO checkpoint on settled: it is a union of frames that are
+        # ALL already checkpointed, so its lineage stays K-shallow —
+        # checkpointing it too re-materialized the whole distance table
+        # every round (measured ~25% of q83's wall at sf0.1)
+        settled = settled.unionAll(new)
         frontier = new
     return settled
