@@ -103,14 +103,22 @@ def setup(
     spark = get_spark(f"dbsink-spark:{topic}")
 
     if datafile:
-        from .sources import replay_source
+        if datafile.endswith(".avro"):
+            # Avro object container file: schema ships in the file
+            # header, no registry needed (pure-python parser — works
+            # without the spark-avro jar)
+            from .sources import avro_file_source
 
-        df = replay_source(
-            spark,
-            datafile,
-            packing=packing,
-            **({"registry_url": registry, "subject": topic} if packing == "avro" else {}),
-        )
+            df = avro_file_source(spark, datafile)
+        else:
+            from .sources import replay_source
+
+            df = replay_source(
+                spark,
+                datafile,
+                packing=packing,
+                **({"registry_url": registry, "subject": topic} if packing == "avro" else {}),
+            )
         n = writer.write_batch(mapping.transform(df))
         L.info(f"replayed {datafile}: {n} rows written to {mapping.table}")
 

@@ -59,6 +59,26 @@ def _wire_default(o):
     raise TypeError(f"not JSON serializable: {type(o).__name__}")
 
 
+def avro_file_source(spark: SparkSession, path: str) -> DataFrame:
+    """Bounded replay of an Avro Object Container File (``.avro``) —
+    the file twin of the Confluent-framed Kafka avro path, readable
+    here WITHOUT the spark-avro connector jar via the pure-python
+    container parser (wire/avro_container.py; null + deflate codecs).
+
+    Records decode through the same ``avro_lite`` walker as the wire
+    codec and land as canonical JSON ``value`` strings, so every
+    mapping transform downstream is packing-agnostic. Small files load
+    driver-side (the replay contract); a directory of container files
+    at scale would distribute the per-file parse over
+    ``binaryFile`` + mapInPandas with the identical block parser.
+    """
+    from .wire.avro_container import read_container
+
+    _, records = read_container(path)
+    rows = [(None, json.dumps(r, default=_wire_default)) for r in records]
+    return spark.createDataFrame(rows, KV_SCHEMA)
+
+
 def jsonl_source(spark: SparkSession, path: str) -> DataFrame:
     """Scale-path bounded source: JSONL files, one message per line;
     the whole line becomes the value column (decode happens in the

@@ -233,3 +233,103 @@ def test_avro_lite_truncated_input_raises():
     for cut in range(len(good)):
         with pytest.raises((EOFError, ValueError, KeyError, IndexError)):
             avro_lite.loads(rec, good[:cut])
+
+
+# ------------------------------------------------- avro container files
+
+
+def test_avro_container_round_trip_both_codecs(tmp_path):
+    """Object Container File writer/reader round-trip on the
+    REFERENCE schema, null and deflate codecs (the two the spec
+    requires every implementation to read)."""
+    from dbsink_spark.wire import avro_container as ac
+
+    schema = _schema()
+    records = [dict(MSG, uid=f"u{i}") for i in range(40)]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"m_{codec}.avro")
+        ac.write_container(p, schema, records, codec=codec)
+        s2, r2 = ac.read_container(p)
+        assert s2 == schema
+        assert len(r2) == 40 and r2[0]["uid"] == "u0"
+        assert r2[7]["values"]["speed"] == MSG["values"]["speed"]
+    # deflate actually compresses (records are repetitive)
+    import os
+
+    assert os.path.getsize(str(tmp_path / "m_deflate.avro")) < os.path.getsize(
+        str(tmp_path / "m_null.avro")
+    )
+
+
+def test_avro_container_rejects_garbage(tmp_path):
+    from dbsink_spark.wire import avro_container as ac
+
+    p = str(tmp_path / "bad.avro")
+    with open(p, "wb") as f:
+        f.write(b"not avro at all")
+    import pytest
+
+    with pytest.raises(ValueError, match="not an Avro object container"):
+        ac.read_container(p)
+
+
+def test_avro_file_source_feeds_mapping(spark, tmp_path):
+    """End-to-end: .avro container file → avro_file_source → the SAME
+    GenericFloat transform rows as the JSON replay of identical
+    messages (the packing-agnostic value contract)."""
+    from dbsink_spark.mappings import resolve
+    from dbsink_spark.sources import avro_file_source, replay_source
+    from dbsink_spark.wire import avro_container as ac
+
+    with open("/root/reference/tests/replayer.json") as f:
+        messages = json.load(f)
+    p = str(tmp_path / "replayer.avro")
+    ac.write_container(p, REPLAYER_SCHEMA, messages, codec="deflate")
+
+    mapping = resolve("GenericFloat", "t")
+    via_avro = mapping.transform(avro_file_source(spark, p))
+    via_json = mapping.transform(
+        replay_source(
+            spark,
+            "/root/reference/tests/replayer.json",
+            packing="avro",
+            avro_schema=REPLAYER_SCHEMA,
+        )
+    )
+    a = sorted((r["uid"], str(r["time"]), r["lat"], r["lon"]) for r in via_avro.collect())
+    b = sorted((r["uid"], str(r["time"]), r["lat"], r["lon"]) for r in via_json.collect())
+    assert a == b and len(a) > 0
+
+
+def test_cli_replays_avro_container_file(tmp_path):
+    """CLI drive: --datafile foo.avro goes through the container
+    parser (no registry, no spark-avro jar) into the sink."""
+    from click.testing import CliRunner
+
+    from dbsink_spark.cli import setup
+    from dbsink_spark.wire import avro_container as ac
+
+    with open("/root/reference/tests/replayer.json") as f:
+        messages = json.load(f)
+    p = str(tmp_path / "replayer.avro")
+    ac.write_container(p, REPLAYER_SCHEMA, messages)
+    db = str(tmp_path / "sink.duckdb")
+    result = CliRunner().invoke(
+        setup,
+        [
+            "--topic", "axds.replayer",
+            "--lookup", "GenericFloat",
+            "--db", f"duckdb:///{db}",
+            "--drop",
+            "--no-listen",
+            "--datafile", p,
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    import duckdb
+
+    con = duckdb.connect(db)
+    n = con.execute('SELECT count(*) FROM "axds-replayer"').fetchone()[0]
+    con.close()
+    assert n > 0
