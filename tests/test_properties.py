@@ -357,3 +357,48 @@ def test_simple_union_pointwise_membership(sa, sb):
             if su == 0:
                 continue
             assert (su > 0) == (sa_ > 0 or sb_ > 0), (A, B, kind, out, p)
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "uid": st.text(max_size=20),
+                "x": st.floats(allow_nan=False, allow_infinity=False, width=64),
+                "n": st.integers(min_value=-(2**62), max_value=2**62),
+                "tag": st.one_of(st.none(), st.text(max_size=10)),
+            }
+        ),
+        max_size=25,
+    ),
+    st.sampled_from(["null", "deflate"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_container_roundtrip_property(records, codec):
+    """Object Container File round-trip over random records, both
+    codecs — blocks, sync markers, and the deflate raw stream must be
+    value-preserving for arbitrary payloads including the empty file."""
+    from dbsink_spark.wire import avro_container as ac
+
+    schema = {
+        "type": "record",
+        "name": "P",
+        "fields": [
+            {"name": "uid", "type": "string"},
+            {"name": "x", "type": "double"},
+            {"name": "n", "type": "long"},
+            {"name": "tag", "type": ["null", "string"]},
+        ],
+    }
+    import os
+    import tempfile
+
+    fd, p = tempfile.mkstemp(suffix=".avro")
+    os.close(fd)
+    ac.write_container(p, schema, records, codec=codec)
+    try:
+        s2, r2 = ac.read_container(p)
+    finally:
+        os.unlink(p)
+    assert s2 == schema
+    assert r2 == records
