@@ -240,3 +240,80 @@ def interval_join(
         & (rw[right_ts] <= F.expr(f"{left_ts} + interval {upper}"))
     )
     return lw.join(rw, cond, "inner").drop(rw[key])
+
+
+_CUSUM_STATE_SCHEMA = "s long, mx long, alarms long, n long"
+_CUSUM_OUT_SCHEMA = (
+    "series string, n_points long, cusum long, max_cusum long, n_alarms long"
+)
+
+
+def cusum_tracker(
+    df: DataFrame,
+    mean: int,
+    slack: int,
+    threshold: int,
+    key_col: str = "series",
+    value_col: str = "x",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Streaming CUSUM change detection — the stateful twin of batch
+    q90 (analytics.advanced.q90_cusum): per-series one-sided CUSUM
+    S = max(0, S + (x − μ − k)) with alarm-and-restart at S > H,
+    carried ACROSS micro-batches via ``applyInPandasWithState``.
+
+    The recurrence is order-dependent, so rows sort by ``seq_col``
+    WITHIN each micro-batch and the caller feeds batches in series
+    order (the same contract every ledger/replay source here honors:
+    Kafka partitions by series key preserve per-key order). All
+    arithmetic integer — identical to q90's oracle-verified algebra,
+    so batch and streaming paths agree exactly on the same inputs
+    (pytest-asserted).
+
+    State per series is four longs — RocksDB-backend-friendly, no
+    growth with stream length. Output mode: refreshed summary per
+    touched series per micro-batch.
+    """
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (series,) = key
+        if state.exists:
+            s, mx, alarms, n = state.get
+        else:
+            s, mx, alarms, n = 0, 0, 0, 0
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(q), int(x)) for q, x in zip(pdf[seq_col], pdf[value_col])
+            )
+        rows.sort()
+        for _, x in rows:
+            s = s + (x - mean - slack)
+            if s < 0:
+                s = 0
+            if s > mx:
+                mx = s
+            if s > threshold:
+                alarms += 1
+                s = 0
+            n += 1
+        state.update((s, mx, alarms, n))
+        yield pd.DataFrame(
+            {
+                "series": [series],
+                "n_points": [n],
+                "cusum": [s],
+                "max_cusum": [mx],
+                "n_alarms": [alarms],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -860,3 +860,85 @@ def test_additive_maintainers_dedupe_replayed_batch(spark, tmp_path):
     rm.merge_batch(partials, batch_id=6)
     assert con.execute('SELECT sum(n) FROM "roll"').fetchone()[0] == 2
     con.close()
+
+
+def test_cusum_tracker_across_batches_equals_batch_recurrence(spark, tmp_path):
+    """Streaming CUSUM (applyInPandasWithState) must carry S across
+    micro-batches and agree exactly with the single-pass integer
+    recurrence (q90's algebra) on the concatenated input."""
+    from dbsink_spark.streaming.stateful import cusum_tracker
+
+    mean, slack, threshold = 10, 1, 25
+    xs1 = [12, 30, 9, 40, 5]   # batch 1 (seq 0-4)
+    xs2 = [50, 8, 8, 45, 11]   # batch 2 (seq 5-9)
+
+    def reference(xs):
+        s = mx = alarms = 0
+        for x in xs:
+            s = max(0, s + (x - mean - slack))
+            mx = max(mx, s)
+            if s > threshold:
+                alarms += 1
+                s = 0
+        return s, mx, alarms
+
+    want_s, want_mx, want_alarms = reference(xs1 + xs2)
+
+    indir = tmp_path / "cusum_in"
+    indir.mkdir()
+    import os as _os
+
+    for bi, xs in enumerate((xs1, xs2)):
+        p = indir / f"b{bi}.json"
+        with open(p, "w") as f:
+            for i, x in enumerate(xs):
+                f.write(
+                    json.dumps({"series": "rev", "seq": bi * 5 + i, "x": x}) + "\n"
+                )
+        # FileStreamSource orders by modification time; identical
+        # mtimes make the batch order arbitrary — pin b0 strictly older
+        _os.utime(p, (1_700_000_000 + bi * 60, 1_700_000_000 + bi * 60))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("x", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    out = cusum_tracker(stream, mean, slack, threshold)
+
+    results = []
+
+    def collect(bdf, bid):
+        rows = bdf.collect()
+        if rows:
+            results.append({r["series"]: r.asDict() for r in rows})
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "cusum_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = results[-1]["rev"]
+    assert final["n_points"] == 10
+    assert (final["cusum"], final["max_cusum"], final["n_alarms"]) == (
+        want_s,
+        want_mx,
+        want_alarms,
+    )
+    # intermediate state after batch 1 must equal the prefix recurrence
+    mid = results[0]["rev"]
+    p_s, p_mx, p_al = reference(xs1)
+    assert (mid["cusum"], mid["max_cusum"], mid["n_alarms"]) == (p_s, p_mx, p_al)
