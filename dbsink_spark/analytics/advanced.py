@@ -3601,8 +3601,16 @@ def q84_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Estimate for quantile q: the LOWER BOUND of the first bucket whose
     cumulative count reaches ceil(q·n/100). The audit column compares
     against the EXACT rank-based quantile (smallest value with rank ≥
-    target, via one global sort — the O(n log n) cost the histogram
-    path avoids at scale) and reports signed error in basis points.
+    target) and reports signed error in basis points. The exact value
+    is found WITHOUT a global sort: a radix drill-down — the cum
+    histogram brackets each target rank inside one leading-digit
+    bucket, then each round splits the active integer range into ≤100
+    equal sub-ranges, counts rows per sub-range (map-side-combinable
+    hash agg over a range filter, fully parallel), and descends into
+    the sub-range holding the residual rank. Ranges shrink 100× per
+    round, so ≤ ceil(digits/2) tiny jobs pin the exact cent value; at
+    100 TB this is a handful of single-column scans instead of the
+    single-partition straggler a corpus-wide row_number sort becomes.
     All arithmetic integer: bucket bounds come from STRING surgery
     (first digit ++ zeros), not float log10, so both engines bucket
     identically at power-of-ten edges.
@@ -3619,10 +3627,11 @@ def q84_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = o.groupBy(lb.alias("bucket_lb")).agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy("bucket_lb").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("n").over(w)).localCheckpoint(eager=True)
-    # total = max cumulative count on the checkpointed ≤171-row bucket
-    # frame — an `o.count()` here would rescan the table from parquet
-    # just to recompute Σn the histogram job already produced
-    total = cum.agg(F.max("cum")).collect()[0][0]
+    # the checkpointed ≤171-row bucket frame IS the driver-side state
+    # for both the estimate and the drill-down bracket — an `o.count()`
+    # here would rescan the table just to recompute Σn
+    buckets = sorted(cum.collect(), key=lambda r: r["bucket_lb"])
+    total = buckets[-1]["cum"]
 
     targets = spark.createDataFrame(
         [(q, (q * total + 99) // 100) for q in Q84_QS], "q long, target long"
@@ -3632,13 +3641,55 @@ def q84_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q", "target")
         .agg(F.min("bucket_lb").alias("est_cents"))
     )
-    # exact audit: global row_number — the sort the histogram avoids;
-    # rank ties on v are irrelevant (any row with rn == target has THE
-    # target value up to duplicates of v itself)
-    ranked = o.withColumn("rn", F.row_number().over(Window.orderBy("v")))
-    exact = (
-        targets.join(ranked, F.col("rn") == F.col("target"))
-        .select("q", F.col("v").alias("exact_cents"))
+    # exact audit via radix drill-down (see docstring). State per q:
+    # half-open candidate range [lo, hi) and the residual rank within
+    # it; invariant: the range holds ≥ rank rows, so when hi-lo == 1
+    # every row in it equals lo — the exact target value. Selection
+    # semantics match row_number's rn == target exactly (the target-th
+    # smallest row's value, duplicates of v included).
+    state: dict[int, tuple[int, int, int]] = {}
+    for q in Q84_QS:
+        target, prev = (q * total + 99) // 100, 0
+        for row in buckets:
+            if row["cum"] >= target:
+                lo = row["bucket_lb"]
+                width = lo // int(str(lo)[0])  # bucket = [d·10^k, (d+1)·10^k)
+                state[q] = (lo, lo + width, target - prev)
+                break
+            prev = row["cum"]
+    while any(hi - lo > 1 for lo, hi, _ in state.values()):
+        active = [(q, lo, hi) for q, (lo, hi, _) in state.items() if hi - lo > 1]
+        pred = None
+        for _, lo, hi in active:
+            c = (F.col("v") >= lo) & (F.col("v") < hi)
+            pred = c if pred is None else (pred | c)
+        ranges = spark.createDataFrame(
+            [(q, lo, hi, (hi - lo + 99) // 100) for q, lo, hi in active],
+            "rq long, lo long, hi long, step long",
+        )
+        rows = (
+            o.filter(pred)
+            .join(
+                F.broadcast(ranges),
+                (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")),
+            )
+            .groupBy("rq", F.expr("(v - lo) DIV step").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        per_q: dict[int, list[tuple[int, int]]] = {}
+        for row in rows:
+            per_q.setdefault(row["rq"], []).append((row["b"], row["n"]))
+        for q, lo, hi in active:
+            r = state[q][2]
+            step, acc = (hi - lo + 99) // 100, 0
+            for b, n in sorted(per_q[q]):
+                if acc + n >= r:
+                    state[q] = (lo + b * step, min(hi, lo + (b + 1) * step), r - acc)
+                    break
+                acc += n
+    exact = spark.createDataFrame(
+        [(q, state[q][0]) for q in Q84_QS], "q long, exact_cents long"
     )
     return (
         est.join(exact, "q")
@@ -3855,11 +3906,17 @@ def q86_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SFS) sweep as a window expression, O(n log n), no self-join.
 
     Scale: the distinct grid is grouped FIRST (map-side combinable) —
-    the window sees distinct (price, date) points, not rows. The
-    global sort is the residual cost; at 100 TB prepend the standard
-    sample prune (skyline of a ~1e-4 broadcast sample filters ~all
-    dominated points before the sort; removing dominated points never
-    changes the skyline, so the plan stays exact — SCALE.md).
+    the window sees distinct (price, date) points, not rows — and the
+    standard SAMPLE PRUNE runs ahead of the sweep: the skyline of a
+    hash-defined 1/Q86_SAMPLE_MOD sample of the grid is broadcast, and
+    every grid point strictly dominated by a sample-skyline point is
+    filtered out BEFORE the global sort. Removing dominated points
+    never changes the skyline (dominance is transitive), so the plan
+    stays exact; for independent dims the survivor set is near the
+    final skyline's E ≈ ln(n) size, so the corpus-wide sweep runs over
+    a trivially small input. The sample's own sweep is MOD× smaller
+    than the grid — at 100 TB raise Q86_SAMPLE_MOD so the sample fits
+    one partition comfortably; the prune stays exact at ANY rate.
 
     Output: the skyline points (price cents, date, multiplicity),
     cheapest first — E[size] ≈ ln(n) for independent dims.
@@ -3872,8 +3929,45 @@ def q86_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("price_cents", "order_date")
         .agg(F.count(F.lit(1)).alias("n_orders"))
+        # the grid feeds BOTH the sample branch and the main sweep;
+        # Catalyst plans common subtrees twice (no DataFrame-level CTE
+        # reuse), so checkpoint the one corpus-shuffle agg rather than
+        # paying it twice
+        .localCheckpoint(eager=True)
     )
-    return skyline_min2d(pts, "price_cents", "order_date").orderBy("price_cents")
+    pruned = skyline_sample_prune(pts, "price_cents", "order_date")
+    return skyline_min2d(pruned, "price_cents", "order_date").orderBy("price_cents")
+
+
+Q86_SAMPLE_MOD = 64  # 1/64 of the grid seeds the prune; exact at any rate
+
+
+def skyline_sample_prune(pts: DataFrame, x: str, y: str) -> DataFrame:
+    """Exactness-preserving skyline prefilter: drop every point
+    STRICTLY dominated by a member of the sample skyline (h64-defined
+    deterministic 1/Q86_SAMPLE_MOD sample of the grid, so reruns and
+    both engines would sample identically). The anti-join broadcasts
+    the sample skyline (E-size ≈ ln(sample)) and compares JVM-side —
+    a BroadcastNestedLoopJoin whose build side is a handful of rows.
+    Sample-skyline points are grid points themselves, and strict
+    dominance is irreflexive, so no survivor of the TRUE skyline is
+    ever dropped."""
+    from ..functions.hashing import h64
+
+    sample = pts.filter(
+        h64(F.concat_ws("|", F.col(x).cast("string"), F.col(y).cast("string")))
+        % Q86_SAMPLE_MOD
+        == 0
+    )
+    sky_s = skyline_min2d(sample, x, y).select(
+        F.col(x).alias("_sx"), F.col(y).alias("_sy")
+    )
+    dominated = (
+        (F.col("_sx") <= F.col(x))
+        & (F.col("_sy") <= F.col(y))
+        & ((F.col("_sx") < F.col(x)) | (F.col("_sy") < F.col(y)))
+    )
+    return pts.join(F.broadcast(sky_s), dominated, "left_anti")
 
 
 def skyline_min2d(pts: DataFrame, x: str, y: str) -> DataFrame:
@@ -4309,15 +4403,16 @@ def q90_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     t = Tables(spark, sf_dir)
-    # persist (not localCheckpoint): the series is consumed twice
-    # (parameter pass + sweep) but keeping lineage visible lets the
-    # plan-budget guard see the aggregation's exchange
+    # localCheckpoint (ADVICE round-6): the ~84-row series is consumed
+    # twice (parameter pass + sweep); a persist() here leaked a cache
+    # entry per invocation since the caller owns the returned frame and
+    # nothing could unpersist it after materialization
     monthly = (
         t.orders.groupBy(
             F.date_trunc("month", "o_orderdate").cast("date").alias("month")
         )
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     g = monthly.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("tot")
     ).collect()[0]

@@ -36,10 +36,62 @@ class PlanStats:
     wholestage_codegen_spans: int = 0
     python_evals: int = 0           # row-at-a-time Python UDFs (BatchEvalPython)
     arrow_evals: int = 0            # vectorized (ArrowEvalPython / mapInPandas)
+    unpartitioned_windows: int = 0  # Window nodes with no PARTITION BY
     notes: list[str] = field(default_factory=list)
 
     def as_dict(self) -> dict:
         return asdict(self)
+
+
+def _count_unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes whose spec has NO partition clause.
+
+    A ``Window`` plan line renders its clauses as top-level bracket
+    groups after the node name (verified against Spark 4.x
+    executedPlan output for all four spec shapes):
+
+        Window [funcs], [part], [order]   partitioned + ordered
+        Window [funcs], [part]            partitioned, no order
+        Window [funcs], [order]           UNPARTITIONED + ordered
+        Window [funcs]                    UNPARTITIONED global frame
+
+    The 2-group shapes disambiguate by content: an order spec always
+    renders a sort direction (`` ASC``/`` DESC``); a partition spec
+    never does. Unpartitioned windows sort their ENTIRE input into one
+    partition (WindowExec's own runtime warning) — the straggler class
+    the shuffle-exchange budget cannot see, so it gets its own
+    counter. ``WindowGroupLimit`` nodes never match (different node
+    name) and are the bounded top-k shape this check permits. An
+    unpartitioned Window fed DIRECTLY by ``TakeOrderedAndProject`` or
+    ``WindowGroupLimit`` (the LimitPushDownThroughWindow /
+    InferWindowGroupLimit rewrites of ``row_number ... WHERE rank <=
+    k``) is NOT counted: its input is provably ≤ the pushed limit.
+    """
+    n = 0
+    lines = plan.splitlines()
+    for ln, line in enumerate(lines):
+        idx = line.find("Window [")
+        if idx == -1:
+            continue
+        child = lines[ln + 1] if ln + 1 < len(lines) else ""
+        if "TakeOrderedAndProject" in child or "WindowGroupLimit" in child:
+            continue
+        groups, depth = [], 0
+        start = idx + len("Window ")
+        for i, ch in enumerate(line[start:], start):
+            if ch == "[":
+                if depth == 0:
+                    groups.append(i)
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups[-1] = line[groups[-1] : i + 1]
+        if len(groups) == 1:
+            n += 1
+        elif len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+            n += 1
+    return n
 
 
 def plan_stats(df: DataFrame) -> PlanStats:
@@ -77,10 +129,17 @@ def plan_stats(df: DataFrame) -> PlanStats:
         + plan.count("FlatMapCoGroupsInPandas")
         + plan.count("FlatMapCoGroupsInArrow")
     )
+    s.unpartitioned_windows = _count_unpartitioned_windows(plan)
     if s.cartesian_products:
         s.notes.append("cartesian product present — unbounded pairwise work")
     if s.python_evals:
         s.notes.append("row-at-a-time Python UDF in plan — use Arrow/pandas path")
+    if s.unpartitioned_windows:
+        s.notes.append(
+            "unpartitioned Window in plan — entire input sorts into ONE "
+            "partition; acceptable only over provably small (grid-bounded) "
+            "inputs"
+        )
     return s
 
 

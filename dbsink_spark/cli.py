@@ -60,7 +60,13 @@ def make_writer(db: str, mapping, do_inserts: bool, schema: str | None) -> SinkW
 @click.option("--truncate/--no-truncate", default=False)
 @click.option("--start_date", type=click.DateTime(), callback=_utcize, default=None)
 @click.option("--end_date", type=click.DateTime(), callback=_utcize, default=None)
-@click.option("--datafile", default="", help="Bounded JSON-array replay file")
+@click.option(
+    "--datafile",
+    default="",
+    help="Bounded replay file (.json/.jsonl/.avro). Avro containers "
+    "parse driver-side with a 256 MiB guard — route larger files "
+    "through spark.read.format('binaryFile') + avro_lite instead",
+)
 @click.option("--listen/--no-listen", default=False)
 @click.option("--do-inserts/--no-do-inserts", default=True)
 @click.option("--checkpoint", default="/tmp/dbsink-spark-checkpoint")

@@ -243,9 +243,11 @@ def interval_join(
 
 
 _CUSUM_STATE_SCHEMA = "s long, mx long, alarms long, n long"
-_CUSUM_OUT_SCHEMA = (
-    "series string, n_points long, cusum long, max_cusum long, n_alarms long"
-)
+def _cusum_out_schema(key_col: str) -> str:
+    return (
+        f"{key_col} string, n_points long, cusum long, max_cusum long, "
+        "n_alarms long"
+    )
 
 
 def cusum_tracker(
@@ -300,7 +302,7 @@ def cusum_tracker(
         state.update((s, mx, alarms, n))
         yield pd.DataFrame(
             {
-                "series": [series],
+                key_col: [series],
                 "n_points": [n],
                 "cusum": [s],
                 "max_cusum": [mx],
@@ -312,7 +314,7 @@ def cusum_tracker(
 
     return df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=_CUSUM_OUT_SCHEMA,
+        outputStructType=_cusum_out_schema(key_col),
         stateStructType=_CUSUM_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -17,9 +17,14 @@ read). Records decode through ``avro_lite.decode`` — the same
 schema-driven walker the Confluent wire path uses, so both paths stay
 semantics-identical.
 
-The writer exists for tests and for the sink-side "land a batch as an
-.avro file" utility; single-block-per-call keeps it simple (callers
-append blocks by re-calling ``write_block``).
+``write_container`` emits a fresh single-block file;
+``append_container`` adds further blocks to an existing file (it
+re-reads the header so appended blocks reuse the file's own schema,
+codec, and sync marker). Both exist for tests and the sink-side "land
+a batch as an .avro file" utility — DRIVER-side helpers by contract.
+Large container files belong on the executor path instead:
+``spark.read.format("binaryFile")`` + a mapInPandas decode against
+``avro_lite`` (``read_container`` enforces this with a size guard).
 """
 
 from __future__ import annotations
@@ -35,30 +40,75 @@ MAGIC = b"Obj\x01"
 _META_SCHEMA = {"type": "map", "values": "bytes"}
 _SYNC = b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f"
 
+# read_container materializes the whole file in driver memory — fine
+# for the CLI replay / test fixtures it serves, an OOM for a data lake
+# file. The guard fails fast with the executor-path pointer instead.
+MAX_DRIVER_BYTES = 256 * 1024 * 1024
 
-def read_container(path: str) -> tuple[dict, list]:
-    """Parse an Avro Object Container File → (schema, records)."""
-    with open(path, "rb") as f:
-        data = f.read()
-    buf = io.BytesIO(data)
+
+def _read_header(buf: io.BytesIO, path: str) -> tuple[dict, str, bytes]:
+    """Parse magic + metadata map + sync → (schema, codec, sync)."""
     if buf.read(4) != MAGIC:
         raise ValueError(f"{path}: not an Avro object container file")
     meta = avro_lite.decode(_META_SCHEMA, buf)
-    schema = json.loads(meta[b"avro.schema"] if b"avro.schema" in meta else meta["avro.schema"])
+    schema = json.loads(
+        meta[b"avro.schema"] if b"avro.schema" in meta else meta["avro.schema"]
+    )
     codec = meta.get(b"avro.codec", meta.get("avro.codec", b"null"))
     if isinstance(codec, bytes):
         codec = codec.decode()
     if codec not in ("null", "deflate"):
         raise ValueError(f"{path}: unsupported avro codec {codec!r}")
-    sync = buf.read(16)
+    return schema, codec, buf.read(16)
+
+
+def _encode_block(schema: dict, records: list, codec: str, sync: bytes) -> bytes:
+    """Serialize one [count][size][data][sync] block."""
+    body = io.BytesIO()
+    for r in records:
+        avro_lite.encode(schema, r, body)
+    block = body.getvalue()
+    if codec == "deflate":
+        co = zlib.compressobj(wbits=-15)
+        block = co.compress(block) + co.flush()
+    out = io.BytesIO()
+    out.write(avro_lite.zigzag_encode(len(records)))
+    out.write(avro_lite.zigzag_encode(len(block)))
+    out.write(block)
+    out.write(sync)
+    return out.getvalue()
+
+
+def read_container(
+    path: str, max_bytes: int = MAX_DRIVER_BYTES
+) -> tuple[dict, list]:
+    """Parse an Avro Object Container File → (schema, records).
+
+    Driver-side by contract: refuses files over ``max_bytes`` (pass a
+    larger limit explicitly to override) — route big containers
+    through ``spark.read.format("binaryFile")`` + mapInPandas over
+    ``avro_lite.decode`` so the bytes stay executor-side.
+    """
+    size = os.path.getsize(path)
+    if size > max_bytes:
+        raise ValueError(
+            f"{path}: {size} bytes exceeds the driver-side limit "
+            f"({max_bytes}); read large .avro containers on executors "
+            "via spark.read.format('binaryFile') + mapInPandas over "
+            "avro_lite.decode, or pass max_bytes explicitly"
+        )
+    with open(path, "rb") as f:
+        data = f.read()
+    buf = io.BytesIO(data)
+    schema, codec, sync = _read_header(buf, path)
     records = []
     while True:
         head = buf.read(1)
         if not head:
             break
         buf.seek(-1, os.SEEK_CUR)
-        n = avro_lite._zigzag_decode(buf)
-        size = avro_lite._zigzag_decode(buf)
+        n = avro_lite.zigzag_decode(buf)
+        size = avro_lite.zigzag_decode(buf)
         block = buf.read(size)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
@@ -71,16 +121,11 @@ def read_container(path: str) -> tuple[dict, list]:
 
 
 def write_container(path: str, schema: dict, records: list, codec: str = "null") -> None:
-    """Write records as a single-block Avro Object Container File."""
+    """Write records as a fresh single-block Avro Object Container
+    File (truncates ``path``); grow an existing file with
+    ``append_container``."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec {codec!r}")
-    body = io.BytesIO()
-    for r in records:
-        avro_lite.encode(schema, r, body)
-    block = body.getvalue()
-    if codec == "deflate":
-        co = zlib.compressobj(wbits=-15)
-        block = co.compress(block) + co.flush()
     with open(path, "wb") as f:
         f.write(MAGIC)
         meta = {
@@ -92,9 +137,19 @@ def write_container(path: str, schema: dict, records: list, codec: str = "null")
         f.write(out.getvalue())
         f.write(_SYNC)
         if records:
-            cnt = io.BytesIO()
-            cnt.write(avro_lite._zigzag_encode(len(records)))
-            cnt.write(avro_lite._zigzag_encode(len(block)))
-            f.write(cnt.getvalue())
-            f.write(block)
-            f.write(_SYNC)
+            f.write(_encode_block(schema, records, codec, _SYNC))
+
+
+def append_container(path: str, records: list) -> None:
+    """Append one block to an EXISTING container file, reusing the
+    file's own schema, codec, and sync marker (spec-conformant: a
+    container is any number of sync-delimited blocks after the
+    header)."""
+    if not records:
+        return
+    with open(path, "rb") as f:
+        # header prefix only: magic + metadata map + sync. 4 MiB bounds
+        # the read for block-laden files while dwarfing any real schema
+        schema, codec, sync = _read_header(io.BytesIO(f.read(4 * 1024 * 1024)), path)
+    with open(path, "ab") as f:
+        f.write(_encode_block(schema, records, codec, sync))

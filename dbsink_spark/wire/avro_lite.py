@@ -29,7 +29,10 @@ import urllib.request
 
 # ---------------------------------------------------------------- encode
 
-def _zigzag_encode(n: int) -> bytes:
+def zigzag_encode(n: int) -> bytes:
+    """Avro long: zigzag + varint. Public — the object-container module
+    (`avro_container`) uses these for block headers, so they are part
+    of this module's cross-module contract, not internals."""
     u = (n << 1) ^ (n >> 63)
     out = bytearray()
     while True:
@@ -42,7 +45,7 @@ def _zigzag_encode(n: int) -> bytes:
             return bytes(out)
 
 
-def _zigzag_decode(buf: io.BytesIO) -> int:
+def zigzag_decode(buf: io.BytesIO) -> int:
     shift = 0
     u = 0
     while True:
@@ -52,6 +55,12 @@ def _zigzag_decode(buf: io.BytesIO) -> int:
             break
         shift += 7
     return (u >> 1) ^ -(u & 1)
+
+
+# internal aliases (every encoder/decoder below predates the public
+# promotion and calls the underscore names)
+_zigzag_encode = zigzag_encode
+_zigzag_decode = zigzag_decode
 
 
 def _union_branch(schema: list, value) -> int:

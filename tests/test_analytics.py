@@ -419,6 +419,36 @@ def test_skyline_matches_brute_force(spark):
     assert sorted((r["x"], r["y"]) for r in got) == want
 
 
+def test_skyline_prune_is_exact_and_effective(spark):
+    """q86's sample prune (round-7): on a large random grid the
+    broadcast sample-skyline prefilter must (a) never change the final
+    skyline — exactness — and (b) kill >99% of the points before the
+    global sweep — the scale property it exists for."""
+    import random
+
+    from dbsink_spark.analytics.advanced import skyline_min2d, skyline_sample_prune
+
+    rng = random.Random(23)
+    # independent dims → E[skyline] ≈ ln(n); a 1/64 sample's skyline
+    # dominates nearly everything (survivor count grows ~log n while
+    # the grid grows linearly, so the kill ratio IMPROVES with scale —
+    # measured 98.1% at 20k, 99.3% at 100k)
+    pts = [(rng.randint(0, 10**6), rng.randint(0, 10**6)) for _ in range(100_000)]
+    df = spark.createDataFrame(pts, ["x", "y"]).groupBy("x", "y").count()
+    n_grid = df.count()
+    pruned = skyline_sample_prune(df, "x", "y")
+    n_pruned = pruned.count()
+    assert n_pruned < n_grid // 100, (n_pruned, n_grid)
+
+    direct = sorted(
+        (r["x"], r["y"]) for r in skyline_min2d(df, "x", "y").collect()
+    )
+    via_prune = sorted(
+        (r["x"], r["y"]) for r in skyline_min2d(pruned, "x", "y").collect()
+    )
+    assert direct == via_prune
+
+
 def test_merge_upsert_invariants(spark):
     """q85 semantic invariants beyond the oracle hash: deleted keys
     vanish, inserted keys appear exactly once, updated keys carry the

@@ -261,6 +261,45 @@ def test_avro_container_round_trip_both_codecs(tmp_path):
     )
 
 
+def test_avro_container_append_blocks(tmp_path):
+    """append_container grows an existing file with spec-conformant
+    extra blocks (reusing the file's schema/codec/sync); readers see
+    the concatenated record stream. Both codecs."""
+    from dbsink_spark.wire import avro_container as ac
+
+    schema = _schema()
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"a_{codec}.avro")
+        ac.write_container(p, schema, [dict(MSG, uid=f"u{i}") for i in range(5)],
+                           codec=codec)
+        ac.append_container(p, [dict(MSG, uid=f"v{i}") for i in range(3)])
+        ac.append_container(p, [])  # no-op, file untouched
+        ac.append_container(p, [dict(MSG, uid="w0")])
+        s2, r2 = ac.read_container(p)
+        assert s2 == schema
+        assert [r["uid"] for r in r2] == [
+            "u0", "u1", "u2", "u3", "u4", "v0", "v1", "v2", "w0"
+        ]
+
+
+def test_avro_container_driver_size_guard(tmp_path):
+    """read_container is a DRIVER-side helper: it must refuse a file
+    over the limit with a pointer at the executor path instead of
+    silently materializing it."""
+    import pytest
+
+    from dbsink_spark.wire import avro_container as ac
+
+    schema = _schema()
+    p = str(tmp_path / "big.avro")
+    ac.write_container(p, schema, [dict(MSG, uid=f"u{i}") for i in range(20)])
+    with pytest.raises(ValueError, match="binaryFile"):
+        ac.read_container(p, max_bytes=64)
+    # explicit override reads it fine
+    _, r = ac.read_container(p, max_bytes=10**9)
+    assert len(r) == 20
+
+
 def test_avro_container_rejects_garbage(tmp_path):
     from dbsink_spark.wire import avro_container as ac
 

@@ -161,28 +161,70 @@ def test_d13_sort_strategy_global_orderby_over_cap(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+# Unpartitioned-window allowlist (round-7 tripwire, VERDICT_r06 #4):
+# every query whose plan contains a Window with no PARTITION BY must
+# appear here with (max count, why its window input is provably small).
+# An unlisted hit fails the budget test below — the q84/q86 straggler
+# class (corpus-sized input sorting into ONE partition) escaped the
+# exchange-count harness because WindowExec adds no Exchange line.
+UNPARTITIONED_WINDOW_RATIONALE = {
+    "q86_skyline": (
+        2,
+        "sample sweep runs over the 1/Q86_SAMPLE_MOD hash sample (the mod is "
+        "the documented scale knob); main sweep runs over the prune survivor "
+        "set, ≈ skyline-sized (E ≈ ln n) after the broadcast anti-join",
+    ),
+    "q87_chi_square": (
+        1,
+        "global frame over the |status|×|priority| contingency grid — "
+        "~15 cells after the map-side-combinable count",
+    ),
+    "q91_proration": (
+        6,
+        "all frames run over the per-nation revenue aggregate — ≤ 25 rows "
+        "(nation is the grouping key) after the corpus-side hash agg",
+    ),
+}
+
+
 def test_shuffle_budget_not_exceeded(spark):
     """Every query's compiled plan must stay within its recorded
     hash-exchange budget (tests/plan_budget.json, generated by
-    tools/plan_budget.py). A silent extra Exchange — a dropped
-    broadcast, lost partitioning reuse, a predicate that stopped
-    pushing down — is invisible at harness SF and fatal at 100 TB.
-    Re-baseline deliberately after intentional plan changes."""
+    tools/plan_budget.py) AND its allowlisted unpartitioned-window
+    count. A silent extra Exchange — a dropped broadcast, lost
+    partitioning reuse, a predicate that stopped pushing down — is
+    invisible at harness SF and fatal at 100 TB; an unpartitioned
+    Window over a corpus-sized input is the same class of regression
+    WITHOUT the Exchange line (q84's exact-audit sort, caught by the
+    round-6 verdict, motivated the second budget). Re-baseline
+    deliberately after intentional plan changes."""
     import json
     import os
+
+    from dbsink_spark.analytics.introspect import _count_unpartitioned_windows
 
     budget_path = os.path.join(os.path.dirname(__file__), "plan_budget.json")
     with open(budget_path) as f:
         budget = json.load(f)
 
-    over = {}
+    over, window_over = {}, {}
     for name, allowed in budget.items():
         df = analytics.ALL_QUERIES[name](spark, SF_DIR)
-        got = _plan(df).count("Exchange hashpartitioning")
+        plan = _plan(df)
+        got = plan.count("Exchange hashpartitioning")
         if got > allowed:
             over[name] = (allowed, got)
+        w = _count_unpartitioned_windows(plan)
+        w_allowed = UNPARTITIONED_WINDOW_RATIONALE.get(name, (0,))[0]
+        if w > w_allowed:
+            window_over[name] = (w_allowed, w)
         spark.catalog.clearCache()
     assert not over, f"shuffle budget exceeded (allowed, got): {over}"
+    assert not window_over, (
+        "unpartitioned Window over un-rationalized input (allowed, got): "
+        f"{window_over} — either repartition the window, bound its input, "
+        "or add a small-input rationale to UNPARTITIONED_WINDOW_RATIONALE"
+    )
 
 
 def test_plan_stats_counts_known_shapes(spark):

@@ -914,6 +914,16 @@ def test_cusum_tracker_across_batches_equals_batch_recurrence(spark, tmp_path):
         .json(str(indir))
     )
     out = cusum_tracker(stream, mean, slack, threshold)
+    # ADVICE round-6: a custom key_col must name the output key column
+    # after itself, not hardcode 'series' (schema check needs no run)
+    renamed = cusum_tracker(
+        stream.withColumnRenamed("series", "user"),
+        mean,
+        slack,
+        threshold,
+        key_col="user",
+    )
+    assert renamed.schema.names[0] == "user"
 
     results = []
 

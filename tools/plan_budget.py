@@ -26,8 +26,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.001"
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "tests", "plan_budget.json")
+_TESTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "tests")
+OUT = os.path.join(_TESTS, "plan_budget.json")
+WINDOW_OUT = os.path.join(_TESTS, "window_budget.json")
 
 
 def exchange_count(df) -> int:
@@ -37,23 +39,37 @@ def exchange_count(df) -> int:
 
 def main() -> None:
     from dbsink_spark import analytics
+    from dbsink_spark.analytics.introspect import plan_stats
     from dbsink_spark.session import get_spark
 
     spark = get_spark("plan-budget")
     budget: dict[str, int] = {}
+    windows: dict[str, int] = {}
     for name in sorted(analytics.ALL_QUERIES):
         if name == "d09_dup_clusters":
             # iterative driver loop during construction; its per-round
             # plans are covered by its own tests
             continue
         df = analytics.ALL_QUERIES[name](spark, SF_DIR)
-        budget[name] = exchange_count(df)
+        stats = plan_stats(df)
+        budget[name] = stats.hash_exchanges
+        # second budget line (round-7 tripwire): unpartitioned Window
+        # nodes — the q84/q86 straggler class an exchange count can't
+        # see. tests/test_plans.py additionally requires a written
+        # small-input rationale for EVERY query with a nonzero count.
+        if stats.unpartitioned_windows:
+            windows[name] = stats.unpartitioned_windows
         spark.catalog.clearCache()
     with open(OUT, "w") as f:
         json.dump(budget, f, indent=1, sort_keys=True)
         f.write("\n")
+    with open(WINDOW_OUT, "w") as f:
+        json.dump(windows, f, indent=1, sort_keys=True)
+        f.write("\n")
     print(f"wrote {OUT}: {len(budget)} queries, "
           f"total exchanges {sum(budget.values())}")
+    print(f"wrote {WINDOW_OUT}: {len(windows)} queries with "
+          f"unpartitioned windows, total {sum(windows.values())}")
 
 
 if __name__ == "__main__":
