@@ -97,7 +97,7 @@ UNGATED = frozenset(
         # round-4 additions beyond the 50-row driver gate (same policy
         # — oracle-verified locally + benched):
         "s10_range_search",
-        "q57_bloom_semi_prune",
+        # "q57_bloom_semi_prune",  # PROMOTED to gate in round-7 rotation
         "t20_inverted_index",
         "q58_table_diff",
         # round-4 gate reshuffle: four new capability classes promote
@@ -250,22 +250,22 @@ UNGATED = frozenset(
         # sanctioned promotion as new capability classes: frontier BFS
         # traversal, mergeable-histogram quantiles, CDC MERGE, MaxSim
         # late interaction, LSH quality audit):
-        "q83_bfs_hops",
-        "q84_histogram_quantiles",
-        "q85_merge_upsert",
-        "s11_maxsim_topk",
-        "d15_lsh_audit",
+        # "q83_bfs_hops",  # PROMOTED to gate in round-7 rotation
+        # "q84_histogram_quantiles",  # PROMOTED to gate in round-7 rotation
+        # "q85_merge_upsert",  # PROMOTED to gate in round-7 rotation
+        # "s11_maxsim_topk",  # PROMOTED to gate in round-7 rotation
+        # "d15_lsh_audit",  # PROMOTED to gate in round-7 rotation
         # (second round-6 batch: dominance/skyline queries, categorical
         # independence testing)
-        "q86_skyline",
-        "q87_chi_square",
-        "q88_hll_rollup",
-        "t27_zipf_fit",
-        "d16_cluster_keeper",
-        "q89_bitemporal_asof",
-        "q90_cusum",
-        "t28_crosslingual_align",
-        "q91_proration",
+        # "q86_skyline",  # PROMOTED to gate in round-7 rotation
+        # "q87_chi_square",  # PROMOTED to gate in round-7 rotation
+        # "q88_hll_rollup",  # PROMOTED to gate in round-7 rotation
+        # "t27_zipf_fit",  # PROMOTED to gate in round-7 rotation
+        # "d16_cluster_keeper",  # PROMOTED to gate in round-7 rotation
+        # "q89_bitemporal_asof",  # PROMOTED to gate in round-7 rotation
+        # "q90_cusum",  # PROMOTED to gate in round-7 rotation
+        # "t28_crosslingual_align",  # PROMOTED to gate in round-7 rotation
+        # "q91_proration",  # PROMOTED to gate in round-7 rotation
         "q13_window_topk_per_group",
         "q29_approx_sketches",
         "q32_zscore_anomaly",
@@ -281,6 +281,63 @@ UNGATED = frozenset(
         "t17_importance_weights",
         "t18_top_terms",
         "m03_frame_sample",
+        # ROUND-7 GATE ROTATION — requested by VERDICT_r06 "Next round
+        # #1": promote the full round-6 operator wave (q83–q91, d15,
+        # d16, s11, t27, t28 — none had ever faced the real driver
+        # comparator) plus q57 (all uncommented above); these 15
+        # previously-gated rows demote in exchange, each redundant with
+        # machinery that stays gated or promotes:
+        #   q37 time gapfill — gap synthesis ⊂ gated q48 interp/gapfill
+        #       (strict superset: same calendar spine + interpolation)
+        #   q40 funnel — lag/sequence event machinery stays gated via
+        #       q41 retention (same sessionized-window plan family)
+        #   q53 hopping window — overlapping-window explode ⊂ gated
+        #       q73's time-partition sweep + streaming E12 suite
+        #   q54 KMV distinct — mergeable approx-distinct now carried by
+        #       promoted q88 HLL-rollup (strict generalization: sketch
+        #       + re-aggregable rollup) alongside gated q51/q56
+        #   q59 recursive hierarchy — frontier iteration ⊂ promoted q83
+        #       BFS (same Pregel-as-joins discipline, checkpoint cycle)
+        #   q62 HLL distinct — subsumed by promoted q88 HLL-rollup
+        #       (identical register algebra + merge path)
+        #   q63 triangle count — graph family stays via gated q61
+        #       pagerank + promoted q83 BFS
+        #   q74 constraint audit — agg-with-case-checks ⊂ gated q64
+        #       column profiler (same two-pass profile shape)
+        #   q76 join-size profile — key-histogram machinery ⊂ gated
+        #       q64 profiler + ungated q72 skew profile (verified)
+        #   q78 temporal enrich — as-of enrichment ⊂ gated q22 as-of
+        #       join + promoted q89 bitemporal as-of (superset: two
+        #       time axes)
+        #   t10 chunk — token-array slicing ⊂ gated t19 BPE apply +
+        #       ungated t11 pack (same explode/posexplode machinery)
+        #   t13 mixture — source-weighting ⊂ gated t21 BM25 scoring +
+        #       ungated t17 DSIR importance weights (verified)
+        #   d06 embedding near-dup — IVF-cell blocking stays gated via
+        #       s09 ANN-recall (same cell assignment + probe pruning);
+        #       near-dup class stays via gated d03 + promoted d15/d16
+        #   d10 containment — n-gram candidate join ⊂ gated d08
+        #       decontaminate + gated d03's verified-Jaccard pattern
+        #   s07 knn graph — IVF probe + top-k per node ⊂ gated s09
+        #       (same index) + gated s04 (same scoring kernel)
+        # Rotation policy unchanged: composition moves ONLY on external
+        # verdict sanction; demoted rows stay oracle-verified each
+        # pytest run (test_registry_parity) + tools/check_oracle.py.
+        "q37_time_gapfill",
+        "q40_funnel",
+        "q53_hopping_window",
+        "q54_kmv_distinct",
+        "q59_recursive_hierarchy",
+        "q62_hll_distinct",
+        "q63_triangle_count",
+        "q74_constraint_audit",
+        "q76_join_size_profile",
+        "q78_temporal_enrich",
+        "t10_chunk",
+        "t13_mixture",
+        "d06_embedding_near_dup",
+        "d10_containment",
+        "s07_knn_graph",
     }
 )
 

@@ -109,22 +109,20 @@ def test_headline_operators_are_gated():
     of four redundant agg variants; round-4: q56/s09/d13/t19 promoted
     in place of q11/s03/d05/q18; round-5 rotation per VERDICT_r04 #1
     demoted s01/q42; round-6 rotation per VERDICT_r05 #1 promoted the
-    15-row session-3 wave (q59/q61/q62/q63/q64/q68/q73/q74/q76/q78/
-    q80/q82/t21/t23/t26) and demoted q13/q29/q32/q47/q55/d04/d11/d12/
-    s06/s08/t03/t16/t17/t18/m03 — each capability class stays gated
-    via the rows named in analytics.UNGATED's rationale)."""
+    15-row session-3 wave; round-7 rotation per VERDICT_r06 #1
+    promoted the full round-6 operator wave (q83–q91/d15/d16/s11/t27/
+    t28) plus q57 and demoted q37/q40/q53/q54/q59/q62/q63/q74/q76/
+    q78/t10/t13/d06/d10/s07 — each capability class stays gated via
+    the rows named in analytics.UNGATED's rationale)."""
     headline = {
         "d01_dedup_exact",
         "d03_minhash_lsh",
         "d13_editdist_near_dup",
-        "d06_embedding_near_dup",
         "d08_decontaminate",
         "d09_dup_clusters",
         "s02_centroid_assign",
         "s09_ann_recall",
         "s04_numpy_topk",
-        "d10_containment",
-        "s07_knn_graph",
         "t14_pii_redact",
         "q22_asof_join",
         "m01_media_features",
@@ -132,22 +130,31 @@ def test_headline_operators_are_gated():
         "q51_countmin",
         "q56_bitmap_distinct",
         "t19_bpe_apply",
-        # round-6 promotions (first-time gate rows):
-        "q59_recursive_hierarchy",
         "q61_pagerank",
-        "q62_hll_distinct",
-        "q63_triangle_count",
         "q64_column_profile",
         "q68_weighted_median",
         "q73_clamped_running_sum",
-        "q74_constraint_audit",
-        "q76_join_size_profile",
-        "q78_temporal_enrich",
         "q80_holt_forecast",
         "q82_basket_pairs",
         "t21_bm25_rank",
         "t23_leakage_free_split",
         "t26_rake_keyphrases",
+        # round-7 promotions (first-time gate rows):
+        "q57_bloom_semi_prune",
+        "q83_bfs_hops",
+        "q84_histogram_quantiles",
+        "q85_merge_upsert",
+        "q86_skyline",
+        "q87_chi_square",
+        "q88_hll_rollup",
+        "q89_bitemporal_asof",
+        "q90_cusum",
+        "q91_proration",
+        "d15_lsh_audit",
+        "d16_cluster_keeper",
+        "s11_maxsim_topk",
+        "t27_zipf_fit",
+        "t28_crosslingual_align",
     }
     missing = headline - set(analytics.QUERIES)
     assert not missing, missing
