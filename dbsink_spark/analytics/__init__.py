@@ -323,6 +323,11 @@ UNGATED = frozenset(
         # Rotation policy unchanged: composition moves ONLY on external
         # verdict sanction; demoted rows stay oracle-verified each
         # pytest run (test_registry_parity) + tools/check_oracle.py.
+        # round-7 additions beyond the 50-row driver gate (same policy
+        # — oracle-verified locally + benched; candidate for a future
+        # sanctioned promotion as a new capability class: weighted
+        # graph traversal):
+        "q92_weighted_sssp",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

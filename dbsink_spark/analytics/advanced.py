@@ -3583,6 +3583,124 @@ QUERIES["q83_bfs_hops"] = q83_bfs_hops
 
 
 # ---------------------------------------------------------------------------
+# q92: bounded-round weighted shortest path (Bellman-Ford as joins)
+# ---------------------------------------------------------------------------
+
+Q92_ROUNDS = 4
+Q92_SEED_MAX = 2  # suppliers s_suppkey <= 2 seed the search (q83's seed rule)
+
+
+def q92_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest path over the customer↔supplier trade graph:
+    edge weight = the pair's best (minimum) order-to-ship latency in
+    days (shipdate − orderdate, clamped ≥ 1), distance = minimum
+    total latency from the seed suppliers over paths of ≤ Q92_ROUNDS
+    relationship hops. Completes the traversal family (q59 recursion,
+    q61 power iteration, q83 unweighted BFS) with the weighted member
+    — VERDICT_r06 "next" item #8.
+
+    graph.sssp_bounded: Bellman-Ford with frontier pruning — each
+    round relaxes only edges out of just-improved nodes (candidate
+    min per dst, strict-improvement join), per-round checkpoint,
+    early exit on convergence. Pruned rounds equal full relaxation
+    rounds by induction, so the unrolled ≤K-edge relaxation CTE
+    oracle matches exactly (BIGINT distances, order-independent min).
+
+    Reference parity: no graph surface in the reference (SURVEY §2.6
+    gap table) — extension machinery.
+
+    Output: per node_type — nodes reached, min/max/total distance.
+    """
+    from .graph import sssp_bounded
+
+    t = Tables(spark, sf_dir)
+    pairs = (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(
+            F.min(F.greatest(F.lit(1), F.datediff("l_shipdate", "o_orderdate")))
+            .cast("long")
+            .alias("w")
+        )
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    seeds = (
+        t.supplier.filter(F.col("s_suppkey") <= Q92_SEED_MAX)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+        .distinct()
+    )
+    dist = sssp_bounded(edges, seeds, Q92_ROUNDS)
+    return (
+        dist.groupBy(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("dist").alias("min_dist"),
+            F.max("dist").alias("max_dist"),
+            F.sum("dist").alias("sum_dist"),
+        )
+        .orderBy("node_type")
+    )
+
+
+def _q92_oracle() -> str:
+    head = f"""
+    WITH pairs AS (
+        SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+               min(greatest(1, date_diff('day', o_orderdate, l_shipdate)))::BIGINT AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst, w FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst, w FROM pairs
+    ),
+    d0 AS (
+        SELECT DISTINCT s_suppkey * 2 + 1 AS node, 0::BIGINT AS dist
+        FROM supplier WHERE s_suppkey <= {Q92_SEED_MAX}
+    )"""
+    body = ""
+    for i in range(1, Q92_ROUNDS + 1):
+        body += f""",
+    d{i} AS (
+        SELECT node, min(dist)::BIGINT AS dist FROM (
+            SELECT node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.w AS dist
+            FROM edges e JOIN d{i - 1} d ON e.src = d.node
+        ) GROUP BY node
+    )"""
+    return head + body + f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           count(*)::BIGINT AS n_nodes,
+           min(dist)::BIGINT AS min_dist,
+           max(dist)::BIGINT AS max_dist,
+           sum(dist)::BIGINT AS sum_dist
+    FROM d{Q92_ROUNDS}
+    GROUP BY 1
+    ORDER BY node_type
+    """
+
+
+ORACLE["q92_weighted_sssp"] = _q92_oracle()
+QUERIES["q92_weighted_sssp"] = q92_weighted_sssp
+
+
+# ---------------------------------------------------------------------------
 # q84: mergeable digit-bucket histogram → quantile estimates + exact audit
 # ---------------------------------------------------------------------------
 

@@ -146,6 +146,63 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+def sssp_bounded(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
+    """Multi-source weighted shortest path over a DIRECTED edge list
+    ``(src, dst, w)`` with non-negative BIGINT weights: returns
+    (node, dist) — the MINIMUM total weight from any seed over paths
+    of at most ``rounds`` edges (seeds at 0). Unreached nodes are
+    absent.
+
+    Bellman-Ford with frontier pruning (the Pregel SSSP shape as
+    DataFrame joins — q83's BFS generalized to weights): each round
+    relaxes ONLY edges out of nodes improved last round, takes the
+    min candidate per dst (hash agg), and keeps strict improvements
+    via a join against the settled distances. A node not improved in
+    round i-1 can contribute nothing new in round i, so pruning is
+    exact; after K rounds the table equals full Bellman-Ford's K-round
+    state — the min over ≤K-edge paths, a well-defined result even
+    when the graph's diameter exceeds K. Early exit when no node
+    improves (full convergence).
+
+    Scale: round cost is O(|improved frontier| · avg-degree) edge hits
+    shuffled on dst — never the whole distance table; distances are
+    BIGINT so min() is reduction-order independent and an unrolled
+    relaxation oracle matches exactly. Frontiers checkpoint per round
+    (BFS rule); ``dist`` re-checkpoints every PR_CHECKPOINT_EVERY
+    rounds only, since unlike BFS's append-only settled set it is
+    REBUILT (min-merged) each round and its lineage would otherwise
+    deepen per round.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    dist = seeds.select("node", F.lit(0).cast("long").alias("dist")).localCheckpoint(
+        eager=True
+    )
+    frontier = dist
+    for i in range(1, rounds + 1):
+        cand = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("d") < F.col("dist")))
+            .select("node", F.col("d").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionAll(improved)
+        )
+        if i % PR_CHECKPOINT_EVERY == 0:
+            dist = dist.localCheckpoint(eager=True)
+        frontier = improved
+    return dist
+
+
 def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     """Multi-source BFS over a DIRECTED edge list ``(src, dst)``:
     returns (node, hops) — the MINIMUM hop count from any seed node,

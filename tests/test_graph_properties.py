@@ -177,3 +177,58 @@ def test_bfs_early_exit_on_exhausted_frontier(spark):
     sf = spark.createDataFrame([(0,)], ["node"])
     got = {r["node"]: r["hops"] for r in bfs_hops(df, sf, 10).collect()}
     assert got == {0: 0, 1: 1}
+
+
+def _sssp_reference(
+    edges: list[tuple[int, int, int]], seeds: list[int], rounds: int
+) -> dict[int, int]:
+    """Full (unpruned) Bellman-Ford: K rounds of relax-all — the
+    min over ≤K-edge paths, the exact semantics sssp_bounded claims."""
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, v, w in edges:
+            if u in dist and dist[u] + w < nxt.get(v, float("inf")):
+                nxt[v] = dist[u] + w
+        dist = nxt
+    return dist
+
+
+def test_sssp_bounded_matches_reference_on_random_weighted_graphs(spark):
+    """q92's core: frontier-pruned rounds must equal FULL Bellman-Ford
+    rounds (the pruning-is-exact induction), on random weighted graphs
+    including weight-0 edges and rounds beyond convergence."""
+    from dbsink_spark.analytics.graph import sssp_bounded
+
+    rng = random.Random(29)
+    for trial, (n, p, rounds) in enumerate(
+        [(12, 0.25, 3), (20, 0.12, 5), (8, 0.5, 10)]
+    ):
+        und = _random_undirected(rng, n, p)
+        weighted = [(u, v, rng.randint(0, 9)) for u, v in und]
+        directed = weighted + [(v, u, w) for u, v, w in weighted]
+        if not directed:
+            continue
+        seeds = [0, 1]
+        df = spark.createDataFrame(directed, ["src", "dst", "w"])
+        sf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+        got = {r["node"]: r["dist"] for r in sssp_bounded(df, sf, rounds).collect()}
+        assert got == _sssp_reference(directed, seeds, rounds), f"trial {trial}"
+
+
+def test_sssp_early_exit_and_improvement_after_settle(spark):
+    """Two properties in one 4-node graph: (a) a longer-hop but
+    lighter path must REPLACE an earlier-settled heavier distance
+    (0→3 direct w=10 vs 0→1→2→3 w=3), which plain BFS machinery
+    cannot express; (b) convergence exits early when rounds exceed
+    the diameter."""
+    from dbsink_spark.analytics.graph import sssp_bounded
+
+    edges = [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    sf = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["dist"] for r in sssp_bounded(df, sf, 50).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    # with only 1 round, the heavy direct edge wins
+    got1 = {r["node"]: r["dist"] for r in sssp_bounded(df, sf, 1).collect()}
+    assert got1 == {0: 0, 1: 1, 3: 10}

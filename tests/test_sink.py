@@ -291,3 +291,63 @@ def test_executemany_fallback_without_psycopg2():
     w = SinkWriter(mapping, lambda: None, dialect="postgres")
     w._execute_rows(FakeConn(), [[1, 2]])
     assert "INSERT INTO" in ran["sql"] and "VALUES %s" not in ran["sql"]
+
+
+# ---------------------------------------------------------------------------
+# Every registry mapping end-to-end (VERDICT_r06 "next" #9): reference
+# fixture → Mapping.transform (Arrow mapInPandas) → SinkWriter upsert
+# EXECUTED on DuckDB, plus a replay to drive the ON CONFLICT path. The
+# pgsql-strings suite proves the generated strings parse/execute with
+# synthesized type-default rows; this proves each mapping's REAL
+# transformed rows bind and converge through the live writer.
+# ---------------------------------------------------------------------------
+
+MAPPING_E2E = [
+    ("GenericFloat", "replayer.json", "axds-netcdf-replayer-data"),
+    ("GenericFloatFast", "replayer.json", "axds-netcdf-replayer-data"),
+    ("GenericFieldStatistic", "statistics.json", "topic"),
+    ("GenericGeography", "scuttle-watch-regions.json", "topic"),
+    ("JsonMap", "mission_sensors.json", "topic"),
+    ("StringMap", "mission_sensors.json", "topic"),
+    ("AreteData", "arete_data.json", "topic"),
+    ("NumurusData", "numurus.data.json", "topic"),
+    ("NumurusStatus", "numurus.status.json", "topic"),
+    ("NwicFloatReports", "mission_sensors.json", "oot.reports.mission_sensors"),
+    ("NwicFloatReportsFast", "mission_sensors.json", "oot.reports.mission_sensors"),
+    ("NwicFloatReportsSofar", "sofar.json", "sofar.data"),
+]
+
+
+@pytest.mark.parametrize("lookup,fixture,topic", MAPPING_E2E)
+def test_every_mapping_upserts_end_to_end(spark, tmp_path, lookup, fixture, topic):
+    mapping = resolve(lookup, topic)
+    db = str(tmp_path / "e2e.duckdb")
+    writer = SinkWriter(mapping, duckdb_connect_factory(db), dialect="duckdb")
+    writer.ensure_table(drop=True)
+    df = replay_source(spark, fixture_path(fixture))
+    out = mapping.transform(df)
+    n1 = writer.write_batch(out)
+    assert n1 > 0, f"{lookup} transformed 0 rows from {fixture}"
+    rows1 = len(table_rows(db, mapping.table))
+    if mapping.upsert_keys:
+        # DuckDB unique indexes treat NULL keys as distinct (no NULLS
+        # NOT DISTINCT — same caveat as test_upsert_idempotent_replay;
+        # the postgres dialect fixes it in ddl.py), so real fixture
+        # rows with a NULL key column legitimately append on replay.
+        # Exact contract: replay adds EXACTLY the null-key rows (count
+        # taken after the FIRST write) and converges for every
+        # fully-keyed row.
+        null_pred = " OR ".join(f'"{k}" IS NULL' for k in mapping.upsert_keys)
+        con = duckdb.connect(db)
+        try:
+            n_null = con.execute(
+                f'SELECT count(*) FROM "{mapping.table}" WHERE {null_pred}'
+            ).fetchone()[0]
+        finally:
+            con.close()
+    writer.write_batch(out)
+    rows2 = len(table_rows(db, mapping.table))
+    if mapping.upsert_keys:
+        assert rows2 == rows1 + n_null
+    else:
+        assert rows2 == 2 * rows1  # keyless mappings are append-only
