@@ -159,6 +159,10 @@ def main() -> None:
         "value_median_total": round(sum(medians.values()), 3),
     }
     del line["queries_median"]
+    # round-7: 153 queries put the line within ~35 B of the cap with
+    # extras included — extras are microbench detail, fully recorded in
+    # the committed BENCH_LOCAL.json, so the stdout line drops them
+    del line["extras"]
     out_line = json.dumps(line, separators=(",", ":"))
     # the driver tail-captures the LAST 2000 bytes of stdout: a longer
     # line loses its leading '{' and parses as null (the r03 failure

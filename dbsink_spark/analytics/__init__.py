@@ -324,10 +324,14 @@ UNGATED = frozenset(
         # verdict sanction; demoted rows stay oracle-verified each
         # pytest run (test_registry_parity) + tools/check_oracle.py.
         # round-7 additions beyond the 50-row driver gate (same policy
-        # — oracle-verified locally + benched; candidate for a future
-        # sanctioned promotion as a new capability class: weighted
-        # graph traversal):
+        # — oracle-verified locally + benched; candidates for a future
+        # sanctioned promotion as new capability classes: weighted
+        # graph traversal, bounded-state exact heavy hitters,
+        # contamination-curve profiling, sliding-window sketch merge):
         "q92_weighted_sssp",
+        "q93_heavy_hitters",
+        "t29_overlap_profile",
+        "q94_sliding_distinct",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

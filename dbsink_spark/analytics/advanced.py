@@ -4746,3 +4746,247 @@ ORACLE["q91_proration"] = f"""
     ORDER BY nation
 """
 QUERIES["q91_proration"] = q91_proration
+
+
+# ---------------------------------------------------------------------------
+# q93: exact heavy hitters — Misra-Gries candidates + exact verify pass
+# ---------------------------------------------------------------------------
+
+Q93_K = 200  # frequency threshold: count * K > total tokens
+
+
+def q93_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent items (tokens with count > n/Q93_K over the
+    documents token stream) without ever shuffling the full vocabulary
+    — the deterministic-guarantee counterpart to q51's count-min and
+    the standard two-pass heavy-hitters plan:
+
+    pass 1 (bounded state): each partition builds a Misra-Gries
+    summary of at most K counters — vectorized as a pandas
+    value_counts truncated by subtracting the (K+1)-th largest count
+    (the batch form of MG decrement; Agarwal et al., mergeable
+    summaries). An item absent from EVERY partition summary has
+    per-partition counts ≤ n_i/(K+1), hence global count ≤ n/(K+1) <
+    n/K — so the union of summaries (≤ K·partitions rows, driver-tiny)
+    is a PROVEN candidate superset.
+
+    pass 2 (exact): candidate tokens broadcast; one scan counts them
+    exactly (map-side hash semi join, agg over ≤ K·partitions keys)
+    and filters count·K > n. The result is EXACT — pass-1 estimates
+    never surface, so no MG internals leak into the oracle compare.
+
+    At 100 TB: vocabulary-sized groupBys (t09's shape) shuffle
+    billions of keys; this plan shuffles K·partitions candidate rows
+    plus one broadcast. The two passes are the price of exactness.
+
+    Output: token, exact count, ppm share; count-desc, token asc.
+    """
+    import pandas as pd
+
+    d = Tables(spark, sf_dir).documents.select("text")
+
+    def mg_summaries(batches):
+        counts = None
+        for pdf in batches:
+            toks = pdf["text"].dropna().str.split(" ").explode()
+            if len(toks) == 0:
+                continue
+            vc = toks.value_counts()
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
+            if len(counts) > Q93_K:
+                # batch Misra-Gries: subtract the (K+1)-th largest
+                # count, keep strictly-positive survivors (≤ K).
+                # Truncating after EVERY Arrow-batch merge (not once at
+                # partition end) bounds executor state at K counters
+                # regardless of partition vocabulary — the mergeable-MG
+                # error bound sums to ≤ n_partition/(K+1) either way.
+                counts = counts.sort_values(ascending=False)
+                counts = counts - counts.iloc[Q93_K]
+                counts = counts[counts > 0]
+        if counts is None:
+            return
+        yield pd.DataFrame({"w": counts.index.astype(str)})
+
+    cands = (
+        d.mapInPandas(mg_summaries, "w string").distinct().localCheckpoint(eager=True)
+    )
+    toks = d.select(F.explode(F.split("text", " ")).alias("w"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    counted = (
+        toks.join(F.broadcast(cands), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * Q93_K > F.col("n"))
+        .select(
+            F.col("w").alias("token"),
+            "cnt",
+            F.expr("cnt * 1000000 DIV n").alias("ppm"),
+        )
+        .orderBy(F.desc("cnt"), "token")
+    )
+
+
+ORACLE["q93_heavy_hitters"] = f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        WHERE text IS NOT NULL
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n FROM toks)
+    SELECT w AS token,
+           count(*)::BIGINT AS cnt,
+           (count(*) * 1000000 // any_value(n))::BIGINT AS ppm
+    FROM toks, tot
+    GROUP BY w
+    HAVING count(*) * {Q93_K} > any_value(n)
+    ORDER BY cnt DESC, token
+"""
+QUERIES["q93_heavy_hitters"] = q93_heavy_hitters
+
+
+# ---------------------------------------------------------------------------
+# q94: trailing-window distinct via register-merged HLL sketches
+# ---------------------------------------------------------------------------
+
+Q94_WINDOW_DAYS = 7  # trailing window: day d covers [d-6, d]
+
+
+def q94_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day (the "weekly active users
+    by day" series) computed from DAILY HLL sketches merged
+    register-wise across the window — the sliding-window member of the
+    q62/q88 mergeable-sketch family. COUNT(DISTINCT) cannot slide:
+    each day's window re-scans raw data because distinct sets don't
+    subtract. Mergeable registers make the series cheap: keep 64
+    BIGINTs per day and any window is a register-max over ≤7 rows of
+    the day×bucket grid.
+
+    Plan: one raw scan builds daily registers (map-side-combinable
+    max); the trailing merge joins the day-grid spine against the
+    daily grid on a 7-day range (broadcast spine — grid-sized, fanout
+    ≤ 7) and re-maxes. The exact_distinct audit column re-scans the
+    distinct (day, user) pairs through the same spine join — the
+    column a 100 TB pipeline drops, kept here because the oracle
+    hash-checks the estimate AGAINST the truth it approximates.
+
+    Output: one row per day — nonzero registers, sketch estimate,
+    exact trailing distinct, signed error in basis points.
+    """
+    e = Tables(spark, sf_dir).events
+    h = _q62_h64_user()
+    d = (
+        e.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            (h % Q62_M).alias("bucket"),
+            h.alias("h"),
+            "user_id",
+        )
+        .withColumn("w", F.expr(f"h DIV {Q62_M}"))
+        .drop("h")
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(Q62_SHIFT))
+        .otherwise(F.lit(Q62_SHIFT) - F.length(F.bin(F.col("w"))))
+        .cast("long")
+    )
+    daily = (
+        d.groupBy("day", "bucket")
+        .agg(F.max(rho).alias("m_j"))
+        .localCheckpoint(eager=True)
+    )
+    spine = daily.select("day").distinct()
+    in_window = (F.col("r_day") <= F.col("day")) & (
+        F.col("r_day") >= F.date_sub(F.col("day"), Q94_WINDOW_DAYS - 1)
+    )
+    merged = (
+        daily.withColumnRenamed("day", "r_day")
+        .join(F.broadcast(spine), in_window)
+        .groupBy("day", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    per_day = merged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("nonzero_registers"),
+        F.sum(F.expr(f"shiftleft(1L, {Q62_SHIFT} - m_j)")).alias("sum_pow"),
+    )
+    exact = (
+        d.select(F.col("day").alias("r_day"), "user_id")
+        .distinct()
+        .join(F.broadcast(spine), in_window)
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    est = F.lit(float(Q62_NUM)) / F.col("sum_pow")
+    return (
+        per_day.join(exact, "day")
+        .select(
+            "day",
+            "nonzero_registers",
+            est.alias("est_distinct"),
+            "exact_distinct",
+            # floor() in BOTH engines: DuckDB's ::BIGINT on DOUBLE
+            # rounds while Spark's CAST truncates — the q84-class
+            # cross-engine trap, defused explicitly
+            F.expr(
+                f"(CAST(floor({Q62_NUM} / sum_pow) AS BIGINT) - exact_distinct)"
+                " * 10000 DIV exact_distinct"
+            ).alias("err_bp"),
+        )
+        .orderBy("day")
+    )
+
+
+def _q94_oracle() -> str:
+    from ..functions.hashing import h64_sql
+
+    h = h64_sql("user_id::VARCHAR")
+    return f"""
+    WITH d AS (
+        SELECT date_trunc('day', ts)::DATE AS day,
+               ({h}) % {Q62_M} AS bucket,
+               ({h}) // {Q62_M} AS w,
+               user_id
+        FROM events
+    ),
+    rows_rho AS (
+        SELECT day, bucket, user_id,
+               CASE WHEN w = 0 THEN {Q62_SHIFT}
+                    ELSE {Q62_SHIFT} - length(bin(w)) END AS rho
+        FROM d
+    ),
+    daily AS (
+        SELECT day, bucket, max(rho)::BIGINT AS m_j
+        FROM rows_rho GROUP BY 1, 2
+    ),
+    spine AS (SELECT DISTINCT day FROM daily),
+    merged AS (
+        SELECT s.day, r.bucket, max(r.m_j)::BIGINT AS m_j
+        FROM daily r JOIN spine s
+          ON r.day <= s.day AND r.day >= s.day - {Q94_WINDOW_DAYS - 1}
+        GROUP BY 1, 2
+    ),
+    per_day AS (
+        SELECT day,
+               count(*)::BIGINT AS nonzero_registers,
+               sum(1::BIGINT << ({Q62_SHIFT} - m_j))::BIGINT AS sum_pow
+        FROM merged GROUP BY day
+    ),
+    exact AS (
+        SELECT s.day, count(DISTINCT r.user_id)::BIGINT AS exact_distinct
+        FROM (SELECT DISTINCT day, user_id FROM d) r JOIN spine s
+          ON r.day <= s.day AND r.day >= s.day - {Q94_WINDOW_DAYS - 1}
+        GROUP BY s.day
+    )
+    SELECT p.day, nonzero_registers,
+           {Q62_NUM} / sum_pow AS est_distinct,
+           exact_distinct,
+           (floor({Q62_NUM} / sum_pow)::BIGINT - exact_distinct) * 10000
+               // exact_distinct AS err_bp
+    FROM per_day p JOIN exact USING (day)
+    ORDER BY day
+    """
+
+
+ORACLE["q94_sliding_distinct"] = _q94_oracle()
+QUERIES["q94_sliding_distinct"] = q94_sliding_distinct

@@ -2148,3 +2148,103 @@ ORACLE["t28_crosslingual_align"] = f"""
     LIMIT {T28_TOP}
 """
 QUERIES["t28_crosslingual_align"] = t28_crosslingual_align
+
+
+# ---------------------------------------------------------------------------
+# t29: train/test n-gram overlap profile (contamination curve)
+# ---------------------------------------------------------------------------
+
+T29_NS = (3, 5, 8)   # the curve: overlap rate at each n-gram width
+T29_TEST_MOD = 10    # doc_id % 10 == 0 → held-out split (d08's slice rule)
+
+
+def t29_overlap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination CURVE: for each n in T29_NS, the share of held-out
+    documents that share at least one n-gram with the training split —
+    the multi-width profile behind d08's single-width decision. Short
+    n-grams overlap by chance, long ones only by true duplication;
+    pipelines read the curve's knee to pick the decontamination width
+    (GPT-3 appendix C uses 13-grams; the knee justifies the number).
+
+    Plan per width: both splits reduce to per-doc DISTINCT n-gram
+    hashes (the d08/winnowing shingle expression, 8-byte keys); a
+    left-semi hash join marks held-out docs with ≥1 training hit, then
+    two scalar counts. Nothing vocabulary-sized is collected; the
+    semi join shuffles hashes, not text. One pass per width by
+    construction (different n → disjoint gram sets — no reuse exists).
+
+    Output: one row per n — held-out docs, overlapping docs, basis
+    points.
+    """
+    from ..functions.hashing import h64
+
+    d = Tables(spark, sf_dir).documents
+    out = None
+    for n in T29_NS:
+        dw = d.withColumn("w", _words()).filter(F.size("w") >= n)
+        w = F.col("w")
+        shingle = lambda i, n=n: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        )
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)), lambda i: h64(shingle(i))
+            )
+        )
+        g = dw.select("doc_id", F.explode(grams).alias("g"))
+        test = g.filter(F.col("doc_id") % T29_TEST_MOD == 0)
+        train = g.filter(F.col("doc_id") % T29_TEST_MOD != 0).select("g").distinct()
+        hit = test.join(train, "g", "left_semi").select("doc_id").distinct()
+        row = (
+            test.select("doc_id")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_test_docs"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_overlap_docs")))
+            .select(
+                F.lit(n).cast("long").alias("ngram_n"),
+                "n_test_docs",
+                "n_overlap_docs",
+                F.expr("n_overlap_docs * 10000 DIV n_test_docs").alias("overlap_bp"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("ngram_n")
+
+
+def _t29_block(n: int) -> str:
+    return f"""
+    SELECT {n}::BIGINT AS ngram_n,
+           (SELECT count(DISTINCT doc_id) FROM grams_{n}
+            WHERE doc_id % {T29_TEST_MOD} = 0)::BIGINT AS n_test_docs,
+           (SELECT count(DISTINCT t.doc_id)
+            FROM grams_{n} t
+            WHERE t.doc_id % {T29_TEST_MOD} = 0
+              AND EXISTS (SELECT 1 FROM grams_{n} tr
+                          WHERE tr.doc_id % {T29_TEST_MOD} != 0
+                            AND tr.g = t.g))::BIGINT AS n_overlap_docs"""
+
+
+def _t29_gram_cte(n: int) -> str:
+    return f"""
+    grams_{n} AS (
+        SELECT doc_id, unnest(list_distinct([
+            {h64_sql("array_to_string(w[i : i + " + str(n - 1) + "], ' ')")}
+            for i in generate_series(1, len(w) - {n - 1})])) AS g
+        FROM dw WHERE len(w) >= {n}
+    )"""
+
+
+ORACLE["t29_overlap_profile"] = (
+    """
+    WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),"""
+    + ",".join(_t29_gram_cte(n) for n in T29_NS)
+    + """
+    SELECT ngram_n, n_test_docs, n_overlap_docs,
+           (n_overlap_docs * 10000 // n_test_docs)::BIGINT AS overlap_bp
+    FROM ("""
+    + " UNION ALL ".join(_t29_block(n) for n in T29_NS)
+    + """)
+    ORDER BY ngram_n
+"""
+)
+QUERIES["t29_overlap_profile"] = t29_overlap_profile

@@ -505,3 +505,46 @@ def test_histogram_quantile_estimate_within_bucket_bound(spark):
     assert len(rows) == 3
     for r in rows:
         assert r["est_cents"] <= r["exact_cents"] < 10 * r["est_cents"], r
+
+
+def test_heavy_hitters_candidate_superset_under_adversarial_spread(spark, tmp_path):
+    """q93's Misra-Gries candidate pass must not miss a globally
+    frequent token that is locally UNREMARKABLE in every partition —
+    the case that breaks naive per-partition top-k. 32 partitions,
+    each dominated by its own private filler tokens; the heavy tokens
+    are spread evenly and thin. Result must equal brute force exactly."""
+    import collections
+
+    from dbsink_spark.analytics import advanced
+    from dbsink_spark.analytics.advanced import q93_heavy_hitters
+
+    rows = []
+    heavy = [f"heavy{i}" for i in range(5)]
+    for p in range(32):
+        # 300 private fillers × 4 occurrences: locally out-rank the
+        # heavy tokens (2 occurrences each per partition)
+        fillers = " ".join(f"f{p}_{j} " * 4 for j in range(300))
+        rows.append((p, fillers.strip()))
+        rows.append((p, " ".join(h + " " + h for h in heavy)))
+    # write as parquet so q93 reads it like a documents table
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"], pdf["source"], pdf["n_chars"] = "en", "syn", pdf.text.str.len()
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/documents.parquet")
+
+    got = [(r["token"], r["cnt"]) for r in q93_heavy_hitters(spark, sf).collect()]
+
+    cnt = collections.Counter()
+    for _, text in rows:
+        cnt.update(text.split(" "))
+    n = sum(cnt.values())
+    want = sorted(
+        ((w, c) for w, c in cnt.items() if c * advanced.Q93_K > n),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == want
+    # the heavy tokens are actually in the answer (64 each; n ≈ 38k +
+    # 320 → threshold n/200 ≈ 195... ensure the synthetic math holds)
+    assert want, "synthetic corpus produced no heavy hitters — fix the test"
