@@ -2273,27 +2273,12 @@ QUERIES["q67_weighted_sample"] = q67_weighted_sample
 # ---------------------------------------------------------------------------
 
 
-def q68_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted median: the price below which half the QUANTITY (not
-    half the rows) sits, per returnflag — the inventory-weighted
-    distribution cut no built-in computes. Pure SELECTION, no float
-    summation: order rows by price (ties broken by key), one
-    cumulative-weight window over INTEGER quantities, pick the first
-    row reaching half the group's total weight. Bit-deterministic on
-    any engine.
+Q68_WINDOW_MAX_ROWS = 20_000_000  # per-flag sort stays one comfortable task
 
-    Scale: one shuffle on the group key; the cumulative window is the
-    same sort the exact-percentile family (q26) pays. At 100 TB use
-    the maintained histogram (streaming.HistogramMaintainer) for the
-    approximate twin; this is the exact path.
-    """
-    li = Tables(spark, sf_dir).lineitem.select(
-        "l_returnflag",
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_quantity").cast("long").alias("w"),
-        "l_extendedprice",
-    )
+
+def _q68_window_path(li: DataFrame) -> DataFrame:
+    """Small-input strategy: the classic per-flag cumulative-weight
+    window (one shuffle, one in-task sort per flag)."""
     win = (
         Window.partitionBy("l_returnflag")
         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
@@ -2316,6 +2301,82 @@ def q68_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").alias("weighted_median_price"),
             "cum_w",
             "tot_w",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q68_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the price below which half the QUANTITY (not
+    half the rows) sits, per returnflag — the inventory-weighted
+    distribution cut no built-in computes. Pure SELECTION, no float
+    summation. Bit-deterministic on any engine, so the plain
+    windowed-cumsum SQL oracle matches exactly.
+
+    Scale (round-7 rework): the historical plan was
+    ``sum(w) OVER (PARTITION BY l_returnflag ORDER BY price, key)`` —
+    with THREE flag values that is a third of the corpus sorting in a
+    single task, the q84 straggler class hidden behind a
+    low-cardinality partition key (the unpartitioned-window tripwire
+    cannot see it). The strategy is cardinality-gated like d13's sort:
+    below Q68_WINDOW_MAX_ROWS the per-flag window runs — a third of a
+    SMALL input in one task beats paying drill-round job latency —
+    and above it ``drill.weighted_value_at`` finds the exact crossing
+    PRICE and the weight strictly below it in ~3 fully-parallel
+    counting rounds (raw-price pushdown twin included), after which
+    the cumulative window runs only over the rows AT that single
+    price value (the tie slice — a pushed-down equality filter),
+    ordered by the same (orderkey, linenumber) tiebreak. Both paths
+    are exact and row-identical (tests force the drill path and
+    assert equality; prices are exact 2-decimal money so the cents
+    mapping is order-isomorphic); the emitted price is read back from
+    the rows, so the output carries the original parquet double.
+    """
+    from .drill import weighted_value_at
+
+    li = Tables(spark, sf_dir).lineitem.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_extendedprice",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    counts = li.groupBy("l_returnflag").agg(
+        F.sum("w").alias("tw"), F.count(F.lit(1)).alias("nrows")
+    ).collect()
+    totals = {r["l_returnflag"]: r["tw"] for r in counts}
+    if sum(r["nrows"] for r in counts) <= Q68_WINDOW_MAX_ROWS:
+        return _q68_window_path(li)
+    targets = {g: (tw + 1) // 2 for g, tw in totals.items()}
+    sel = weighted_value_at(
+        li, "l_returnflag", "cents", "w", targets,
+        raw_col="l_extendedprice", raw_scale=100,
+    )
+    picked = spark.createDataFrame(
+        [
+            (g, v, below, targets[g], totals[g])
+            for g, (v, below) in sel.items()
+        ],
+        "l_returnflag string, cents long, below long, target long, tw long",
+    )
+    tie_slice = li.join(F.broadcast(picked), ["l_returnflag", "cents"])
+    wslice = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pick = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+    return (
+        tie_slice.withColumn("cum_w", F.col("below") + F.sum("w").over(wslice))
+        .filter(F.col("cum_w") >= F.col("target"))
+        .withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("weighted_median_price"),
+            "cum_w",
+            F.col("tw").alias("tot_w"),
         )
         .orderBy("l_returnflag")
     )
@@ -3722,13 +3783,16 @@ def q84_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     target) and reports signed error in basis points. The exact value
     is found WITHOUT a global sort: a radix drill-down — the cum
     histogram brackets each target rank inside one leading-digit
-    bucket, then each round splits the active integer range into ≤100
-    equal sub-ranges, counts rows per sub-range (map-side-combinable
-    hash agg over a range filter, fully parallel), and descends into
-    the sub-range holding the residual rank. Ranges shrink 100× per
-    round, so ≤ ceil(digits/2) tiny jobs pin the exact cent value; at
-    100 TB this is a handful of single-column scans instead of the
-    single-partition straggler a corpus-wide row_number sort becomes.
+    bucket, then each round splits the active integer range into
+    ≤1000 equal sub-ranges, counts rows per sub-range (map-side-
+    combinable hash agg over a range filter, fully parallel), and
+    descends into the sub-range holding the residual rank. Ranges
+    shrink 1000× per round (~3 rounds for 8-digit cents), and each
+    round's predicate carries a conservative RAW-price twin of the
+    integer range so the parquet scan prunes row groups by min/max
+    stats; at 100 TB this is a handful of stat-pruned column scans
+    instead of the single-partition straggler a corpus-wide
+    row_number sort becomes.
     All arithmetic integer: bucket bounds come from STRING surgery
     (first digit ++ zeros), not float log10, so both engines bucket
     identically at power-of-ten edges.
@@ -3737,7 +3801,14 @@ def q84_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    o = t.orders.select(cents.alias("v")).filter(F.col("v") > 0)
+    # p rides along so drill rounds can carry a PARQUET-PUSHABLE
+    # double-range filter next to the exact integer one (a predicate
+    # on the computed v never reaches the scan; one on the raw column
+    # prunes row groups by min/max stats)
+    o = (
+        t.orders.select(F.col("o_totalprice").alias("p"), cents.alias("v"))
+        .filter(F.col("v") > 0)
+    )
     lb = F.expr(
         "CAST(concat(substring(CAST(v AS STRING), 1, 1),"
         " repeat('0', length(CAST(v AS STRING)) - 1)) AS BIGINT)"
@@ -3775,14 +3846,23 @@ def q84_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 state[q] = (lo, lo + width, target - prev)
                 break
             prev = row["cum"]
+    fanout = 1000  # 1000-way splits: 8-digit cent ranges pin in ~3 rounds
     while any(hi - lo > 1 for lo, hi, _ in state.values()):
         active = [(q, lo, hi) for q, (lo, hi, _) in state.items() if hi - lo > 1]
         pred = None
         for _, lo, hi in active:
-            c = (F.col("v") >= lo) & (F.col("v") < hi)
+            # exact integer range AND its conservative superset on the
+            # RAW price column — the latter is what the parquet scan
+            # can evaluate against row-group statistics
+            c = (
+                (F.col("v") >= lo)
+                & (F.col("v") < hi)
+                & (F.col("p") >= (lo - 1) / 100.0)
+                & (F.col("p") <= (hi + 1) / 100.0)
+            )
             pred = c if pred is None else (pred | c)
         ranges = spark.createDataFrame(
-            [(q, lo, hi, (hi - lo + 99) // 100) for q, lo, hi in active],
+            [(q, lo, hi, (hi - lo + fanout - 1) // fanout) for q, lo, hi in active],
             "rq long, lo long, hi long, step long",
         )
         rows = (
@@ -3800,7 +3880,7 @@ def q84_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             per_q.setdefault(row["rq"], []).append((row["b"], row["n"]))
         for q, lo, hi in active:
             r = state[q][2]
-            step, acc = (hi - lo + 99) // 100, 0
+            step, acc = (hi - lo + fanout - 1) // fanout, 0
             for b, n in sorted(per_q[q]):
                 if acc + n >= r:
                     state[q] = (lo + b * step, min(hi, lo + (b + 1) * step), r - acc)

@@ -548,3 +548,55 @@ def test_heavy_hitters_candidate_superset_under_adversarial_spread(spark, tmp_pa
     # the heavy tokens are actually in the answer (64 each; n ≈ 38k +
     # 320 → threshold n/200 ≈ 195... ensure the synthetic math holds)
     assert want, "synthetic corpus produced no heavy hitters — fix the test"
+
+
+def test_weighted_median_drill_path_equals_window_path(spark, monkeypatch):
+    """q68 cardinality gate (round-7): forcing the drill strategy (zero
+    row threshold) must produce row-for-row the same result as the
+    windowed path — the d13 both-branches rule."""
+    from dbsink_spark.analytics import advanced
+
+    window = advanced.q68_weighted_median(spark, SF_DIR).collect()
+    monkeypatch.setattr(advanced, "Q68_WINDOW_MAX_ROWS", -1)
+    drill = advanced.q68_weighted_median(spark, SF_DIR).collect()
+    key = lambda r: tuple(r)  # noqa: E731
+    assert sorted(map(key, window)) == sorted(map(key, drill))
+    assert len(window) == 3  # one row per returnflag
+
+
+def test_weighted_value_at_matches_brute_force(spark):
+    """drill.weighted_value_at on random weighted data: per group, the
+    returned (value, below) must equal the brute-force scan of the
+    weight-ordered values — including duplicate values, weight ties,
+    and targets at both extremes."""
+    import random
+
+    from dbsink_spark.analytics.drill import weighted_value_at
+
+    rng = random.Random(41)
+    rows = [
+        (g, rng.randint(0, 5000), rng.randint(1, 9))
+        for g in ("a", "b", "c")
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    per_g = {}
+    for g, v, w in rows:
+        per_g.setdefault(g, []).append((v, w))
+    totals = {g: sum(w for _, w in vs) for g, vs in per_g.items()}
+    for frac_num, frac_den in ((1, 2), (1, 100), (99, 100), (1, 1)):
+        targets = {g: max(1, tw * frac_num // frac_den) for g, tw in totals.items()}
+        got = weighted_value_at(df, "g", "v", "w", targets)
+        for g, vs in per_g.items():
+            acc, want = 0, None
+            for v, w in sorted(vs):
+                if acc + w >= targets[g]:
+                    want = (v, acc)
+                    break
+                acc += w
+            assert got[g][0] == want[0], (g, frac_num, frac_den)
+            # `below` = weight strictly below the crossing value: the
+            # brute-force acc stops at the first row OF that value, so
+            # sum all duplicates' predecessors explicitly
+            below = sum(w for v, w in vs if v < want[0])
+            assert got[g][1] == below, (g, frac_num, frac_den)
