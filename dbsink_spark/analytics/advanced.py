@@ -2342,8 +2342,14 @@ def q68_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
+    # ONE probe aggregation serves the cardinality gate, the targets,
+    # AND the drill's initial brackets (min/max cents per flag) — the
+    # drill never pays its own bounds job
     counts = li.groupBy("l_returnflag").agg(
-        F.sum("w").alias("tw"), F.count(F.lit(1)).alias("nrows")
+        F.sum("w").alias("tw"),
+        F.count(F.lit(1)).alias("nrows"),
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
     ).collect()
     totals = {r["l_returnflag"]: r["tw"] for r in counts}
     if sum(r["nrows"] for r in counts) <= Q68_WINDOW_MAX_ROWS:
@@ -2352,6 +2358,8 @@ def q68_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = weighted_value_at(
         li, "l_returnflag", "cents", "w", targets,
         raw_col="l_extendedprice", raw_scale=100,
+        brackets={(r["l_returnflag"], "_"): (r["mn"], r["mx"] + 1, 0)
+                  for r in counts},
     )
     picked = spark.createDataFrame(
         [
@@ -3830,64 +3838,38 @@ def q84_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q", "target")
         .agg(F.min("bucket_lb").alias("est_cents"))
     )
-    # exact audit via radix drill-down (see docstring). State per q:
-    # half-open candidate range [lo, hi) and the residual rank within
-    # it; invariant: the range holds ≥ rank rows, so when hi-lo == 1
-    # every row in it equals lo — the exact target value. Selection
-    # semantics match row_number's rn == target exactly (the target-th
-    # smallest row's value, duplicates of v included).
-    state: dict[int, tuple[int, int, int]] = {}
+    # exact audit via the shared radix-drill primitive (analytics.drill
+    # — the same state machine q68's weighted median uses, with unit
+    # weights and the histogram's leading-digit buckets as initial
+    # brackets so the bounds job is skipped). Selection semantics match
+    # row_number's rn == target exactly (the target-th smallest row's
+    # value, duplicates of v included); the raw o_totalprice column
+    # rides along so each round's range filter has a parquet-pushable
+    # twin (row-group stat pruning on the un-derived column).
+    from .drill import weighted_value_at
+
+    brackets: dict[tuple[int, int], tuple[int, int, int]] = {}
     for q in Q84_QS:
         target, prev = (q * total + 99) // 100, 0
         for row in buckets:
             if row["cum"] >= target:
                 lo = row["bucket_lb"]
                 width = lo // int(str(lo)[0])  # bucket = [d·10^k, (d+1)·10^k)
-                state[q] = (lo, lo + width, target - prev)
+                brackets[(1, q)] = (lo, lo + width, prev)
                 break
             prev = row["cum"]
-    fanout = 1000  # 1000-way splits: 8-digit cent ranges pin in ~3 rounds
-    while any(hi - lo > 1 for lo, hi, _ in state.values()):
-        active = [(q, lo, hi) for q, (lo, hi, _) in state.items() if hi - lo > 1]
-        pred = None
-        for _, lo, hi in active:
-            # exact integer range AND its conservative superset on the
-            # RAW price column — the latter is what the parquet scan
-            # can evaluate against row-group statistics
-            c = (
-                (F.col("v") >= lo)
-                & (F.col("v") < hi)
-                & (F.col("p") >= (lo - 1) / 100.0)
-                & (F.col("p") <= (hi + 1) / 100.0)
-            )
-            pred = c if pred is None else (pred | c)
-        ranges = spark.createDataFrame(
-            [(q, lo, hi, (hi - lo + fanout - 1) // fanout) for q, lo, hi in active],
-            "rq long, lo long, hi long, step long",
-        )
-        rows = (
-            o.filter(pred)
-            .join(
-                F.broadcast(ranges),
-                (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")),
-            )
-            .groupBy("rq", F.expr("(v - lo) DIV step").alias("b"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        per_q: dict[int, list[tuple[int, int]]] = {}
-        for row in rows:
-            per_q.setdefault(row["rq"], []).append((row["b"], row["n"]))
-        for q, lo, hi in active:
-            r = state[q][2]
-            step, acc = (hi - lo + fanout - 1) // fanout, 0
-            for b, n in sorted(per_q[q]):
-                if acc + n >= r:
-                    state[q] = (lo + b * step, min(hi, lo + (b + 1) * step), r - acc)
-                    break
-                acc += n
+    sel = weighted_value_at(
+        o.withColumn("g1", F.lit(1)).withColumn("one", F.lit(1).cast("long")),
+        "g1",
+        "v",
+        "one",
+        {1: {q: (q * total + 99) // 100 for q in Q84_QS}},
+        raw_col="p",
+        raw_scale=100,
+        brackets=brackets,
+    )
     exact = spark.createDataFrame(
-        [(q, state[q][0]) for q in Q84_QS], "q long, exact_cents long"
+        [(q, sel[(1, q)][0]) for q in Q84_QS], "q long, exact_cents long"
     )
     return (
         est.join(exact, "q")
@@ -4120,19 +4102,13 @@ def q86_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest first — E[size] ≈ ln(n) for independent dims.
     """
     t = Tables(spark, sf_dir)
-    pts = (
-        t.orders.select(
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
-            F.col("o_orderdate").alias("order_date"),
-        )
-        .groupBy("price_cents", "order_date")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        # the grid feeds BOTH the sample branch and the main sweep;
-        # Catalyst plans common subtrees twice (no DataFrame-level CTE
-        # reuse), so checkpoint the one corpus-shuffle agg rather than
-        # paying it twice
-        .localCheckpoint(eager=True)
-    )
+    # the grid feeds BOTH the sample branch and the main sweep;
+    # Catalyst plans common subtrees twice (no DataFrame-level CTE
+    # reuse), so checkpoint the one corpus-shuffle agg rather than
+    # paying it twice. The checkpoint hides the agg from the shuffle-
+    # budget harness, so its un-checkpointed shape is pinned separately
+    # (tests/test_plans.py::test_checkpointed_aggregates_keep_plan_shape).
+    pts = _q86_grid(t).localCheckpoint(eager=True)
     pruned = skyline_sample_prune(pts, "price_cents", "order_date")
     return skyline_min2d(pruned, "price_cents", "order_date").orderBy("price_cents")
 
@@ -4166,6 +4142,20 @@ def skyline_sample_prune(pts: DataFrame, x: str, y: str) -> DataFrame:
         & ((F.col("_sx") < F.col(x)) | (F.col("_sy") < F.col(y)))
     )
     return pts.join(F.broadcast(sky_s), dominated, "left_anti")
+
+
+def _q86_grid(t: Tables) -> DataFrame:
+    """q86's distinct (price, date) grid aggregate, UN-checkpointed —
+    factored out so the plan harness can pin its shape (one map-side-
+    combinable hash agg) even though q86 itself checkpoints it."""
+    return (
+        t.orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+            F.col("o_orderdate").alias("order_date"),
+        )
+        .groupBy("price_cents", "order_date")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
 
 
 def skyline_min2d(pts: DataFrame, x: str, y: str) -> DataFrame:
@@ -4576,6 +4566,14 @@ Q90_SLACK_DIV = 20   # slack k = mean/20 (half the shift we want to catch)
 Q90_H_DIV = 1        # alarm threshold H = mean/1 (one average MONTH of excess)
 
 
+def _q90_monthly(t: Tables) -> DataFrame:
+    """q90's monthly revenue series aggregate, UN-checkpointed — see
+    _q86_grid for why this is a separate function."""
+    return t.orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+
+
 def q90_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change-point detection over the MONTHLY order
     revenue series: S_t = max(0, S_{t-1} + (x_t − μ − k)), alarm and
@@ -4604,13 +4602,10 @@ def q90_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint (ADVICE round-6): the ~84-row series is consumed
     # twice (parameter pass + sweep); a persist() here leaked a cache
     # entry per invocation since the caller owns the returned frame and
-    # nothing could unpersist it after materialization
-    monthly = (
-        t.orders.groupBy(
-            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
-        )
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
-    ).localCheckpoint(eager=True)
+    # nothing could unpersist it after materialization. The checkpoint
+    # hides the agg from the shuffle-budget harness; its shape is
+    # pinned via _q90_monthly in test_plans.py.
+    monthly = _q90_monthly(t).localCheckpoint(eager=True)
     g = monthly.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("tot")
     ).collect()[0]
@@ -4835,6 +4830,19 @@ QUERIES["q91_proration"] = q91_proration
 Q93_K = 200  # frequency threshold: count * K > total tokens
 
 
+def _q93_pass2(toks: DataFrame, cands: DataFrame) -> DataFrame:
+    """q93's exact counting pass, UN-checkpointed (see _q86_grid):
+    left broadcast join marks candidates, conditional groupBy folds
+    non-candidates into one NULL bucket — exact per-candidate counts
+    AND the total token count from one scan."""
+    marked = toks.join(
+        F.broadcast(cands.withColumn("is_cand", F.lit(1))), "w", "left"
+    )
+    return marked.groupBy(
+        F.when(F.col("is_cand") == 1, F.col("w")).alias("k")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def q93_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT frequent items (tokens with count > n/Q93_K over the
     documents token stream) without ever shuffling the full vocabulary
@@ -4890,18 +4898,22 @@ def q93_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         d.mapInPandas(mg_summaries, "w string").distinct().localCheckpoint(eager=True)
     )
+    # ONE corpus scan for pass 2: a left broadcast join marks candidate
+    # tokens, and a conditional groupBy folds every non-candidate into
+    # a single NULL bucket — so the same aggregation yields the exact
+    # per-candidate counts AND (as the bucket sum) the total n, instead
+    # of planning the tokenize-explode subtree twice (Catalyst has no
+    # DataFrame-level CTE reuse). The ≤ K·partitions+1-row result is
+    # checkpointed so the total and the filter don't re-run the scan.
     toks = d.select(F.explode(F.split("text", " ")).alias("w"))
-    total = toks.agg(F.count(F.lit(1)).alias("n"))
-    counted = (
-        toks.join(F.broadcast(cands), "w")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    per_key = _q93_pass2(toks, cands).localCheckpoint(eager=True)
+    total = per_key.agg(F.sum("cnt").alias("n"))
     return (
-        counted.crossJoin(F.broadcast(total))
+        per_key.filter(F.col("k").isNotNull())
+        .crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * Q93_K > F.col("n"))
         .select(
-            F.col("w").alias("token"),
+            F.col("k").alias("token"),
             "cnt",
             F.expr("cnt * 1000000 DIV n").alias("ppm"),
         )

@@ -507,37 +507,61 @@ def test_histogram_quantile_estimate_within_bucket_bound(spark):
         assert r["est_cents"] <= r["exact_cents"] < 10 * r["est_cents"], r
 
 
-def test_heavy_hitters_candidate_superset_under_adversarial_spread(spark, tmp_path):
-    """q93's Misra-Gries candidate pass must not miss a globally
-    frequent token that is locally UNREMARKABLE in every partition —
-    the case that breaks naive per-partition top-k. 32 partitions,
-    each dominated by its own private filler tokens; the heavy tokens
-    are spread evenly and thin. Result must equal brute force exactly."""
+def test_heavy_hitters_exact_with_truncation_across_partitions(spark, tmp_path):
+    """q93 end-to-end on a 16-file corpus (16 REAL mapInPandas
+    partitions) engineered so every partition's MG summary must
+    TRUNCATE (400 local fillers >> K=200 counters) while the heavy
+    tokens are spread uniformly across all partitions. Result must
+    equal brute force exactly — if truncation ever over-subtracts (the
+    superset-breaking bug class), heavy rows vanish from the answer.
+
+    Note on adversarial limits: a corpus where a globally-frequent
+    token is below the MG survival bound (share ≤ 1/(K+1)) in EVERY
+    partition is mathematically impossible — summing the per-partition
+    bound gives global count ≤ n/(K+1) < n/K, i.e. not frequent. That
+    theorem IS the candidate-superset proof, so the testable surface
+    is exactness under active truncation + multi-partition merge, not
+    a constructible 'missed candidate' scenario."""
     import collections
+    import os
 
     from dbsink_spark.analytics import advanced
     from dbsink_spark.analytics.advanced import q93_heavy_hitters
 
-    rows = []
-    heavy = [f"heavy{i}" for i in range(5)]
-    for p in range(32):
-        # 300 private fillers × 4 occurrences: locally out-rank the
-        # heavy tokens (2 occurrences each per partition)
-        fillers = " ".join(f"f{p}_{j} " * 4 for j in range(300))
-        rows.append((p, fillers.strip()))
-        rows.append((p, " ".join(h + " " + h for h in heavy)))
-    # write as parquet so q93 reads it like a documents table
     import pandas as pd
 
-    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
-    pdf["lang"], pdf["source"], pdf["n_chars"] = "en", "syn", pdf.text.str.len()
+    heavy = [f"heavy{i}" for i in range(5)]
     sf = str(tmp_path)
-    pdf.to_parquet(f"{sf}/documents.parquet")
+    os.makedirs(f"{sf}/documents.parquet")
+    all_texts = []
+    for p in range(16):
+        # 400 private fillers × 2 occurrences force truncation (400 >
+        # K=200); heavy tokens get 60 occurrences per partition → 960
+        # globally, comfortably over the threshold n = 16·(800+300)
+        # = 17600, n/K = 88 < 960
+        texts = [
+            " ".join(f"f{p}_{j} f{p}_{j}" for j in range(400)),
+            " ".join(" ".join(heavy) for _ in range(60)),
+        ]
+        all_texts.extend(texts)
+        pdf = pd.DataFrame(
+            {"doc_id": [2 * p, 2 * p + 1], "text": texts}
+        )
+        pdf["lang"], pdf["source"] = "en", "syn"
+        pdf["n_chars"] = pdf.text.str.len()
+        # one file per slice: the local[8] test session combines the
+        # 16 small files into ≥8 input partitions, so the MG pass
+        # really runs on many partitions with truncation active in
+        # each (≤2 files/partition → ≥800 local fillers >> K)
+        pdf.to_parquet(f"{sf}/documents.parquet/part-{p:02d}.parquet")
+
+    df_parts = q93_heavy_hitters.__globals__["Tables"](spark, sf).documents
+    assert df_parts.rdd.getNumPartitions() >= 8
 
     got = [(r["token"], r["cnt"]) for r in q93_heavy_hitters(spark, sf).collect()]
 
     cnt = collections.Counter()
-    for _, text in rows:
+    for text in all_texts:
         cnt.update(text.split(" "))
     n = sum(cnt.values())
     want = sorted(
@@ -545,9 +569,9 @@ def test_heavy_hitters_candidate_superset_under_adversarial_spread(spark, tmp_pa
         key=lambda t: (-t[1], t[0]),
     )
     assert got == want
-    # the heavy tokens are actually in the answer (64 each; n ≈ 38k +
-    # 320 → threshold n/200 ≈ 195... ensure the synthetic math holds)
-    assert want, "synthetic corpus produced no heavy hitters — fix the test"
+    # the synthetic math must actually put all 5 heavy tokens (and
+    # nothing vacuous like an empty string) in the answer
+    assert set(w for w, _ in want) == set(heavy), want
 
 
 def test_weighted_median_drill_path_equals_window_path(spark, monkeypatch):

@@ -161,29 +161,26 @@ def test_d13_sort_strategy_global_orderby_over_cap(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
-# Unpartitioned-window allowlist (round-7 tripwire, VERDICT_r06 #4):
-# every query whose plan contains a Window with no PARTITION BY must
-# appear here with (max count, why its window input is provably small).
-# An unlisted hit fails the budget test below — the q84/q86 straggler
-# class (corpus-sized input sorting into ONE partition) escaped the
+# Unpartitioned-window rationale (round-7 tripwire, VERDICT_r06 #4):
+# the ALLOWED COUNTS live in tests/window_budget.json (written by
+# tools/plan_budget.py — single source of truth); this dict carries
+# only the WHY. The budget test fails a query whose live count exceeds
+# the json, AND fails any json entry with no rationale here — so a
+# regeneration that records a new unpartitioned window forces a
+# written small-input justification. The q84/q86 straggler class
+# (corpus-sized input sorting into ONE partition) escaped the
 # exchange-count harness because WindowExec adds no Exchange line.
 UNPARTITIONED_WINDOW_RATIONALE = {
-    "q86_skyline": (
-        2,
+    "q86_skyline":
         "sample sweep runs over the 1/Q86_SAMPLE_MOD hash sample (the mod is "
         "the documented scale knob); main sweep runs over the prune survivor "
         "set, ≈ skyline-sized (E ≈ ln n) after the broadcast anti-join",
-    ),
-    "q87_chi_square": (
-        1,
+    "q87_chi_square":
         "global frame over the |status|×|priority| contingency grid — "
         "~15 cells after the map-side-combinable count",
-    ),
-    "q91_proration": (
-        6,
+    "q91_proration":
         "all frames run over the per-nation revenue aggregate — ≤ 25 rows "
         "(nation is the grouping key) after the corpus-side hash agg",
-    ),
 }
 
 
@@ -206,6 +203,13 @@ def test_shuffle_budget_not_exceeded(spark):
     budget_path = os.path.join(os.path.dirname(__file__), "plan_budget.json")
     with open(budget_path) as f:
         budget = json.load(f)
+    with open(os.path.join(os.path.dirname(__file__), "window_budget.json")) as f:
+        window_budget = json.load(f)
+    missing_rationale = set(window_budget) - set(UNPARTITIONED_WINDOW_RATIONALE)
+    assert not missing_rationale, (
+        f"{missing_rationale} recorded in window_budget.json without a "
+        "small-input rationale in UNPARTITIONED_WINDOW_RATIONALE"
+    )
 
     over, window_over = {}, {}
     for name, allowed in budget.items():
@@ -215,7 +219,7 @@ def test_shuffle_budget_not_exceeded(spark):
         if got > allowed:
             over[name] = (allowed, got)
         w = _count_unpartitioned_windows(plan)
-        w_allowed = UNPARTITIONED_WINDOW_RATIONALE.get(name, (0,))[0]
+        w_allowed = window_budget.get(name, 0)
         if w > w_allowed:
             window_over[name] = (w_allowed, w)
         spark.catalog.clearCache()
@@ -223,7 +227,8 @@ def test_shuffle_budget_not_exceeded(spark):
     assert not window_over, (
         "unpartitioned Window over un-rationalized input (allowed, got): "
         f"{window_over} — either repartition the window, bound its input, "
-        "or add a small-input rationale to UNPARTITIONED_WINDOW_RATIONALE"
+        "or re-run tools/plan_budget.py AND add a rationale to "
+        "UNPARTITIONED_WINDOW_RATIONALE"
     )
 
 
@@ -311,3 +316,30 @@ def test_temporal_enrich_joins_on_equi_key(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_checkpointed_aggregates_keep_plan_shape(spark):
+    """q86 and q90 localCheckpoint their corpus-side aggregates, which
+    truncates lineage and records them as 0 exchanges in the shuffle
+    budget — blinding the harness to upstream regressions (a lost
+    map-side combine, an extra Exchange). Compile the UN-checkpointed
+    builders directly and pin their shape here instead."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.advanced import _q86_grid, _q90_monthly, _q93_pass2
+    from dbsink_spark.analytics.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    for builder in (_q86_grid, _q90_monthly):
+        plan = _plan(builder(t))
+        assert plan.count("Exchange hashpartitioning") == 1, builder.__name__
+        # map-side partial aggregation below the exchange
+        assert "partial_" in plan, builder.__name__
+    # q93's checkpointed counting pass: one scan, broadcast candidate
+    # join (never a shuffle join), map-side partial count
+    toks = t.documents.select(F.explode(F.split("text", " ")).alias("w"))
+    cands = spark.createDataFrame([("the",), ("a",)], ["w"])
+    plan = _plan(_q93_pass2(toks, cands))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "partial_count" in plan
