@@ -332,6 +332,7 @@ UNGATED = frozenset(
         "q93_heavy_hitters",
         "t29_overlap_profile",
         "q94_sliding_distinct",
+        "s12_ivf_maxsim",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

@@ -958,6 +958,34 @@ S11_DSUB = DIM // S11_SUBS   # dims per sub-vector
 S11_QUERIES = 3              # vec_id < 3 form the query set
 
 
+def _maxsim_parts(col_prefix: str):
+    """Project an embedding column ``v`` into S11_SUBS sub-vectors and
+    their norms — the once-per-row layout both MaxSim ops (s11 full
+    scan, s12 IVF-prefiltered re-rank) score from."""
+    cols = []
+    for i in range(S11_SUBS):
+        sub = F.slice(F.col("v"), 1 + i * S11_DSUB, S11_DSUB)
+        cols.append(sub.alias(f"{col_prefix}s{i}"))
+        cols.append(_norm(sub).alias(f"{col_prefix}n{i}"))
+    return cols
+
+
+def _maxsim_score():
+    """Σ_i max_j cos(q_i, d_j) over the projected q*/c* part columns,
+    written with identical left-association to the SQL oracle."""
+
+    def cos(i: int, j: int):
+        return _dot(F.col(f"qs{i}"), F.col(f"cs{j}")) / (
+            F.col(f"qn{i}") * F.col(f"cn{j}")
+        )
+
+    score = None
+    for i in range(S11_SUBS):
+        m = F.greatest(*[cos(i, j) for j in range(S11_SUBS)])
+        score = m if score is None else score + m
+    return score
+
+
 def s11_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction retrieval (ColBERT's MaxSim): treat each
     embedding as 8 token-like sub-vectors and score a (query, doc)
@@ -978,33 +1006,14 @@ def s11_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-association in both engines.
     """
     v = _vectors(spark, sf_dir)
-
-    def parts(col_prefix: str):
-        cols = []
-        for i in range(S11_SUBS):
-            sub = F.slice(F.col("v"), 1 + i * S11_DSUB, S11_DSUB)
-            cols.append(sub.alias(f"{col_prefix}s{i}"))
-            cols.append(_norm(sub).alias(f"{col_prefix}n{i}"))
-        return cols
-
     queries = v.filter(F.col("vec_id") < S11_QUERIES).select(
-        F.col("vec_id").alias("query_id"), *parts("q")
+        F.col("vec_id").alias("query_id"), *_maxsim_parts("q")
     )
     corpus = v.filter(F.col("vec_id") >= S11_QUERIES).select(
-        F.col("vec_id").alias("corpus_id"), *parts("c")
+        F.col("vec_id").alias("corpus_id"), *_maxsim_parts("c")
     )
-
-    def cos(i: int, j: int):
-        return _dot(F.col(f"qs{i}"), F.col(f"cs{j}")) / (
-            F.col(f"qn{i}") * F.col(f"cn{j}")
-        )
-
-    score = None
-    for i in range(S11_SUBS):
-        m = F.greatest(*[cos(i, j) for j in range(S11_SUBS)])
-        score = m if score is None else score + m
     scored = corpus.join(F.broadcast(queries)).select(
-        "query_id", "corpus_id", score.alias("maxsim")
+        "query_id", "corpus_id", _maxsim_score().alias("maxsim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("maxsim").desc(), F.col("corpus_id")
@@ -1063,3 +1072,164 @@ def _s11_oracle() -> str:
 
 ORACLE["s11_maxsim_topk"] = _s11_oracle()
 QUERIES["s11_maxsim_topk"] = s11_maxsim_topk
+
+
+# ---------------------------------------------------------------------------
+# s12: two-stage retrieval — IVF prefilter → MaxSim re-rank
+# ---------------------------------------------------------------------------
+
+S12_PROBE = 3  # probe more cells than s05's 2: re-ranking wants recall headroom
+
+
+def s12_ivf_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage retrieval pipeline s11's docstring
+    promises ("at 100 TB the same plan runs after an ANN prefilter"):
+    stage 1 probes the S12_PROBE nearest IVF cells per query (s05's
+    coarse quantizer — candidate count tracks probed-cell occupancy,
+    not corpus size), stage 2 re-ranks ONLY the candidates with the
+    late-interaction MaxSim score (s11's 8-sub-vector Σ max cos).
+
+    Plan: centroid table broadcast (tiny), candidate generation is an
+    equi-join on the integer cell id, and the re-rank joins candidates
+    to the once-per-row sub-vector projections — queries broadcast,
+    corpus parts join on corpus_id (at scale: colocate by bucketing
+    the projections and the cell table on vec_id). Scoring arithmetic
+    is identical to s11's, so the two operators bracket the
+    recall/cost trade: s11 is the exhaustive truth, s12 the plan you
+    run when the corpus no longer fits a broadcast NLJ scan.
+
+    Exactness: the IVF assignment, probe ranking, and MaxSim fold are
+    each the deterministic forms the s05/s11 oracles already verify;
+    composing them stays hash-exact.
+
+    Output: per query, the top-k candidates by MaxSim with their cell.
+    """
+    v = _vectors(spark, sf_dir)
+    cent = _centroids(v).localCheckpoint(eager=True)
+    cells = centroid_cells(spark, sf_dir, cent=cent).select("vec_id", "cell")
+    q_raw = v.filter(F.col("vec_id") < S11_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cent_label")
+    )
+    probes = (
+        q_raw.join(F.broadcast(cent))
+        .select("query_id", "cent_label", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= S12_PROBE)
+        .select("query_id", F.col("cent_label").alias("cell"))
+    )
+    cand = (
+        cells.withColumnRenamed("vec_id", "corpus_id")
+        .filter(F.col("corpus_id") >= S11_QUERIES)
+        .join(F.broadcast(probes), "cell")
+    )
+    qparts = v.filter(F.col("vec_id") < S11_QUERIES).select(
+        F.col("vec_id").alias("query_id"), *_maxsim_parts("q")
+    )
+    cparts = v.filter(F.col("vec_id") >= S11_QUERIES).select(
+        F.col("vec_id").alias("corpus_id"), *_maxsim_parts("c")
+    )
+    scored = (
+        cand.join(cparts, "corpus_id")
+        .join(F.broadcast(qparts), "query_id")
+        .select("query_id", "corpus_id", "cell", _maxsim_score().alias("maxsim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "corpus_id",
+            "cell",
+            F.round("maxsim", 4).alias("maxsim"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _s12_oracle() -> str:
+    def sub(prefix: str, i: int) -> str:
+        a, b = 1 + i * S11_DSUB, (i + 1) * S11_DSUB
+        return f"{prefix}.v[{a}:{b}]"
+
+    def dot(i: int, j: int) -> str:
+        return (
+            f"list_sum([{sub('q', i)}[k] * {sub('c', j)}[k]"
+            f" for k in generate_series(1, {S11_DSUB})])"
+        )
+
+    def norm(prefix: str, i: int) -> str:
+        return f"sqrt(list_sum([x*x for x in {sub(prefix, i)}]))"
+
+    maxes = []
+    for i in range(S11_SUBS):
+        cs = ", ".join(
+            f"({dot(i, j)} / ({norm('q', i)} * {norm('c', j)}))"
+            for j in range(S11_SUBS)
+        )
+        maxes.append(f"greatest({cs})")
+    score = " + ".join(maxes)
+    return f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+        SELECT label, i.i AS pos, v[i.i] AS x
+        FROM v CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) i
+    ), cent_dims AS (
+        SELECT label, pos, avg(x) AS c FROM dims GROUP BY label, pos
+    ), cent AS (
+        SELECT label AS cent_label, list(c ORDER BY pos) AS cv
+        FROM cent_dims GROUP BY label
+    ), cell_scored AS (
+        SELECT v.vec_id, cent.cent_label,
+               list_sum([ (v.v[i] - cent.cv[i]) * (v.v[i] - cent.cv[i])
+                          for i in generate_series(1, {DIM}) ]) AS d2
+        FROM v CROSS JOIN cent
+    ), cells AS (
+        SELECT vec_id, cent_label AS cell
+        FROM (SELECT vec_id, cent_label,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, cent_label) AS rn
+              FROM cell_scored)
+        WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, cent_label AS cell
+        FROM (SELECT vec_id, cent_label,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, cent_label) AS rn
+              FROM cell_scored WHERE vec_id < {S11_QUERIES})
+        WHERE rn <= {S12_PROBE}
+    ), cand AS (
+        SELECT p.query_id, cells.vec_id AS corpus_id, p.cell
+        FROM probes p JOIN cells ON cells.cell = p.cell
+        WHERE cells.vec_id >= {S11_QUERIES}
+    ), scored AS (
+        SELECT cand.query_id, cand.corpus_id, cand.cell,
+               {score} AS maxsim
+        FROM cand
+        JOIN v q ON q.vec_id = cand.query_id
+        JOIN v c ON c.vec_id = cand.corpus_id
+    ), ranked AS (
+        SELECT query_id, corpus_id, cell, maxsim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY maxsim DESC, corpus_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, corpus_id, cell, round(maxsim, 4) AS maxsim, rank
+    FROM ranked WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+    """
+
+
+ORACLE["s12_ivf_maxsim"] = _s12_oracle()
+QUERIES["s12_ivf_maxsim"] = s12_ivf_maxsim

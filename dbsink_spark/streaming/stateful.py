@@ -319,3 +319,90 @@ def cusum_tracker(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming heavy hitters: Misra-Gries summary carried across micro-batches
+# ---------------------------------------------------------------------------
+
+_HH_STATE_SCHEMA = (
+    "items array<string>, counts array<long>, n long, deficit long"
+)
+
+
+def _hh_out_schema(key_col: str) -> str:
+    return (
+        f"{key_col} string, items array<string>, counts array<long>, "
+        "n_items long, deficit long"
+    )
+
+
+def heavy_hitters_tracker(
+    df: DataFrame,
+    k: int = 200,
+    key_col: str = "series",
+    item_col: str = "item",
+) -> DataFrame:
+    """Streaming heavy hitters — the stateful twin of batch q93's
+    candidate pass: a per-key Misra-Gries summary of at most ``k``
+    counters carried ACROSS micro-batches via ``applyInPandasWithState``
+    (state is ≤ k (item, count) pairs + two longs per key, REGARDLESS
+    of stream length — RocksDB-friendly, never grows).
+
+    Batch merge uses q93's vectorized form: add the micro-batch's
+    exact counts, then subtract the (k+1)-th largest running count and
+    drop non-positives; the subtracted value accumulates in
+    ``deficit``. Invariants maintained across any batch split (both
+    pytest-asserted against a single-pass reference):
+
+    * every summary count is a LOWER bound within ``deficit`` of the
+      true count (true − deficit ≤ mg ≤ true);
+    * any item with true count > n/(k+1) is IN the summary — the q93
+      candidate-superset theorem, streaming edition.
+
+    Emits per touched key per micro-batch: the summary (count-desc,
+    item-asc — deterministic), items processed, and the deficit.
+    """
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (series,) = key
+        if state.exists:
+            items, counts, n, deficit = state.get
+            summary = dict(zip(items, counts))
+        else:
+            summary, n, deficit = {}, 0, 0
+        for pdf in pdfs:
+            vc = pdf[item_col].dropna().value_counts()
+            n += int(vc.sum())
+            for item, c in vc.items():
+                summary[item] = summary.get(item, 0) + int(c)
+            if len(summary) > k:
+                cut = sorted(summary.values(), reverse=True)[k]
+                deficit += cut
+                summary = {i: c - cut for i, c in summary.items() if c > cut}
+        ordered = sorted(summary.items(), key=lambda t: (-t[1], t[0]))
+        state.update((
+            [i for i, _ in ordered],
+            [c for _, c in ordered],
+            n,
+            deficit,
+        ))
+        yield pd.DataFrame(
+            {
+                key_col: [series],
+                "items": [[i for i, _ in ordered]],
+                "counts": [[c for _, c in ordered]],
+                "n_items": [n],
+                "deficit": [deficit],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_hh_out_schema(key_col),
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

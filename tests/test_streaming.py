@@ -952,3 +952,92 @@ def test_cusum_tracker_across_batches_equals_batch_recurrence(spark, tmp_path):
     mid = results[0]["rev"]
     p_s, p_mx, p_al = reference(xs1)
     assert (mid["cusum"], mid["max_cusum"], mid["n_alarms"]) == (p_s, p_mx, p_al)
+
+
+def test_heavy_hitters_tracker_across_batches(spark, tmp_path):
+    """Streaming Misra-Gries (applyInPandasWithState) must carry the
+    summary across micro-batches with truncation active and (a) agree
+    exactly with the same batch-merge algebra replayed single-process,
+    (b) satisfy the MG invariants vs the TRUE counts: every summary
+    count is a lower bound within `deficit`, and every item with true
+    count > n/(k+1) is present (q93's superset theorem, streamed)."""
+    import collections
+    import os as _os
+
+    from dbsink_spark.streaming.stateful import heavy_hitters_tracker
+
+    k = 5
+    batch1 = ["a"] * 9 + ["b"] * 7 + ["c", "d", "e", "f", "g", "h"] + ["a"]
+    batch2 = ["x"] * 8 + ["a"] * 4 + ["i", "j", "l", "m"] + ["b"] * 3
+    batch3 = ["y", "z", "y", "a", "x", "x", "q", "r", "s", "t", "u", "v"]
+    batches = (batch1, batch2, batch3)
+
+    def reference():
+        summary, n, deficit = {}, 0, 0
+        for xs in batches:
+            for item, c in collections.Counter(xs).items():
+                summary[item] = summary.get(item, 0) + c
+            n += len(xs)
+            if len(summary) > k:
+                cut = sorted(summary.values(), reverse=True)[k]
+                deficit += cut
+                summary = {i: c - cut for i, c in summary.items() if c > cut}
+        ordered = sorted(summary.items(), key=lambda t: (-t[1], t[0]))
+        return ordered, n, deficit
+
+    want, want_n, want_deficit = reference()
+    assert want_deficit > 0, "test corpus must actually trigger truncation"
+
+    indir = tmp_path / "hh_in"
+    indir.mkdir()
+    for bi, xs in enumerate(batches):
+        p = indir / f"b{bi}.json"
+        with open(p, "w") as f:
+            for item in xs:
+                f.write(json.dumps({"series": "s1", "item": item}) + "\n")
+        _os.utime(p, (1_700_000_000 + bi * 60, 1_700_000_000 + bi * 60))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("item", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    out = heavy_hitters_tracker(stream, k=k)
+
+    results = []
+
+    def collect(bdf, bid):
+        rows = bdf.collect()
+        if rows:
+            results.append({r["series"]: r.asDict() for r in rows})
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = results[-1]["s1"]
+    got = list(zip(final["items"], final["counts"]))
+    assert got == want
+    assert final["n_items"] == want_n == sum(map(len, batches))
+    assert final["deficit"] == want_deficit
+
+    # MG invariants against the TRUE concatenated counts
+    true = collections.Counter(x for xs in batches for x in xs)
+    for item, c in got:
+        assert true[item] - want_deficit <= c <= true[item], item
+    for item, c in true.items():
+        if c * (k + 1) > want_n:
+            assert item in dict(got), item
