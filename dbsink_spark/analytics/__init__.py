@@ -333,6 +333,8 @@ UNGATED = frozenset(
         "t29_overlap_profile",
         "q94_sliding_distinct",
         "s12_ivf_maxsim",
+        "q95_digest_diff",
+        "q96_compaction_plan",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

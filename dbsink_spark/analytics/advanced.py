@@ -5082,3 +5082,312 @@ def _q94_oracle() -> str:
 
 ORACLE["q94_sliding_distinct"] = _q94_oracle()
 QUERIES["q94_sliding_distinct"] = q94_sliding_distinct
+
+
+# ---------------------------------------------------------------------------
+# q95: two-level digest reconciliation — the 100 TB scale path for q58
+# ---------------------------------------------------------------------------
+
+Q95_NB = 64  # digest buckets; at scale this is the table's partition column
+# divergence is injected ONLY into these buckets (secondary-hash row picks),
+# so the drill stage provably touches 3/64 of the data:
+Q95_CHANGED_B, Q95_MISSING_B, Q95_EXTRA_B = 5, 9, 13
+
+
+def _q95_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Source/replica pair with deterministic divergence confined to 3 of
+    the 64 digest buckets (bump / replica-missing / replica-extra row sets
+    chosen by a secondary hash, so both engines derive byte-identical
+    tables)."""
+    from ..functions.hashing import h64
+
+    o = Tables(spark, sf_dir).orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderpriority",
+    )
+    o = o.withColumn("bucket", h64(F.col("o_orderkey")) % Q95_NB).withColumn(
+        "_h2",
+        h64(F.concat(F.col("o_orderkey").cast("string"), F.lit("#div"))) % 5,
+    )
+    source = o.filter(
+        ~((F.col("bucket") == Q95_EXTRA_B) & (F.col("_h2") == 0))
+    ).drop("_h2")
+    replica = (
+        o.filter(~((F.col("bucket") == Q95_MISSING_B) & (F.col("_h2") == 0)))
+        .withColumn(
+            "cents",
+            F.when(
+                (F.col("bucket") == Q95_CHANGED_B) & (F.col("_h2") == 0),
+                F.col("cents") + 100,
+            ).otherwise(F.col("cents")),
+        )
+        .drop("_h2")
+    )
+    return source, replica
+
+
+def _q95_digests(side: DataFrame, prefix: str) -> DataFrame:
+    """Per-bucket (row count, XOR-of-row-hash) digest. XOR is the right
+    combiner: order-independent, overflow-free (no HUGEINT promotion),
+    and map-side combinable — the whole table collapses to Q95_NB rows
+    of partial state per executor before any shuffle."""
+    from ..functions.hashing import h64
+
+    rh = h64(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("cents").cast("string"),
+            F.col("o_orderpriority"),
+        )
+    )
+    return side.withColumn("_rh", rh).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias(f"{prefix}_n"),
+        F.expr("bit_xor(_rh)").alias(f"{prefix}_x"),
+    )
+
+
+def q95_digest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level digest reconciliation between a source table and its
+    replica — how q58's full-table diff survives 100 TB. Comparing two
+    lake tables row-by-row costs a full-table key-shuffle full outer
+    join on BOTH sides; but replicas diverge sparsely, so first compare
+    per-bucket digests (count + XOR of a row hash: map-side-combinable,
+    Q95_NB rows per side cross the wire), then drill the row-level
+    classification ONLY into buckets whose digests disagree.
+
+    Here 3 of 64 buckets carry injected divergence (price bump /
+    replica-missing / replica-extra), so the drill's full outer join
+    touches ~4.7% of rows. At scale `bucket` is the table's physical
+    partition column: the level-1 aggregate reads each partition once
+    with no shuffle beyond 64 partial-state rows, and the drill's
+    semi-join against the 64-row differing-bucket set prunes untouched
+    partitions at the metadata level (broadcast the bucket list; the
+    scan never opens clean files). A digest can collide (XOR of 60-bit
+    hashes), silently skipping a bucket — at p ~= 2^-60 per bucket; the
+    production mitigation is a second independent hash, the same knob
+    every Merkle-sync protocol exposes.
+
+    Output: (bucket, diff_class, n_keys) for every differing bucket —
+    the drill also re-proves the match rows inside those buckets.
+    """
+    source, replica = _q95_sides(spark, sf_dir)
+    sd = _q95_digests(source, "s")
+    rd = _q95_digests(replica, "r")
+    diffb = (
+        sd.join(rd, "bucket", "full_outer")
+        .filter(
+            ~(
+                F.col("s_n").eqNullSafe(F.col("r_n"))
+                & F.col("s_x").eqNullSafe(F.col("r_x"))
+            )
+        )
+        .select("bucket")
+    )
+    s2 = source.join(F.broadcast(diffb), "bucket", "semi").select(
+        F.col("bucket").alias("sb"),
+        F.col("o_orderkey").alias("k"),
+        F.struct("cents", "o_orderpriority").alias("sv"),
+    )
+    r2 = replica.join(F.broadcast(diffb), "bucket", "semi").select(
+        F.col("bucket").alias("rb"),
+        F.col("o_orderkey").alias("k"),
+        F.struct("cents", "o_orderpriority").alias("rv"),
+    )
+    diff_class = (
+        F.when(F.col("rv").isNull(), "missing_in_replica")
+        .when(F.col("sv").isNull(), "extra_in_replica")
+        .when(F.col("sv") == F.col("rv"), "match")
+        .otherwise("changed")
+    )
+    return (
+        s2.join(r2, "k", "full_outer")
+        .select(
+            F.coalesce("sb", "rb").alias("bucket"), diff_class.alias("diff_class")
+        )
+        .groupBy("bucket", "diff_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .orderBy("bucket", "diff_class")
+    )
+
+
+def _q95_oracle() -> str:
+    from ..functions.hashing import h64_sql
+
+    rh = h64_sql("o_orderkey::VARCHAR || '|' || cents::VARCHAR || '|' || o_orderpriority")
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey,
+               round(o_totalprice * 100)::BIGINT AS cents,
+               o_orderpriority,
+               ({h64_sql('o_orderkey::VARCHAR')} % {Q95_NB}) AS bucket,
+               ({h64_sql("o_orderkey::VARCHAR || '#div'")} % 5) AS h2
+        FROM orders
+    ), source AS (
+        SELECT o_orderkey, cents, o_orderpriority, bucket FROM o
+        WHERE NOT (bucket = {Q95_EXTRA_B} AND h2 = 0)
+    ), replica AS (
+        SELECT o_orderkey,
+               CASE WHEN bucket = {Q95_CHANGED_B} AND h2 = 0
+                    THEN cents + 100 ELSE cents END AS cents,
+               o_orderpriority, bucket
+        FROM o WHERE NOT (bucket = {Q95_MISSING_B} AND h2 = 0)
+    ), sd AS (
+        SELECT bucket, count(*)::BIGINT AS n, bit_xor({rh})::BIGINT AS x
+        FROM source GROUP BY bucket
+    ), rd AS (
+        SELECT bucket, count(*)::BIGINT AS n, bit_xor({rh})::BIGINT AS x
+        FROM replica GROUP BY bucket
+    ), diffb AS (
+        SELECT coalesce(sd.bucket, rd.bucket) AS bucket
+        FROM sd FULL OUTER JOIN rd ON sd.bucket = rd.bucket
+        WHERE sd.n IS DISTINCT FROM rd.n OR sd.x IS DISTINCT FROM rd.x
+    ), s2 AS (
+        SELECT * FROM source WHERE bucket IN (SELECT bucket FROM diffb)
+    ), r2 AS (
+        SELECT * FROM replica WHERE bucket IN (SELECT bucket FROM diffb)
+    ), j AS (
+        SELECT coalesce(s2.bucket, r2.bucket) AS bucket,
+               CASE WHEN r2.o_orderkey IS NULL THEN 'missing_in_replica'
+                    WHEN s2.o_orderkey IS NULL THEN 'extra_in_replica'
+                    WHEN s2.cents = r2.cents
+                         AND s2.o_orderpriority = r2.o_orderpriority THEN 'match'
+                    ELSE 'changed'
+               END AS diff_class
+        FROM s2 FULL OUTER JOIN r2 ON s2.o_orderkey = r2.o_orderkey
+    )
+    SELECT bucket, diff_class, count(*)::BIGINT AS n_keys
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+ORACLE["q95_digest_diff"] = _q95_oracle()
+QUERIES["q95_digest_diff"] = q95_digest_diff
+
+
+# ---------------------------------------------------------------------------
+# q96: small-file compaction planner (the lake-maintenance OPTIMIZE step)
+# ---------------------------------------------------------------------------
+
+
+def pack_first_fit(files: DataFrame) -> DataFrame:
+    """First-fit bin packing of (month, day, n_rows, target) file rows
+    into contiguous per-month bins: a new bin starts when adding the
+    next file (day order) would push the fill past ``target``; an
+    oversize file occupies a bin alone. Sequential only WITHIN a month,
+    so months pack in parallel — one hash partition per month, carry
+    state resets at each group boundary and rides across Arrow batch
+    boundaries (the q73 one-pass mapInPandas shape). Bin ids restart at
+    1 per month. Separated from q96 so the sweep is property-tested
+    against a brute-force packer (tests/test_analytics.py)."""
+    import pandas as pd
+
+    def pack(batches):
+        cur = None
+        bin_id = 0
+        fill = 0
+        out = {"month": [], "day": [], "n_rows": [], "bin_id": []}
+        for pdf in batches:
+            for m, d, n, t in zip(
+                pdf["month"], pdf["day"], pdf["n_rows"], pdf["target"]
+            ):
+                if m != cur:
+                    cur, bin_id, fill = m, 1, n
+                elif fill + n > t:
+                    bin_id += 1
+                    fill = n
+                else:
+                    fill += n
+                out["month"].append(m)
+                out["day"].append(d)
+                out["n_rows"].append(int(n))
+                out["bin_id"].append(bin_id)
+        yield pd.DataFrame(out)
+
+    return (
+        files.repartition("month")
+        .sortWithinPartitions("month", "day")
+        .mapInPandas(pack, "month date, day date, n_rows long, bin_id long")
+    )
+
+
+def q96_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-packing compaction plan for a small-files table — the
+    maintenance pass (Iceberg/Delta ``OPTIMIZE`` analog) every 100 TB
+    lake needs: greedily pack per-day files into target-sized rewrite
+    bins WITHIN their month partition, first-fit in day order so each
+    bin is a contiguous day range (rewritten bins stay range-prunable
+    on the sort key).
+
+    The "file listing" here is derived from lineitem (one row per
+    (month, ship day) with its row count); the greedy rule starts a
+    new bin when adding the next file would exceed the target, and an
+    oversize file gets a bin of its own. The target is data-derived
+    (7× the mean file size, ``greatest(1, sum*7 DIV count)``) so the
+    plan is scale-free and integer-exact in both engines.
+
+    Scale shape: the only corpus-sized work is the map-side-combinable
+    file-stats aggregate (at 100 TB you'd read the real file manifest
+    — metadata-sized — instead). Packing is inherently sequential but
+    only WITHIN a month (≤31 files), so the sweep hash-partitions by
+    month and runs every month in parallel — the q73 one-pass
+    mapInPandas shape with carry reset at each group boundary, not a
+    global sort. Output: one row per planned bin with its day range.
+    """
+    li = Tables(spark, sf_dir).lineitem
+    files = li.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = files.agg(
+        F.expr("greatest(1L, sum(n_rows) * 7 DIV count(1))").alias("target")
+    )
+    assigned = pack_first_fit(files.crossJoin(F.broadcast(totals)))
+    return (
+        assigned.groupBy("month", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("bin_rows"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+        .orderBy("month", "bin_id")
+    )
+
+
+ORACLE["q96_compaction_plan"] = """
+    WITH RECURSIVE files AS (
+        SELECT date_trunc('month', l_shipdate)::DATE AS month,
+               l_shipdate::DATE AS day,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT greatest(1, (sum(n_rows) * 7) // count(*))::BIGINT AS target
+        FROM files
+    ),
+    seq AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY month ORDER BY day)::BIGINT AS i
+        FROM files
+    ),
+    rec AS (
+        SELECT month, day, n_rows, i, 1::BIGINT AS bin_id, n_rows AS fill
+        FROM seq WHERE i = 1
+        UNION ALL
+        SELECT s.month, s.day, s.n_rows, s.i,
+               CASE WHEN r.fill + s.n_rows > t.target
+                    THEN r.bin_id + 1 ELSE r.bin_id END,
+               CASE WHEN r.fill + s.n_rows > t.target
+                    THEN s.n_rows ELSE r.fill + s.n_rows END
+        FROM rec r JOIN seq s ON s.month = r.month AND s.i = r.i + 1, t
+    )
+    SELECT month, bin_id,
+           count(*)::BIGINT AS n_files,
+           sum(n_rows)::BIGINT AS bin_rows,
+           min(day) AS first_day,
+           max(day) AS last_day
+    FROM rec GROUP BY 1, 2 ORDER BY 1, 2
+"""
+QUERIES["q96_compaction_plan"] = q96_compaction_plan

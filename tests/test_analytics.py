@@ -624,3 +624,79 @@ def test_weighted_value_at_matches_brute_force(spark):
             # sum all duplicates' predecessors explicitly
             below = sum(w for v, w in vs if v < want[0])
             assert got[g][1] == below, (g, frac_num, frac_den)
+
+
+def test_q96_pack_first_fit_matches_bruteforce(spark):
+    """First-fit packing sweep vs a brute-force per-group packer on
+    random file lists (varying group sizes incl. oversize files), plus
+    the degenerate target=1 case where every file must sit alone."""
+    import datetime
+    import random
+
+    from dbsink_spark.analytics.advanced import pack_first_fit
+
+    rng = random.Random(7)
+    for target in (1, 60, 10_000):
+        rows = []
+        for mi in range(6):
+            month = datetime.date(2020, mi + 1, 1)
+            for di in range(rng.randint(1, 28)):
+                rows.append(
+                    (month, datetime.date(2020, mi + 1, di + 1),
+                     rng.randint(1, 90), target)
+                )
+        df = spark.createDataFrame(
+            rows, "month date, day date, n_rows long, target long"
+        )
+        got = {
+            (r["month"], r["day"]): r["bin_id"] for r in pack_first_fit(df).collect()
+        }
+        per = {}
+        for m, d, n, t in rows:
+            per.setdefault(m, []).append((d, n))
+        for m, fs in per.items():
+            bin_id, fill = 0, 0
+            for d, n in sorted(fs):
+                if bin_id == 0:
+                    bin_id, fill = 1, n
+                elif fill + n > target:
+                    bin_id, fill = bin_id + 1, n
+                else:
+                    fill += n
+                assert got[(m, d)] == bin_id, (target, m, d)
+
+
+def test_q95_digest_drill_touches_only_divergent_buckets(spark):
+    """The level-1 digest compare must (a) report NOTHING on identical
+    sides and (b) confine the drill to exactly the three buckets that
+    carry injected divergence, each showing its designed class."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics import advanced as A
+
+    sf = "/root/testdata/sf0.001"
+    source, _ = A._q95_sides(spark, sf)
+    sd = A._q95_digests(source, "s")
+    rd = A._q95_digests(source.alias("dup"), "r")
+    clean = (
+        sd.join(rd, "bucket", "full_outer")
+        .filter(
+            ~(
+                F.col("s_n").eqNullSafe(F.col("r_n"))
+                & F.col("s_x").eqNullSafe(F.col("r_x"))
+            )
+        )
+        .count()
+    )
+    assert clean == 0
+
+    out = A.q95_digest_diff(spark, sf).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], set()).add(r["diff_class"])
+    assert set(by_bucket) == {A.Q95_CHANGED_B, A.Q95_MISSING_B, A.Q95_EXTRA_B}
+    assert "changed" in by_bucket[A.Q95_CHANGED_B]
+    assert "missing_in_replica" in by_bucket[A.Q95_MISSING_B]
+    assert "extra_in_replica" in by_bucket[A.Q95_EXTRA_B]
+    # the drill re-proves the surviving rows of a dirty bucket too
+    assert all("match" in v for v in by_bucket.values())
