@@ -335,6 +335,7 @@ UNGATED = frozenset(
         "s12_ivf_maxsim",
         "q95_digest_diff",
         "q96_compaction_plan",
+        "d17_cc_alternating",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

@@ -1528,3 +1528,48 @@ ORACLE["d16_cluster_keeper"] = f"""
 """
 
 QUERIES["d16_cluster_keeper"] = d16_cluster_keeper
+
+
+# ---------------------------------------------------------------------------
+# d17: connected components via alternating star contraction (O(log n))
+# ---------------------------------------------------------------------------
+
+
+def d17_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment by the alternating large-star /
+    small-star contraction (graph.cc_alternating) — d09's answer
+    computed with the O(log n)-round algorithm instead of O(component
+    diameter) min-label propagation or the driver-side union-find.
+
+    Same input (d03's verified near-dup pairs), same output contract
+    (doc_id, cluster_id = component min doc_id, cluster_size), same
+    oracle. The capability is the round bound: near-dup clusters are
+    usually blobs, but adversarial corpora produce chains (A≈B≈C...
+    with A≉C — the transitive-closure trap), and on a chain of 10k
+    docs propagation needs 10k rounds while star contraction needs
+    ~log n. That makes this the safe default at unknown component
+    shape; the chain round-bound is pinned in
+    tests/test_graph_properties.py.
+
+    Scale: every round works on the duplicate-pair edge list (scales
+    with duplicate count, not corpus size), as hash-agg + equi-join +
+    distinct — no collect at any cardinality (unlike d09's gated
+    union-find path), no cartesian.
+    """
+    from .graph import cc_alternating
+
+    pairs = d03_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = cc_alternating(pairs)
+    sizes = labels.groupBy(F.col("label").alias("cluster_of")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, labels.label == sizes.cluster_of)
+        .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+# identical result contract to d09 — the oracle is shared verbatim
+ORACLE["d17_cc_alternating"] = ORACLE["d09_dup_clusters"]
+QUERIES["d17_cc_alternating"] = d17_cc_alternating

@@ -232,3 +232,59 @@ def test_sssp_early_exit_and_improvement_after_settle(spark):
     # with only 1 round, the heavy direct edge wins
     got1 = {r["node"]: r["dist"] for r in sssp_bounded(df, sf, 1).collect()}
     assert got1 == {0: 0, 1: 1, 3: 10}
+
+
+def _cc_reference(edges):
+    """Brute-force union-find, labels = component min."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_alternating_matches_union_find_on_random_graphs(spark):
+    from dbsink_spark.analytics.graph import cc_alternating
+
+    rng = random.Random(23)
+    for trial, (n, m) in enumerate([(30, 15), (40, 40), (25, 80), (60, 30)]):
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r["doc_id"]: r["label"] for r in cc_alternating(df).collect()}
+        want = _cc_reference(edges)
+        assert got == want, trial
+
+
+def test_cc_alternating_chain_round_bound(spark):
+    """A shuffled 256-node chain (diameter 255 — min-label propagation
+    would need ~255 rounds) must converge in O(log n) star rounds and
+    still label every node with the chain's minimum id."""
+    from dbsink_spark.analytics.graph import cc_alternating
+
+    rng = random.Random(5)
+    ids = list(range(1000, 1256))
+    rng.shuffle(ids)
+    edges = list(zip(ids, ids[1:]))
+    df = spark.createDataFrame(edges, "a long, b long")
+    stats = {}
+    got = {r["doc_id"]: r["label"] for r in cc_alternating(df, stats=stats).collect()}
+    assert set(got.values()) == {1000}
+    assert len(got) == 256
+    # log2(256) = 8; the alternating bound is a small multiple of that.
+    # Pin generously vs the O(diameter)=255 alternative but tightly
+    # enough that a regression to per-hop contraction fails loudly.
+    assert stats["rounds"] <= 16, stats
