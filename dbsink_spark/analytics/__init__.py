@@ -336,6 +336,10 @@ UNGATED = frozenset(
         "q95_digest_diff",
         "q96_compaction_plan",
         "d17_cc_alternating",
+        "q97_zone_map_skip",
+        "q98_basket_triples",
+        "q99_fd_audit",
+        "s13_ann_recall",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

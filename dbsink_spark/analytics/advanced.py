@@ -5391,3 +5391,473 @@ ORACLE["q96_compaction_plan"] = """
     FROM rec GROUP BY 1, 2 ORDER BY 1, 2
 """
 QUERIES["q96_compaction_plan"] = q96_compaction_plan
+
+
+# ---------------------------------------------------------------------------
+# q97: zone-map skip profile — quantifying data-skipping per layout
+# ---------------------------------------------------------------------------
+
+Q97_FILES = 64  # simulated files per layout
+Q97_EPOCH = "1990-01-01"  # date->int origin (before every o_orderdate)
+
+
+def q97_zone_map_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max footer stats) skip profile: how many of a
+    table's files three physical layouts let a scan SKIP for the same
+    predicates — the measurement behind every lake layout decision
+    (parquet row-group pruning / Iceberg metrics / Delta data
+    skipping), and the audit that justifies q49's z-order writer and
+    q96's contiguous compaction bins.
+
+    Layouts, each splitting orders into 64 equal-width files:
+    * ``ingest``      — files by o_orderkey range (arrival order);
+    * ``sorted_cust`` — files by o_custkey range (single-column sort);
+    * ``zorder``      — files by Morton-interleaved (custkey, orderdate)
+                        buckets (q49's curve on this table's dims).
+    Every file carries its zone map: min/max of custkey AND orderdate
+    (as days since 1990-01-01 — integer-exact in both engines).
+
+    Predicates (bounds-derived, so the profile is scale-free):
+    a customer point lookup, a ~30-day date window, and a combined
+    customer-range + date-window. A file is READ iff the predicate
+    interval intersects its zone envelope — the exact test a scan's
+    file-pruning phase runs against footer stats.
+
+    Expected shape (and why the layouts exist): ingest skips nothing
+    on either dim (random envelopes span everything), the custkey sort
+    skips ~all files for customer predicates but none for dates, the
+    Z-curve skips MOST files on BOTH dims at once — the multi-dim
+    locality single-column sorts cannot give.
+
+    Scale: one corpus scan computes all three file assignments in the
+    same projection (a stack() unpivot triples only the grid input,
+    not the scan); zone maps are a map-side-combinable min/max agg to
+    192 rows; the predicate evaluation is a broadcast cross of 192
+    zones x 3 predicates. Output: 9 rows of (layout, predicate,
+    files_total, files_read, rows_read, skip_bp).
+    """
+    nb, zb = Q97_FILES, 1 << ZORDER_BITS
+    o = Tables(spark, sf_dir).orders
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit(Q97_EPOCH))
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    bounds = base.agg(
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.min("c").alias("min_c"),
+        F.max("c").alias("max_c"),
+        F.min("d").alias("min_d"),
+        F.max("d").alias("max_d"),
+    )
+    z_expr = (
+        f"aggregate(sequence(0, {ZORDER_BITS - 1}), cast(0 as long), "
+        "(acc, i) -> acc"
+        " + shiftleft(shiftright(cx, i) & 1, 2*i + 1)"
+        " + shiftleft(shiftright(dx, i) & 1, 2*i))"
+    )
+    rows = (
+        base.join(F.broadcast(bounds))
+        .withColumn("f_ingest", F.expr(f"({nb} * (k - min_k)) div (max_k - min_k + 1)"))
+        .withColumn("f_sorted", F.expr(f"({nb} * (c - min_c)) div (max_c - min_c + 1)"))
+        .withColumn("cx", F.expr(f"({zb} * (c - min_c)) div (max_c - min_c + 1)"))
+        .withColumn("dx", F.expr(f"({zb} * (d - min_d)) div (max_d - min_d + 1)"))
+        .withColumn("f_zorder", F.expr(f"({z_expr}) div {1 << ZORDER_BUCKET_SHIFT}"))
+    )
+    stacked = rows.select(
+        "c",
+        "d",
+        F.expr(
+            "stack(3, 'ingest', f_ingest, 'sorted_cust', f_sorted,"
+            " 'zorder', f_zorder) as (layout, file_id)"
+        ),
+    )
+    zones = stacked.groupBy("layout", "file_id").agg(
+        F.min("c").alias("zmin_c"),
+        F.max("c").alias("zmax_c"),
+        F.min("d").alias("zmin_d"),
+        F.max("d").alias("zmax_d"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    span_c = "(max_c - min_c + 1)"
+    span_d = "(max_d - min_d + 1)"
+    preds = bounds.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p1_cust_point").alias("pred"),
+                    F.expr("(min_c + max_c) div 2").alias("c_lo"),
+                    F.expr("(min_c + max_c) div 2").alias("c_hi"),
+                    F.lit(None).cast("long").alias("d_lo"),
+                    F.lit(None).cast("long").alias("d_hi"),
+                ),
+                F.struct(
+                    F.lit("p2_date_month").alias("pred"),
+                    F.lit(None).cast("long").alias("c_lo"),
+                    F.lit(None).cast("long").alias("c_hi"),
+                    F.expr(f"min_d + {span_d} * 2 div 5").alias("d_lo"),
+                    F.expr(f"min_d + {span_d} * 2 div 5 + 29").alias("d_hi"),
+                ),
+                F.struct(
+                    F.lit("p3_cust_range_date").alias("pred"),
+                    F.expr(f"min_c + {span_c} div 4").alias("c_lo"),
+                    F.expr(f"min_c + {span_c} div 2").alias("c_hi"),
+                    F.expr(f"min_d + {span_d} * 2 div 5").alias("d_lo"),
+                    F.expr(f"min_d + {span_d} * 2 div 5 + 29").alias("d_hi"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    hit = (
+        F.col("c_lo").isNull()
+        | ((F.col("zmax_c") >= F.col("c_lo")) & (F.col("zmin_c") <= F.col("c_hi")))
+    ) & (
+        F.col("d_lo").isNull()
+        | ((F.col("zmax_d") >= F.col("d_lo")) & (F.col("zmin_d") <= F.col("d_hi")))
+    )
+    return (
+        zones.crossJoin(F.broadcast(preds))
+        .withColumn("hit", hit.cast("long"))
+        .groupBy("layout", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("files_total"),
+            F.sum("hit").alias("files_read"),
+            F.sum(F.col("hit") * F.col("n_rows")).alias("rows_read"),
+        )
+        .withColumn(
+            "skip_bp",
+            F.expr("(files_total - files_read) * 10000 div files_total"),
+        )
+        .orderBy("layout", "pred")
+    )
+
+
+ORACLE["q97_zone_map_skip"] = f"""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+               date_diff('day', DATE '{Q97_EPOCH}', o_orderdate::DATE)::BIGINT AS d
+        FROM orders
+    ), bounds AS (
+        SELECT min(k) AS min_k, max(k) AS max_k,
+               min(c) AS min_c, max(c) AS max_c,
+               min(d) AS min_d, max(d) AS max_d
+        FROM base
+    ), rows_f AS (
+        SELECT c, d,
+               ({Q97_FILES} * (k - min_k)) // (max_k - min_k + 1) AS f_ingest,
+               ({Q97_FILES} * (c - min_c)) // (max_c - min_c + 1) AS f_sorted,
+               ({1 << ZORDER_BITS} * (c - min_c)) // (max_c - min_c + 1) AS cx,
+               ({1 << ZORDER_BITS} * (d - min_d)) // (max_d - min_d + 1) AS dx
+        FROM base CROSS JOIN bounds
+    ), rows_z AS (
+        SELECT c, d, f_ingest, f_sorted,
+               list_sum([ (((cx >> i) & 1) << (2*i + 1))
+                        + (((dx >> i) & 1) << (2*i))
+                          for i in generate_series(0, {ZORDER_BITS - 1}) ])
+                   // {1 << ZORDER_BUCKET_SHIFT} AS f_zorder
+        FROM rows_f
+    ), stacked AS (
+        SELECT 'ingest' AS layout, f_ingest AS file_id, c, d FROM rows_z
+        UNION ALL
+        SELECT 'sorted_cust', f_sorted, c, d FROM rows_z
+        UNION ALL
+        SELECT 'zorder', f_zorder, c, d FROM rows_z
+    ), zones AS (
+        SELECT layout, file_id,
+               min(c) AS zmin_c, max(c) AS zmax_c,
+               min(d) AS zmin_d, max(d) AS zmax_d,
+               count(*)::BIGINT AS n_rows
+        FROM stacked GROUP BY 1, 2
+    ), preds AS (
+        SELECT 'p1_cust_point' AS pred,
+               (min_c + max_c) // 2 AS c_lo, (min_c + max_c) // 2 AS c_hi,
+               NULL::BIGINT AS d_lo, NULL::BIGINT AS d_hi
+        FROM bounds
+        UNION ALL
+        SELECT 'p2_date_month', NULL, NULL,
+               min_d + (max_d - min_d + 1) * 2 // 5,
+               min_d + (max_d - min_d + 1) * 2 // 5 + 29
+        FROM bounds
+        UNION ALL
+        SELECT 'p3_cust_range_date',
+               min_c + (max_c - min_c + 1) // 4,
+               min_c + (max_c - min_c + 1) // 2,
+               min_d + (max_d - min_d + 1) * 2 // 5,
+               min_d + (max_d - min_d + 1) * 2 // 5 + 29
+        FROM bounds
+    ), ev AS (
+        SELECT layout, pred, n_rows,
+               (CASE WHEN (c_lo IS NULL OR (zmax_c >= c_lo AND zmin_c <= c_hi))
+                      AND (d_lo IS NULL OR (zmax_d >= d_lo AND zmin_d <= d_hi))
+                     THEN 1 ELSE 0 END)::BIGINT AS hit
+        FROM zones CROSS JOIN preds
+    )
+    SELECT layout, pred,
+           count(*)::BIGINT AS files_total,
+           sum(hit)::BIGINT AS files_read,
+           sum(hit * n_rows)::BIGINT AS rows_read,
+           ((count(*) - sum(hit)) * 10000 // count(*))::BIGINT AS skip_bp
+    FROM ev GROUP BY 1, 2 ORDER BY 1, 2
+"""
+QUERIES["q97_zone_map_skip"] = q97_zone_map_skip
+
+
+# ---------------------------------------------------------------------------
+# q98: frequent triple mining (Apriori candidate pruning)
+# ---------------------------------------------------------------------------
+
+Q98_MIN_SUPPORT = 2
+Q98_TOP = 100
+
+
+def apriori_triples(items: DataFrame, min_support: int) -> DataFrame:
+    """Frequent item-TRIPLE mining with Apriori pruning over baskets
+    ``items(ok, pk)``: a triple can only be frequent if all three of
+    its item-pairs are (support is anti-monotone), so candidates are
+    generated FROM the frequent-pair list and counted candidate-first
+    — the corpus never materializes within-basket triples.
+
+    Why this is the 100 TB shape: per-basket triple expansion is
+    Σ k_i·(k_i−1)·(k_i−2)/6 — two extra orders of magnitude over the
+    pair expansion q82 already bounds — and almost all of it is
+    support-1 noise. Apriori inverts the direction of work:
+
+    1. L2 = pairs with support ≥ s (q82's bounded self-join + count);
+    2. candidates = L2 ⋈ L2 on the shared first item (pa; pb < pc),
+       pruned by requiring the THIRD sub-pair (pb, pc) ∈ L2 — a join
+       among frequent-pair rows only, never touching baskets;
+    3. counting walks FROM the candidate list into baskets: anchor on
+       pa occurrences, then two (ok, pk) equi-joins probe pb and pc —
+       cost is Σ_cand occurrences(pa), not the basket-triple blowup.
+       The candidate table is tiny by construction (broadcast).
+
+    One corpus distribution serves everything: callers hand ``items``
+    pre-partitioned by basket key (``repartition("ok")``), and because
+    HashPartitioning(ok) satisfies every downstream clustering here —
+    the (ok, pk) dedupe, the pair self-join on ok, and both probe
+    joins on (ok, pk) — the corpus crosses the wire ONCE; the
+    broadcast anchor join preserves the partitioning, so the probe
+    side never re-shuffles either.
+
+    Output carries ``close_bp = n_tri·10⁴ div min-subpair-support``:
+    of the baskets holding the triple's RAREST pair, how many hold
+    all three — the association-strength completion rate, integer
+    basis points so it is exact cross-engine.
+    """
+    pairs = (
+        items.select(F.col("ok"), F.col("pk").alias("pa"))
+        .join(items.select(F.col("ok"), F.col("pk").alias("pb")), "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # L2 is referenced three times by candidate generation; without a
+    # cut, Catalyst inlines the WHOLE pair-count pipeline (corpus
+    # self-join included) once per reference. localCheckpoint runs it
+    # once and gives the candidate joins real (small) sizes to plan
+    # with; support-filtered L2 is the canonical bounded Apriori
+    # intermediate, so materializing it is safe at any corpus scale.
+    l2 = pairs.filter(F.col("n") >= min_support).localCheckpoint(eager=False)
+    cand = (
+        l2.select(F.col("pa"), F.col("pb"), F.col("n").alias("n_ab"))
+        .join(
+            l2.select(
+                F.col("pa"), F.col("pb").alias("pc"), F.col("n").alias("n_ac")
+            ),
+            "pa",
+        )
+        .filter(F.col("pb") < F.col("pc"))
+        .join(
+            l2.select(
+                F.col("pa").alias("pb"),
+                F.col("pb").alias("pc"),
+                F.col("n").alias("n_bc"),
+            ),
+            ["pb", "pc"],
+        )
+        .select(
+            "pa",
+            "pb",
+            "pc",
+            F.least("n_ab", "n_ac", "n_bc").alias("n_weakest"),
+        )
+    )
+    anchored = items.join(F.broadcast(cand), items["pk"] == cand["pa"]).select(
+        "ok", "pa", "pb", "pc", "n_weakest"
+    )
+    probed = anchored.join(
+        items.select("ok", F.col("pk").alias("pb")), ["ok", "pb"]
+    ).join(items.select("ok", F.col("pk").alias("pc")), ["ok", "pc"])
+    return (
+        probed.groupBy("pa", "pb", "pc", "n_weakest")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .filter(F.col("n_tri") >= min_support)
+        .select(
+            "pa",
+            "pb",
+            "pc",
+            "n_tri",
+            F.expr("n_tri * 10000 div n_weakest").alias("close_bp"),
+        )
+    )
+
+
+def q98_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent triples over order baskets — q82's pair mining raised
+    one itemset level with Apriori pruning (see ``apriori_triples``
+    for the candidate-first counting shape). Top-K total-ordered by
+    (support desc, triple)."""
+    li = Tables(spark, sf_dir).lineitem
+    items = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .repartition("ok")
+        .dropDuplicates(["ok", "pk"])
+    )
+    return (
+        apriori_triples(items, Q98_MIN_SUPPORT)
+        .orderBy(F.desc("n_tri"), "pa", "pb", "pc")
+        .limit(Q98_TOP)
+    )
+
+
+ORACLE["q98_basket_triples"] = f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), pairs AS (
+        SELECT a.pk AS pa, b.pk AS pb, count(*)::BIGINT AS n
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+    ), l2 AS (SELECT * FROM pairs WHERE n >= {Q98_MIN_SUPPORT}),
+    cand AS (
+        SELECT x.pa, x.pb, y.pb AS pc,
+               least(x.n, y.n, z.n) AS n_weakest
+        FROM l2 x
+        JOIN l2 y ON x.pa = y.pa AND x.pb < y.pb
+        JOIN l2 z ON z.pa = x.pb AND z.pb = y.pb
+    ), tri AS (
+        SELECT c.pa, c.pb, c.pc, c.n_weakest, count(*)::BIGINT AS n_tri
+        FROM cand c
+        JOIN items a ON a.pk = c.pa
+        JOIN items b ON b.ok = a.ok AND b.pk = c.pb
+        JOIN items d ON d.ok = a.ok AND d.pk = c.pc
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT pa, pb, pc, n_tri,
+           (n_tri * 10000 // n_weakest)::BIGINT AS close_bp
+    FROM tri WHERE n_tri >= {Q98_MIN_SUPPORT}
+    ORDER BY n_tri DESC, pa, pb, pc
+    LIMIT {Q98_TOP}
+"""
+QUERIES["q98_basket_triples"] = q98_basket_triples
+
+
+# ---------------------------------------------------------------------------
+# q99: functional-dependency audit (single-scan data profiling)
+# ---------------------------------------------------------------------------
+
+# (name, determinant expr, dependent expr) over orders ⋈ customer ⋈ nation.
+# A deliberate mix: key-based FDs that must hold, the dimensional FDs the
+# snowflake schema promises, and plausible-but-false pairs a profiler must
+# refute with evidence, not schema faith.
+Q99_CANDIDATES = (
+    ("custkey_to_name", "o_custkey", "c_name"),
+    ("custkey_to_segment", "o_custkey", "c_mktsegment"),
+    ("nationkey_to_nname", "c_nationkey", "n_name"),
+    ("nname_to_regionkey", "n_name", "n_regionkey"),
+    ("nationkey_to_segment", "c_nationkey", "c_mktsegment"),
+    ("orderdate_to_priority", "o_orderdate", "o_orderpriority"),
+    ("custkey_to_nationkey", "o_custkey", "c_nationkey"),
+)
+
+
+def q99_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate det→dep pair,
+    does every determinant value map to exactly ONE dependent value —
+    and if not, how broken is it (violating keys; excess distinct
+    pairs beyond one-per-key)? The schema-inference / data-contract
+    profiling primitive: key FDs prove join safety, dimensional FDs
+    prove a denormalized column is safe to drop, refuted FDs catch
+    silent upstream corruption (q74's constraint audit generalized
+    from declared rules to discovered structure).
+
+    Single-scan shape: ONE pass over orders⋈customer⋈nation evaluates
+    every candidate — ``stack`` unpivots (fd, det, dep) typed-to-string
+    triples, a distinct-then-count two-level aggregate collapses them,
+    and the final per-fd rollup is |candidates| rows. The distinct on
+    (fd, det, dep) is map-side combinable and bounded by candidate
+    count × column cardinality, NOT candidate count × corpus rows —
+    repeated pairs die in the partial aggregate before the shuffle.
+    Strings only pass through count-distincts (never compared across
+    engines), so casting is cross-engine safe by construction.
+
+    Output: fd, n_keys (distinct determinants), viol_keys
+    (determinants with ≥2 dependents), excess_pairs (Σ extra distinct
+    dependents beyond one-per-key — the minimum row-repair count), and
+    holds (0/1). All integers, exact.
+    """
+    t = Tables(spark, sf_dir)
+    wide = t.orders.join(
+        t.customer, t.orders["o_custkey"] == t.customer["c_custkey"]
+    ).join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    stack_args = ", ".join(
+        f"'{name}', cast({det} as string), cast({dep} as string)"
+        for name, det, dep in Q99_CANDIDATES
+    )
+    triples = wide.select(
+        F.expr(
+            f"stack({len(Q99_CANDIDATES)}, {stack_args}) as (fd, det, dep)"
+        )
+    ).distinct()
+    per_key = triples.groupBy("fd", "det").agg(
+        F.count(F.lit(1)).alias("n_dep")
+    )
+    return (
+        per_key.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((F.col("n_dep") > 1).cast("long")).alias("viol_keys"),
+            F.sum(F.col("n_dep") - 1).alias("excess_pairs"),
+            F.max(F.col("n_dep")).alias("max_dep"),
+        )
+        .select(
+            "fd",
+            "n_keys",
+            "viol_keys",
+            "excess_pairs",
+            (F.col("max_dep") == 1).cast("long").alias("holds"),
+        )
+        .orderBy("fd")
+    )
+
+
+ORACLE["q99_fd_audit"] = (
+    """
+    WITH wide AS (
+        SELECT * FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    ), triples AS (
+"""
+    + "\n        UNION\n".join(
+        f"        SELECT '{name}' AS fd, {det}::VARCHAR AS det,"
+        f" {dep}::VARCHAR AS dep FROM wide"
+        for name, det, dep in Q99_CANDIDATES
+    )
+    + """
+    ), per_key AS (
+        SELECT fd, det, count(*)::BIGINT AS n_dep
+        FROM triples GROUP BY 1, 2
+    )
+    SELECT fd, count(*)::BIGINT AS n_keys,
+           sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)::BIGINT AS viol_keys,
+           sum(n_dep - 1)::BIGINT AS excess_pairs,
+           (CASE WHEN max(n_dep) = 1 THEN 1 ELSE 0 END)::BIGINT AS holds
+    FROM per_key GROUP BY fd ORDER BY fd
+"""
+)
+QUERIES["q99_fd_audit"] = q99_fd_audit

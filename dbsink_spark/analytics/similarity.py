@@ -1233,3 +1233,199 @@ def _s12_oracle() -> str:
 
 ORACLE["s12_ivf_maxsim"] = _s12_oracle()
 QUERIES["s12_ivf_maxsim"] = s12_ivf_maxsim
+
+
+# ---------------------------------------------------------------------------
+# s13: ANN recall@k audit — the IVF tuning curve (recall vs scan cost)
+# ---------------------------------------------------------------------------
+
+S13_PROBE_LEVELS = (1, 2, 4)
+
+
+def s13_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k / scan-cost curve for the IVF search path: for each
+    probe depth p ∈ {1, 2, 4}, what fraction of the TRUE cosine top-k
+    (s01's brute force) does s05's probe-p search recover, and what
+    fraction of the corpus did it have to score to get there. This is
+    the d15 pattern (audit the approximate path against bounded exact
+    ground truth) applied to the vector side — the one artifact every
+    ANN deployment needs before picking n_probe.
+
+    One corpus-scoring pass serves every curve point: candidates are
+    scored once at the DEEPEST probe level, each row annotated with
+    its cell's per-query probe rank, and shallower levels are derived
+    by FILTERING the rank — exactly how a 100 TB sweep would run (pay
+    the max-probe fetch once, replay the ranking per level). The
+    exact ground truth is the deliberate bounded cost: brute force
+    over the QUERY SAMPLE only (query-count × corpus, the same
+    audit-sized quadratic d15 budgets), and both branches reuse one
+    localCheckpointed scored table, so the corpus is scored once
+    total. Everything downstream of the scoring join is
+    (levels × queries × k)-sized.
+
+    Output (all integers, exact): n_probe, recall_bp
+    (Σhits·10⁴ div (k·|queries|)), cand_rows (rows scored at that
+    level), scan_bp (cand_rows·10⁴ div (|queries|·|corpus|)).
+    """
+    v = _vectors(spark, sf_dir)
+    cent = _centroids(v).localCheckpoint(eager=True)
+    cells = centroid_cells(spark, sf_dir, cent=cent).select("vec_id", "cell")
+    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cent_label")
+    )
+    probes = (
+        queries.join(F.broadcast(cent))
+        .select("query_id", "cent_label", d2.alias("d2"))
+        .withColumn("cell_rank", F.row_number().over(probe_w))
+        .filter(F.col("cell_rank") <= max(S13_PROBE_LEVELS))
+        .select("query_id", F.col("cent_label").alias("cell"), "cell_rank")
+    )
+    corpus = v.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("v").alias("cv2"),
+        _norm(F.col("v")).alias("cn"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .select("query_id", "corpus_id", cos.alias("cosine"))
+        .join(
+            cells.withColumnRenamed("vec_id", "corpus_id"), "corpus_id"
+        )
+        .localCheckpoint(eager=False)
+    )
+    exact_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id")
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(exact_w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "corpus_id")
+    )
+    levels = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p in S13_PROBE_LEVELS])
+        ).alias("n_probe")
+    )
+    cand = (
+        scored.join(F.broadcast(probes), ["query_id", "cell"])
+        .join(F.broadcast(levels))
+        .filter(F.col("cell_rank") <= F.col("n_probe"))
+    )
+    appr_w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id")
+    )
+    appr = (
+        cand.withColumn("rank", F.row_number().over(appr_w))
+        .filter(F.col("rank") <= TOPK)
+        .select("n_probe", "query_id", "corpus_id")
+    )
+    hits = appr.join(exact, ["query_id", "corpus_id"]).groupBy("n_probe").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    counts = cand.groupBy("n_probe").agg(F.count(F.lit(1)).alias("cand_rows"))
+    corpus_n = corpus.agg(F.count(F.lit(1)).alias("corpus_rows"))
+    return (
+        counts.join(hits, "n_probe", "left")
+        .crossJoin(F.broadcast(corpus_n))
+        .select(
+            "n_probe",
+            F.expr(
+                f"coalesce(h, 0) * 10000 div ({TOPK} * {N_QUERIES})"
+            ).alias("recall_bp"),
+            "cand_rows",
+            F.expr(f"cand_rows * 10000 div ({N_QUERIES} * corpus_rows)").alias(
+                "scan_bp"
+            ),
+        )
+        .orderBy("n_probe")
+    )
+
+
+ORACLE["s13_ann_recall"] = f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+        SELECT label, i.i AS pos, v[i.i] AS x
+        FROM v CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) i
+    ), cent_dims AS (
+        SELECT label, pos, avg(x) AS c FROM dims GROUP BY label, pos
+    ), cent AS (
+        SELECT label AS cent_label, list(c ORDER BY pos) AS cv
+        FROM cent_dims GROUP BY label
+    ), cell_scored AS (
+        SELECT v.vec_id, cent.cent_label,
+               list_sum([ (v.v[i] - cent.cv[i]) * (v.v[i] - cent.cv[i])
+                          for i in generate_series(1, {DIM}) ]) AS d2
+        FROM v CROSS JOIN cent
+    ), cells AS (
+        SELECT vec_id, cent_label AS cell
+        FROM (SELECT vec_id, cent_label,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, cent_label) AS rn
+              FROM cell_scored)
+        WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, cent_label AS cell, rn AS cell_rank
+        FROM (SELECT vec_id, cent_label,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, cent_label) AS rn
+              FROM cell_scored WHERE vec_id < {N_QUERIES})
+        WHERE rn <= {max(S13_PROBE_LEVELS)}
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               list_sum([q.v[i] * c.v[i] for i in generate_series(1, {DIM})])
+               / (sqrt(list_sum([x*x for x in q.v]))
+                  * sqrt(list_sum([x*x for x in c.v]))) AS cosine,
+               cells.cell
+        FROM v q
+        CROSS JOIN v c
+        JOIN cells ON cells.vec_id = c.vec_id
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    ), exact AS (
+        SELECT query_id, corpus_id
+        FROM (SELECT query_id, corpus_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, corpus_id) AS rank
+              FROM scored)
+        WHERE rank <= {TOPK}
+    ), lv AS (SELECT unnest([{", ".join(str(p) for p in S13_PROBE_LEVELS)}]) AS n_probe),
+    cand AS (
+        SELECT lv.n_probe, s.query_id, s.corpus_id, s.cosine
+        FROM scored s
+        JOIN probes p ON p.query_id = s.query_id AND p.cell = s.cell
+        CROSS JOIN lv
+        WHERE p.cell_rank <= lv.n_probe
+    ), appr AS (
+        SELECT n_probe, query_id, corpus_id
+        FROM (SELECT n_probe, query_id, corpus_id,
+                     row_number() OVER (PARTITION BY n_probe, query_id
+                                        ORDER BY cosine DESC, corpus_id) AS rank
+              FROM cand)
+        WHERE rank <= {TOPK}
+    ), hits AS (
+        SELECT n_probe, count(*)::BIGINT AS h
+        FROM appr JOIN exact USING (query_id, corpus_id)
+        GROUP BY 1
+    ), counts AS (
+        SELECT n_probe, count(*)::BIGINT AS cand_rows FROM cand GROUP BY 1
+    ), corpus_n AS (
+        SELECT count(*)::BIGINT AS corpus_rows FROM v WHERE vec_id >= {N_QUERIES}
+    )
+    SELECT counts.n_probe,
+           (coalesce(h, 0) * 10000 // ({TOPK} * {N_QUERIES}))::BIGINT AS recall_bp,
+           cand_rows,
+           (cand_rows * 10000 // ({N_QUERIES} * corpus_rows))::BIGINT AS scan_bp
+    FROM counts LEFT JOIN hits USING (n_probe) CROSS JOIN corpus_n
+    ORDER BY n_probe
+"""
+QUERIES["s13_ann_recall"] = s13_ann_recall

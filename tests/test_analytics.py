@@ -700,3 +700,180 @@ def test_q95_digest_drill_touches_only_divergent_buckets(spark):
     assert "extra_in_replica" in by_bucket[A.Q95_EXTRA_B]
     # the drill re-proves the surviving rows of a dirty bucket too
     assert all("match" in v for v in by_bucket.values())
+
+
+def test_q97_zone_pruning_sound_and_layout_lesson(spark):
+    """q97 (round-7): zone-map pruning must be SOUND — for every
+    layout, rows_read must cover every row that actually satisfies the
+    predicate (a zone test that skips a file containing a match is a
+    wrong-results bug, not a perf bug; matches counted independently in
+    DuckDB). And the layout lesson must hold: ingest skips nothing,
+    the custkey sort skips only customer predicates, the Z-curve skips
+    >85% of files on BOTH dims at once."""
+    from dbsink_spark.analytics.advanced import Q97_EPOCH, q97_zone_map_skip
+
+    out = {
+        (r["layout"], r["pred"]): r for r in q97_zone_map_skip(spark, SF_DIR).collect()
+    }
+    assert len(out) == 9
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'"
+    )
+    matches = dict(
+        con.execute(
+            f"""
+        WITH base AS (
+            SELECT o_custkey AS c,
+                   date_diff('day', DATE '{Q97_EPOCH}', o_orderdate::DATE)::BIGINT AS d
+            FROM orders
+        ), b AS (
+            SELECT min(c) AS min_c, max(c) AS max_c,
+                   min(d) AS min_d, max(d) AS max_d FROM base
+        )
+        SELECT 'p1_cust_point', count(*) FROM base, b
+            WHERE c = (min_c + max_c) // 2
+        UNION ALL
+        SELECT 'p2_date_month', count(*) FROM base, b
+            WHERE d BETWEEN min_d + (max_d - min_d + 1) * 2 // 5
+                        AND min_d + (max_d - min_d + 1) * 2 // 5 + 29
+        UNION ALL
+        SELECT 'p3_cust_range_date', count(*) FROM base, b
+            WHERE c BETWEEN min_c + (max_c - min_c + 1) // 4
+                        AND min_c + (max_c - min_c + 1) // 2
+              AND d BETWEEN min_d + (max_d - min_d + 1) * 2 // 5
+                        AND min_d + (max_d - min_d + 1) * 2 // 5 + 29
+        """
+        ).fetchall()
+    )
+    total = con.execute("SELECT count(*) FROM orders").fetchone()[0]
+    con.close()
+    assert matches["p1_cust_point"] > 0 and matches["p2_date_month"] > 0
+
+    for (layout, pred), r in out.items():
+        # soundness: every actually-matching row lives in a read file
+        assert r["rows_read"] >= matches[pred], (layout, pred)
+        assert r["files_read"] <= r["files_total"] == 64
+
+    # ingest order: random envelopes span everything, zero skipping
+    for pred in matches:
+        assert out[("ingest", pred)]["skip_bp"] == 0, pred
+        assert out[("ingest", pred)]["rows_read"] == total
+    # single-column sort: perfect on its own column (file ranges
+    # partition custkey, so exactly one file can hold the point)...
+    assert out[("sorted_cust", "p1_cust_point")]["files_read"] == 1
+    # ...useless on the other dim, partial on the conjunction (the
+    # custkey half of p3 prunes; the date half cannot)
+    assert out[("sorted_cust", "p2_date_month")]["skip_bp"] == 0
+    assert 0 < out[("sorted_cust", "p3_cust_range_date")]["skip_bp"] < 9000
+    # z-order: multi-dim locality — >85% of files skipped on EVERY
+    # predicate, including the date-only one a custkey sort can't touch
+    for pred in matches:
+        assert out[("zorder", pred)]["skip_bp"] > 8500, pred
+    # and the conjunction beats the single-column sort's conjunction
+    assert (
+        out[("zorder", "p3_cust_range_date")]["skip_bp"]
+        > out[("sorted_cust", "p3_cust_range_date")]["skip_bp"]
+    )
+
+
+def test_apriori_triples_match_bruteforce(spark):
+    """apriori_triples on random synthetic baskets must equal the
+    brute-force enumerate-all-triples path — including min_support
+    boundary ties and items that are frequent in pairs but never
+    complete a frequent triple."""
+    import itertools
+    import random
+
+    from dbsink_spark.analytics.advanced import apriori_triples
+
+    rng = random.Random(11)
+    baskets = []
+    for ok in range(120):
+        # skewed item universe so some triples actually repeat
+        k = rng.randint(2, 6)
+        baskets.append((ok, sorted(rng.sample(range(30), k))))
+    rows = [(ok, pk) for ok, items in baskets for pk in items]
+    # inject duplicate rows: callers dedupe (ok, pk) before handing
+    # items over (q98's dropDuplicates), mirrored here
+    rows += rows[::7]
+    df = (
+        spark.createDataFrame(rows, "ok long, pk long")
+        .repartition("ok")
+        .dropDuplicates(["ok", "pk"])
+    )
+
+    for min_support in (2, 3):
+        got = {
+            (r["pa"], r["pb"], r["pc"]): (r["n_tri"], r["close_bp"])
+            for r in apriori_triples(df, min_support).collect()
+        }
+        pair_n, tri_n = {}, {}
+        for _, items in baskets:
+            for p in itertools.combinations(items, 2):
+                pair_n[p] = pair_n.get(p, 0) + 1
+            for t in itertools.combinations(items, 3):
+                tri_n[t] = tri_n.get(t, 0) + 1
+        want = {}
+        for (a, b, c), n in tri_n.items():
+            if n >= min_support:
+                weakest = min(pair_n[(a, b)], pair_n[(a, c)], pair_n[(b, c)])
+                want[(a, b, c)] = (n, n * 10000 // weakest)
+        assert got == want, min_support
+        assert want, "vacuous corpus: no frequent triple to verify"
+
+
+def test_q99_fd_audit_mixed_verdicts(spark):
+    """The FD audit must be non-vacuous in BOTH directions on the
+    harness data — key-implied FDs proven to hold, plausible-but-false
+    FDs refuted with consistent violation accounting."""
+    from dbsink_spark.analytics.advanced import q99_fd_audit
+
+    out = {r["fd"]: r for r in q99_fd_audit(spark, SF_DIR).collect()}
+    assert len(out) == 7
+    for fd, r in out.items():
+        assert r["n_keys"] > 0, fd
+        assert (r["holds"] == 1) == (r["viol_keys"] == 0), fd
+        assert r["excess_pairs"] >= r["viol_keys"], fd
+    # determinant is a key (or a snowflake dimension): must hold
+    for fd in (
+        "custkey_to_name",
+        "custkey_to_segment",
+        "custkey_to_nationkey",
+        "nationkey_to_nname",
+        "nname_to_regionkey",
+    ):
+        assert out[fd]["holds"] == 1, fd
+    # plausible but false: the profiler must refute from evidence
+    for fd in ("nationkey_to_segment", "orderdate_to_priority"):
+        assert out[fd]["holds"] == 0, fd
+        assert out[fd]["excess_pairs"] > 0, fd
+
+
+def test_s13_recall_curve_monotone_and_consistent(spark):
+    """ANN recall audit invariants: deepening the probe can only add
+    candidates (cand_rows strictly increases) and can only help recall
+    (a probe-p candidate set is a superset of probe-(p-1), and top-k
+    over a superset can only hit more of the exact set... which holds
+    for hit COUNTS because the exact top-k is fixed); recall and scan
+    fractions stay in [0, 10000]; probe 1 must already find something
+    (the nearest cell carries the densest neighbors)."""
+    from dbsink_spark.analytics.similarity import (
+        S13_PROBE_LEVELS,
+        s13_ann_recall,
+    )
+
+    rows = s13_ann_recall(spark, SF_DIR).collect()
+    assert [r["n_probe"] for r in rows] == sorted(S13_PROBE_LEVELS)
+    for r in rows:
+        assert 0 <= r["recall_bp"] <= 10000
+        assert 0 < r["scan_bp"] <= 10000
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["cand_rows"] > prev["cand_rows"]
+        assert cur["recall_bp"] >= prev["recall_bp"]
+        assert cur["scan_bp"] > prev["scan_bp"]
+    assert rows[0]["recall_bp"] > 0
+    assert rows[-1]["recall_bp"] > rows[0]["recall_bp"] or rows[0][
+        "recall_bp"
+    ] == 10000
