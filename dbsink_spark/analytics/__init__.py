@@ -340,6 +340,8 @@ UNGATED = frozenset(
         "q98_basket_triples",
         "q99_fd_audit",
         "s13_ann_recall",
+        "q100_quota_sample",
+        "q101_salted_join",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

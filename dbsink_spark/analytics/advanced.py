@@ -5861,3 +5861,142 @@ ORACLE["q99_fd_audit"] = (
 """
 )
 QUERIES["q99_fd_audit"] = q99_fd_audit
+
+
+# ---------------------------------------------------------------------------
+# q100: deterministic quota sampling (per-stratum cap)
+# ---------------------------------------------------------------------------
+
+Q100_QUOTA = 5  # max documents kept per (lang, source) stratum
+
+
+def q100_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quota sampling: keep at most K documents per
+    (lang, source), selected by a deterministic portable hash order —
+    the "cap every domain/language at K docs" rebalancing step that
+    precedes most large-scale training-data mixes (t13 measures the
+    mixture; this op enforces one).
+
+    Hash-ordered selection (h64(doc_id), doc_id ascending) instead of
+    rand(): the kept set is a pure function of the data, so it is
+    identical across engines, retries, speculative re-executions, and
+    partition counts (q60's auditability rule), and it is a uniform
+    random sample within each stratum because h64 is
+    content-independent of any document property.
+
+    Scale: the ONLY corpus movement is one shuffle on the stratum key;
+    the rank filter is a literal ``<= K`` on a row_number, which Spark
+    plans as WindowGroupLimit — each map task pre-prunes to its local
+    top-K per stratum BEFORE the exchange, so the shuffle carries
+    O(strata × K) rows per task, not the corpus. No global sort: the
+    final orderBy is the driver-facing presentation of an
+    already-quota-sized result.
+    """
+    from ..functions.hashing import h64
+
+    d = Tables(spark, sf_dir).documents.select("doc_id", "lang", "source")
+    w = Window.partitionBy("lang", "source").orderBy(
+        h64(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= Q100_QUOTA)
+        .orderBy("lang", "source", "smp_rank")
+    )
+
+
+def _q100_oracle() -> str:
+    from ..functions.hashing import h64_sql
+
+    h = h64_sql("doc_id::VARCHAR")
+    return f"""
+    SELECT doc_id, lang, source, smp_rank
+    FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY ({h}) ASC, doc_id ASC
+               )::BIGINT AS smp_rank
+        FROM documents
+    )
+    WHERE smp_rank <= {Q100_QUOTA}
+    ORDER BY lang, source, smp_rank
+    """
+
+
+ORACLE["q100_quota_sample"] = _q100_oracle()
+QUERIES["q100_quota_sample"] = q100_quota_sample
+
+
+# ---------------------------------------------------------------------------
+# q101: salted join (hot-key skew mitigation, result-identical)
+# ---------------------------------------------------------------------------
+
+Q101_SALTS = 8
+
+
+def q101_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through a SALTED fact⋈dim join: the
+    fact side's join key is widened with a deterministic salt
+    (h64(o_orderkey) mod S) and the dimension side is replicated S
+    ways, so ONE hot customer key spreads over S reducers instead of
+    one straggler task. The result is provably identical to the plain
+    join — the oracle IS the unsalted SQL — because salting only
+    re-partitions pair formation, never changes which pairs exist.
+
+    When to reach for this instead of AQE's skew-join split: AQE
+    handles skewed SORT-MERGE joins after a shuffle materializes, but
+    (a) streaming joins and applyInPandas co-groups never get an AQE
+    re-plan, (b) a skewed GROUPING key on top of the join (here the
+    per-customer pair lists) still lands one key in one task, and
+    (c) salting composes with bucketed layouts where AQE's split
+    can't re-bucket. The salt is a pure row function (no rand()):
+    retries and speculative tasks salt identically, so exactly-once
+    accounting survives re-execution (q60's auditability rule).
+
+    The merge hint pins the shuffle path the technique exists for —
+    with broadcast the demo would be vacuous (a broadcast join has no
+    reduce-side hot key). Money is floor-scaled to cents before the
+    sum (q01's float rule) so the aggregate is integer-exact
+    cross-engine.
+    """
+    from ..functions.hashing import h64
+
+    t = Tables(spark, sf_dir)
+    fact = t.orders.select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        (h64(F.col("o_orderkey")) % Q101_SALTS).cast("int").alias("salt"),
+    )
+    dim = (
+        t.customer.select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(Q101_SALTS)]))
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    joined = fact.join(
+        dim.hint("merge"),
+        (fact["o_custkey"] == dim["c_custkey"]) & (fact["salt"] == dim["salt"]),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE["q101_salted_join"] = """
+    SELECT c_mktsegment,
+           count(*)::BIGINT AS n_orders,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+QUERIES["q101_salted_join"] = q101_salted_join

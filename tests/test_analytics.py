@@ -877,3 +877,83 @@ def test_s13_recall_curve_monotone_and_consistent(spark):
     assert rows[-1]["recall_bp"] > rows[0]["recall_bp"] or rows[0][
         "recall_bp"
     ] == 10000
+
+
+def test_q100_quota_binds_and_plans_group_limit(spark):
+    """Quota sampling must (a) actually bite (some stratum is over
+    quota upstream), (b) never emit more than K per stratum, and
+    (c) compile to a WindowGroupLimit plan — the map-side top-K
+    pre-prune IS the scale claim, so losing it (e.g. by filtering on
+    a non-literal rank) is a regression even while results stay
+    correct."""
+    import collections
+
+    from dbsink_spark.analytics.advanced import Q100_QUOTA, q100_quota_sample
+    from dbsink_spark.analytics.tables import Tables
+
+    df = q100_quota_sample(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+    rows = df.collect()
+    per = collections.Counter((r["lang"], r["source"]) for r in rows)
+    assert all(c <= Q100_QUOTA for c in per.values())
+    full = collections.Counter(
+        (r["lang"], r["source"])
+        for r in Tables(spark, SF_DIR).documents.select("lang", "source").collect()
+    )
+    assert any(c > Q100_QUOTA for c in full.values()), "quota never binds"
+    # capped strata emit exactly K; small strata pass through whole
+    for k, c in per.items():
+        assert c == min(Q100_QUOTA, full[k]), k
+
+
+def test_q101_salted_join_equals_plain_and_spreads_keys(spark):
+    """The salted join must be row-identical to the plain unsalted
+    join (salting re-partitions pair formation, never membership),
+    the compiled plan must keep the shuffle join with the salt in the
+    join keys (broadcast would make the demo vacuous), and a single
+    customer's orders must actually spread across multiple salt
+    values — the straggler-splitting the op exists for."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.advanced import Q101_SALTS, q101_salted_join
+    from dbsink_spark.analytics.tables import Tables
+    from dbsink_spark.functions.hashing import h64
+
+    df = q101_salted_join(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "salt" in plan.split("SortMergeJoin")[1][:200], plan
+
+    t = Tables(spark, SF_DIR)
+    plain = (
+        t.orders.join(
+            t.customer, t.orders["o_custkey"] == t.customer["c_custkey"]
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("revenue_cents"),
+        )
+        .orderBy("c_mktsegment")
+        .collect()
+    )
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in plain]
+
+    # the busiest customer's orders land on several distinct salts
+    spread = (
+        t.orders.select(
+            "o_custkey", (h64(F.col("o_orderkey")) % Q101_SALTS).alias("salt")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.countDistinct("salt").alias("n_salts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.desc("n"))
+        .first()
+    )
+    assert spread["n_salts"] > Q101_SALTS // 2, spread
