@@ -142,11 +142,13 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
-    # 2-decimal rounding + a tighter noisy cap: 147 queries pushed the
-    # 3-decimal line to ~2.2 KB, past the driver's 2000-byte stdout
-    # tail (the r03 truncation class). Full 3-decimal values stay in
-    # BENCH_LOCAL.json.
-    short = {name.split("_")[0]: round(sec, 2) for name, sec in timings.items()}
+    # Integer CENTISECONDS in the stdout map (163 queries pushed even
+    # the 2-decimal float map past the 1950 B cap — ints drop the
+    # "0." prefix, ~2 B/entry, headroom to ~195 queries at the same
+    # resolution). Full 3-decimal seconds stay in BENCH_LOCAL.json.
+    short = {
+        name.split("_")[0]: int(round(sec * 100)) for name, sec in timings.items()
+    }
     assert len(short) == len(timings), "short-prefix collision in query names"
     # stdout budget is ~2000 bytes (driver tail-captures): at 147
     # queries even the 2-decimal short map leaves no room for the
@@ -156,6 +158,7 @@ def main() -> None:
     line = {
         **payload,
         "queries": short,
+        "queries_unit": "centisec",
         "value_median_total": round(sum(medians.values()), 3),
     }
     del line["queries_median"]

@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import advanced, dedup, multimodal, quality, relational, similarity, stats, text
+from . import advanced, dedup, multimodal, quality, relational, similarity, spatial, stats, text
 
 # Queries kept out of the driver-facing registry: the r01 correctness
 # gate recorded exactly the first 50 registry entries, so the registry
@@ -342,6 +342,8 @@ UNGATED = frozenset(
         "s13_ann_recall",
         "q100_quota_sample",
         "q101_salted_join",
+        "q102_point_in_polygon",
+        "q103_radius_join",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",
@@ -367,7 +369,7 @@ ALL_ORACLE: dict[str, str] = {}
 
 # multimodal merges mid-pack, NOT last: r01 cut the tail of the registry
 # and m01-m03 never reached the gate.
-for _mod in (relational, advanced, stats, text, multimodal, dedup, similarity, quality):
+for _mod in (relational, advanced, stats, text, multimodal, dedup, similarity, quality, spatial):
     ALL_QUERIES.update(_mod.QUERIES)
     ALL_ORACLE.update(_mod.ORACLE)
 

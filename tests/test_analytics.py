@@ -957,3 +957,88 @@ def test_q101_salted_join_equals_plain_and_spreads_keys(spark):
         .first()
     )
     assert spread["n_salts"] > Q101_SALTS // 2, spread
+
+
+def _spatial_pts(spark, table, key):
+    """Brute-force twin of spatial._points using the Python md5 hash."""
+    from dbsink_spark.analytics.spatial import WORLD, _h
+    from dbsink_spark.analytics.tables import Tables
+
+    rows = getattr(Tables(spark, SF_DIR), table).select(key).collect()
+    return {
+        r[key]: (_h(f"{r[key]}x") % WORLD, _h(f"{r[key]}y") % WORLD) for r in rows
+    }
+
+
+def test_q102_matches_gridless_bruteforce(spark):
+    """Point-in-polygon counts must equal a gridless brute force over
+    every (point, zone) pair — proving the cell blocking is lossless
+    (bbox cover ⊇ containment) and the cross-product test correct,
+    including boundary conventions."""
+    import math
+
+    from dbsink_spark.analytics.spatial import ZONES, q102_point_in_polygon
+    from dbsink_spark.analytics.tables import Tables
+
+    pts = _spatial_pts(spark, "customer", "c_custkey")
+    cents = {
+        r["c_custkey"]: math.floor(r["c_acctbal"] * 100 + 0.5)
+        for r in Tables(spark, SF_DIR).customer.select(
+            "c_custkey", "c_acctbal"
+        ).collect()
+    }
+
+    def inside(px, py, verts):
+        for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+            if (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) < 0:
+                return False
+        return True
+
+    want = {z: [0, 0] for z, _ in ZONES}
+    for pid, (px, py) in pts.items():
+        for z, verts in ZONES:
+            if inside(px, py, verts):
+                want[z][0] += 1
+                want[z][1] += cents[pid]
+    got = {
+        r["zone_id"]: [r["n_customers"], r["acctbal_cents"]]
+        for r in q102_point_in_polygon(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in want.values()) > 0, "no zone ever hit: vacuous"
+
+
+def test_q103_matches_gridless_bruteforce(spark):
+    """Radius join per-nation counts must equal the gridless all-pairs
+    brute force — with RADIUS <= CELL the 3x3 neighbourhood is a
+    complete candidate set, and this test is the proof by example
+    (any missed pair would show as an undercount)."""
+    from dbsink_spark.analytics.spatial import RADIUS, q103_radius_join
+    from dbsink_spark.analytics.tables import Tables
+
+    cust = _spatial_pts(spark, "customer", "c_custkey")
+    supp = _spatial_pts(spark, "supplier", "s_suppkey")
+    s_nation = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in Tables(spark, SF_DIR).supplier.select(
+            "s_suppkey", "s_nationkey"
+        ).collect()
+    }
+    nation_name = {
+        r["n_nationkey"]: r["n_name"]
+        for r in Tables(spark, SF_DIR).nation.collect()
+    }
+    want = {}
+    for sid, (sx, sy) in supp.items():
+        for cid, (cx, cy) in cust.items():
+            if (cx - sx) ** 2 + (cy - sy) ** 2 <= RADIUS * RADIUS:
+                e = want.setdefault(nation_name[s_nation[sid]], [0, set(), set()])
+                e[0] += 1
+                e[1].add(sid)
+                e[2].add(cid)
+    got = {
+        r["n_name"]: [r["n_pairs"], r["n_suppliers"], r["n_customers"]]
+        for r in q103_radius_join(spark, SF_DIR).collect()
+    }
+    assert got == {k: [v[0], len(v[1]), len(v[2])] for k, v in want.items()}
+    assert sum(v[0] for v in want.values()) > 0, "no pair in radius: vacuous"
