@@ -344,6 +344,7 @@ UNGATED = frozenset(
         "q101_salted_join",
         "q102_point_in_polygon",
         "q103_radius_join",
+        "q104_nn_join",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

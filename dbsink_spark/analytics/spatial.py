@@ -335,3 +335,148 @@ def _q103_oracle() -> str:
 
 ORACLE["q103_radius_join"] = _q103_oracle()
 QUERIES["q103_radius_join"] = q103_radius_join
+
+
+def q104_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT nearest-neighbor spatial join: each customer matched to its
+    single nearest supplier (ties broken by supplier key — fully
+    deterministic), rolled up per supplier nation with exact integer
+    squared-distance stats — the "assign every user to the closest
+    depot" shape.
+
+    Expanding-ring search, the third canonical spatial-join strategy
+    after q102's containment blocking and q103's fixed radius: round r
+    probes the (2r+1)^2 cell block around each UNRESOLVED point
+    (r doubles: 1, 2, 4, 16). Exactness invariant: any point outside
+    the block is > r*CELL away from anywhere in the center cell, so a
+    candidate at d <= r*CELL is provably the global nearest; at
+    r >= ncell the block is the whole grid and the minimum is global
+    by construction. Nearly all points resolve at r=1 (expected cell
+    occupancy >= 1), so later rounds touch a vanishing remainder —
+    cost is ~one candidate pass, never |customer| x |supplier|.
+
+    Plan: suppliers (dimension-sized) broadcast; a customer's probe
+    rows stay in its partition, so the per-customer min's partial
+    aggregate reduces map-side to one row per customer and the only
+    full-width exchange carries |unresolved| rows per round. Per-round
+    localCheckpoint truncates the iterative lineage (graph.py
+    discipline). The min is F.min over a (d2, spid) struct —
+    lexicographic, integer-exact, tie-stable in both engines.
+    """
+    ncell = WORLD // CELL
+    cust = _points(spark, sf_dir, "customer", "c_custkey").select(
+        "pid",
+        "x",
+        "y",
+        (F.col("x") / CELL).cast("long").alias("gx"),
+        (F.col("y") / CELL).cast("long").alias("gy"),
+    )
+    supp = (
+        _points(spark, sf_dir, "supplier", "s_suppkey")
+        .join(
+            Tables(spark, sf_dir).supplier.select(
+                F.col("s_suppkey").alias("pid"), F.col("s_nationkey")
+            ),
+            "pid",
+        )
+        .select(
+            F.col("pid").alias("spid"),
+            F.col("x").alias("sx"),
+            F.col("y").alias("sy"),
+            "s_nationkey",
+            ((F.col("x") / CELL).cast("long") * ncell
+             + (F.col("y") / CELL).cast("long")).alias("cell"),
+        )
+    )
+    d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
+        F.col("y") - F.col("sy")
+    ) * (F.col("y") - F.col("sy"))
+    remaining = cust
+    resolved = []
+    for r in (1, 2, 4, 16):
+        offs = spark.createDataFrame(
+            [(dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)],
+            "dx long, dy long",
+        )
+        probes = (
+            remaining.crossJoin(F.broadcast(offs))
+            .withColumn("pgx", F.col("gx") + F.col("dx"))
+            .withColumn("pgy", F.col("gy") + F.col("dy"))
+            .filter(
+                (F.col("pgx") >= 0)
+                & (F.col("pgx") < ncell)
+                & (F.col("pgy") >= 0)
+                & (F.col("pgy") < ncell)
+            )
+            .select(
+                "pid", "x", "y", "gx", "gy",
+                (F.col("pgx") * ncell + F.col("pgy")).alias("cell"),
+            )
+        )
+        best = (
+            probes.join(F.broadcast(supp), "cell")
+            .groupBy("pid", "gx", "gy")
+            .agg(F.min(F.struct(d2.alias("d2"), "spid", "s_nationkey")).alias("b"))
+        )
+        if r >= ncell:  # block == whole grid: min is global by construction
+            resolved.append(best.select("pid", "b.d2", "b.spid", "b.s_nationkey"))
+            break
+        hit = best.filter(F.col("b.d2") <= (r * CELL) * (r * CELL))
+        resolved.append(hit.select("pid", "b.d2", "b.spid", "b.s_nationkey"))
+        remaining = remaining.join(
+            hit.select("pid"), "pid", "left_anti"
+        ).localCheckpoint(eager=False)
+    nearest = resolved[0]
+    for part in resolved[1:]:
+        nearest = nearest.unionByName(part)
+    nation = Tables(spark, sf_dir).nation.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name")
+    )
+    return (
+        nearest.join(F.broadcast(nation), "s_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("d2").alias("sum_d2"),
+            F.min("d2").alias("min_d2"),
+            F.max("d2").alias("max_d2"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _q104_oracle() -> str:
+    # Brute-force truth: the oracle ranks ALL pairs per customer — the
+    # deliberate quadratic that PROVES the ring search exact (any
+    # blocking mistake shows as a value mismatch, not just a row drift).
+    return f"""
+    WITH cust AS ({_points_sql('customer', 'c_custkey')}),
+    supp AS (
+        SELECT p.pid AS spid, p.x AS sx, p.y AS sy, s.s_nationkey
+        FROM ({_points_sql('supplier', 's_suppkey')}) p
+        JOIN supplier s ON s.s_suppkey = p.pid
+    ),
+    ranked AS (
+        SELECT c.pid,
+               (c.x - s.sx) * (c.x - s.sx) + (c.y - s.sy) * (c.y - s.sy) AS d2,
+               s.spid, s.s_nationkey,
+               row_number() OVER (
+                   PARTITION BY c.pid
+                   ORDER BY (c.x - s.sx) * (c.x - s.sx)
+                            + (c.y - s.sy) * (c.y - s.sy), s.spid
+               ) AS rn
+        FROM cust c CROSS JOIN supp s
+    )
+    SELECT n.n_name,
+           count(*)::BIGINT AS n_customers,
+           sum(d2)::BIGINT AS sum_d2,
+           min(d2)::BIGINT AS min_d2,
+           max(d2)::BIGINT AS max_d2
+    FROM ranked JOIN nation n ON n.n_nationkey = ranked.s_nationkey
+    WHERE rn = 1
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+ORACLE["q104_nn_join"] = _q104_oracle()
+QUERIES["q104_nn_join"] = q104_nn_join

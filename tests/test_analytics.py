@@ -1042,3 +1042,44 @@ def test_q103_matches_gridless_bruteforce(spark):
     }
     assert got == {k: [v[0], len(v[1]), len(v[2])] for k, v in want.items()}
     assert sum(v[0] for v in want.values()) > 0, "no pair in radius: vacuous"
+
+
+def test_q104_matches_bruteforce_and_resolves_each_customer_once(spark):
+    """The expanding-ring NN join must equal the gridless all-pairs
+    argmin (ties by supplier key) AND resolve every customer exactly
+    once — a double-resolution across rounds (broken anti-join) would
+    inflate n_customers; a ring-invariant bug would flip a nearest
+    assignment near a cell boundary."""
+    from dbsink_spark.analytics.spatial import q104_nn_join
+    from dbsink_spark.analytics.tables import Tables
+
+    cust = _spatial_pts(spark, "customer", "c_custkey")
+    supp = _spatial_pts(spark, "supplier", "s_suppkey")
+    s_nation = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in Tables(spark, SF_DIR).supplier.select(
+            "s_suppkey", "s_nationkey"
+        ).collect()
+    }
+    nation_name = {
+        r["n_nationkey"]: r["n_name"]
+        for r in Tables(spark, SF_DIR).nation.collect()
+    }
+    want = {}
+    for cid, (cx, cy) in cust.items():
+        d2, sid = min(
+            ((sx - cx) ** 2 + (sy - cy) ** 2, s) for s, (sx, sy) in supp.items()
+        )
+        e = want.setdefault(
+            nation_name[s_nation[sid]], [0, 0, float("inf"), -1]
+        )
+        e[0] += 1
+        e[1] += d2
+        e[2] = min(e[2], d2)
+        e[3] = max(e[3], d2)
+    got = {
+        r["n_name"]: [r["n_customers"], r["sum_d2"], r["min_d2"], r["max_d2"]]
+        for r in q104_nn_join(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in want.values()) == len(cust), "resolution not 1:1"
