@@ -340,6 +340,7 @@ UNGATED = frozenset(
         "q98_basket_triples",
         "q99_fd_audit",
         "s13_ann_recall",
+        "s14_rrf_fusion",
         "q100_quota_sample",
         "q101_salted_join",
         "q102_point_in_polygon",

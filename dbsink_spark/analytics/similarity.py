@@ -1429,3 +1429,261 @@ ORACLE["s13_ann_recall"] = f"""
     ORDER BY n_probe
 """
 QUERIES["s13_ann_recall"] = s13_ann_recall
+
+
+# --- s14: reciprocal-rank fusion (hybrid lexical + vector retrieval) ---
+
+RRF_K = 60        # standard RRF damping constant (Cormack et al.)
+ARM_DEPTH = 20    # candidate-list depth per retrieval arm
+FUSED_TOP = 10    # fused results kept per query
+
+
+def _s14_query_terms() -> list[tuple[int, str]]:
+    """Two BM25 terms per query id — distinct by construction (offset 2
+    in a 6-term vocabulary), so each per-(query, doc) score sums exactly
+    two floats: commutative, hence order-independent across engines."""
+    from .text import BM25_TERMS
+
+    n = len(BM25_TERMS)
+    return [(q, BM25_TERMS[q % n]) for q in range(N_QUERIES)] + [
+        (q, BM25_TERMS[(q + 2) % n]) for q in range(N_QUERIES)
+    ]
+
+
+def s14_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: each query's BM25
+    lexical candidate list (its two query terms over documents.text)
+    and cosine vector candidate list (its embedding vs the corpus) are
+    fused by RRF score 1/(K + rank) summed over the arms — the standard
+    hybrid-search combiner (it needs only RANKS, so the arms' wildly
+    different score scales never need calibrating).
+
+    Plan shape at 100 TB: each arm is scored in ONE corpus pass with
+    zero row-at-a-time Python — BM25 tf/dl are per-row array exprs with
+    the 1-row (df, N, avgdl) stats broadcast back; cosine broadcasts
+    the query vectors so the corpus never shuffles. Both arms rank with
+    a LITERAL rank <= ARM_DEPTH filter, which Spark compiles to
+    WindowGroupLimit: map tasks pre-prune to their local top-R per
+    query before the rank exchange, so the shuffle carries
+    O(queries x R) rows per task, never the corpus. The fusion itself
+    joins two (queries x R)-row lists — driver-trivial at any scale.
+    RRF emitted as integer micro-units (floor(x*1e6 + 0.5)): identical
+    IEEE double ops in both engines, integer at the gate.
+    """
+    from .text import BM25_B, BM25_K1, BM25_TERMS
+
+    d = Tables(spark, sf_dir).documents.filter(F.col("doc_id") >= N_QUERIES)
+    words = F.split(F.col("text"), " ")
+
+    def _tf(term):
+        # closure, not default arg (pyspark HOF arity — t03's gotcha)
+        return F.size(F.filter(words, lambda w: w == F.lit(term)))
+
+    per_doc = d.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        *[_tf(t).alias(f"tf_{t}") for t in BM25_TERMS],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    # stack (doc, term) tf pairs; tf=0 rows dropped in BOTH engines so
+    # absent terms contribute nothing to the per-(query, doc) sum
+    tfs = (
+        per_doc.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"), F.col(f"tf_{t}").alias("tf")
+                        )
+                        for t in BM25_TERMS
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "dl", "e.term", "e.tf")
+        .filter(F.col("tf") > 0)
+    )
+    dfs = stats.select(
+        "n_docs",
+        "sdl",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("term"), F.col(f"df_{t}").alias("df"))
+                    for t in BM25_TERMS
+                ]
+            )
+        ).alias("e"),
+    ).select("n_docs", "sdl", "e.term", "e.df")
+    qt = spark.createDataFrame(_s14_query_terms(), "query_id long, term string")
+    avgdl = F.col("sdl") * 1.0 / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    term_score = (
+        idf
+        * (F.col("tf") * (BM25_K1 + 1))
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl))
+    )
+    lex_scored = (
+        tfs.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfs), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    wq = Window.partitionBy("query_id")
+    lex = (
+        lex_scored.withColumn(
+            "lex_rank",
+            F.row_number().over(wq.orderBy(F.desc("score"), "doc_id")),
+        )
+        .filter(F.col("lex_rank") <= ARM_DEPTH)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    v = _vectors(spark, sf_dir)
+    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
+    )
+    corpus = v.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("v").alias("cv"),
+        _norm(F.col("v")).alias("cn"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    vec = (
+        corpus.join(F.broadcast(queries))
+        .select("query_id", "doc_id", cos.alias("cosine"))
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(wq.orderBy(F.desc("cosine"), "doc_id")),
+        )
+        .filter(F.col("vec_rank") <= ARM_DEPTH)
+        .select("query_id", "doc_id", "vec_rank")
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0))
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+        F.floor(rrf * 1_000_000 + F.lit(0.5)).alias("rrf_micro"),
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number().over(wq.orderBy(F.desc("rrf_micro"), "doc_id")),
+        )
+        .filter(F.col("fused_rank") <= FUSED_TOP)
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+def _s14_oracle() -> str:
+    from .text import BM25_B, BM25_K1, BM25_TERMS
+
+    tf_exprs = ",\n               ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
+    )
+    df_exprs = ",\n               ".join(
+        f"sum((tf_{t} > 0)::INT) AS df_{t}" for t in BM25_TERMS
+    )
+    tf_stack = "\n        UNION ALL ".join(
+        f"SELECT doc_id, dl, '{t}' AS term, tf_{t} AS tf FROM per_doc WHERE tf_{t} > 0"
+        for t in BM25_TERMS
+    )
+    df_stack = "\n        UNION ALL ".join(
+        f"SELECT n_docs, sdl, '{t}' AS term, df_{t} AS df FROM stats"
+        for t in BM25_TERMS
+    )
+    qt_vals = ", ".join(f"({q}, '{t}')" for q, t in _s14_query_terms())
+    score = (
+        f"((n_docs - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({BM25_K1} + 1))"
+        f" / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / (sdl * 1.0 / n_docs)))"
+    )
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id >= {N_QUERIES}
+    ),
+    per_doc AS (
+        SELECT doc_id, len(w) AS dl,
+               {tf_exprs}
+        FROM docs
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, sum(dl) AS sdl,
+               {df_exprs}
+        FROM per_doc
+    ),
+    tfs AS (
+        {tf_stack}
+    ),
+    dfs AS (
+        {df_stack}
+    ),
+    qt (query_id, term) AS (VALUES {qt_vals}),
+    lex_scored AS (
+        SELECT qt.query_id, t.doc_id, sum({score}) AS score
+        FROM qt
+        JOIN tfs t USING (term)
+        JOIN dfs d USING (term)
+        GROUP BY 1, 2
+    ),
+    lex AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS lex_rank
+        FROM lex_scored
+        QUALIFY lex_rank <= {ARM_DEPTH}
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    vec_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               list_sum([q.v[i] * c.v[i] for i in generate_series(1, {DIM})])
+               / (sqrt(list_sum([x*x for x in q.v])) * sqrt(list_sum([x*x for x in c.v])))
+               AS cosine
+        FROM v q CROSS JOIN v c
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    ),
+    vec AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, doc_id) AS vec_rank
+        FROM vec_scored
+        QUALIFY vec_rank <= {ARM_DEPTH}
+    ),
+    fused AS (
+        SELECT coalesce(l.query_id, v2.query_id) AS query_id,
+               coalesce(l.doc_id, v2.doc_id) AS doc_id,
+               coalesce(l.lex_rank, 0)::BIGINT AS lex_rank,
+               coalesce(v2.vec_rank, 0)::BIGINT AS vec_rank,
+               floor((coalesce(1.0::DOUBLE / ({RRF_K} + l.lex_rank), 0.0)
+                      + coalesce(1.0::DOUBLE / ({RRF_K} + v2.vec_rank), 0.0))
+                     * 1000000 + 0.5)::BIGINT AS rrf_micro
+        FROM lex l
+        FULL OUTER JOIN vec v2
+          ON v2.query_id = l.query_id AND v2.doc_id = l.doc_id
+    )
+    SELECT query_id, doc_id, lex_rank, vec_rank, rrf_micro,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf_micro DESC, doc_id) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {FUSED_TOP}
+    ORDER BY query_id, fused_rank
+    """
+
+
+ORACLE["s14_rrf_fusion"] = _s14_oracle()
+QUERIES["s14_rrf_fusion"] = s14_rrf_fusion

@@ -1083,3 +1083,46 @@ def test_q104_matches_bruteforce_and_resolves_each_customer_once(spark):
     }
     assert got == want
     assert sum(v[0] for v in want.values()) == len(cust), "resolution not 1:1"
+
+
+def test_s14_rrf_internally_consistent_and_plan_pruned(spark):
+    """The emitted rrf_micro must recompute EXACTLY from the emitted
+    arm ranks (catches any drift between the fused score and the rank
+    columns), every fused row must come from at least one arm, ranks
+    stay within ARM_DEPTH, and rrf is non-increasing down each query's
+    fused list. Plan check: the literal rank <= R filters must compile
+    to WindowGroupLimit so arm candidate generation pre-prunes map-side."""
+    import math
+
+    from dbsink_spark.analytics.similarity import (
+        ARM_DEPTH,
+        FUSED_TOP,
+        RRF_K,
+        s14_rrf_fusion,
+    )
+
+    df = s14_rrf_fusion(spark, SF_DIR)
+    rows = df.collect()
+    assert rows, "empty fusion output"
+    by_q = {}
+    for r in rows:
+        assert (r["lex_rank"] > 0) or (r["vec_rank"] > 0), r
+        assert 0 <= r["lex_rank"] <= ARM_DEPTH
+        assert 0 <= r["vec_rank"] <= ARM_DEPTH
+        assert 1 <= r["fused_rank"] <= FUSED_TOP
+        want = math.floor(
+            (
+                (1.0 / (RRF_K + r["lex_rank"]) if r["lex_rank"] else 0.0)
+                + (1.0 / (RRF_K + r["vec_rank"]) if r["vec_rank"] else 0.0)
+            )
+            * 1_000_000
+            + 0.5
+        )
+        assert r["rrf_micro"] == want, r
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, lst in by_q.items():
+        lst.sort(key=lambda r: r["fused_rank"])
+        micros = [r["rrf_micro"] for r in lst]
+        assert micros == sorted(micros, reverse=True), (q, micros)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, "arm top-R not pre-pruned"
