@@ -346,6 +346,7 @@ UNGATED = frozenset(
         "q102_point_in_polygon",
         "q103_radius_join",
         "q104_nn_join",
+        "q105_label_prop",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

@@ -6000,3 +6000,131 @@ ORACLE["q101_salted_join"] = """
     ORDER BY c_mktsegment
 """
 QUERIES["q101_salted_join"] = q101_salted_join
+
+
+# ---------------------------------------------------------------------------
+# q105: deterministic synchronous label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+Q105_ROUNDS = 4
+Q105_MIN_WEIGHT = 2  # trade pairs with >= 2 line items form the community graph
+
+
+def q105_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic synchronous label
+    propagation over the customer↔supplier trade graph (q61/q83's edge
+    relation, trade pairs with ≥ 2 line items): labels init to node
+    id, each of the 4 bounded rounds relabels every node with the most
+    frequent label among its neighbours AND itself (the self-vote
+    breaks the bipartite lockstep oscillation; ties → smallest), then communities are summarized as a size histogram —
+    (community size, how many communities of that size, customer /
+    supplier member mass). Completes the graph family's partitioning
+    member (q61 ranks, q63 closure, q83/q92 traversal, d17 exact
+    connectivity): LPA finds DENSE groups, not mere connectivity.
+
+    graph.label_propagation: each round is one equi-join + two hash
+    aggregates, no windows/sorts; state is the (node, label) table.
+    Integer counts + lexicographic tie-break make the sync schedule
+    fully deterministic, so the unrolled per-round SQL oracle matches
+    value-for-value (the textbook random-order async LPA could not be
+    oracle-checked at all).
+
+    Reference parity: no graph surface in the reference (SURVEY §2.6
+    gap table) — extension machinery.
+    """
+    from .graph import label_propagation
+
+    t = Tables(spark, sf_dir)
+    pairs = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= Q105_MIN_WEIGHT)
+        .select("c", "s")
+    )
+    # symmetrize + SELF-LOOP votes: on a bipartite graph the pure
+    # neighbour vote oscillates in lockstep (every customer adopts a
+    # supplier label and vice versa each round, collapsing to the two
+    # bipartition classes); a node voting for its own current label is
+    # the standard damping that lets genuine dense groups crystallize.
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .unionAll(pairs.select(F.col("c").alias("src"), F.col("c").alias("dst")).distinct())
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("s").alias("dst")).distinct())
+    )
+    labels = label_propagation(edges, Q105_ROUNDS)
+    comms = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum((F.col("node") % 2 == 0).cast("long")).alias("n_cust"),
+        F.sum((F.col("node") % 2 == 1).cast("long")).alias("n_supp"),
+    )
+    return (
+        comms.groupBy(F.col("sz").alias("community_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum("n_cust").alias("n_customers"),
+            F.sum("n_supp").alias("n_suppliers"),
+        )
+        .orderBy("community_size")
+    )
+
+
+def _q105_oracle() -> str:
+    head = f"""
+    WITH pairs AS (
+        SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= {Q105_MIN_WEIGHT}
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+        UNION ALL
+        SELECT DISTINCT c, c FROM pairs
+        UNION ALL
+        SELECT DISTINCT s, s FROM pairs
+    ),
+    lp0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    body = ""
+    for i in range(1, Q105_ROUNDS + 1):
+        body += f""",
+    lp{i} AS (
+        SELECT node, label FROM (
+            SELECT e.dst AS node, l.label, count(*) AS cnt,
+                   row_number() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY count(*) DESC, l.label
+                   ) AS rn
+            FROM edges e JOIN lp{i - 1} l ON l.node = e.src
+            GROUP BY e.dst, l.label
+        ) WHERE rn = 1
+    )"""
+    return head + body + f""",
+    comms AS (
+        SELECT label, count(*) AS sz,
+               sum((node % 2 = 0)::INT) AS n_cust,
+               sum((node % 2 = 1)::INT) AS n_supp
+        FROM lp{Q105_ROUNDS}
+        GROUP BY label
+    )
+    SELECT sz::BIGINT AS community_size,
+           count(*)::BIGINT AS n_communities,
+           sum(n_cust)::BIGINT AS n_customers,
+           sum(n_supp)::BIGINT AS n_suppliers
+    FROM comms
+    GROUP BY sz
+    ORDER BY community_size
+    """
+
+
+ORACLE["q105_label_prop"] = _q105_oracle()
+QUERIES["q105_label_prop"] = q105_label_prop

@@ -350,3 +350,49 @@ def cc_alternating(
     return nodes.join(lbl, "doc_id", "left").select(
         "doc_id", F.coalesce("lbl", "doc_id").alias("label")
     )
+
+
+LP_CHECKPOINT_EVERY = 2  # label tables are narrow; cheap to cut often
+
+
+def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous label propagation over a SYMMETRIZED edge list
+    ``(src, dst)`` — the classic near-linear community detector
+    (Raghavan et al. 2007), made fully deterministic: every node's new
+    label is the most frequent label among its neighbours, ties broken
+    by SMALLEST label. Labels init to the node id; exactly ``rounds``
+    synchronous updates run (bounded-round semantics, like
+    ``sssp_bounded`` — convergence detection is the caller's knob).
+
+    Returns (node, label).
+
+    Determinism is total: integer counts + a lexicographic (−count,
+    label) argmin mean any engine, partitioning, or retry produces the
+    same labels — which is what lets a SQL oracle verify communities
+    value-for-value (the textbook async LPA with random visit order
+    cannot be oracle-checked).
+
+    Scale shape: each round is one equi-join (labels onto edge
+    sources) + one hash aggregate per (dst, label) + one ``min_by``
+    hash aggregate per dst — no windows, no sorts; shuffles carry the
+    (node, label) pairs, bounded by edge count. Per-round
+    localCheckpoint keeps the iterative plan flat (pagerank_ranks
+    discipline).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    edges = edges.localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for it in range(rounds):
+        if it > 0 and it % LP_CHECKPOINT_EVERY == 0:
+            labels = labels.localCheckpoint(eager=True)
+        counts = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = counts.groupBy("node").agg(
+            F.expr("min_by(label, struct(-cnt, label))").alias("label")
+        )
+    return labels

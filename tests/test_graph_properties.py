@@ -288,3 +288,67 @@ def test_cc_alternating_chain_round_bound(spark):
     # Pin generously vs the O(diameter)=255 alternative but tightly
     # enough that a regression to per-hop contraction fails loudly.
     assert stats["rounds"] <= 16, stats
+
+
+def _label_prop_reference(
+    edges: list[tuple[int, int]], rounds: int
+) -> dict[int, int]:
+    """Brute-force synchronous LPA, same (−count, label) argmin."""
+    inn: dict[int, list[int]] = {}
+    for s, d in edges:
+        inn.setdefault(d, []).append(s)
+    nodes = {s for s, _ in edges}
+    lab = {n: n for n in nodes}
+    for _ in range(rounds):
+        new = {}
+        for n in nodes:
+            cnt: dict[int, int] = {}
+            for u in inn.get(n, []):
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[n] = min(cnt, key=lambda c: (-cnt[c], c))
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_reference_on_random_graphs(spark):
+    from dbsink_spark.analytics.graph import label_propagation
+
+    rng = random.Random(11)
+    for n, p in ((12, 0.3), (25, 0.15), (40, 0.08)):
+        und = _random_undirected(rng, n, p)
+        # symmetrize + self-loops (the q105 shape; also guarantees
+        # every node votes, so the reference never sees an empty cnt)
+        edges = (
+            [(u, v) for u, v in und]
+            + [(v, u) for u, v in und]
+            + [(x, x) for x in {u for e in und for u in e}]
+        )
+        want = _label_prop_reference(edges, 4)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, 4).collect()
+        }
+        assert got == want, (n, p)
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two 6-cliques joined by a single bridge edge must resolve to
+    exactly two communities, each labelled by its minimum member —
+    the qualitative behavior LPA exists for."""
+    from dbsink_spark.analytics.graph import label_propagation
+
+    a = list(range(6))
+    b = list(range(10, 16))
+    und = list(itertools.combinations(a, 2)) + list(
+        itertools.combinations(b, 2)
+    ) + [(0, 10)]
+    edges = (
+        [(u, v) for u, v in und]
+        + [(v, u) for u, v in und]
+        + [(x, x) for x in a + b]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, 4).collect()}
+    assert {got[x] for x in a} == {0}
+    assert {got[x] for x in b} == {10}
