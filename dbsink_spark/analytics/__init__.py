@@ -347,6 +347,7 @@ UNGATED = frozenset(
         "q103_radius_join",
         "q104_nn_join",
         "q105_label_prop",
+        "q106_ivm_maintain",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

@@ -6128,3 +6128,120 @@ def _q105_oracle() -> str:
 
 ORACLE["q105_label_prop"] = _q105_oracle()
 QUERIES["q105_label_prop"] = q105_label_prop
+
+
+# ---------------------------------------------------------------------------
+# q106: incremental aggregate maintenance (IVM) with group-local recompute
+# ---------------------------------------------------------------------------
+
+Q106_CUTOFF = "1996-01-01"   # base = orders before, delta inserts = after
+Q106_DELETE_MOD = 7          # base rows with h64(orderkey) % 7 == 0 are deleted
+
+
+def q106_ivm_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a per-customer order aggregate:
+    a pre-aggregated STATE (orders before the cutoff) is maintained
+    under a delta batch of INSERTS (orders after the cutoff) and
+    DELETES (a deterministic h64 slice of the base) — without
+    re-scanning unaffected groups. The Materialize / Delta Live
+    contract, as a batch operator:
+
+    * count/sum are self-maintainable: state ⊕ delta combine by
+      addition (full-outer join + coalesce);
+    * max is insert-only maintainable: greatest(state, delta);
+    * a DELETE breaks max (and generally any non-invertible agg), so
+      delete-AFFECTED groups — and only those — recompute from their
+      surviving rows (left-semi join on the affected-key set confines
+      the rescan; at 100 TB that semi join partition-prunes when the
+      base is clustered by group key).
+
+    Output per customer: maintained n_orders / revenue_cents /
+    max_cents + the recomputed flag, provably equal to a full
+    recompute of (base − deletes + inserts) — which is exactly what
+    the oracle computes, so the gate itself is the IVM correctness
+    proof. Money in floor-scaled cents (q01's float rule).
+    """
+    from ..functions.hashing import h64
+
+    o = Tables(spark, sf_dir).orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    base = o.filter(F.col("o_orderdate") < Q106_CUTOFF)
+    inserts = o.filter(F.col("o_orderdate") >= Q106_CUTOFF)
+    deletes = base.filter(h64(F.col("o_orderkey")) % Q106_DELETE_MOD == 0)
+
+    def _agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    state = _agg(base)
+    delta = _agg(inserts)
+    affected = deletes.select("o_custkey").distinct().localCheckpoint(eager=True)
+    combined = (
+        state.join(delta, "o_custkey", "full_outer")
+        .join(affected, "o_custkey", "left_anti")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce(state["n_orders"], F.lit(0))
+                + F.coalesce(delta["n_orders"], F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(state["revenue_cents"], F.lit(0))
+                + F.coalesce(delta["revenue_cents"], F.lit(0))
+            ).alias("revenue_cents"),
+            F.greatest(
+                F.coalesce(state["max_cents"], F.lit(-1)),
+                F.coalesce(delta["max_cents"], F.lit(-1)),
+            ).alias("max_cents"),
+            F.lit(0).alias("recomputed"),
+        )
+    )
+    survivors = base.join(
+        deletes.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(inserts)
+    recomputed = _agg(
+        survivors.join(affected, "o_custkey", "left_semi")
+    ).withColumn("recomputed", F.lit(1))
+    return combined.unionByName(recomputed).orderBy("o_custkey")
+
+
+def _q106_oracle() -> str:
+    from ..functions.hashing import h64_sql
+
+    h = h64_sql("o_orderkey::VARCHAR")
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+        FROM orders
+    ),
+    deletes AS (
+        SELECT o_orderkey, o_custkey FROM o
+        WHERE o_orderdate < '{Q106_CUTOFF}' AND ({h}) % {Q106_DELETE_MOD} = 0
+    ),
+    final AS (
+        SELECT * FROM o
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+    )
+    SELECT o_custkey,
+           count(*)::BIGINT AS n_orders,
+           sum(cents)::BIGINT AS revenue_cents,
+           max(cents)::BIGINT AS max_cents,
+           (o_custkey IN (SELECT o_custkey FROM deletes))::BIGINT AS recomputed
+    FROM final
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """
+
+
+ORACLE["q106_ivm_maintain"] = _q106_oracle()
+QUERIES["q106_ivm_maintain"] = q106_ivm_maintain

@@ -1126,3 +1126,57 @@ def test_s14_rrf_internally_consistent_and_plan_pruned(spark):
         assert micros == sorted(micros, reverse=True), (q, micros)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2, "arm top-R not pre-pruned"
+
+
+def test_q106_ivm_equals_full_recompute_and_paths_disjoint(spark):
+    """The maintained aggregate must equal a direct Spark recompute of
+    (base - deletes + inserts) group-for-group, and the two maintenance
+    paths must partition the group space: no customer appears in both
+    the combine path (recomputed=0) and the group-local recompute path
+    (recomputed=1)."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.advanced import (
+        Q106_CUTOFF,
+        Q106_DELETE_MOD,
+        q106_ivm_maintain,
+    )
+    from dbsink_spark.analytics.tables import Tables
+    from dbsink_spark.functions.hashing import h64
+
+    got = q106_ivm_maintain(spark, SF_DIR).collect()
+    seen = {}
+    for r in got:
+        assert r["o_custkey"] not in seen, "customer in both paths"
+        seen[r["o_custkey"]] = r
+
+    o = Tables(spark, SF_DIR).orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    dead = (F.col("o_orderdate") < Q106_CUTOFF) & (
+        h64(F.col("o_orderkey")) % Q106_DELETE_MOD == 0
+    )
+    want = {
+        r["o_custkey"]: r
+        for r in o.filter(~dead)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .collect()
+    }
+    assert set(seen) == set(want)
+    for k, w in want.items():
+        g = seen[k]
+        assert (g["n_orders"], g["revenue_cents"], g["max_cents"]) == (
+            w["n_orders"],
+            w["revenue_cents"],
+            w["max_cents"],
+        ), k
+    assert any(r["recomputed"] == 1 for r in got), "delete path vacuous"
+    assert any(r["recomputed"] == 0 for r in got), "combine path vacuous"
