@@ -341,6 +341,7 @@ UNGATED = frozenset(
         "q99_fd_audit",
         "s13_ann_recall",
         "s14_rrf_fusion",
+        "s15_pq_adc",
         "q100_quota_sample",
         "q101_salted_join",
         "q102_point_in_polygon",

@@ -729,28 +729,12 @@ PQ_M = 8  # subvectors per embedding
 PQ_DSUB = DIM // PQ_M  # dims per subvector
 
 
-def s08_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization: compress every 64-dim float vector to an
-    8-symbol code — one nearest-sub-centroid id per 8-dim subvector —
-    the storage layer of IVF-PQ indexes (Jégou et al. 2011). With a
-    256-entry codebook per subspace this is 256 B float32 → 8 B per
-    vector; ANN then scans codes with lookup-table distances and only
-    re-ranks survivors against raw vectors.
-
-    Sub-codebooks here are per-label subvector means (deterministic,
-    oracle-reproducible — the same stand-in for trained k-means that
-    s02 uses for its coarse quantizer; s06 is the training step that
-    would refine them). Assignment d2 is a sequential fold in both
-    engines, argmin via min_by on the (d2, centroid) tiebreak struct —
-    one hash aggregate, no window sort.
-
-    Plan shape at 100 TB: the codebook is (labels × M) rows —
-    broadcast; the corpus explodes to M rows per vector, assigns
-    map-side, and re-groups on the already-carried vec_id. The corpus
-    is never shuffled by vector content, and the emitted code column
-    is 8 bytes/vector — the thing you actually persist.
-    """
-    v = _vectors(spark, sf_dir)
+def _pq_sub_cent(v: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ decomposition: (sub, cent) where ``sub`` is one row
+    per (vec_id, m) carrying the 8-dim subvector and ``cent`` the
+    per-(label, m) sub-codebook (subvector means, the deterministic
+    stand-in for trained k-means — s08's construction, reused by the
+    s15 ADC scorer so codes and distance tables share one codebook)."""
     sub = v.select(
         "vec_id",
         "label",
@@ -773,17 +757,52 @@ def s08_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("cent_label"), "m", "cv")
     )
-    d2 = F.aggregate(
+    return sub, cent
+
+
+def _pq_d2():
+    return F.aggregate(
         F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    codes = (
+
+
+def _pq_codes(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, m, code): nearest sub-centroid per subvector — one
+    broadcast join + one min_by hash aggregate, no window sort."""
+    return (
         sub.join(F.broadcast(cent), "m")
-        .select("vec_id", "m", "cent_label", d2.alias("d2"))
+        .select("vec_id", "m", "cent_label", _pq_d2().alias("d2"))
         .groupBy("vec_id", "m")
         .agg(F.expr("min_by(cent_label, struct(d2, cent_label))").alias("code"))
     )
+
+
+def s08_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: compress every 64-dim float vector to an
+    8-symbol code — one nearest-sub-centroid id per 8-dim subvector —
+    the storage layer of IVF-PQ indexes (Jégou et al. 2011). With a
+    256-entry codebook per subspace this is 256 B float32 → 8 B per
+    vector; ANN then scans codes with lookup-table distances and only
+    re-ranks survivors against raw vectors.
+
+    Sub-codebooks here are per-label subvector means (deterministic,
+    oracle-reproducible — the same stand-in for trained k-means that
+    s02 uses for its coarse quantizer; s06 is the training step that
+    would refine them). Assignment d2 is a sequential fold in both
+    engines, argmin via min_by on the (d2, centroid) tiebreak struct —
+    one hash aggregate, no window sort.
+
+    Plan shape at 100 TB: the codebook is (labels × M) rows —
+    broadcast; the corpus explodes to M rows per vector, assigns
+    map-side, and re-groups on the already-carried vec_id. The corpus
+    is never shuffled by vector content, and the emitted code column
+    is 8 bytes/vector — the thing you actually persist.
+    """
+    v = _vectors(spark, sf_dir)
+    sub, cent = _pq_sub_cent(v)
+    codes = _pq_codes(sub, cent)
     return (
         codes.groupBy("vec_id")
         .agg(
@@ -1687,3 +1706,122 @@ def _s14_oracle() -> str:
 
 ORACLE["s14_rrf_fusion"] = _s14_oracle()
 QUERIES["s14_rrf_fusion"] = s14_rrf_fusion
+
+
+# --- s15: PQ asymmetric-distance (ADC) top-k — the IVF-PQ query path ---
+
+
+def s15_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes (Jégou et al. 2011): each query builds
+    a (M × codebook)-entry DISTANCE TABLE of exact query-subvector ↔
+    sub-centroid distances, and every corpus vector is scored by
+    summing M table lookups addressed by its 8-byte PQ code — the scan
+    never touches raw corpus floats. This is the production query path
+    for the codes s08 emits (s05's IVF prunes cells; ADC scores the
+    survivors; s01/s04-style exact re-rank tails it).
+
+    Plan shape at 100 TB: the distance table is |queries| × M ×
+    |codebook| rows — broadcast; corpus codes (8 rows per vector,
+    grouped on the already-carried vec_id) join it on (m, code)
+    map-side, so the corpus is never shuffled by content and the scan
+    cost is |codes| × |queries| integer-addressed lookups. The
+    M-term sum folds a SORTED (m, d) list (ordered-fold float
+    discipline: bit-identical to the oracle's list_sum(list ORDER BY
+    m)). Top-k per query is a literal rank filter → WindowGroupLimit.
+    ADC is approximate BY DESIGN relative to exact distance (that gap
+    is s09/s13's audit surface); the gate verifies the ADC values
+    themselves exactly, in e4 fixed-point.
+    """
+    v = _vectors(spark, sf_dir)
+    sub, cent = _pq_sub_cent(v)
+    codes = _pq_codes(sub.filter(F.col("vec_id") >= N_QUERIES), cent)
+    dt = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            F.col("cent_label").alias("code"),
+            _pq_d2().alias("d"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(dt), ["m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("corpus_id"))
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("m", "d"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["d"],
+            ).alias("adc")
+        )
+    )
+    return (
+        adc.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("adc"), "corpus_id")
+            ),
+        )
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.floor(F.col("adc") * 10000 + F.lit(0.5)).alias("adc_e4"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE["s15_pq_adc"] = f"""
+    WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), sub AS (
+        SELECT vec_id, label, m.m AS m,
+               v[m.m * {PQ_DSUB} + 1 : m.m * {PQ_DSUB} + {PQ_DSUB}] AS sv
+        FROM v CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+    ), dims AS (
+        SELECT label, m, p.p AS pos, sv[p.p] AS x
+        FROM sub CROSS JOIN (SELECT unnest(generate_series(1, {PQ_DSUB})) AS p) p
+    ), cent_dims AS (
+        SELECT label, m, pos, avg(x) AS c FROM dims GROUP BY label, m, pos
+    ), cent AS (
+        SELECT label AS cent_label, m, list(c ORDER BY pos) AS cv
+        FROM cent_dims GROUP BY label, m
+    ), scored AS (
+        SELECT sub.vec_id, sub.m, cent.cent_label,
+               list_sum([ (sv[i] - cv[i]) * (sv[i] - cv[i])
+                          for i in generate_series(1, {PQ_DSUB}) ]) AS d2
+        FROM sub JOIN cent ON sub.m = cent.m
+        WHERE sub.vec_id >= {N_QUERIES}
+    ), codes AS (
+        SELECT vec_id, m, cent_label AS code
+        FROM (SELECT vec_id, m, cent_label,
+                     row_number() OVER (PARTITION BY vec_id, m
+                                        ORDER BY d2 ASC, cent_label) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ), dt AS (
+        SELECT sub.vec_id AS query_id, sub.m, cent.cent_label AS code,
+               list_sum([ (sv[i] - cv[i]) * (sv[i] - cv[i])
+                          for i in generate_series(1, {PQ_DSUB}) ]) AS d
+        FROM sub JOIN cent ON sub.m = cent.m
+        WHERE sub.vec_id < {N_QUERIES}
+    ), adc AS (
+        SELECT dt.query_id, c.vec_id AS corpus_id,
+               list_sum(list(dt.d ORDER BY c.m)) AS adc
+        FROM codes c JOIN dt ON dt.m = c.m AND dt.code = c.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, corpus_id,
+           floor(adc * 10000 + 0.5)::BIGINT AS adc_e4,
+           rank
+    FROM (SELECT query_id, corpus_id, adc,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc ASC, corpus_id) AS rank
+          FROM adc)
+    WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+"""
+QUERIES["s15_pq_adc"] = s15_pq_adc

@@ -1180,3 +1180,45 @@ def test_q106_ivm_equals_full_recompute_and_paths_disjoint(spark):
         ), k
     assert any(r["recomputed"] == 1 for r in got), "delete path vacuous"
     assert any(r["recomputed"] == 0 for r in got), "combine path vacuous"
+
+
+def test_s15_adc_equals_distance_to_reconstruction(spark):
+    """ADC's defining identity: the table-lookup score of (query,
+    corpus vector) equals the exact squared distance between the query
+    and the vector's PQ RECONSTRUCTION (its codes decoded back to
+    sub-centroids) — up to float regrouping. Verifies the (m, code)
+    addressing end-to-end: any off-by-one in subvector slicing or a
+    wrong code join would blow the identity apart, not perturb it."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.similarity import (
+        N_QUERIES,
+        PQ_DSUB,
+        PQ_M,
+        _pq_codes,
+        _pq_sub_cent,
+        _vectors,
+        s15_pq_adc,
+    )
+
+    v = _vectors(spark, SF_DIR)
+    sub, cent = _pq_sub_cent(v)
+    cents = {
+        (r["cent_label"], r["m"]): r["cv"] for r in cent.collect()
+    }
+    codes = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in _pq_codes(sub.filter(F.col("vec_id") >= N_QUERIES), cent).collect()
+    }
+    vecs = {r["vec_id"]: r["v"] for r in v.collect()}
+    out = s15_pq_adc(spark, SF_DIR).collect()
+    assert out, "empty ADC output"
+    for r in out[:20]:
+        q = vecs[r["query_id"]]
+        recon = []
+        for m in range(PQ_M):
+            recon.extend(cents[(codes[(r["corpus_id"], m)], m)])
+        x = vecs[r["corpus_id"]]
+        assert len(recon) == len(q) == PQ_M * PQ_DSUB
+        exact = sum((a - b) * (a - b) for a, b in zip(q, recon))
+        assert abs(exact - r["adc_e4"] / 10000.0) < 5e-4, r
