@@ -349,6 +349,7 @@ UNGATED = frozenset(
         "q104_nn_join",
         "q105_label_prop",
         "q106_ivm_maintain",
+        "q107_changepoint",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

@@ -6245,3 +6245,142 @@ def _q106_oracle() -> str:
 
 ORACLE["q106_ivm_maintain"] = _q106_oracle()
 QUERIES["q106_ivm_maintain"] = q106_ivm_maintain
+
+
+# ---------------------------------------------------------------------------
+# q107: single changepoint per series (binary segmentation, exact)
+# ---------------------------------------------------------------------------
+
+
+def q107_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection: for each market segment's monthly revenue
+    series, the split month that minimizes total within-segment SSE —
+    one exact binary-segmentation step (the primitive that, recursed,
+    gives the classic multiple-changepoint detector; the single step is
+    where all the machinery lives).
+
+    Minimizing SSE(left)+SSE(right) == maximizing the explained-sum
+    g(k) = S1²/n1 + S2²/n2 (total sum of squares is split-invariant),
+    so the sweep needs only PREFIX SUMS of the monthly series — no
+    per-split rescans: O(n) per series, not O(n²). All series values
+    are integer cents; prefix sums are exact BIGINT running sums over
+    the month-ordered frame; only the final g(k) arithmetic is double
+    (fixed operand order → bit-identical cross-engine), reported
+    floor-rounded with integer left/right means.
+
+    Plan shape at 100 TB: the heavy pass is the (segment, month)
+    revenue aggregate — map-side combinable, shuffle bounded by
+    |segments| × |months|. The sweep windows over that GRID (here
+    5 × ~84 rows; grid-bounded by construction, the q84 rule), and the
+    per-series argmax is a min_by hash aggregate, not a sort.
+    """
+    t = Tables(spark, sf_dir)
+    monthly = (
+        t.orders.join(
+            F.broadcast(
+                t.customer.select("c_custkey", "c_mktsegment")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("seg").orderBy("month")
+    pre = monthly.select(
+        "seg",
+        "month",
+        F.row_number().over(w).alias("k"),
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("s1"),
+        F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+        F.sum("rev").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("s"),
+    ).filter(F.col("k") < F.col("n"))
+    s1d = F.col("s1").cast("double")
+    s2d = (F.col("s") - F.col("s1")).cast("double")
+    sd = F.col("s").cast("double")
+    gain = (
+        s1d * s1d / F.col("k")
+        + s2d * s2d / (F.col("n") - F.col("k"))
+        - sd * sd / F.col("n")
+    )
+    scored = pre.select(
+        "seg",
+        "month",
+        "n",
+        gain.alias("gain"),
+        F.expr("s1 DIV k").alias("left_mean_cents"),
+        F.expr("(s - s1) DIV (n - k)").alias("right_mean_cents"),
+    )
+    return (
+        scored.groupBy("seg")
+        .agg(
+            F.expr("min_by(month, struct(-gain, month))").alias("cp_month"),
+            F.first("n").alias("n_months"),
+            F.expr("floor(max_by(gain, struct(gain, month)) + 0.5)").alias(
+                "gain_floor"
+            ),
+            F.expr("min_by(left_mean_cents, struct(-gain, month))").alias(
+                "left_mean_cents"
+            ),
+            F.expr("min_by(right_mean_cents, struct(-gain, month))").alias(
+                "right_mean_cents"
+            ),
+        )
+        .orderBy("seg")
+    )
+
+
+def _q107_oracle() -> str:
+    return """
+    WITH monthly AS (
+        SELECT c_mktsegment AS seg,
+               strftime(o_orderdate, '%Y-%m') AS month,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    pre AS (
+        SELECT seg, month,
+               row_number() OVER (PARTITION BY seg ORDER BY month) AS k,
+               sum(rev) OVER (PARTITION BY seg ORDER BY month
+                              ROWS UNBOUNDED PRECEDING) AS s1,
+               count(*) OVER (PARTITION BY seg) AS n,
+               sum(rev) OVER (PARTITION BY seg) AS s
+        FROM monthly
+        QUALIFY k < n
+    ),
+    scored AS (
+        SELECT seg, month, n,
+               s1::DOUBLE * s1::DOUBLE / k
+               + (s - s1)::DOUBLE * (s - s1)::DOUBLE / (n - k)
+               - s::DOUBLE * s::DOUBLE / n AS gain,
+               (s1 // k)::BIGINT AS left_mean_cents,
+               ((s - s1) // (n - k))::BIGINT AS right_mean_cents
+        FROM pre
+    ),
+    best AS (
+        SELECT seg, month AS cp_month, n AS n_months,
+               floor(gain + 0.5)::BIGINT AS gain_floor,
+               left_mean_cents, right_mean_cents,
+               row_number() OVER (PARTITION BY seg
+                                  ORDER BY gain DESC, month) AS rn
+        FROM scored
+    )
+    SELECT seg, cp_month, n_months, gain_floor,
+           left_mean_cents, right_mean_cents
+    FROM best WHERE rn = 1
+    ORDER BY seg
+    """
+
+
+ORACLE["q107_changepoint"] = _q107_oracle()
+QUERIES["q107_changepoint"] = q107_changepoint

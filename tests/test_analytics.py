@@ -1222,3 +1222,55 @@ def test_s15_adc_equals_distance_to_reconstruction(spark):
         assert len(recon) == len(q) == PQ_M * PQ_DSUB
         exact = sum((a - b) * (a - b) for a, b in zip(q, recon))
         assert abs(exact - r["adc_e4"] / 10000.0) < 5e-4, r
+
+
+def test_q107_split_minimizes_sse_bruteforce(spark):
+    """The reported changepoint must be the TRUE argmin of
+    SSE(left)+SSE(right) computed directly (no prefix-sum algebra) over
+    every possible split of each segment's series — proving the
+    explained-sum reformulation and the argmax tie-break correct."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.advanced import q107_changepoint
+    from dbsink_spark.analytics.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    monthly = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("rev")
+        )
+        .collect()
+    )
+    series = {}
+    for r in monthly:
+        series.setdefault(r["seg"], []).append((r["month"], r["rev"]))
+    got = {r["seg"]: r for r in q107_changepoint(spark, SF_DIR).collect()}
+    assert set(got) == set(series)
+    for seg, pts in series.items():
+        pts.sort()
+        vals = [v for _, v in pts]
+
+        def sse(xs):
+            mu = sum(xs) / len(xs)
+            return sum((x - mu) ** 2 for x in xs)
+
+        best = min(
+            range(1, len(vals)),
+            key=lambda k: (sse(vals[:k]) + sse(vals[k:]), pts[k - 1][0]),
+        )
+        assert got[seg]["cp_month"] == pts[best - 1][0], seg
+        assert got[seg]["n_months"] == len(vals)
+        assert got[seg]["left_mean_cents"] == sum(vals[:best]) // best
+        assert got[seg]["right_mean_cents"] == sum(vals[best:]) // (
+            len(vals) - best
+        )
