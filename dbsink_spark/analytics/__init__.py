@@ -350,6 +350,10 @@ UNGATED = frozenset(
         "q105_label_prop",
         "q106_ivm_maintain",
         "q107_changepoint",
+        "q108_acf",
+        "q109_benford",
+        "q110_interval_union",
+        "q111_assoc_rules",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

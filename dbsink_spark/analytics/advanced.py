@@ -6384,3 +6384,484 @@ def _q107_oracle() -> str:
 
 ORACLE["q107_changepoint"] = _q107_oracle()
 QUERIES["q107_changepoint"] = q107_changepoint
+
+# ---------------------------------------------------------------------------
+# q108: autocorrelation function of the monthly revenue series
+# ---------------------------------------------------------------------------
+
+Q108_MAX_LAG = 6
+
+
+def q108_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation at lags 1..6 of each segment's monthly
+    revenue series — the time-series diagnostic behind seasonality
+    detection and forecast-model order selection (q69 flags anomalies,
+    q80 forecasts; this measures the serial dependence both assume).
+
+    Per (segment, lag) the statistic is the Pearson correlation of the
+    pairs (x_t, x_{t-lag}) over the month-ordered series. One window
+    pass emits all six lag columns (one sort per segment, reused by
+    every lag); the pairs stack via a literal-array explode — never a
+    per-lag rescan of the aggregate.
+
+    Cross-engine float exactness uses the ordered-fold discipline
+    (q87): the five sums (Σx, Σy, Σxy, Σx², Σy²) fold in month order
+    via sorted-list aggregates — monthly cents cast to double per
+    element, products formed per element, so both engines execute the
+    identical IEEE sequence. The final correlation is one fixed-order
+    expression reported in integer micro-units.
+
+    Plan shape at 100 TB: the heavy pass is the (segment, month)
+    revenue aggregate — map-side combinable, shuffle bounded by
+    |segments| × |months| (the q84 grid rule). The window, explode,
+    and folds all run on that grid (5 × ~84 rows here); the collected
+    arrays are series-length-bounded by construction.
+    """
+    t = Tables(spark, sf_dir)
+    monthly = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("seg").orderBy("month")
+    lagged = monthly.select(
+        "seg",
+        "month",
+        F.col("rev").alias("x"),
+        *[
+            F.lag("rev", L).over(w).alias(f"lag{L}")
+            for L in range(1, Q108_MAX_LAG + 1)
+        ],
+    )
+    stacked = (
+        lagged.select(
+            "seg",
+            "month",
+            "x",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(L).alias("lag"), F.col(f"lag{L}").alias("y")
+                        )
+                        for L in range(1, Q108_MAX_LAG + 1)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select(
+            "seg", "month", "x", F.col("p.lag").alias("lag"), F.col("p.y").alias("y")
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    cells = stacked.groupBy("seg", "lag").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "month",
+                    F.col("x").cast("double").alias("xd"),
+                    F.col("y").cast("double").alias("yd"),
+                )
+            )
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+    def _fold(term):
+        return F.aggregate(F.col("arr"), F.lit(0.0), lambda acc, s: acc + term(s))
+
+    sums = cells.select(
+        "seg",
+        "lag",
+        "n_pairs",
+        _fold(lambda s: s["xd"]).alias("sx"),
+        _fold(lambda s: s["yd"]).alias("sy"),
+        _fold(lambda s: s["xd"] * s["yd"]).alias("sxy"),
+        _fold(lambda s: s["xd"] * s["xd"]).alias("sxx"),
+        _fold(lambda s: s["yd"] * s["yd"]).alias("syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        sums.filter(den > 0)
+        .select(
+            "seg",
+            "lag",
+            "n_pairs",
+            F.floor(num / den * F.lit(1000000.0) + F.lit(0.5)).alias("acf_micro"),
+        )
+        .orderBy("seg", "lag")
+    )
+
+
+ORACLE["q108_acf"] = f"""
+    WITH monthly AS (
+        SELECT c_mktsegment AS seg,
+               strftime(o_orderdate, '%Y-%m') AS month,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT seg, month, rev,
+               row_number() OVER (PARTITION BY seg ORDER BY month) AS k
+        FROM monthly
+    ),
+    stacked AS (
+        SELECT a.seg, a.month, lags.lag,
+               a.rev::DOUBLE AS xd, b.rev::DOUBLE AS yd
+        FROM idx a
+        CROSS JOIN (SELECT unnest(range(1, {Q108_MAX_LAG + 1}))::INT AS lag) lags
+        JOIN idx b ON b.seg = a.seg AND b.k = a.k - lags.lag
+    ),
+    cells AS (
+        SELECT seg, lag, count(*)::BIGINT AS n_pairs,
+               list_sum(list(xd ORDER BY month)) AS sx,
+               list_sum(list(yd ORDER BY month)) AS sy,
+               list_sum(list(xd * yd ORDER BY month)) AS sxy,
+               list_sum(list(xd * xd ORDER BY month)) AS sxx,
+               list_sum(list(yd * yd ORDER BY month)) AS syy
+        FROM stacked GROUP BY 1, 2
+    )
+    SELECT seg, lag, n_pairs,
+           floor((n_pairs * sxy - sx * sy)
+                 / sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))
+                 * 1000000 + 0.5)::BIGINT AS acf_micro
+    FROM cells
+    WHERE sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)) > 0
+    ORDER BY seg, lag
+"""
+QUERIES["q108_acf"] = q108_acf
+
+
+# ---------------------------------------------------------------------------
+# q109: Benford first-digit audit of order amounts
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) in exact literal ppm — the SAME constants appear in the
+# oracle, so no engine's log10 is ever consulted (last-ulp libm
+# differences would break hash parity). The nine values sum to
+# exactly 1,000,000.
+Q109_BENFORD_PPM = {
+    1: 301030,
+    2: 176091,
+    3: 124939,
+    4: 96910,
+    5: 79181,
+    6: 66947,
+    7: 57992,
+    8: 51153,
+    9: 45757,
+}
+
+
+def q109_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of o_totalprice — the
+    fraud/synthetic-data screen: natural multi-scale amounts follow
+    P(d) = log10(1+1/d); fabricated or truncated feeds don't. Reports
+    observed vs expected frequency per leading digit in exact ppm.
+
+    All arithmetic is integer: counts, literal Benford ppm constants,
+    and floor-division shares — nothing engine-specific can drift. The
+    digit spine is completed 1..9 (q87's empty-cell rule: a digit with
+    zero observations must still appear, deviation −benford_ppm).
+
+    Plan shape at 100 TB: one map-side-combinable count by leading
+    digit (9 groups), one scalar count, one broadcast-sized spine
+    join; no sort, no window anywhere.
+    """
+    t = Tables(spark, sf_dir)
+    v = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    obs = (
+        t.orders.select(F.substring(v.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    n_tot = t.orders.agg(F.count(F.lit(1)).alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    bmap = F.create_map(
+        *[F.lit(x) for kv in Q109_BENFORD_PPM.items() for x in kv]
+    )
+    joined = (
+        spine.join(obs, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce(F.col("obs"), F.lit(0)).cast("long").alias("obs"),
+            F.element_at(bmap, F.col("digit")).cast("long").alias("benford_ppm"),
+        )
+        .crossJoin(F.broadcast(n_tot))
+    )
+    return joined.select(
+        "digit",
+        "obs",
+        F.expr("obs * 1000000 div n").alias("obs_ppm"),
+        "benford_ppm",
+        F.expr("obs * 1000000 div n - benford_ppm").alias("dev_ppm"),
+    ).orderBy("digit")
+
+
+ORACLE["q109_benford"] = f"""
+    WITH digits AS (
+        SELECT substr((floor(o_totalprice * 100 + 0.5)::BIGINT)::VARCHAR, 1, 1)::INT
+               AS digit
+        FROM orders
+    ),
+    obs AS (SELECT digit, count(*)::BIGINT AS obs FROM digits GROUP BY 1),
+    bf AS (
+        SELECT * FROM (VALUES {", ".join(f"({d}, {p})" for d, p in Q109_BENFORD_PPM.items())})
+               t(digit, benford_ppm)
+    ),
+    j AS (
+        SELECT bf.digit::INT AS digit, coalesce(obs.obs, 0)::BIGINT AS obs,
+               bf.benford_ppm::BIGINT AS benford_ppm
+        FROM bf LEFT JOIN obs ON bf.digit = obs.digit
+    ),
+    tot AS (SELECT j.*, n FROM j
+            CROSS JOIN (SELECT count(*)::BIGINT AS n FROM orders) nt)
+    SELECT digit, obs, (obs * 1000000 // n)::BIGINT AS obs_ppm, benford_ppm,
+           (obs * 1000000 // n - benford_ppm)::BIGINT AS dev_ppm
+    FROM tot ORDER BY digit
+"""
+QUERIES["q109_benford"] = q109_benford
+
+
+# ---------------------------------------------------------------------------
+# q110: interval union — merged coverage of overlapping shipment windows
+# ---------------------------------------------------------------------------
+
+
+def q110_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage per supplier: each line's OPEN-ORDER
+    window [o_orderdate, l_shipdate] merged into maximal
+    non-overlapping islands — covered calendar days (days the supplier
+    had at least one order line awaiting shipment), island count, and
+    double-counted overlap days. The gaps-and-islands primitive behind
+    utilization, SLA-coverage, and on-air analytics (q50 BUILDS SCD2
+    intervals; this MERGES intervals).
+
+    Island detection is the running-max-end sweep: an interval starts
+    a new island iff its start exceeds the max end of every earlier
+    interval (window ordered by a total order; the running max makes
+    the island id independent of tie order). Two window expressions +
+    the per-island aggregate all ride ONE partitioning (supplier) and
+    one sort — Spark plans a single Exchange + Sort reused by both
+    window steps and the partial aggregate.
+
+    Plan shape at 100 TB: the orders⋈lineitem equi-join is the
+    standard co-keyed fact join (bucketable on orderkey); the windows
+    are per-supplier — partition count = |suppliers| (TPC-H
+    lineitem/supplier is a constant ~600 rows at every SF, so tasks
+    stay balanced as the corpus grows; no global window).
+    """
+    t = Tables(spark, sf_dir)
+    li = (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_linenumber", "l_shipdate")
+        .join(
+            t.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_suppkey", "o_orderdate", "l_shipdate", "l_orderkey", "l_linenumber")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "o_orderdate", "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    prev_end = F.max("l_shipdate").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = li.select(
+        "l_suppkey",
+        "o_orderdate",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            prev_end.isNull() | (F.col("o_orderdate") > prev_end), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = marked.select(
+        "l_suppkey",
+        "o_orderdate",
+        "l_shipdate",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    per_island = islands.groupBy("l_suppkey", "island").agg(
+        (F.datediff(F.max("l_shipdate"), F.min("o_orderdate")) + 1)
+        .cast("long")
+        .alias("covered"),
+        F.sum(F.datediff("l_shipdate", "o_orderdate") + 1).alias("span_days"),
+    )
+    return (
+        per_island.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("covered").alias("covered_days"),
+            F.sum("span_days").alias("span_days"),
+            (F.sum("span_days") - F.sum("covered")).alias("overlap_days"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+ORACLE["q110_interval_union"] = """
+    WITH spans AS (
+        SELECT l_suppkey, o_orderdate, l_shipdate, l_orderkey, l_linenumber
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    marked AS (
+        SELECT l_suppkey, o_orderdate, l_shipdate, l_orderkey, l_linenumber,
+               CASE WHEN max(l_shipdate) OVER w_prev IS NULL
+                      OR o_orderdate > max(l_shipdate) OVER w_prev
+                    THEN 1 ELSE 0 END AS new_island
+        FROM spans
+        WINDOW w_prev AS (
+            PARTITION BY l_suppkey
+            ORDER BY o_orderdate, l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    islands AS (
+        SELECT l_suppkey, o_orderdate, l_shipdate,
+               sum(new_island) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY o_orderdate, l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    ),
+    per_island AS (
+        SELECT l_suppkey, island,
+               (date_diff('day', min(o_orderdate), max(l_shipdate)) + 1)::BIGINT
+                   AS covered,
+               sum(date_diff('day', o_orderdate, l_shipdate) + 1)::BIGINT
+                   AS span_days
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT l_suppkey,
+           count(*)::BIGINT AS n_islands,
+           sum(covered)::BIGINT AS covered_days,
+           sum(span_days)::BIGINT AS span_days,
+           (sum(span_days) - sum(covered))::BIGINT AS overlap_days
+    FROM per_island GROUP BY 1 ORDER BY l_suppkey
+"""
+QUERIES["q110_interval_union"] = q110_interval_union
+
+
+# ---------------------------------------------------------------------------
+# q111: association rules — directional confidence/lift from basket pairs
+# ---------------------------------------------------------------------------
+
+Q111_MIN_SUPPORT = 3
+Q111_TOP = 100
+
+
+def q111_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule extraction over order baskets: every directed
+    rule a→b with support ≥ 3, scored by confidence (P(b|a), exact
+    ppm), the baseline rate P(b) it should beat, and lift in basis
+    points — the step that turns q82's co-occurrence counts into
+    actionable "customers who bought a also bought b" rules.
+
+    Candidate generation is q82's basket self-join (Σ k·(k−1)/2 pairs,
+    never an item×item matrix); each unordered pair then emits BOTH
+    directions via a 2-element explode (map-side, no second join).
+    Item supports and the order count join back BROADCAST. All scores
+    are integer floor-divisions of counts — exact cross-engine.
+
+    Plan shape at 100 TB: identical to q82 (the one shuffle is the
+    pair aggregate, bounded by basket sizes) plus a broadcast;
+    the min-support filter prunes before the top-k TakeOrdered.
+    """
+    li = Tables(spark, sf_dir).lineitem
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    supp = items.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= Q111_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("ante"), F.col("pb").alias("cons")),
+                F.struct(F.col("pb").alias("ante"), F.col("pa").alias("cons")),
+            )
+        ).alias("r"),
+        "n_ab",
+    ).select(F.col("r.ante").alias("ante"), F.col("r.cons").alias("cons"), "n_ab")
+    return (
+        rules.join(
+            F.broadcast(supp.withColumnsRenamed({"pk": "ante", "n_item": "n_a"})),
+            "ante",
+        )
+        .join(
+            F.broadcast(supp.withColumnsRenamed({"pk": "cons", "n_item": "n_b"})),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ante",
+            "cons",
+            "n_ab",
+            F.expr("n_ab * 1000000 div n_a").alias("conf_ppm"),
+            F.expr("n_b * 1000000 div n_orders").alias("base_ppm"),
+            F.expr("n_ab * n_orders * 10000 div (n_a * n_b)").alias("lift_bp"),
+        )
+        .orderBy(F.desc("conf_ppm"), F.desc("n_ab"), "ante", "cons")
+        .limit(Q111_TOP)
+    )
+
+
+ORACLE["q111_assoc_rules"] = f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM items),
+    supp AS (SELECT pk, count(*)::BIGINT AS n_item FROM items GROUP BY pk),
+    pairs AS (
+        SELECT a.pk AS pa, b.pk AS pb, count(*)::BIGINT AS n_ab
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+        HAVING count(*) >= {Q111_MIN_SUPPORT}
+    ),
+    rules AS (
+        SELECT pa AS ante, pb AS cons, n_ab FROM pairs
+        UNION ALL
+        SELECT pb AS ante, pa AS cons, n_ab FROM pairs
+    )
+    SELECT ante, cons, n_ab,
+           (n_ab * 1000000 // sa.n_item)::BIGINT AS conf_ppm,
+           (sb.n_item * 1000000 // n_orders.n_orders)::BIGINT AS base_ppm,
+           (n_ab * n_orders.n_orders * 10000 // (sa.n_item * sb.n_item))::BIGINT
+               AS lift_bp
+    FROM rules
+    JOIN supp sa ON rules.ante = sa.pk
+    JOIN supp sb ON rules.cons = sb.pk
+    CROSS JOIN n_orders
+    ORDER BY conf_ppm DESC, n_ab DESC, ante, cons
+    LIMIT {Q111_TOP}
+"""
+QUERIES["q111_assoc_rules"] = q111_assoc_rules

@@ -1274,3 +1274,170 @@ def test_q107_split_minimizes_sse_bruteforce(spark):
         assert got[seg]["right_mean_cents"] == sum(vals[best:]) // (
             len(vals) - best
         )
+
+
+def test_q108_acf_matches_reference_pearson(spark):
+    """acf_micro must equal the plain Pearson correlation of
+    (x_t, x_{t-lag}) computed directly from the collected series —
+    proving the lag stacking, pair alignment, and ordered-fold sums
+    against an independent driver-side computation."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.advanced import Q108_MAX_LAG, q108_acf
+    from dbsink_spark.analytics.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    monthly = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("rev")
+        )
+        .collect()
+    )
+    series = {}
+    for r in monthly:
+        series.setdefault(r["seg"], []).append((r["month"], r["rev"]))
+    got = {(r["seg"], r["lag"]): r for r in q108_acf(spark, SF_DIR).collect()}
+    for seg, pts in series.items():
+        pts.sort()
+        vals = [float(v) for _, v in pts]
+        for lag in range(1, Q108_MAX_LAG + 1):
+            pairs = [(vals[i], vals[i - lag]) for i in range(lag, len(vals))]
+            if len(pairs) < 2:
+                continue
+            n = len(pairs)
+            sx = sum(p[0] for p in pairs)
+            sy = sum(p[1] for p in pairs)
+            sxy = sum(p[0] * p[1] for p in pairs)
+            sxx = sum(p[0] * p[0] for p in pairs)
+            syy = sum(p[1] * p[1] for p in pairs)
+            den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            if den <= 0:
+                assert (seg, lag) not in got
+                continue
+            ref = (n * sxy - sx * sy) / den
+            row = got[(seg, lag)]
+            assert row["n_pairs"] == n
+            # driver-side sum() order differs from the month-ordered
+            # fold; allow 1 micro of accumulated-rounding slack
+            assert abs(row["acf_micro"] - math.floor(ref * 1e6 + 0.5)) <= 1, (
+                seg,
+                lag,
+            )
+            assert -1_000_000 <= row["acf_micro"] <= 1_000_000
+
+
+def test_q109_benford_exact_counts_and_invariants(spark):
+    """Digit counts must equal a direct driver-side count of leading
+    digits; the spine is exactly 1..9; Benford constants sum to 1e6."""
+    from collections import Counter
+
+    from dbsink_spark.analytics.advanced import Q109_BENFORD_PPM, q109_benford
+    from dbsink_spark.analytics.tables import Tables
+
+    assert sum(Q109_BENFORD_PPM.values()) == 1_000_000
+    t = Tables(spark, SF_DIR)
+    prices = [r[0] for r in t.orders.select("o_totalprice").collect()]
+    ref = Counter(int(str(int(p * 100 + 0.5))[0]) for p in prices)
+    rows = q109_benford(spark, SF_DIR).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    n = sum(r["obs"] for r in rows)
+    assert n == len(prices)
+    for r in rows:
+        assert r["obs"] == ref.get(r["digit"], 0)
+        assert r["obs_ppm"] == r["obs"] * 1_000_000 // n
+        assert r["dev_ppm"] == r["obs_ppm"] - r["benford_ppm"]
+    assert sum(r["benford_ppm"] for r in rows) == 1_000_000
+
+
+def test_q110_interval_union_matches_bruteforce_merge(spark):
+    """Per-supplier coverage must equal a direct Python interval-merge
+    of the same [orderdate, shipdate] spans."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.advanced import q110_interval_union
+    from dbsink_spark.analytics.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    spans = (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            t.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_suppkey", "o_orderdate", "l_shipdate")
+        .collect()
+    )
+    by_supp = {}
+    for r in spans:
+        by_supp.setdefault(r["l_suppkey"], []).append(
+            (r["o_orderdate"].toordinal(), r["l_shipdate"].toordinal())
+        )
+    got = {r["l_suppkey"]: r for r in q110_interval_union(spark, SF_DIR).collect()}
+    assert set(got) == set(by_supp)
+    for supp, ivs in by_supp.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        row = got[supp]
+        assert row["n_islands"] == len(merged), supp
+        assert row["covered_days"] == sum(e - s + 1 for s, e in merged), supp
+        assert row["span_days"] == sum(e - s + 1 for s, e in ivs), supp
+        assert row["overlap_days"] == row["span_days"] - row["covered_days"]
+        assert row["overlap_days"] >= 0
+
+
+def test_q111_assoc_rules_scores_match_bruteforce(spark):
+    """Every emitted rule's counts and integer scores must match a
+    direct basket recount; every rule meets min support; ranking is
+    the declared (conf desc, support desc, ante, cons) order."""
+    from collections import Counter
+    from itertools import combinations
+
+    from dbsink_spark.analytics.advanced import (
+        Q111_MIN_SUPPORT,
+        q111_assoc_rules,
+    )
+    from dbsink_spark.analytics.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    items = (
+        t.lineitem.select("l_orderkey", "l_partkey").distinct().collect()
+    )
+    baskets = {}
+    for r in items:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    n_orders = len(baskets)
+    supp = Counter(p for b in baskets.values() for p in b)
+    pair = Counter()
+    for b in baskets.values():
+        for x, y in combinations(sorted(b), 2):
+            pair[(x, y)] += 1
+    rows = q111_assoc_rules(spark, SF_DIR).collect()
+    assert rows
+    keys = [
+        (-r["conf_ppm"], -r["n_ab"], r["ante"], r["cons"]) for r in rows
+    ]
+    assert keys == sorted(keys)
+    for r in rows:
+        a, b = r["ante"], r["cons"]
+        n_ab = pair[(min(a, b), max(a, b))]
+        assert n_ab == r["n_ab"] >= Q111_MIN_SUPPORT
+        assert r["conf_ppm"] == n_ab * 1_000_000 // supp[a]
+        assert r["base_ppm"] == supp[b] * 1_000_000 // n_orders
+        assert r["lift_bp"] == n_ab * n_orders * 10_000 // (supp[a] * supp[b])
