@@ -142,12 +142,14 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
-    # Integer CENTISECONDS in the stdout map (163 queries pushed even
-    # the 2-decimal float map past the 1950 B cap — ints drop the
-    # "0." prefix, ~2 B/entry, headroom to ~195 queries at the same
-    # resolution). Full 3-decimal seconds stay in BENCH_LOCAL.json.
+    # Integer DECISECONDS in the stdout map (round-7: 175 queries put
+    # the centisecond map ~45 B under the 1950 B cap — no headroom for
+    # growth; deciseconds drop ~1 B/entry, headroom to ~210 queries).
+    # The stdout map is a coarse per-query signal for the driver;
+    # full 3-decimal min+median seconds stay in BENCH_LOCAL.json (the
+    # diffable artifact regressions are judged from).
     short = {
-        name.split("_")[0]: int(round(sec * 100)) for name, sec in timings.items()
+        name.split("_")[0]: int(round(sec * 10)) for name, sec in timings.items()
     }
     assert len(short) == len(timings), "short-prefix collision in query names"
     # stdout budget is ~2000 bytes (driver tail-captures): at 147
@@ -158,7 +160,7 @@ def main() -> None:
     line = {
         **payload,
         "queries": short,
-        "queries_unit": "centisec",
+        "queries_unit": "decisec",
         "value_median_total": round(sum(medians.values()), 3),
     }
     del line["queries_median"]

@@ -354,6 +354,9 @@ UNGATED = frozenset(
         "q109_benford",
         "q110_interval_union",
         "q111_assoc_rules",
+        "q112_decile_lift",
+        "q113_mix_shift",
+        "q114_bootstrap_ci",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

@@ -6865,3 +6865,329 @@ ORACLE["q111_assoc_rules"] = f"""
     LIMIT {Q111_TOP}
 """
 QUERIES["q111_assoc_rules"] = q111_assoc_rules
+
+
+# ---------------------------------------------------------------------------
+# q112: decile lift — value-decile concentration of customer revenue
+# ---------------------------------------------------------------------------
+
+
+def q112_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table: customers bucketed by total spend into
+    value deciles (boundaries = exact order statistics of the spend
+    distribution), with each decile's customer count, revenue, and
+    exact ppm revenue share + cumulative share — the concentration
+    curve behind "top decile drives X% of revenue" and campaign
+    targeting.
+
+    Boundaries are found by the shared radix-drill primitive
+    (analytics.drill, the q84/q68 state machine): the k-th boundary is
+    the ⌈k·n/10⌉-th smallest spend — ~3 rounds of fully-parallel
+    range counting, NEVER a global sort or corpus-sized unpartitioned
+    window (ntile over all customers is exactly the q84 straggler
+    class this engine bans). Assignment is then a 9-literal
+    comparison sum — map-side, no join. Boundary ties collapse
+    deciles identically in both engines (documented value-decile
+    semantics: a spend equal to a boundary belongs to the lower
+    decile).
+
+    Plan shape at 100 TB: one map-side-combinable per-customer
+    aggregate, one scalar total, ~3 drill counting jobs (each
+    shuffles ≤ FANOUT·9 rows), one 10-group aggregate. The only
+    window runs over the ≤10-row decile frame.
+    """
+    from .drill import weighted_value_at
+
+    t = Tables(spark, sf_dir)
+    spend = (
+        t.orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .alias("spend")
+        )
+        .localCheckpoint(eager=True)  # reused by the drill's counting
+        # rounds AND the bucketed aggregate — without it each drill
+        # round re-runs the orders scan + hash agg
+    )
+    tot = spend.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("spend").alias("rev")
+    ).collect()[0]
+    n, rev = tot["n"], tot["rev"]
+    sel = weighted_value_at(
+        spend.withColumn("g1", F.lit(1)).withColumn(
+            "one", F.lit(1).cast("long")
+        ),
+        "g1",
+        "spend",
+        "one",
+        {1: {k: (k * n + 9) // 10 for k in range(1, 10)}},
+    )
+    bounds = [sel[(1, k)][0] for k in range(1, 10)]
+    decile = F.lit(1)
+    for b in bounds:
+        decile = decile + (F.col("spend") > F.lit(b)).cast("int")
+    agg = (
+        spend.select(decile.alias("decile"), "spend")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("spend").alias("rev_cents"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.select(
+            "decile",
+            "n_customers",
+            "rev_cents",
+            F.expr(f"rev_cents * 1000000 div {rev}").alias("share_ppm"),
+            F.sum("rev_cents").over(w).alias("cum_cents"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "rev_cents",
+            "share_ppm",
+            F.expr(f"cum_cents * 1000000 div {rev}").alias("cum_share_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE["q112_decile_lift"] = """
+    WITH spend AS (
+        SELECT o_custkey,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS spend
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n, sum(spend)::BIGINT AS rev FROM spend),
+    ranked AS (
+        SELECT spend, row_number() OVER (ORDER BY spend) AS rn FROM spend
+    ),
+    bounds AS (
+        SELECT k, spend AS b
+        FROM (SELECT unnest(range(1, 10))::BIGINT AS k) ks
+        CROSS JOIN tot
+        JOIN ranked ON rn = (k * n + 9) // 10
+    ),
+    bucketed AS (
+        SELECT s.o_custkey, s.spend,
+               1 + sum(CASE WHEN s.spend > b.b THEN 1 ELSE 0 END)::INT
+                   AS decile
+        FROM spend s CROSS JOIN bounds b
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT decile, count(*)::BIGINT AS n_customers,
+               sum(spend)::BIGINT AS rev_cents
+        FROM bucketed GROUP BY 1
+    )
+    SELECT decile, n_customers, rev_cents,
+           (rev_cents * 1000000 // rev)::BIGINT AS share_ppm,
+           (sum(rev_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            * 1000000 // rev)::BIGINT AS cum_share_ppm
+    FROM agg CROSS JOIN tot ORDER BY decile
+"""
+QUERIES["q112_decile_lift"] = q112_decile_lift
+
+
+# ---------------------------------------------------------------------------
+# q113: mix-shift decomposition — period-over-period revenue bridge
+# ---------------------------------------------------------------------------
+
+Q113_Y1, Q113_Y2 = 1996, 1997
+
+
+def q113_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-bridge decomposition between two years, per market
+    segment: Δrevenue splits into a VOLUME effect (order-count change
+    at the old average order value), a RATE effect (average-value
+    change at the new count), and the exact integer residual that
+    closes the identity — the "why did revenue move" analysis behind
+    every period-over-period dashboard.
+
+    Exactness: averages are positive integer floor-divisions
+    (rev DIV q, cents); effects are pure integer PRODUCTS of those
+    averages with count deltas — no negative-operand division anywhere
+    (Spark's ``div`` truncates toward zero while DuckDB's ``//``
+    floors, so a negative division would silently diverge between
+    engines; products are exact in both). The residual is defined as
+    Δ − volume − rate, so the bridge sums exactly by construction and
+    the residual size reports the floor-rounding granularity.
+
+    Plan shape at 100 TB: one map-side-combinable (segment, year)
+    aggregate over the date-filtered scan (predicate pushed to
+    parquet row groups), pivoted by a 2-literal conditional — no
+    join, no window, 5-row output.
+    """
+    t = Tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    yr = F.year("o_orderdate")
+    per = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(yr.isin(Q113_Y1, Q113_Y2))
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.sum(F.when(yr == Q113_Y1, 1).otherwise(0)).alias("q1"),
+            F.sum(F.when(yr == Q113_Y1, cents).otherwise(0)).alias("rev1"),
+            F.sum(F.when(yr == Q113_Y2, 1).otherwise(0)).alias("q2"),
+            F.sum(F.when(yr == Q113_Y2, cents).otherwise(0)).alias("rev2"),
+        )
+    )
+    return (
+        per.filter((F.col("q1") > 0) & (F.col("q2") > 0))
+        .select(
+            "seg",
+            "q1",
+            "q2",
+            "rev1",
+            "rev2",
+            F.expr("(q2 - q1) * (rev1 div q1)").alias("volume_effect"),
+            F.expr("q2 * (rev2 div q2 - rev1 div q1)").alias("rate_effect"),
+            F.expr(
+                "rev2 - rev1 - (q2 - q1) * (rev1 div q1)"
+                " - q2 * (rev2 div q2 - rev1 div q1)"
+            ).alias("residual_cents"),
+        )
+        .orderBy("seg")
+    )
+
+
+ORACLE["q113_mix_shift"] = f"""
+    WITH per AS (
+        SELECT c_mktsegment AS seg,
+               sum(CASE WHEN year(o_orderdate) = {Q113_Y1} THEN 1 ELSE 0 END)::BIGINT AS q1,
+               sum(CASE WHEN year(o_orderdate) = {Q113_Y1}
+                        THEN floor(o_totalprice * 100 + 0.5)::BIGINT ELSE 0 END)::BIGINT AS rev1,
+               sum(CASE WHEN year(o_orderdate) = {Q113_Y2} THEN 1 ELSE 0 END)::BIGINT AS q2,
+               sum(CASE WHEN year(o_orderdate) = {Q113_Y2}
+                        THEN floor(o_totalprice * 100 + 0.5)::BIGINT ELSE 0 END)::BIGINT AS rev2
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE year(o_orderdate) IN ({Q113_Y1}, {Q113_Y2})
+        GROUP BY 1
+    )
+    SELECT seg, q1, q2, rev1, rev2,
+           ((q2 - q1) * (rev1 // q1))::BIGINT AS volume_effect,
+           (q2 * (rev2 // q2 - rev1 // q1))::BIGINT AS rate_effect,
+           (rev2 - rev1 - (q2 - q1) * (rev1 // q1)
+            - q2 * (rev2 // q2 - rev1 // q1))::BIGINT AS residual_cents
+    FROM per
+    WHERE q1 > 0 AND q2 > 0
+    ORDER BY seg
+"""
+QUERIES["q113_mix_shift"] = q113_mix_shift
+
+
+# ---------------------------------------------------------------------------
+# q114: Poisson-bootstrap confidence interval for the mean order value
+# ---------------------------------------------------------------------------
+
+Q114_B = 64  # bootstrap replicates
+# Poisson(1) CDF thresholds scaled to ppm — LITERAL in both engines
+# (no engine exp() consulted): P(X<=k) for k = 0..7; a uniform draw
+# u ∈ [0, 1e6) maps to the smallest k with u < threshold, else 8.
+Q114_POISSON_CDF_PPM = [367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990]
+
+
+def q114_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the mean order
+    value — the uncertainty-quantification primitive a metrics
+    pipeline attaches to every point estimate. The classic resample
+    (n draws WITH replacement, B times) is undistributable (each
+    replicate needs global coordination); the Poisson bootstrap
+    (Efron's approximation: each row enters each replicate
+    Poisson(1)-many times) is embarrassingly parallel and is THE
+    at-scale bootstrap.
+
+    Determinism: the per-(row, replicate) weight comes from the
+    portable h64 hash mapped through LITERAL Poisson CDF thresholds
+    (ppm integers) — both engines draw the identical weight, so the
+    replicate means are exact integer floor-divisions and the CI is
+    an exact order statistic of the 64-row replicate distribution.
+
+    Plan shape at 100 TB: the 64× explode is map-side (no shuffle of
+    the expanded rows — the per-replicate partial aggregates combine
+    before the 64-row shuffle). Cost is 64 hash+weight evaluations
+    per row, embarrassingly parallel; the final sort is 64 rows in
+    one array. B is the knob (classic guidance: 50-200 replicates
+    stabilize a 95% CI).
+    """
+    t = Tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    from ..functions.hashing import h64
+
+    u = F.pmod(
+        h64(F.concat_ws(":", F.col("o_orderkey").cast("string"), F.col("b").cast("string"))),
+        F.lit(1000000),
+    )
+    w = F.lit(len(Q114_POISSON_CDF_PPM))
+    for k in range(len(Q114_POISSON_CDF_PPM) - 1, -1, -1):
+        w = F.when(u < Q114_POISSON_CDF_PPM[k], k).otherwise(w)
+    reps = (
+        t.orders.select(F.col("o_orderkey"), cents.alias("v"))
+        .select("o_orderkey", "v", F.explode(F.sequence(F.lit(0), F.lit(Q114_B - 1))).alias("b"))
+        .select("b", w.alias("w"), "v")
+        .groupBy("b")
+        .agg(F.sum(F.expr("w * v")).alias("wv"), F.sum("w").alias("ww"))
+        .select("b", F.expr("wv * 100 div ww").alias("mean_c100"))
+    )
+    point = t.orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sv"),
+    ).select(F.expr("sv * 100 div n").alias("point_c100"), "n")
+    lo_rank = (25 * Q114_B + 999) // 1000   # ceil(0.025·B) = 2
+    hi_rank = (975 * Q114_B + 999) // 1000  # ceil(0.975·B) = 63
+    dist = reps.agg(
+        F.array_sort(F.collect_list("mean_c100")).alias("ms"),
+        F.count(F.lit(1)).alias("n_reps"),
+    ).select(
+        "n_reps",
+        F.element_at("ms", lo_rank).alias("ci_lo_c100"),
+        F.element_at("ms", hi_rank).alias("ci_hi_c100"),
+    )
+    return point.crossJoin(F.broadcast(dist)).select(
+        "n", "n_reps", "point_c100", "ci_lo_c100", "ci_hi_c100"
+    )
+
+
+def _q114_oracle() -> str:
+    from ..functions.hashing import h64_sql
+
+    u = h64_sql("o_orderkey::VARCHAR || ':' || b::VARCHAR") + " % 1000000"
+    w = str(len(Q114_POISSON_CDF_PPM))
+    for k in range(len(Q114_POISSON_CDF_PPM) - 1, -1, -1):
+        w = f"CASE WHEN u < {Q114_POISSON_CDF_PPM[k]} THEN {k} ELSE {w} END"
+    lo_rank = (25 * Q114_B + 999) // 1000
+    hi_rank = (975 * Q114_B + 999) // 1000
+    return f"""
+    WITH expanded AS (
+        SELECT b, ({u}) AS u, floor(o_totalprice * 100 + 0.5)::BIGINT AS v
+        FROM orders CROSS JOIN (SELECT unnest(range(0, {Q114_B}))::BIGINT AS b) bs
+    ),
+    weighted AS (SELECT b, ({w})::BIGINT AS w, v FROM expanded),
+    reps AS (
+        SELECT b, (sum(w * v) * 100 // sum(w))::BIGINT AS mean_c100
+        FROM weighted GROUP BY b
+    ),
+    dist AS (
+        SELECT count(*)::BIGINT AS n_reps,
+               (list_sort(list(mean_c100)))[{lo_rank}] AS ci_lo_c100,
+               (list_sort(list(mean_c100)))[{hi_rank}] AS ci_hi_c100
+        FROM reps
+    ),
+    pt AS (
+        SELECT count(*)::BIGINT AS n,
+               (sum(floor(o_totalprice * 100 + 0.5)::BIGINT) * 100
+                // count(*))::BIGINT AS point_c100
+        FROM orders
+    )
+    SELECT n, n_reps, point_c100, ci_lo_c100, ci_hi_c100
+    FROM pt CROSS JOIN dist
+"""
+
+
+ORACLE["q114_bootstrap_ci"] = _q114_oracle()
+QUERIES["q114_bootstrap_ci"] = q114_bootstrap_ci

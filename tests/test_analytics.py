@@ -1441,3 +1441,135 @@ def test_q111_assoc_rules_scores_match_bruteforce(spark):
         assert r["conf_ppm"] == n_ab * 1_000_000 // supp[a]
         assert r["base_ppm"] == supp[b] * 1_000_000 // n_orders
         assert r["lift_bp"] == n_ab * n_orders * 10_000 // (supp[a] * supp[b])
+
+
+def test_q112_decile_lift_bruteforce(spark):
+    """Decile boundaries, assignment, and shares must match a direct
+    driver-side sort of per-customer spend."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.advanced import q112_decile_lift
+    from dbsink_spark.analytics.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    spend = [
+        r["spend"]
+        for r in t.orders.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("spend")
+        )
+        .collect()
+    ]
+    n, rev = len(spend), sum(spend)
+    ranked = sorted(spend)
+    bounds = [ranked[(k * n + 9) // 10 - 1] for k in range(1, 10)]
+    buckets = {}
+    for s in spend:
+        d = 1 + sum(s > b for b in bounds)
+        buckets.setdefault(d, []).append(s)
+    rows = q112_decile_lift(spark, SF_DIR).collect()
+    assert {r["decile"] for r in rows} == set(buckets)
+    cum = 0
+    for r in sorted(rows, key=lambda r: r["decile"]):
+        ref = buckets[r["decile"]]
+        assert r["n_customers"] == len(ref)
+        assert r["rev_cents"] == sum(ref)
+        assert r["share_ppm"] == sum(ref) * 1_000_000 // rev
+        cum += sum(ref)
+        assert r["cum_share_ppm"] == cum * 1_000_000 // rev
+    # concentration sanity: top decile holds more than an equal share
+    top = max(rows, key=lambda r: r["decile"])
+    assert top["share_ppm"] > 1_000_000 // 10
+
+
+def test_q113_mix_shift_bridge_closes(spark):
+    """The bridge identity Δrev = volume + rate + residual must close
+    EXACTLY per segment, and effects must match a direct recount."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.advanced import Q113_Y1, Q113_Y2, q113_mix_shift
+    from dbsink_spark.analytics.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    per = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.year("o_orderdate").isin(Q113_Y1, Q113_Y2))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").alias("y"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+        )
+        .collect()
+    )
+    agg = {}
+    for r in per:
+        q, rev = agg.setdefault((r["seg"], r["y"]), [0, 0])
+        agg[(r["seg"], r["y"])] = [q + 1, rev + r["v"]]
+    rows = q113_mix_shift(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        q1, rev1 = agg[(r["seg"], Q113_Y1)]
+        q2, rev2 = agg[(r["seg"], Q113_Y2)]
+        assert (r["q1"], r["rev1"], r["q2"], r["rev2"]) == (q1, rev1, q2, rev2)
+        assert r["volume_effect"] == (q2 - q1) * (rev1 // q1)
+        assert r["rate_effect"] == q2 * (rev2 // q2 - rev1 // q1)
+        assert (
+            r["rev2"] - r["rev1"]
+            == r["volume_effect"] + r["rate_effect"] + r["residual_cents"]
+        )
+        # residual is floor-rounding granularity: bounded by q1 + q2
+        assert abs(r["residual_cents"]) <= q1 + q2
+
+
+def test_q114_bootstrap_ci_bruteforce(spark):
+    """Replicate means and the CI order statistics must match a direct
+    Python recomputation of the hash-Poisson weights; the interval
+    must bracket the point estimate."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.advanced import (
+        Q114_B,
+        Q114_POISSON_CDF_PPM,
+        q114_bootstrap_ci,
+    )
+    from dbsink_spark.analytics.tables import Tables
+
+    t = Tables(spark, SF_DIR)
+    vals = {
+        r["o_orderkey"]: int(r["v"])
+        for r in t.orders.select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+        ).collect()
+    }
+    means = []
+    for b in range(Q114_B):
+        wv = ww = 0
+        for key, v in vals.items():
+            u = int(hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:15], 16) % 1000000
+            w = next(
+                (k for k, thr in enumerate(Q114_POISSON_CDF_PPM) if u < thr),
+                len(Q114_POISSON_CDF_PPM),
+            )
+            wv += w * v
+            ww += w
+        means.append(wv * 100 // ww)
+    means.sort()
+    row = q114_bootstrap_ci(spark, SF_DIR).collect()[0]
+    assert row["n"] == len(vals)
+    assert row["n_reps"] == Q114_B
+    assert row["point_c100"] == sum(vals.values()) * 100 // len(vals)
+    assert row["ci_lo_c100"] == means[(25 * Q114_B + 999) // 1000 - 1]
+    assert row["ci_hi_c100"] == means[(975 * Q114_B + 999) // 1000 - 1]
+    assert row["ci_lo_c100"] <= row["point_c100"] <= row["ci_hi_c100"]

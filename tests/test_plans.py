@@ -181,6 +181,9 @@ UNPARTITIONED_WINDOW_RATIONALE = {
     "q91_proration":
         "all frames run over the per-nation revenue aggregate — ≤ 25 rows "
         "(nation is the grouping key) after the corpus-side hash agg",
+    "q112_decile_lift":
+        "cumulative-share frame runs over the ≤ 10-row decile aggregate; "
+        "the corpus-sized selection is the radix drill, not a sort",
 }
 
 
