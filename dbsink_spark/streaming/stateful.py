@@ -406,3 +406,120 @@ def heavy_hitters_tracker(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# finalized-session emitter: gap sessionization with event-time timeout
+# ---------------------------------------------------------------------------
+
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def _session_out_schema(key_col: str) -> str:
+    return (
+        f"{key_col} string, session_start timestamp, session_end timestamp, "
+        "n_events long, closed_by string"
+    )
+
+
+def session_tracker(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Finalized-session emitter — gap-based sessionization that EMITS
+    each session exactly once, when it provably cannot grow anymore.
+    The streaming twin of batch q19 (analytics.relational), and the
+    capability the builtin ``session_window`` aggregate (used by
+    ``session_aggregate``) can't express: per-session rows in APPEND
+    mode with an explicit close reason.
+
+    A session closes two ways:
+
+    * ``closed_by='gap'`` — a LATER event for the key arrives more
+      than ``gap_seconds`` after the session's last event (the closing
+      evidence is data);
+    * ``closed_by='timeout'`` — the event-time WATERMARK passes
+      ``last_event + gap`` with no new events
+      (``GroupStateTimeout.EventTimeTimeout``; the closing evidence is
+      the absence of data, which only the watermark can certify).
+
+    Late events within the watermark horizon that arrive out of order
+    extend the open session without re-opening closed ones (rows sort
+    by event time within each micro-batch; a cross-batch regression
+    lands in the still-open session).
+
+    State per key is three longs (session start/last/count) — bounded
+    regardless of stream length, and REMOVED on timeout, so idle keys
+    cost nothing (the device/cusum/heavy-hitter trackers keep state
+    forever by design; sessions are the operator where eviction is the
+    semantics). At 100 TB the state store is hash-partitioned by key;
+    the watermark delay bounds both lateness tolerance and state
+    lifetime.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        closed: list[tuple[int, int, int, str]] = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            closed.append((start_us, last_us, n, "timeout"))
+            state.remove()
+        else:
+            if state.exists:
+                start_us, last_us, n = state.get
+            else:
+                start_us, last_us, n = None, None, 0
+            ts_all: list[int] = []
+            for pdf in pdfs:
+                ts_all.extend(
+                    int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col])
+                )
+            ts_all.sort()
+            for t in ts_all:
+                if last_us is not None and t - last_us > gap_us:
+                    closed.append((start_us, last_us, n, "gap"))
+                    start_us, last_us, n = t, t, 0
+                if start_us is None:
+                    start_us = t
+                if last_us is None or t > last_us:
+                    last_us = t
+                n += 1
+            if n:
+                state.update((start_us, last_us, n))
+                # close when the watermark certifies no event can still
+                # join the session (epoch ms for the state API)
+                state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+            else:  # all rows late-filtered upstream; nothing to track
+                state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [k] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _, e, _, _ in closed
+                    ],
+                    "n_events": [c for _, _, c, _ in closed],
+                    "closed_by": [r for _, _, _, r in closed],
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        df.withWatermark(ts_col, delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=_session_out_schema(key_col),
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

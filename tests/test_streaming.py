@@ -1041,3 +1041,154 @@ def test_heavy_hitters_tracker_across_batches(spark, tmp_path):
     for item, c in true.items():
         if c * (k + 1) > want_n:
             assert item in dict(got), item
+
+
+def test_session_tracker_gap_and_timeout_close(spark, tmp_path):
+    """Finalized-session emitter: a later event past the gap closes the
+    open session (closed_by='gap'); the advancing watermark closes an
+    idle session (closed_by='timeout'); each session is emitted exactly
+    once with exact start/end/count."""
+    import os as _os
+
+    from dbsink_spark.streaming.stateful import session_tracker
+
+    indir = tmp_path / "sess_in"
+    indir.mkdir()
+    # batch 1: user a, two events 5 min apart (one open session)
+    # batch 2: user a at 12:00 — 1h55m past 10:05, closes session 1 by
+    #          gap; user b seeds a second key
+    # batch 3: user b at 15:00 — closes b's 12:01 session by gap AND
+    #          advances the watermark (delay 10 min) to 14:50 > a's
+    #          12:00 + 30 min, so a's second session closes by
+    #          TIMEOUT; b's 15:00 session stays open (the watermark
+    #          never passes b's last + gap)
+    batches = [
+        [("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 10:05:00")],
+        [("a", "2024-01-01 12:00:00"), ("b", "2024-01-01 12:01:00")],
+        [("b", "2024-01-01 15:00:00")],
+    ]
+    for bi, rows in enumerate(batches):
+        p = indir / f"b{bi}.json"
+        with open(p, "w") as f:
+            for u, ts in rows:
+                f.write(json.dumps({"user_id": u, "ts": ts}) + "\n")
+        _os.utime(p, (1_700_000_000 + bi * 60,) * 2)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    out = session_tracker(stream, gap_seconds=1800, delay="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"])): r
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    k1 = ("a", "2024-01-01 10:00:00", "2024-01-01 10:05:00")
+    k2 = ("a", "2024-01-01 12:00:00", "2024-01-01 12:00:00")
+    k3 = ("b", "2024-01-01 12:01:00", "2024-01-01 12:01:00")
+    assert set(rows) == {k1, k2, k3}, rows
+    assert rows[k1]["n_events"] == 2 and rows[k1]["closed_by"] == "gap"
+    assert rows[k2]["n_events"] == 1 and rows[k2]["closed_by"] == "timeout"
+    assert rows[k3]["n_events"] == 1 and rows[k3]["closed_by"] == "gap"
+
+
+def test_session_tracker_flushed_equals_batch_sessionize(spark, tmp_path):
+    """With every session flushed (a far-future sentinel advances the
+    watermark past all timeouts), the emitted sessions must equal a
+    single-pass gap sessionization of the concatenated input — the
+    q19 batch semantics (diff > gap starts a new session)."""
+    import os as _os
+    from datetime import datetime, timedelta
+
+    from dbsink_spark.streaming.stateful import session_tracker
+
+    base = datetime(2024, 3, 1, 8, 0, 0)
+    gap = 1800
+    # per-user event offsets (minutes): crafted runs + gaps
+    offsets = {
+        "u1": [0, 5, 10, 70, 75, 200],
+        "u2": [0, 40, 41, 42, 120],
+        "u3": [15, 16, 17, 18],
+    }
+    events = sorted(
+        [
+            (u, base + timedelta(minutes=m))
+            for u, offs in offsets.items()
+            for m in offs
+        ],
+        key=lambda t: t[1],
+    )
+    # chronological thirds + sentinel batch that flushes everything
+    cuts = [events[: len(events) // 3], events[len(events) // 3 : 2 * len(events) // 3],
+            events[2 * len(events) // 3 :],
+            [("zz_sentinel", base + timedelta(days=10))]]
+    indir = tmp_path / "sess_eq_in"
+    indir.mkdir()
+    for bi, rows in enumerate(cuts):
+        p = indir / f"b{bi}.json"
+        with open(p, "w") as f:
+            for u, ts in rows:
+                f.write(
+                    json.dumps({"user_id": u, "ts": ts.strftime("%Y-%m-%d %H:%M:%S")})
+                    + "\n"
+                )
+        _os.utime(p, (1_700_000_000 + bi * 60,) * 2)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    out = session_tracker(stream, gap_seconds=gap, delay="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_eq")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_eq"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql(
+            "SELECT * FROM sessions_eq WHERE user_id != 'zz_sentinel'"
+        ).collect()
+    }
+    # single-pass reference with q19's rule
+    want = set()
+    for u, offs in offsets.items():
+        ts = [base + timedelta(minutes=m) for m in sorted(offs)]
+        start, last, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if (t - last).total_seconds() > gap:
+                want.add((u, str(start), str(last), n))
+                start, n = t, 0
+            last = t
+            n += 1
+        want.add((u, str(start), str(last), n))
+    assert got == want
