@@ -357,6 +357,8 @@ UNGATED = frozenset(
         "q112_decile_lift",
         "q113_mix_shift",
         "q114_bootstrap_ci",
+        "s16_sq_search",
+        "d18_novelty_curve",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

@@ -1573,3 +1573,87 @@ def d17_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical result contract to d09 — the oracle is shared verbatim
 ORACLE["d17_cc_alternating"] = ORACLE["d09_dup_clusters"]
 QUERIES["d17_cc_alternating"] = d17_cc_alternating
+
+
+# ---------------------------------------------------------------------------
+# d18: ingest-order novelty curve — marginal new content per source
+# ---------------------------------------------------------------------------
+
+
+def d18_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-order novelty curve: sources processed in name order,
+    each scored by how many of its distinct 3-shingles appear in NO
+    earlier source — the "is the next crawl snapshot worth ingesting"
+    planning query. d14 estimates pairwise overlap from sketches; this
+    is the EXACT sequential complement: marginal novel mass and the
+    cumulative distinct-corpus growth curve, the numbers a curation
+    pipeline tracks to decide when a source family has gone dry.
+
+    First-seen attribution needs no per-pair work: one aggregate maps
+    every shingle hash to its MIN source (first in ingest order); a
+    shingle is novel to exactly that source. Per-source distinct
+    counts and novel counts are two map-side-combinable aggregates
+    over the same exploded projection; the cumulative curve is a
+    window over the |sources|-row result.
+
+    Plan shape at 100 TB: the heavy pass is the (shingle → min source)
+    aggregate — shuffle keyed by 8-byte hashes, combiner-friendly,
+    never a pairwise join; novelty then needs NO join back to the
+    corpus (the min IS the attribution). Adding a new source re-runs
+    incrementally: new shingles vs the maintained first-seen table
+    (the q106 IVM pattern applies verbatim).
+    """
+    d = Tables(spark, sf_dir).documents
+    sh = (
+        d.select("source", F.explode(_shingles(_words())).alias("s"))
+        .select("source", h64(F.col("s")).alias("h"))
+        .distinct()
+    )
+    first = sh.groupBy("h").agg(F.min("source").alias("first_source"))
+    per_source = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    novel = first.groupBy(F.col("first_source").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_source.join(novel, "source", "left")
+        .select(
+            "source",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            "n_novel",
+            F.expr("n_novel * 1000000 div n_shingles").alias("novelty_ppm"),
+            F.sum("n_novel").over(w).alias("cum_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["d18_novelty_curve"] = f"""
+    WITH sh AS (
+        SELECT DISTINCT source,
+               {h64_sql('s')} AS h
+        FROM (SELECT source, unnest({_SHINGLES_SQL}) AS s FROM documents)
+    ),
+    first AS (SELECT h, min(source) AS first_source FROM sh GROUP BY h),
+    per_source AS (
+        SELECT source, count(*)::BIGINT AS n_shingles FROM sh GROUP BY source
+    ),
+    novel AS (
+        SELECT first_source AS source, count(*)::BIGINT AS n_novel
+        FROM first GROUP BY 1
+    )
+    SELECT p.source, n_shingles,
+           coalesce(n_novel, 0)::BIGINT AS n_novel,
+           (coalesce(n_novel, 0) * 1000000 // n_shingles)::BIGINT AS novelty_ppm,
+           sum(coalesce(n_novel, 0)) OVER (ORDER BY p.source
+                                           ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS cum_distinct
+    FROM per_source p LEFT JOIN novel ON p.source = novel.source
+    ORDER BY p.source
+"""
+QUERIES["d18_novelty_curve"] = d18_novelty_curve

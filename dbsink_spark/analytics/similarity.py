@@ -1825,3 +1825,118 @@ ORACLE["s15_pq_adc"] = f"""
     ORDER BY query_id, rank
 """
 QUERIES["s15_pq_adc"] = s15_pq_adc
+
+
+# ---------------------------------------------------------------------------
+# s16: scalar-quantized (int8) search — the OTHER standard compression
+# ---------------------------------------------------------------------------
+
+
+def s16_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized nearest-neighbor search: every dimension mapped
+    to an 8-bit code by per-dimension min/max scaling, distances
+    computed ENTIRELY in integer arithmetic over the codes — the
+    compression scheme production vector stores ship alongside PQ
+    (s08/s15): 64 float32 → 64 bytes with no codebook training, and
+    integer SIMD scoring.
+
+    code_d = clamp(⌊(x_d − min_d) · 255 / (max_d − min_d)⌋, 0, 255);
+    the scaling expression has a fixed operand order, so both engines
+    produce identical codes, and everything AFTER quantization —
+    squared L2 over code deltas, ranking — is pure BIGINT: the gate is
+    float-free past the code assignment.
+
+    Plan shape at 100 TB: the per-dimension min/max is one
+    posexplode + 64-group map-side-combinable aggregate, collapsed to
+    a single broadcast row of two 64-element arrays (never a
+    corpus-side join key); code assignment fuses into the scan
+    projection; queries broadcast and the corpus never shuffles by
+    content (the s01 discipline). The persisted artifact is the
+    64-byte code column; raw vectors are only needed by a re-rank
+    stage (s15's ADC story applies unchanged).
+    """
+    v = _vectors(spark, sf_dir)
+    stats = (
+        v.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("mns"),
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("mxs"),
+        )
+        .select(
+            F.transform("mns", lambda s: s["mn"]).alias("mn"),
+            F.transform("mxs", lambda s: s["mx"]).alias("mx"),
+        )
+    )
+    # NB: Spark SQL bracket subscript is 0-based (element_at is the
+    # 1-based accessor), so transform's 0-based i indexes mn/mx as-is
+    code = F.expr(
+        "transform(v, (x, i) -> CAST(least(255, greatest(0,"
+        " CASE WHEN mx[i] = mn[i] THEN 0"
+        " ELSE floor((x - mn[i]) * 255 / (mx[i] - mn[i])) END)) AS BIGINT))"
+    )
+    coded = v.crossJoin(F.broadcast(stats)).select(
+        "vec_id", code.alias("c")
+    )
+    queries = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("c").alias("qc")
+    )
+    corpus = coded.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("corpus_id"), F.col("c").alias("cc")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qc", "cc", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.join(F.broadcast(queries)).select(
+        "query_id", "corpus_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "corpus_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "corpus_id", "d2", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE["s16_sq_search"] = f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    dims AS (
+        SELECT p.p AS pos, min(v[p.p]) AS mn, max(v[p.p]) AS mx
+        FROM v CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS p) p
+        GROUP BY 1
+    ),
+    stats AS (
+        SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+        FROM dims
+    ),
+    coded AS (
+        SELECT vec_id,
+               [least(255, greatest(0,
+                   CASE WHEN mx[i] = mn[i] THEN 0
+                        ELSE floor((v[i] - mn[i]) * 255 / (mx[i] - mn[i]))
+                   END))::BIGINT
+                for i in generate_series(1, {DIM})] AS c
+        FROM v CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               list_sum([ (q.c[i] - c.c[i]) * (q.c[i] - c.c[i])
+                          for i in generate_series(1, {DIM}) ])::BIGINT AS d2
+        FROM coded q JOIN coded c
+          ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    )
+    SELECT query_id, corpus_id, d2, rank FROM (
+        SELECT query_id, corpus_id, d2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2, corpus_id) AS rank
+        FROM scored)
+    WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+"""
+QUERIES["s16_sq_search"] = s16_sq_search

@@ -1573,3 +1573,86 @@ def test_q114_bootstrap_ci_bruteforce(spark):
     assert row["ci_lo_c100"] == means[(25 * Q114_B + 999) // 1000 - 1]
     assert row["ci_hi_c100"] == means[(975 * Q114_B + 999) // 1000 - 1]
     assert row["ci_lo_c100"] <= row["point_c100"] <= row["ci_hi_c100"]
+
+
+def test_s16_sq_search_matches_bruteforce(spark):
+    """Codes and integer distances must match a direct Python
+    requantization of the collected embeddings; ranking must be the
+    exact (d2, corpus_id) order."""
+    import math
+
+    from dbsink_spark.analytics.similarity import (
+        N_QUERIES,
+        TOPK,
+        s16_sq_search,
+    )
+    from dbsink_spark.analytics.tables import Tables
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in Tables(spark, SF_DIR).embeddings.collect()
+    }
+    dim = len(next(iter(vecs.values())))
+    mn = [min(v[i] for v in vecs.values()) for i in range(dim)]
+    mx = [max(v[i] for v in vecs.values()) for i in range(dim)]
+
+    def code(v):
+        out = []
+        for i in range(dim):
+            if mx[i] == mn[i]:
+                c = 0
+            else:
+                c = math.floor((v[i] - mn[i]) * 255 / (mx[i] - mn[i]))
+            out.append(max(0, min(255, c)))
+        return out
+
+    codes = {k: code(v) for k, v in vecs.items()}
+    rows = s16_sq_search(spark, SF_DIR).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, got in by_q.items():
+        qc = codes[qid]
+        scored = sorted(
+            (
+                (sum((a - b) * (a - b) for a, b in zip(qc, codes[cid])), cid)
+                for cid in codes
+                if cid >= N_QUERIES
+            )
+        )
+        want = scored[:TOPK]
+        got.sort(key=lambda r: r["rank"])
+        assert [(r["d2"], r["corpus_id"]) for r in got] == want, qid
+
+
+def test_d18_novelty_curve_bruteforce(spark):
+    """Novelty attribution must equal a direct Python first-seen scan
+    over per-source shingle sets; the cumulative curve must sum the
+    novel counts and end at the corpus-wide distinct total."""
+    from dbsink_spark.analytics.dedup import d18_novelty_curve
+    from dbsink_spark.analytics.tables import Tables
+
+    docs = Tables(spark, SF_DIR).documents.select("source", "text").collect()
+    per_source = {}
+    for r in docs:
+        words = r["text"].split(" ")
+        sh = {
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        }
+        per_source.setdefault(r["source"], set()).update(sh)
+    seen: set = set()
+    want = []
+    for src in sorted(per_source):
+        s = per_source[src]
+        novel = len(s - seen)
+        seen |= s
+        want.append((src, len(s), novel))
+    rows = sorted(d18_novelty_curve(spark, SF_DIR).collect(), key=lambda r: r["source"])
+    assert [(r["source"], r["n_shingles"], r["n_novel"]) for r in rows] == want
+    cum = 0
+    for r, (_, n_sh, novel) in zip(rows, want):
+        cum += novel
+        assert r["cum_distinct"] == cum
+        assert r["novelty_ppm"] == novel * 1_000_000 // n_sh
+    assert cum == len(seen)

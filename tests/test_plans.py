@@ -184,6 +184,9 @@ UNPARTITIONED_WINDOW_RATIONALE = {
     "q112_decile_lift":
         "cumulative-share frame runs over the ≤ 10-row decile aggregate; "
         "the corpus-sized selection is the radix drill, not a sort",
+    "d18_novelty_curve":
+        "cumulative curve runs over the |sources|-row per-source aggregate "
+        "(4 here; source cardinality is catalog-sized by construction)",
 }
 
 
