@@ -359,6 +359,7 @@ UNGATED = frozenset(
         "q114_bootstrap_ci",
         "s16_sq_search",
         "d18_novelty_curve",
+        "d19_sorted_neighborhood",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

@@ -1657,3 +1657,116 @@ ORACLE["d18_novelty_curve"] = f"""
     ORDER BY p.source
 """
 QUERIES["d18_novelty_curve"] = d18_novelty_curve
+
+
+# ---------------------------------------------------------------------------
+# d19: sorted-neighborhood dedup — rank-window blocking without a global sort
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 8  # neighborhood size: compare ranks within distance W-1
+SNM_KEY_LEN = 32  # blocking key = first 32 chars of lowercased text
+
+
+def d19_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernandez-Stolfo SNM): sort the
+    corpus by a cheap blocking key, compare only records whose GLOBAL
+    ranks are within SNM_WINDOW of each other, verify candidates with
+    exact shingle Jaccard. The classic complement to LSH blocking
+    (d03): SNM finds near-dups whose prefixes collide even when their
+    shingle bands do not, and its candidate count is strictly linear —
+    exactly (W-1)·n pairs, no bucket-skew fanout to cap.
+
+    The naive plan is the textbook straggler: ``row_number() OVER
+    (ORDER BY key)`` sorts the corpus in ONE task. Here the global
+    rank is assembled scale-out instead:
+
+      1. ``repartitionByRange(key, id)`` — range exchange, every
+         partition holds a contiguous key interval;
+      2. per-partition ``row_number`` partitioned BY the partition id
+         (each window group is one range partition, ~n/P rows);
+      3. global offset of partition p = sum of earlier partitions'
+         counts — a P-row aggregate + broadcast join (the only
+         unpartitioned window runs over ≤ shuffle-partition-count
+         rows). Range partition i holds keys strictly below partition
+         i+1, so offset + local rank IS the global rank.
+
+    Rank-window pairs then need no sort at all: bucket = (r-1) DIV
+    (W-1); every row joins its own bucket, plus a ghost copy in the
+    previous bucket, so any pair within W-1 ranks shares a bucket
+    (primary-side restriction keeps each pair exactly once). The
+    bucket equi-join shuffles 16-byte rows; verification joins the
+    few candidates back to shingle hashes (`_verify_jaccard`, the d03
+    discipline: exact work only on candidates).
+
+    The two branches below (counts, ranked rows) share one physical
+    range exchange via Spark's ReusedExchange, so the range
+    partitioner's sampled boundaries — and therefore every pid — are
+    computed once and consistent across both uses.
+    """
+    docs = _hashed_docs(spark, sf_dir)
+    b = SNM_WINDOW - 1
+    keyed = Tables(spark, sf_dir).documents.select(
+        "doc_id", F.substring(F.lower(F.col("text")), 1, SNM_KEY_LEN).alias("k")
+    )
+    part = keyed.repartitionByRange("k", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off")
+    )
+    ri = F.row_number().over(Window.partitionBy("pid").orderBy("k", "doc_id"))
+    ranked = (
+        part.withColumn("ri", ri)
+        .join(F.broadcast(offsets), "pid")
+        .select("doc_id", (F.col("ri") + F.col("off")).alias("r"))
+    )
+    prim = ranked.select(
+        "doc_id", "r", F.expr(f"(r - 1) DIV {b}").alias("bk")
+    )
+    ghost = ranked.select(
+        "doc_id", "r", (F.expr(f"(r - 1) DIV {b}") - 1).alias("bk")
+    )
+    a = prim.alias("a")
+    bb = prim.unionByName(ghost).alias("b")
+    cand = (
+        a.join(bb, "bk")
+        .filter((F.col("b.r") - F.col("a.r")).between(1, b))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    return _verify_jaccard(cand, docs)
+
+
+ORACLE["d19_sorted_neighborhood"] = f"""
+    WITH ranked AS (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY substr(lower(text), 1, {SNM_KEY_LEN}), doc_id
+               ) AS r
+        FROM documents
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ranked a JOIN ranked b
+          ON b.r - a.r BETWEEN 1 AND {SNM_WINDOW - 1}
+    ),
+    docs AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS sh
+        FROM documents
+        WHERE len(string_split(text,' ')) >= 3
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(da.sh, db.sh))::DOUBLE
+                 / len(list_distinct(da.sh || db.sh)), 4) AS jaccard
+    FROM cand
+    JOIN docs da ON da.doc_id = doc_a
+    JOIN docs db ON db.doc_id = doc_b
+    WHERE round(len(list_intersect(da.sh, db.sh))::DOUBLE
+                / len(list_distinct(da.sh || db.sh)), 4)
+          >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+"""
+QUERIES["d19_sorted_neighborhood"] = d19_sorted_neighborhood

@@ -1656,3 +1656,45 @@ def test_d18_novelty_curve_bruteforce(spark):
         assert r["cum_distinct"] == cum
         assert r["novelty_ppm"] == novel * 1_000_000 // n_sh
     assert cum == len(seen)
+
+
+def test_d19_sorted_neighborhood_bruteforce(spark):
+    """The rank-window candidate set (and verified pairs) must equal a
+    direct Python SNM: sort by (key, doc_id), pair ranks within W-1,
+    verify with exact shingle Jaccard — regardless of how the global
+    rank was assembled across partitions."""
+    from dbsink_spark.analytics.dedup import (
+        JACCARD_THRESHOLD,
+        SNM_KEY_LEN,
+        SNM_WINDOW,
+        d19_sorted_neighborhood,
+    )
+    from dbsink_spark.analytics.tables import Tables
+
+    docs = Tables(spark, SF_DIR).documents.select("doc_id", "text").collect()
+    order = sorted(
+        (r["text"].lower()[:SNM_KEY_LEN], r["doc_id"]) for r in docs
+    )
+    shingles = {}
+    for r in docs:
+        words = r["text"].split(" ")
+        if len(words) >= 3:
+            shingles[r["doc_id"]] = {
+                " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+            }
+    want = []
+    for i, (_, a) in enumerate(order):
+        for j in range(i + 1, min(i + SNM_WINDOW, len(order))):
+            b = order[j][1]
+            if a not in shingles or b not in shingles:
+                continue
+            sa, sb = shingles[a], shingles[b]
+            jac = round(len(sa & sb) / len(sa | sb), 4)
+            if jac >= JACCARD_THRESHOLD:
+                want.append((a, b, jac))
+    got = [
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in d19_sorted_neighborhood(spark, SF_DIR).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert got  # non-vacuous: the corpus has adjacent near-dups

@@ -187,6 +187,10 @@ UNPARTITIONED_WINDOW_RATIONALE = {
     "d18_novelty_curve":
         "cumulative curve runs over the |sources|-row per-source aggregate "
         "(4 here; source cardinality is catalog-sized by construction)",
+    "d19_sorted_neighborhood":
+        "offset frame runs over the per-partition count table — ≤ "
+        "shuffle-partition-count rows (cluster-config-bounded); the "
+        "corpus-sized rank is the pid-partitioned window + offset join",
 }
 
 
@@ -349,3 +353,19 @@ def test_checkpointed_aggregates_keep_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_d19_rank_assembly_reuses_one_range_exchange(spark):
+    """d19's global rank is only correct if the counts branch and the
+    window branch read the SAME materialized range shuffle (offsets
+    must describe the very partitions the local ranks were numbered
+    in). After execution, AQE must have deduplicated the range
+    exchange into ReusedExchange nodes — if this ever stops holding,
+    the two branches could sample different range boundaries and
+    silently corrupt ranks."""
+    from dbsink_spark.analytics.dedup import d19_sorted_neighborhood
+
+    df = d19_sorted_neighborhood(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
