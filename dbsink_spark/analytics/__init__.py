@@ -360,6 +360,7 @@ UNGATED = frozenset(
         "s16_sq_search",
         "d18_novelty_curve",
         "d19_sorted_neighborhood",
+        "t30_quantile_norm",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

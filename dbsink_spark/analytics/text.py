@@ -2248,3 +2248,130 @@ ORACLE["t29_overlap_profile"] = (
 """
 )
 QUERIES["t29_overlap_profile"] = t29_overlap_profile
+
+
+# ---------------------------------------------------------------------------
+# t30: cross-source quantile normalization of quality scores
+# ---------------------------------------------------------------------------
+
+T30_BINS = 1000  # score domain: floor(score * 1000) clamped to [0, 1000]
+
+
+def _t30_score_mil():
+    """t02's quality score quantized to an integer in [0, T30_BINS] —
+    identical operand order to t02 so both engines produce the same
+    doubles, then an explicit floor() on BOTH sides (Spark CAST
+    truncates, DuckDB ::BIGINT rounds — floor is the portable form)."""
+    words = _words()
+    n_words = F.size(words)
+    distinct_ratio = F.size(F.array_distinct(words)) / n_words
+    avg_len = (
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        )
+        / n_words
+    )
+    score = (
+        0.3 * F.least(n_words / F.lit(50.0), F.lit(1.0))
+        + 0.4 * distinct_ratio
+        + 0.3 * F.least(avg_len / F.lit(8.0), F.lit(1.0))
+    )
+    return F.least(
+        F.greatest(F.floor(score * T30_BINS).cast("long"), F.lit(0)),
+        F.lit(T30_BINS),
+    )
+
+
+_T30_SCORE_SQL = f"""
+    least(greatest(floor((
+        0.3 * least(len(string_split(text,' ')) / 50.0, 1.0)
+      + 0.4 * (len(list_distinct(string_split(text,' ')))::DOUBLE
+               / len(string_split(text,' ')))
+      + 0.3 * least((list_sum(list_transform(string_split(text,' '),
+                                             w -> length(w)))::DOUBLE
+                     / len(string_split(text,' '))) / 8.0, 1.0)
+    ) * {T30_BINS})::BIGINT, 0), {T30_BINS})
+"""
+
+
+def t30_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality-score calibration by quantile (CDF)
+    matching: every source's score distribution is mapped onto the
+    pooled corpus distribution, so a "0.62 from source A" and a "0.48
+    from source B" that sit at the same within-source percentile land
+    on the same calibrated value. The curation problem this solves:
+    per-source quality heuristics drift (different boilerplate,
+    different length profiles), so a single global threshold keeps
+    all of one source and none of another; calibrated scores make one
+    threshold mean the same thing everywhere.
+
+    Scale shape — the whole operator runs on HISTOGRAMS, never ranks:
+    the score domain is bounded (T30_BINS+1 integer cells), so the
+    global CDF is a ≤1001-row aggregate (map-side combinable counts +
+    a window over the tiny grid) and each source's CDF is the same
+    aggregate keyed by source. The mapping — smallest global score
+    whose pooled CDF reaches the source CDF — is a broadcast
+    inequality join between two histogram tables (≤ |sources|·1001 ×
+    1001); the corpus is touched exactly once, by the counting pass.
+    This is the bounded-domain form of quantile normalization: at
+    100 TB nothing downstream of the histograms grows with the data.
+
+    Exactness: CDFs are integer ppm (cum·1e6 DIV n — floor in both
+    engines); the mapped score is a min over an integer comparison.
+    """
+    d = Tables(spark, sf_dir).documents
+    scored = d.select("source", _t30_score_mil().alias("s"))
+    src_hist = scored.groupBy("source", "s").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    src_cdf = src_hist.select(
+        "source",
+        "s",
+        "n_docs",
+        F.expr(
+            "sum(n_docs) OVER (PARTITION BY source ORDER BY s "
+            "ROWS UNBOUNDED PRECEDING) * 1000000 "
+            "DIV sum(n_docs) OVER (PARTITION BY source)"
+        ).alias("cdf_ppm"),
+    )
+    g_hist = scored.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    g_cdf = g_hist.select(
+        F.col("s").alias("gs"),
+        F.expr(
+            "sum(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) * 1000000 "
+            "DIV sum(n) OVER ()"
+        ).alias("g_cdf_ppm"),
+    )
+    return (
+        src_cdf.join(
+            F.broadcast(g_cdf), F.col("g_cdf_ppm") >= F.col("cdf_ppm")
+        )
+        .groupBy("source", "s", "n_docs", "cdf_ppm")
+        .agg(F.min("gs").alias("s_mapped"))
+        .orderBy("source", "s")
+    )
+
+
+ORACLE["t30_quantile_norm"] = f"""
+    WITH scored AS (
+        SELECT source, {_T30_SCORE_SQL} AS s FROM documents
+    ),
+    src_cdf AS (
+        SELECT source, s, count(*)::BIGINT AS n_docs,
+               (sum(count(*)) OVER (PARTITION BY source ORDER BY s
+                                    ROWS UNBOUNDED PRECEDING) * 1000000
+                // sum(count(*)) OVER (PARTITION BY source))::BIGINT AS cdf_ppm
+        FROM scored GROUP BY source, s
+    ),
+    g_cdf AS (
+        SELECT s AS gs,
+               (sum(count(*)) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+                * 1000000 // sum(count(*)) OVER ())::BIGINT AS g_cdf_ppm
+        FROM scored GROUP BY s
+    )
+    SELECT source, s, n_docs, cdf_ppm, min(gs)::BIGINT AS s_mapped
+    FROM src_cdf JOIN g_cdf ON g_cdf_ppm >= cdf_ppm
+    GROUP BY source, s, n_docs, cdf_ppm
+    ORDER BY source, s
+"""
+QUERIES["t30_quantile_norm"] = t30_quantile_norm

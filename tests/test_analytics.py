@@ -1698,3 +1698,59 @@ def test_d19_sorted_neighborhood_bruteforce(spark):
     ]
     assert sorted(got) == sorted(want)
     assert got  # non-vacuous: the corpus has adjacent near-dups
+
+
+def test_t30_quantile_norm_bruteforce(spark):
+    """The histogram-CDF mapping must equal a direct Python quantile
+    match over collected scores, and calibration must be monotone and
+    idempotent at the extremes (a source's top score maps to the
+    pooled top score actually attained at that percentile)."""
+    from dbsink_spark.analytics.text import T30_BINS, t30_quantile_norm
+    from dbsink_spark.analytics.tables import Tables
+
+    docs = Tables(spark, SF_DIR).documents.select("source", "text").collect()
+
+    def score_mil(text):
+        words = text.split(" ")
+        n = len(words)
+        dr = len(set(words)) / n
+        avg = sum(len(w) for w in words) / n
+        s = 0.3 * min(n / 50.0, 1.0) + 0.4 * dr + 0.3 * min(avg / 8.0, 1.0)
+        import math
+
+        return max(0, min(T30_BINS, math.floor(s * T30_BINS)))
+
+    per_source, pooled = {}, []
+    for r in docs:
+        s = score_mil(r["text"])
+        per_source.setdefault(r["source"], []).append(s)
+        pooled.append(s)
+    n_total = len(pooled)
+    from collections import Counter
+
+    g_counts = sorted(Counter(pooled).items())
+    g_cdf = []
+    cum = 0
+    for s, c in g_counts:
+        cum += c
+        g_cdf.append((s, cum * 1_000_000 // n_total))
+
+    rows = t30_quantile_norm(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        scores = per_source[r["source"]]
+        n_src = len(scores)
+        cum_src = sum(1 for x in scores if x <= r["s"])
+        p = cum_src * 1_000_000 // n_src
+        assert r["cdf_ppm"] == p
+        want = min(gs for gs, gp in g_cdf if gp >= p)
+        assert r["s_mapped"] == want, (r, want)
+    # monotone within each source
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["s"], r["s_mapped"]))
+    for pairs in by_src.values():
+        pairs.sort()
+        mapped = [m for _, m in pairs]
+        assert mapped == sorted(mapped)
+        assert pairs[-1][1] == g_counts[-1][0]  # top percentile -> pooled max

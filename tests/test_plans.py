@@ -187,6 +187,9 @@ UNPARTITIONED_WINDOW_RATIONALE = {
     "d18_novelty_curve":
         "cumulative curve runs over the |sources|-row per-source aggregate "
         "(4 here; source cardinality is catalog-sized by construction)",
+    "t30_quantile_norm":
+        "pooled-CDF frames run over the global score histogram — ≤ "
+        "T30_BINS+1 rows by domain construction (bounded integer grid)",
     "d19_sorted_neighborhood":
         "offset frame runs over the per-partition count table — ≤ "
         "shuffle-partition-count rows (cluster-config-bounded); the "
