@@ -361,6 +361,7 @@ UNGATED = frozenset(
         "d18_novelty_curve",
         "d19_sorted_neighborhood",
         "t30_quantile_norm",
+        "q115_theil_sen",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

@@ -7191,3 +7191,128 @@ def _q114_oracle() -> str:
 
 ORACLE["q114_bootstrap_ci"] = _q114_oracle()
 QUERIES["q114_bootstrap_ci"] = q114_bootstrap_ci
+
+
+# ---------------------------------------------------------------------------
+# q115: Theil-Sen robust trend over the monthly revenue series
+# ---------------------------------------------------------------------------
+
+
+def q115_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimate: the median of all pairwise
+    slopes of the monthly revenue series — the outlier-resistant
+    complement to q43's least-squares fit (one corrupted month moves
+    OLS arbitrarily; Theil-Sen tolerates ~29% contamination).
+
+    Exactness without rational arithmetic: each pair's slope is the
+    exact fraction (x_j−x_i)/(t_j−t_i); pairs are ORDERED by the
+    double ratio — both engines evaluate the identical division on
+    identical BIGINT inputs, so the order matches bit-for-bit — with
+    (num, den) as the deterministic tiebreak, and the LOWER MEDIAN
+    element is reported as its exact integer (num, den) pair plus the
+    rounded ratio. The intercept is the lower median of the exact
+    integers x_i·den − num·t_i (common denominator = the median
+    slope's den), so its selection is pure-integer ordering. No
+    floor-division of signed values anywhere (Spark DIV truncates
+    toward zero, DuckDB // floors — signed quotients are the one
+    integer op the two engines disagree on, so the gate avoids it).
+
+    Scale: the corpus pass is the monthly aggregate (map-side
+    combinable, shared with q90 via _q90_monthly); the pairwise join
+    and both median selections run over the CALENDAR-BOUNDED series
+    (~80 months → ~3.2k pairs, SF-independent), which is why the
+    unpartitioned rank frames are safe at any data volume. Series
+    lives behind an eager localCheckpoint (consumed by three
+    branches); the aggregate's plan shape is pinned via _q90_monthly
+    in test_plans.
+    """
+    t = Tables(spark, sf_dir)
+    monthly = (
+        _q90_monthly(t)
+        .select(
+            (F.year("month") * 12 + F.month("month")).alias("ti"),
+            F.col("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    pairs = a.join(b, F.col("b.ti") > F.col("a.ti")).select(
+        (F.col("b.x") - F.col("a.x")).alias("num"),
+        (F.col("b.ti") - F.col("a.ti")).alias("den"),
+    )
+    w = Window.orderBy(F.col("num") / F.col("den"), "num", "den")
+    med_slope = (
+        pairs.select(
+            "num",
+            "den",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_pairs"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select("num", "den", "n_pairs")
+    )
+    icpt = monthly.crossJoin(F.broadcast(med_slope)).select(
+        "num",
+        "den",
+        "n_pairs",
+        (F.col("x") * F.col("den") - F.col("num") * F.col("ti")).alias("bi"),
+    )
+    w_i = Window.orderBy("bi")
+    return (
+        icpt.select(
+            "num",
+            "den",
+            "n_pairs",
+            "bi",
+            F.row_number().over(w_i).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_months"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n_months") + 1) / 2))
+        .select(
+            "n_months",
+            "n_pairs",
+            F.col("num").alias("slope_num"),
+            F.col("den").alias("slope_den"),
+            F.round(F.col("num") / F.col("den"), 4).alias("slope_cents_per_month"),
+            F.col("bi").alias("icpt_num"),
+            F.round(F.col("bi") / F.col("den"), 4).alias("intercept_cents"),
+        )
+    )
+
+
+ORACLE["q115_theil_sen"] = """
+    WITH monthly AS (
+        SELECT (year(date_trunc('month', o_orderdate)) * 12
+                + month(date_trunc('month', o_orderdate)))::BIGINT AS ti,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS x
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT (b.x - a.x)::BIGINT AS num, (b.ti - a.ti)::BIGINT AS den
+        FROM monthly a JOIN monthly b ON b.ti > a.ti
+    ),
+    ranked AS (
+        SELECT num, den,
+               row_number() OVER (ORDER BY num::DOUBLE / den, num, den) AS rn,
+               count(*) OVER () AS n_pairs
+        FROM pairs
+    ),
+    med AS (
+        SELECT num, den, n_pairs FROM ranked
+        WHERE rn = floor((n_pairs + 1) / 2.0)
+    ),
+    icpt AS (
+        SELECT med.num, med.den, med.n_pairs,
+               (m.x * med.den - med.num * m.ti)::BIGINT AS bi,
+               row_number() OVER (ORDER BY m.x * med.den - med.num * m.ti) AS rn,
+               count(*) OVER () AS n_months
+        FROM monthly m, med
+    )
+    SELECT n_months::BIGINT AS n_months, n_pairs::BIGINT AS n_pairs,
+           num AS slope_num, den AS slope_den,
+           round(num::DOUBLE / den, 4) AS slope_cents_per_month,
+           bi AS icpt_num,
+           round(bi::DOUBLE / den, 4) AS intercept_cents
+    FROM icpt WHERE rn = floor((n_months + 1) / 2.0)
+"""
+QUERIES["q115_theil_sen"] = q115_theil_sen

@@ -1754,3 +1754,36 @@ def test_t30_quantile_norm_bruteforce(spark):
         mapped = [m for _, m in pairs]
         assert mapped == sorted(mapped)
         assert pairs[-1][1] == g_counts[-1][0]  # top percentile -> pooled max
+
+
+def test_q115_theil_sen_bruteforce(spark):
+    """Slope/intercept must equal a direct Python Theil-Sen over the
+    collected monthly series: lower-median of pairwise slopes (ordered
+    by ratio with (num, den) tiebreak), then lower-median intercept on
+    the common denominator."""
+    from dbsink_spark.analytics.advanced import q115_theil_sen
+    from dbsink_spark.analytics.tables import Tables
+
+    orders = Tables(spark, SF_DIR).orders.select("o_orderdate", "o_totalprice").collect()
+    monthly = {}
+    for r in orders:
+        d = r["o_orderdate"]
+        ti = d.year * 12 + d.month
+        monthly[ti] = monthly.get(ti, 0) + int(round(r["o_totalprice"] * 100))
+    pts = sorted(monthly.items())
+    pairs = [
+        (pts[j][1] - pts[i][1], pts[j][0] - pts[i][0])
+        for i in range(len(pts))
+        for j in range(i + 1, len(pts))
+    ]
+    pairs.sort(key=lambda p: (p[0] / p[1], p[0], p[1]))
+    num, den = pairs[(len(pairs) + 1) // 2 - 1]
+    bis = sorted(x * den - num * ti for ti, x in pts)
+    bi = bis[(len(bis) + 1) // 2 - 1]
+
+    row = q115_theil_sen(spark, SF_DIR).collect()[0]
+    assert row["n_months"] == len(pts)
+    assert row["n_pairs"] == len(pairs)
+    assert (row["slope_num"], row["slope_den"]) == (num, den)
+    assert row["icpt_num"] == bi
+    assert row["slope_cents_per_month"] == round(num / den, 4)

@@ -187,6 +187,10 @@ UNPARTITIONED_WINDOW_RATIONALE = {
     "d18_novelty_curve":
         "cumulative curve runs over the |sources|-row per-source aggregate "
         "(4 here; source cardinality is catalog-sized by construction)",
+    "q115_theil_sen":
+        "rank frames run over the pairwise slopes of the CALENDAR-bounded "
+        "monthly series (~80 months → ~3.2k pairs, SF-independent) and the "
+        "~80-row intercept set; the corpus pass is the monthly aggregate",
     "t30_quantile_norm":
         "pooled-CDF frames run over the global score histogram — ≤ "
         "T30_BINS+1 rows by domain construction (bounded integer grid)",
