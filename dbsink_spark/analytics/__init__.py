@@ -362,6 +362,7 @@ UNGATED = frozenset(
         "d19_sorted_neighborhood",
         "t30_quantile_norm",
         "q115_theil_sen",
+        "q116_kaplan_meier",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

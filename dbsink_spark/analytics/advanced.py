@@ -7316,3 +7316,123 @@ ORACLE["q115_theil_sen"] = """
     FROM icpt WHERE rn = floor((n_months + 1) / 2.0)
 """
 QUERIES["q115_theil_sen"] = q115_theil_sen
+
+
+# ---------------------------------------------------------------------------
+# q116: Kaplan-Meier survival curve (customer churn with right-censoring)
+# ---------------------------------------------------------------------------
+
+Q116_CHURN_GAP_M = 12  # months of silence after which a customer is churned
+
+
+def q116_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of customer lifetime with
+    right-censoring: a customer whose last order is within
+    Q116_CHURN_GAP_M months of the observation cutoff is CENSORED
+    (still alive, lifetime only known to exceed cutoff − first), not
+    an event — the estimator the naive "average customer lifetime"
+    gets wrong by treating open customers as dead. S(t) =
+    ∏_{t'≤t} (1 − d_t'/n_t') over event times, n = at-risk count.
+
+    Scale shape: the corpus pass is one per-customer min/max
+    aggregate (map-side combinable); everything after runs on the
+    DURATION GRID — per-month counts (calendar-bounded, ≤ ~80 rows),
+    at-risk via one running frame over the grid, and the product via
+    a per-row fold over the broadcast grid array (≤80 factors). The
+    1-row cutoff aggregate broadcasts. Nothing downstream of the
+    customer aggregate grows with data volume.
+
+    Exactness: durations are integer month indexes; the survival
+    product is a LEFT FOLD over the dur-sorted factor list starting
+    at 1.0 in both engines (ordered-fold float discipline — identical
+    IEEE op order, so raw doubles hash-match with no tolerance).
+    """
+    t = Tables(spark, sf_dir)
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi")
+    o = t.orders.select("o_custkey", mi)
+    cutoff = o.agg(F.max("mi").alias("cut"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(F.min("mi").alias("first"), F.max("mi").alias("last"))
+        .crossJoin(F.broadcast(cutoff))
+        .select(
+            F.when(
+                F.col("last") <= F.col("cut") - Q116_CHURN_GAP_M,
+                F.col("last") - F.col("first"),
+            )
+            .otherwise(F.col("cut") - F.col("first"))
+            .alias("dur"),
+            (F.col("last") <= F.col("cut") - Q116_CHURN_GAP_M)
+            .cast("long")
+            .alias("ev"),
+        )
+    )
+    grid = per_cust.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_at"), F.sum("ev").alias("d")
+    )
+    w_tot = Window.partitionBy()
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    grid2 = grid.select(
+        "dur",
+        "d",
+        (F.col("n_at") - F.col("d")).alias("n_censored"),
+        (
+            F.sum("n_at").over(w_tot)
+            - F.coalesce(F.sum("n_at").over(w_cum), F.lit(0))
+        ).alias("n_risk"),
+    )
+    arr = grid2.agg(
+        F.array_sort(F.collect_list(F.struct("dur", "d", "n_risk"))).alias("a")
+    )
+    surv = F.aggregate(
+        F.transform(
+            F.filter(F.col("a"), lambda x: x["dur"] <= F.col("dur")),
+            lambda x: 1 - x["d"] / x["n_risk"],
+        ),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return (
+        grid2.crossJoin(F.broadcast(arr))
+        .select("dur", "n_risk", "d", "n_censored", surv.alias("survival"))
+        .orderBy("dur")
+    )
+
+
+ORACLE["q116_kaplan_meier"] = f"""
+    WITH o AS (
+        SELECT o_custkey,
+               (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mi
+        FROM orders
+    ),
+    cutoff AS (SELECT max(mi) AS cut FROM o),
+    per_cust AS (
+        SELECT CASE WHEN max(mi) <= cut - {Q116_CHURN_GAP_M}
+                    THEN max(mi) - min(mi) ELSE cut - min(mi) END AS dur,
+               (max(mi) <= cut - {Q116_CHURN_GAP_M})::BIGINT AS ev
+        FROM o, cutoff GROUP BY o_custkey, cut
+    ),
+    grid AS (
+        SELECT dur, count(*)::BIGINT AS n_at, sum(ev)::BIGINT AS d
+        FROM per_cust GROUP BY dur
+    ),
+    grid2 AS (
+        SELECT dur, d, (n_at - d)::BIGINT AS n_censored,
+               (sum(n_at) OVER ()
+                - coalesce(sum(n_at) OVER (ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0))::BIGINT AS n_risk
+        FROM grid
+    ),
+    arr AS (
+        SELECT list({{'dur': dur, 'd': d, 'n_risk': n_risk}} ORDER BY dur) AS a
+        FROM grid2
+    )
+    SELECT g.dur, g.n_risk, g.d, g.n_censored,
+           list_reduce(list_prepend(1.0::DOUBLE,
+               [1 - x.d::DOUBLE / x.n_risk FOR x IN arr.a IF x.dur <= g.dur]),
+               (p, q) -> p * q) AS survival
+    FROM grid2 g, arr
+    ORDER BY g.dur
+"""
+QUERIES["q116_kaplan_meier"] = q116_kaplan_meier

@@ -1787,3 +1787,48 @@ def test_q115_theil_sen_bruteforce(spark):
     assert (row["slope_num"], row["slope_den"]) == (num, den)
     assert row["icpt_num"] == bi
     assert row["slope_cents_per_month"] == round(num / den, 4)
+
+
+def test_q116_kaplan_meier_bruteforce(spark):
+    """The curve must equal a direct Python KM over collected orders:
+    right-censored lifetimes, at-risk counts, left-fold product — and
+    satisfy the KM invariants (survival non-increasing from 1.0;
+    at-risk telescopes by n_at)."""
+    from dbsink_spark.analytics.advanced import Q116_CHURN_GAP_M, q116_kaplan_meier
+    from dbsink_spark.analytics.tables import Tables
+
+    orders = Tables(spark, SF_DIR).orders.select("o_custkey", "o_orderdate").collect()
+    by_cust = {}
+    cut = 0
+    for r in orders:
+        mi = r["o_orderdate"].year * 12 + r["o_orderdate"].month
+        cut = max(cut, mi)
+        lo, hi = by_cust.get(r["o_custkey"], (mi, mi))
+        by_cust[r["o_custkey"]] = (min(lo, mi), max(hi, mi))
+    durs = []
+    for first, last in by_cust.values():
+        if last <= cut - Q116_CHURN_GAP_M:
+            durs.append((last - first, 1))
+        else:
+            durs.append((cut - first, 0))
+    grid = {}
+    for dur, ev in durs:
+        n, d = grid.get(dur, (0, 0))
+        grid[dur] = (n + 1, d + ev)
+    total = len(durs)
+    rows = q116_kaplan_meier(spark, SF_DIR).collect()
+    assert len(rows) == len(grid)
+    cum_before, s = 0, 1.0
+    prev_s = 1.0
+    for r in rows:
+        n_at, d = grid[r["dur"]]
+        n_risk = total - cum_before
+        s = s * (1 - d / n_risk)
+        assert r["n_risk"] == n_risk
+        assert r["d"] == d
+        assert r["n_censored"] == n_at - d
+        assert r["survival"] == s
+        assert r["survival"] <= prev_s + 1e-15
+        prev_s = r["survival"]
+        cum_before += n_at
+    assert rows[0]["survival"] <= 1.0

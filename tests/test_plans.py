@@ -187,6 +187,9 @@ UNPARTITIONED_WINDOW_RATIONALE = {
     "d18_novelty_curve":
         "cumulative curve runs over the |sources|-row per-source aggregate "
         "(4 here; source cardinality is catalog-sized by construction)",
+    "q116_kaplan_meier":
+        "at-risk frames run over the duration grid — calendar-bounded "
+        "(≤ ~80 month-index rows) after the per-customer min/max aggregate",
     "q115_theil_sen":
         "rank frames run over the pairwise slopes of the CALENDAR-bounded "
         "monthly series (~80 months → ~3.2k pairs, SF-independent) and the "
