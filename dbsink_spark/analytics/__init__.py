@@ -363,6 +363,7 @@ UNGATED = frozenset(
         "t30_quantile_norm",
         "q115_theil_sen",
         "q116_kaplan_meier",
+        "q117_interp_join",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

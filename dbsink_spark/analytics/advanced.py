@@ -7436,3 +7436,121 @@ ORACLE["q116_kaplan_meier"] = f"""
     ORDER BY g.dur
 """
 QUERIES["q116_kaplan_meier"] = q116_kaplan_meier
+
+
+# ---------------------------------------------------------------------------
+# q117: interpolation as-of join — bracketing readings via one union-window
+# ---------------------------------------------------------------------------
+
+
+def q117_interp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolation as-of join: each 'purchase' event gets the 'view'
+    value stream linearly interpolated at its timestamp, per user —
+    the two-sided generalization of q22's backward-only as-of join
+    (and the event-time cousin of q48's grid interpolation). The
+    naive plan is a per-query range join against the reading stream;
+    this is the union-window form that scales: tag readings and
+    queries, UNION them, and ONE window pass per direction over
+    (user, time) lets every query row pick up its bracketing readings
+    — total cost one shuffle by user, never |queries|×|readings|.
+
+    Tie discipline: a reading at exactly the query timestamp must
+    bracket on BOTH sides, so the backward pass orders (ts, is_r
+    DESC) — equal-ts readings sort before the query — and the forward
+    pass orders (ts, is_r ASC). Both window specs share one hash
+    exchange on user_id (two sorts, one shuffle; visible in the
+    plan). Exact-hit rows interpolate to exactly the reading's value
+    (prev_t == next_t short-circuits before the 0/0 division).
+
+    Exactness: time deltas are unix_micros differences (the
+    per-timestamp-truncation trap from q22); the interpolation
+    expression has a fixed operand order so raw doubles hash-match.
+    Unbracketed queries (before the user's first reading / after the
+    last) emit NULL — the honest contract for a training pipeline
+    (imputing an extrapolation silently is how label leakage starts).
+    """
+    e = Tables(spark, sf_dir).events
+    readings = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.col("value").alias("v"),
+        F.lit(1).alias("is_r"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    queries = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(0).alias("is_r"),
+        "event_id",
+    )
+    u = readings.unionByName(queries)
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("t", F.col("is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_r")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    rt = F.when(F.col("is_r") == 1, F.col("t"))
+    enriched = u.select(
+        "user_id",
+        "t",
+        "is_r",
+        "event_id",
+        F.last("v", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(rt, ignorenulls=True).over(w_back).alias("pt"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(rt, ignorenulls=True).over(w_fwd).alias("nt"),
+    ).filter(F.col("is_r") == 0)
+    interp = F.when(F.col("pt") == F.col("nt"), F.col("pv")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * ((F.col("t") - F.col("pt")) / (F.col("nt") - F.col("pt")))
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        "pt",
+        "nt",
+        interp.alias("v_interp"),
+    ).orderBy("event_id")
+
+
+ORACLE["q117_interp_join"] = """
+    WITH u AS (
+        SELECT user_id, epoch_us(ts) AS t, value AS v, 1 AS is_r,
+               NULL::BIGINT AS event_id
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, epoch_us(ts) AS t, NULL::DOUBLE AS v, 0 AS is_r,
+               event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    enriched AS (
+        SELECT user_id, t, is_r, event_id,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, is_r DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN is_r = 1 THEN t END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, is_r DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+               first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, is_r
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN is_r = 1 THEN t END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, is_r
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM u
+    )
+    SELECT event_id, user_id, pt, nt,
+           CASE WHEN pt = nt THEN pv
+                ELSE pv + (nv - pv) * ((t - pt)::DOUBLE / (nt - pt))
+           END AS v_interp
+    FROM enriched WHERE is_r = 0
+    ORDER BY event_id
+"""
+QUERIES["q117_interp_join"] = q117_interp_join

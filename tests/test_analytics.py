@@ -1832,3 +1832,52 @@ def test_q116_kaplan_meier_bruteforce(spark):
         prev_s = r["survival"]
         cum_before += n_at
     assert rows[0]["survival"] <= 1.0
+
+
+def test_q117_interp_join_bruteforce(spark):
+    """Interpolated values must equal a direct Python bracketing scan
+    per user (equal-ts readings bracket on both sides; unbracketed
+    queries yield NULL)."""
+    import bisect
+
+    from dbsink_spark.analytics.advanced import q117_interp_join
+    from dbsink_spark.analytics.tables import Tables
+
+    ev = (
+        Tables(spark, SF_DIR)
+        .events.select("event_id", "user_id", "ts", "event_type", "value")
+        .collect()
+    )
+    readings, queries = {}, []
+    for r in ev:
+        t = int(r["ts"].timestamp() * 1_000_000)
+        if r["event_type"] == "view":
+            readings.setdefault(r["user_id"], []).append((t, r["value"]))
+        elif r["event_type"] == "purchase":
+            queries.append((r["event_id"], r["user_id"], t))
+    for v in readings.values():
+        v.sort()
+    want = {}
+    for eid, uid, t in queries:
+        rs = readings.get(uid, [])
+        ts_list = [x[0] for x in rs]
+        i = bisect.bisect_right(ts_list, t)
+        prev = rs[i - 1] if i > 0 else None
+        j = bisect.bisect_left(ts_list, t)
+        nxt = rs[j] if j < len(rs) else None
+        if prev is None or nxt is None:
+            want[eid] = None
+        elif prev[0] == nxt[0]:
+            want[eid] = prev[1]
+        else:
+            want[eid] = prev[1] + (nxt[1] - prev[1]) * (
+                (t - prev[0]) / (nxt[0] - prev[0])
+            )
+    rows = q117_interp_join(spark, SF_DIR).collect()
+    assert len(rows) == len(queries)
+    n_interp = 0
+    for r in rows:
+        assert r["v_interp"] == want[r["event_id"]], r
+        if r["v_interp"] is not None:
+            n_interp += 1
+    assert n_interp > 0

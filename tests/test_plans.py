@@ -379,3 +379,13 @@ def test_d19_rank_assembly_reuses_one_range_exchange(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_q117_two_window_passes_share_one_exchange(spark):
+    """q117's backward and forward bracket windows partition on the
+    same key with different tie-orders — the plan must show ONE hash
+    exchange feeding two sorts, not a shuffle per window."""
+    from dbsink_spark.analytics.advanced import q117_interp_join
+
+    plan = _plan(q117_interp_join(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
