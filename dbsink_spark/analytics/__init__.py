@@ -364,6 +364,7 @@ UNGATED = frozenset(
         "q115_theil_sen",
         "q116_kaplan_meier",
         "q117_interp_join",
+        "q118_mutual_info",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

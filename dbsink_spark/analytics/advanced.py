@@ -7554,3 +7554,152 @@ ORACLE["q117_interp_join"] = """
     ORDER BY event_id
 """
 QUERIES["q117_interp_join"] = q117_interp_join
+
+
+# ---------------------------------------------------------------------------
+# q118: mutual-information matrix over categorical column pairs
+# ---------------------------------------------------------------------------
+
+Q118_PAIRS = (
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("documents", "lang", "source"),
+)
+
+
+def _q118_pair(t: Tables, table: str, a: str, b: str) -> DataFrame:
+    """One corpus aggregate (the joint grid); margins, N, entropies and
+    the MI fold all run on the grid (≤ |a|·|b| cells)."""
+    joint = getattr(t, table).groupBy(
+        F.col(a).alias("a"), F.col(b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("nij"))
+    ma = joint.groupBy("a").agg(F.sum("nij").alias("na"))
+    mb = joint.groupBy("b").agg(F.sum("nij").alias("nb"))
+    tot = joint.agg(F.sum("nij").alias("n"))
+    cells = (
+        joint.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            (
+                (F.col("nij") / F.col("n"))
+                * F.log(
+                    (F.col("nij") * F.col("n"))
+                    / (F.col("na") * F.col("nb"))
+                )
+            ).alias("term"),
+        )
+    )
+    mi = cells.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("a", "b", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("mi_nats"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+    def _entropy(m: DataFrame, key: str, cnt: str):
+        return m.crossJoin(F.broadcast(tot)).agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(key).alias("k"),
+                            (
+                                -(F.col(cnt) / F.col("n"))
+                                * F.log(F.col(cnt) / F.col("n"))
+                            ).alias("e"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["e"],
+            ).alias(f"h_{key}")
+        )
+
+    return (
+        mi.crossJoin(F.broadcast(_entropy(ma, "a", "na")))
+        .crossJoin(F.broadcast(_entropy(mb, "b", "nb")))
+        .select(
+            F.lit(f"{a}|{b}").alias("pair"),
+            "n_cells",
+            "mi_nats",
+            F.col("h_a").alias("h_a_nats"),
+            F.col("h_b").alias("h_b_nats"),
+            (F.col("mi_nats") / F.sqrt(F.col("h_a") * F.col("h_b"))).alias(
+                "nmi"
+            ),
+        )
+    )
+
+
+def q118_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between categorical column pairs — the
+    feature-relevance / redundancy primitive (q87's chi-square tests
+    independence; MI QUANTIFIES the dependence in nats and normalizes
+    it, which is what feature selection and leakage audits rank by).
+
+    Per pair, the only corpus-sized work is ONE map-side-combinable
+    joint-count aggregate; margins, N, both entropies, and the MI sum
+    all derive from the ≤|a|·|b|-cell grid. The three MI/entropy sums
+    are ordered LEFT FOLDS over key-sorted cell lists (the q87/q116
+    float discipline), so raw doubles hash-match the oracle with no
+    tolerance. One honest caveat: ln() is the first transcendental at
+    the gate — JVM Math.log guarantees ≤1 ulp, not correct rounding —
+    and Spark/DuckDB agree bit-for-bit on every cell this data
+    produces (verified sf0.01/sf0.1/vanilla); the pure-Python
+    brute-force test uses 1e-12 tolerance for exactly that reason.
+    nmi = MI/√(H_a·H_b) — 0 when independent, ~1 when one
+    column determines the other.
+    """
+    t = Tables(spark, sf_dir)
+    out = None
+    for table, a, b in Q118_PAIRS:
+        df = _q118_pair(t, table, a, b)
+        out = df if out is None else out.unionByName(df)
+    return out.orderBy("pair")
+
+
+def _q118_pair_sql(table: str, a: str, b: str) -> str:
+    return f"""
+    SELECT '{a}|{b}' AS pair, n_cells, mi_nats, h_a_nats, h_b_nats,
+           mi_nats / sqrt(h_a_nats * h_b_nats) AS nmi
+    FROM (
+        WITH joint AS (
+            SELECT {a} AS a, {b} AS b, count(*)::BIGINT AS nij
+            FROM {table} GROUP BY 1, 2
+        ),
+        ma AS (SELECT a, sum(nij)::BIGINT AS na FROM joint GROUP BY a),
+        mb AS (SELECT b, sum(nij)::BIGINT AS nb FROM joint GROUP BY b),
+        tot AS (SELECT sum(nij)::BIGINT AS n FROM joint),
+        cells AS (
+            SELECT joint.a, joint.b,
+                   (nij / n) * ln((nij * n) / (na * nb)) AS term
+            FROM joint JOIN ma USING (a) JOIN mb USING (b), tot
+        )
+        SELECT count(*)::BIGINT AS n_cells,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   [x.term FOR x IN list({{'a': a, 'b': b, 'term': term}}
+                                         ORDER BY a, b)]),
+                   (p, q) -> p + q) AS mi_nats,
+               (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+                    [x.e FOR x IN list({{'k': a,
+                        'e': -(na / n) * ln(na / n)}} ORDER BY a)]),
+                    (p, q) -> p + q) FROM ma, tot) AS h_a_nats,
+               (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+                    [x.e FOR x IN list({{'k': b,
+                        'e': -(nb / n) * ln(nb / n)}} ORDER BY b)]),
+                    (p, q) -> p + q) FROM mb, tot) AS h_b_nats
+        FROM cells
+    )
+    """
+
+
+ORACLE["q118_mutual_info"] = (
+    " UNION ALL ".join(_q118_pair_sql(tb, a, b) for tb, a, b in Q118_PAIRS)
+    + " ORDER BY pair"
+)
+QUERIES["q118_mutual_info"] = q118_mutual_info

@@ -1881,3 +1881,44 @@ def test_q117_interp_join_bruteforce(spark):
         if r["v_interp"] is not None:
             n_interp += 1
     assert n_interp > 0
+
+
+def test_q118_mutual_info_bruteforce(spark):
+    """MI/entropy values must equal a direct Python contingency
+    computation with the same left-fold order, and satisfy the
+    information inequalities 0 <= MI <= min(H_a, H_b)."""
+    from dbsink_spark.analytics.advanced import Q118_PAIRS, q118_mutual_info
+    from dbsink_spark.analytics.tables import Tables
+
+    import math
+
+    t = Tables(spark, SF_DIR)
+    rows = {r["pair"]: r for r in q118_mutual_info(spark, SF_DIR).collect()}
+    assert len(rows) == len(Q118_PAIRS)
+    for table, a, b in Q118_PAIRS:
+        data = [(x[a], x[b]) for x in getattr(t, table).select(a, b).collect()]
+        n = len(data)
+        from collections import Counter
+
+        joint = Counter(data)
+        ma = Counter(x for x, _ in data)
+        mb = Counter(y for _, y in data)
+        mi = 0.0
+        for k in sorted(joint):
+            nij = joint[k]
+            mi += (nij / n) * math.log((nij * n) / (ma[k[0]] * mb[k[1]]))
+        ha = 0.0
+        for k in sorted(ma):
+            ha += -(ma[k] / n) * math.log(ma[k] / n)
+        hb = 0.0
+        for k in sorted(mb):
+            hb += -(mb[k] / n) * math.log(mb[k] / n)
+        r = rows[f"{a}|{b}"]
+        assert r["n_cells"] == len(joint)
+        # JVM Math.log and CPython libm log may differ in the last ulp,
+        # so the brute-force check is tolerance-based; the CROSS-ENGINE
+        # gate (Spark vs DuckDB) stays exact-hash
+        assert math.isclose(r["mi_nats"], mi, rel_tol=1e-12)
+        assert math.isclose(r["h_a_nats"], ha, rel_tol=1e-12)
+        assert math.isclose(r["h_b_nats"], hb, rel_tol=1e-12)
+        assert -1e-12 <= r["mi_nats"] <= min(ha, hb) + 1e-12
