@@ -365,6 +365,8 @@ UNGATED = frozenset(
         "q116_kaplan_meier",
         "q117_interp_join",
         "q118_mutual_info",
+        "t31_kl_drift",
+        "s17_rocchio_prf",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

@@ -1940,3 +1940,173 @@ ORACLE["s16_sq_search"] = f"""
     ORDER BY query_id, rank
 """
 QUERIES["s16_sq_search"] = s16_sq_search
+
+
+# ---------------------------------------------------------------------------
+# s17: Rocchio pseudo-relevance feedback — query expansion + re-rank
+# ---------------------------------------------------------------------------
+
+S17_PRF_K = 5  # pseudo-relevant set size (first-pass top-k)
+S17_BETA = 0.75  # classic Rocchio feedback weight (alpha = 1)
+
+
+def s17_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio): run the query, assume the
+    top-S17_PRF_K hits are relevant, move each query toward their
+    centroid (q' = q + β·c̄), and re-rank with the expanded query —
+    the classic zero-supervision recall booster, and the retrieval
+    family's missing feedback loop (s01 scores, s12 prefilters, s14
+    fuses arms; s17 actually REWRITES the query from results).
+
+    Scale shape: two broadcast passes over the corpus — the corpus
+    never shuffles by content in either pass (the s01 discipline);
+    everything between the passes (pseudo-relevant sets, per-query
+    centroids, expanded queries) is |Q|·k-sized and rides broadcast
+    joins. At 100 TB each pass is the same scan shape s01 ships, and
+    the first pass would be s05's IVF prefilter instead — the
+    feedback algebra is unchanged.
+
+    Exactness: the feedback centroid is a LEFT FOLD over the
+    rank-ordered pseudo-relevant values per dimension (a bare avg()
+    would sum in partition order — nondeterministic across engines);
+    q' is an element-wise zip with literal β; all dots/norms are the
+    module's standard sequential folds.
+    """
+    v = _vectors(spark, sf_dir)
+    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
+    )
+    corpus = v.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("v").alias("cv"),
+        _norm(F.col("v")).alias("cn"),
+    )
+    cos1 = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id")
+    )
+    prf = (
+        corpus.join(F.broadcast(queries))
+        .select("query_id", "corpus_id", "cv", cos1.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w1))
+        .filter(F.col("rank") <= S17_PRF_K)
+    )
+    cent = (
+        prf.select("query_id", "rank", F.posexplode("cv").alias("pos", "x"))
+        .groupBy("query_id", "pos")
+        .agg(
+            (
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("rank", "x"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["x"],
+                )
+                / S17_PRF_K
+            ).alias("c")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+    )
+    q2 = (
+        queries.join(F.broadcast(cent), "query_id")
+        .select(
+            "query_id",
+            F.zip_with(
+                "qv", "cvec", lambda a, b: a + F.lit(S17_BETA) * b
+            ).alias("q2v"),
+        )
+        .withColumn("q2n", _norm(F.col("q2v")))
+    )
+    cos2 = _dot(F.col("q2v"), F.col("cv")) / (F.col("q2n") * F.col("cn"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id")
+    )
+    return (
+        corpus.join(F.broadcast(q2))
+        .select("query_id", "corpus_id", cos2.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round("cosine", 4).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE["s17_rocchio_prf"] = f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, v AS qv,
+               sqrt(list_sum([x * x FOR x IN v])) AS qn
+        FROM v WHERE vec_id < {N_QUERIES}
+    ),
+    corpus AS (
+        SELECT vec_id AS corpus_id, v AS cv,
+               sqrt(list_sum([x * x FOR x IN v])) AS cn
+        FROM v WHERE vec_id >= {N_QUERIES}
+    ),
+    pass1 AS (
+        SELECT query_id, corpus_id, cv,
+               list_sum([qv[i] * cv[i]
+                         FOR i IN generate_series(1, {DIM})]) / (qn * cn)
+                   AS cosine
+        FROM corpus, queries
+    ),
+    prf AS (
+        SELECT query_id, corpus_id, cv, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, corpus_id
+            ) AS rank FROM pass1
+        ) WHERE rank <= {S17_PRF_K}
+    ),
+    cent_dims AS (
+        SELECT query_id, pos.i AS pos,
+               list_sum([s.x FOR s IN
+                         list({{'rank': rank, 'x': cv[pos.i]}} ORDER BY rank)])
+                   / {S17_PRF_K} AS c
+        FROM prf, (SELECT unnest(generate_series(1, {DIM})) AS i) pos
+        GROUP BY query_id, pos.i
+    ),
+    cent AS (
+        SELECT query_id, list(c ORDER BY pos) AS cvec
+        FROM cent_dims GROUP BY query_id
+    ),
+    q2 AS (
+        SELECT q.query_id,
+               [q.qv[i] + {S17_BETA} * cent.cvec[i]
+                FOR i IN generate_series(1, {DIM})] AS q2v
+        FROM queries q JOIN cent USING (query_id)
+    ),
+    q2n AS (
+        SELECT query_id, q2v,
+               sqrt(list_sum([x * x FOR x IN q2v])) AS q2n
+        FROM q2
+    ),
+    pass2 AS (
+        SELECT query_id, corpus_id,
+               list_sum([q2v[i] * cv[i]
+                         FOR i IN generate_series(1, {DIM})]) / (q2n * cn)
+                   AS cosine
+        FROM corpus, q2n
+    )
+    SELECT query_id, corpus_id, round(cosine, 4) AS cosine, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, corpus_id
+        ) AS rank FROM pass2
+    ) WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+"""
+QUERIES["s17_rocchio_prf"] = s17_rocchio_prf

@@ -2375,3 +2375,98 @@ ORACLE["t30_quantile_norm"] = f"""
     ORDER BY source, s
 """
 QUERIES["t30_quantile_norm"] = t30_quantile_norm
+
+
+# ---------------------------------------------------------------------------
+# t31: per-source KL divergence from the corpus unigram distribution
+# ---------------------------------------------------------------------------
+
+
+def t31_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(P_source ‖ P_corpus) over the
+    unigram distribution — the "which source stopped looking like the
+    rest of the corpus" diagnostic. t27 fits each source to a Zipf
+    law (shape); this measures pairwise divergence from the pooled
+    mixture (content), the quantity curation alarms threshold on.
+    P's support is a subset of Q's by construction (the corpus
+    includes every source), so no smoothing is needed and KL is
+    finite and exact.
+
+    Scale shape: the heavy pass is the (source, word) count —
+    map-side combinable, shuffle keyed by (source, word); the
+    corpus-marginal join is vocab-keyed (vocab-bounded, the t09/t27
+    discipline), per-source totals broadcast (|sources| rows), and
+    the KL sum is an ordered left fold over each source's word-sorted
+    term list (q118's float discipline, including its documented
+    ≤1-ulp ln() caveat). BIGINT products nsw·N stay under 2^53 up
+    to ~10^8-token corpora per the q118 bound; past that the ratio
+    form ((nsw/ns)/(nw/N)) is the documented rewrite.
+    """
+    d = Tables(spark, sf_dir).documents
+    tok = d.select("source", F.explode(_words()).alias("w"))
+    src_w = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("nsw"))
+    tot_s = src_w.groupBy("source").agg(
+        F.sum("nsw").alias("ns"), F.count(F.lit(1)).alias("vocab_s")
+    )
+    corp_w = src_w.groupBy("w").agg(F.sum("nsw").alias("nw"))
+    tot = corp_w.agg(F.sum("nw").alias("n"))
+    terms = (
+        src_w.join(corp_w, "w")
+        .join(F.broadcast(tot_s), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "w",
+            (
+                (F.col("nsw") / F.col("ns"))
+                * F.log(
+                    (F.col("nsw") * F.col("n"))
+                    / (F.col("ns") * F.col("nw"))
+                )
+            ).alias("term"),
+        )
+    )
+    kl = terms.groupBy("source").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("w", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("kl_nats")
+    )
+    return (
+        tot_s.join(kl, "source")
+        .select("source", F.col("ns").alias("n_tokens"), "vocab_s", "kl_nats")
+        .orderBy("source")
+    )
+
+
+ORACLE["t31_kl_drift"] = """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    src_w AS (
+        SELECT source, w, count(*)::BIGINT AS nsw FROM tok GROUP BY 1, 2
+    ),
+    tot_s AS (
+        SELECT source, sum(nsw)::BIGINT AS ns, count(*)::BIGINT AS vocab_s
+        FROM src_w GROUP BY source
+    ),
+    corp_w AS (SELECT w, sum(nsw)::BIGINT AS nw FROM src_w GROUP BY w),
+    tot AS (SELECT sum(nw)::BIGINT AS n FROM corp_w),
+    terms AS (
+        SELECT source, w,
+               (nsw / ns) * ln((nsw * n) / (ns * nw)) AS term
+        FROM src_w JOIN corp_w USING (w) JOIN tot_s USING (source), tot
+    ),
+    kl AS (
+        SELECT source,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   [x.term FOR x IN list({'w': w, 'term': term} ORDER BY w)]),
+                   (p, q) -> p + q) AS kl_nats
+        FROM terms GROUP BY source
+    )
+    SELECT source, ns AS n_tokens, vocab_s, kl_nats
+    FROM tot_s JOIN kl USING (source)
+    ORDER BY source
+"""
+QUERIES["t31_kl_drift"] = t31_kl_drift

@@ -1922,3 +1922,101 @@ def test_q118_mutual_info_bruteforce(spark):
         assert math.isclose(r["h_a_nats"], ha, rel_tol=1e-12)
         assert math.isclose(r["h_b_nats"], hb, rel_tol=1e-12)
         assert -1e-12 <= r["mi_nats"] <= min(ha, hb) + 1e-12
+
+
+def test_t31_kl_drift_bruteforce(spark):
+    """KL values must match a direct Python computation (ln tolerance
+    for the 1-ulp JVM/libm gap) and be non-negative; totals must
+    partition the corpus token count."""
+    import math
+    from collections import Counter
+
+    from dbsink_spark.analytics.text import t31_kl_drift
+    from dbsink_spark.analytics.tables import Tables
+
+    docs = Tables(spark, SF_DIR).documents.select("source", "text").collect()
+    src_w, corp_w = {}, Counter()
+    for r in docs:
+        c = src_w.setdefault(r["source"], Counter())
+        for w in r["text"].split(" "):
+            c[w] += 1
+            corp_w[w] += 1
+    n = sum(corp_w.values())
+    rows = t31_kl_drift(spark, SF_DIR).collect()
+    assert {r["source"] for r in rows} == set(src_w)
+    assert sum(r["n_tokens"] for r in rows) == n
+    for r in rows:
+        c = src_w[r["source"]]
+        ns = sum(c.values())
+        assert r["n_tokens"] == ns
+        assert r["vocab_s"] == len(c)
+        kl = 0.0
+        for w in sorted(c):
+            kl += (c[w] / ns) * math.log((c[w] * n) / (ns * corp_w[w]))
+        assert math.isclose(r["kl_nats"], kl, rel_tol=1e-10)
+        assert r["kl_nats"] >= -1e-12
+
+
+def test_s17_rocchio_prf_bruteforce(spark):
+    """Re-ranked lists must equal a direct Python Rocchio pass with
+    the same fold order (index-order sums are bit-identical), and the
+    feedback must actually change at least one query's ranking."""
+    from dbsink_spark.analytics.similarity import (
+        N_QUERIES,
+        S17_BETA,
+        S17_PRF_K,
+        TOPK,
+        s17_rocchio_prf,
+    )
+    from dbsink_spark.analytics.tables import Tables
+
+    import math
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in Tables(spark, SF_DIR).embeddings.collect()
+    }
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return math.sqrt(acc)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    queries = {k: v for k, v in vecs.items() if k < N_QUERIES}
+    corpus = {k: v for k, v in vecs.items() if k >= N_QUERIES}
+    cn = {k: norm(v) for k, v in corpus.items()}
+    want, changed = {}, False
+    for qid, qv in queries.items():
+        qn = norm(qv)
+        p1 = sorted(
+            ((-(dot(qv, cv) / (qn * cn[cid])), cid) for cid, cv in corpus.items())
+        )
+        base_ids = [cid for _, cid in p1[:TOPK]]
+        top = [cid for _, cid in p1[:S17_PRF_K]]
+        cent = [
+            sum(corpus[cid][i] for cid in top) / S17_PRF_K
+            for i in range(len(qv))
+        ]
+        q2 = [a + S17_BETA * b for a, b in zip(qv, cent)]
+        q2n = norm(q2)
+        p2 = sorted(
+            ((-(dot(q2, cv) / (q2n * cn[cid])), cid) for cid, cv in corpus.items())
+        )
+        want[qid] = [(cid, round(-s, 4)) for s, cid in p2[:TOPK]]
+        if [cid for _, cid in p2[:TOPK]] != base_ids:
+            changed = True
+    rows = s17_rocchio_prf(spark, SF_DIR).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["corpus_id"], r["cosine"]))
+    for qid, lst in got.items():
+        lst.sort()
+        assert [(c, cs) for _, c, cs in lst] == want[qid], qid
+    assert changed  # PRF is non-vacuous on this corpus
