@@ -367,6 +367,7 @@ UNGATED = frozenset(
         "q118_mutual_info",
         "t31_kl_drift",
         "s17_rocchio_prf",
+        "q119_kcore",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

@@ -7703,3 +7703,150 @@ ORACLE["q118_mutual_info"] = (
     + " ORDER BY pair"
 )
 QUERIES["q118_mutual_info"] = q118_mutual_info
+
+
+# ---------------------------------------------------------------------------
+# q119: k-core of the strong-tie trade graph (degeneracy peel)
+# ---------------------------------------------------------------------------
+
+Q119_K = 2  # 2-core: shave every pendant tree, keep the cyclic core
+Q119_MIN_ORDERS = 2  # strong tie = pair trades in >= 2 distinct orders
+Q119_MAX_ROUNDS = 16  # engine bound == oracle unroll depth (converges
+#                       in 1 round at sf0.01 / 3 at sf0.1; peel-depth
+#                       is data-shaped, so the engine RAISES rather
+#                       than returning a partial core past the bound)
+
+
+def q119_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the strong-tie customer↔supplier graph
+    (pairs trading in ≥ Q119_MIN_ORDERS distinct orders — q83's trade
+    graph with a repeat-business edge filter): iteratively peel nodes
+    with induced degree < k to fixpoint. Completes the graph family's
+    structural-density gap: q61 ranks by influence, q63 counts local
+    closure, d09/d17 find connectivity — the k-core is the standard
+    "dense sustained-relationship backbone vs pendant one-off tendril"
+    split, and the 2-core here is exactly "participates in a trading
+    CYCLE through strong ties".
+
+    Scale shape: each peel round derives degrees from the previous
+    round's INDUCED edge set (checkpointed, monotonically shrinking),
+    so round cost tracks the surviving graph — the same discipline as
+    q83's frontier (graph.kcore_members). Peel depth is data-shaped:
+    the engine raises past Q119_MAX_ROUNDS rather than silently
+    returning a partial core, and the oracle unrolls exactly that many
+    rounds (a fixpoint is idempotent, so over-unrolling is harmless).
+
+    Output: per node type — graph size, core size, core-incident edge
+    endpoints — the numbers a curation pipeline thresholds to decide
+    whether the "stable backbone" is big enough to train on.
+    """
+    from .graph import kcore_members
+
+    t = Tables(spark, sf_dir)
+    pairs = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count_distinct(F.col("o_orderkey")).alias("n_ord"))
+        .filter(F.col("n_ord") >= Q119_MIN_ORDERS)
+        .select("c", "s")
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    core = kcore_members(edges, Q119_K, Q119_MAX_ROUNDS)
+    core_edges = edges.join(
+        core.select(F.col("node").alias("src")), "src"
+    ).join(core.select(F.col("node").alias("dst")), "dst")
+    typ = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
+    all_nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_all = all_nodes.groupBy(typ.alias("node_type")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    n_core = core.groupBy(typ.alias("node_type")).agg(
+        F.count(F.lit(1)).alias("n_core")
+    )
+    n_edge = core_edges.groupBy(
+        F.when(F.col("src") % 2 == 0, "customer")
+        .otherwise("supplier")
+        .alias("node_type")
+    ).agg(F.count(F.lit(1)).alias("n_core_edge_ends"))
+    return (
+        n_all.join(n_core, "node_type", "left")
+        .join(n_edge, "node_type", "left")
+        .select(
+            "node_type",
+            "n_nodes",
+            F.coalesce("n_core", F.lit(0)).alias("n_core"),
+            F.coalesce("n_core_edge_ends", F.lit(0)).alias("n_core_edge_ends"),
+        )
+        .orderBy("node_type")
+    )
+
+
+def _q119_oracle() -> str:
+    rounds = []
+    prev = "e0"
+    for i in range(1, Q119_MAX_ROUNDS + 1):
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+        # each round references the previous one three times — 16
+        # inlined rounds is a 3^16 scan blowup ("too many open files")
+        rounds.append(
+            f"a{i} AS MATERIALIZED (SELECT src FROM {prev} GROUP BY src "
+            f"HAVING count(*) >= {Q119_K})"
+        )
+        rounds.append(
+            f"e{i} AS MATERIALIZED (SELECT {prev}.src, {prev}.dst FROM {prev} "
+            f"JOIN a{i} x ON {prev}.src = x.src "
+            f"JOIN a{i} y ON {prev}.dst = y.src)"
+        )
+        prev = f"e{i}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= {Q119_MIN_ORDERS}
+    ),
+    e0 AS MATERIALIZED (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL SELECT s, c FROM pairs
+    ),
+    {chain},
+    core AS (SELECT DISTINCT src AS node FROM {prev}),
+    all_nodes AS (SELECT DISTINCT src AS node FROM e0),
+    n_all AS (
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                   AS node_type,
+               count(*)::BIGINT AS n_nodes
+        FROM all_nodes GROUP BY 1
+    ),
+    n_core AS (
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                   AS node_type,
+               count(*)::BIGINT AS n_core
+        FROM core GROUP BY 1
+    ),
+    n_edge AS (
+        SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                   AS node_type,
+               count(*)::BIGINT AS n_core_edge_ends
+        FROM {prev} GROUP BY 1
+    )
+    SELECT node_type, n_nodes,
+           coalesce(n_core, 0)::BIGINT AS n_core,
+           coalesce(n_core_edge_ends, 0)::BIGINT AS n_core_edge_ends
+    FROM n_all LEFT JOIN n_core USING (node_type)
+    LEFT JOIN n_edge USING (node_type)
+    ORDER BY node_type
+    """
+
+
+ORACLE["q119_kcore"] = _q119_oracle()
+QUERIES["q119_kcore"] = q119_kcore

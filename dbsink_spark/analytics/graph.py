@@ -396,3 +396,51 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
             F.expr("min_by(label, struct(-cnt, label))").alias("label")
         )
     return labels
+
+
+def kcore_members(
+    edges: DataFrame, k: int, max_rounds: int, stats: dict | None = None
+) -> DataFrame:
+    """k-core of an UNDIRECTED graph given as a SYMMETRIC distinct
+    edge list (src, dst): iteratively delete all nodes with degree
+    < k until fixpoint; returns the surviving (node) set. The
+    degeneracy peel — "which part of the graph is structurally dense,
+    not just high-degree" (a hub with k pendant neighbors dies with
+    them; a cycle of degree-2 nodes survives k=2 forever).
+
+    Loop discipline (the module's standard): the edge set is
+    localCheckpointed every round AND shrinks monotonically — round i
+    re-derives degrees from the INDUCED subgraph of round i-1's
+    survivors, so per-round cost tracks the shrinking graph, not the
+    input. Early exit on the first round that deletes nothing. Raises
+    if the peel hasn't converged within max_rounds: callers pick the
+    bound to match their oracle's unroll depth, so a silent partial
+    peel must never masquerade as the core.
+    """
+    und = edges.localCheckpoint(eager=True)
+    n_edges = und.count()
+    rounds = 0
+    for _ in range(max_rounds):
+        alive = (
+            und.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        und = (
+            und.join(alive.select(F.col("node").alias("src")), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n = und.count()
+        if n == n_edges:
+            if stats is not None:
+                stats["rounds"] = rounds
+            return und.select(F.col("src").alias("node")).distinct()
+        n_edges = n
+        rounds += 1
+    raise RuntimeError(
+        f"k-core peel did not converge within {max_rounds} rounds "
+        "(raise max_rounds together with the oracle's unroll depth)"
+    )

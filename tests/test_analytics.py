@@ -2020,3 +2020,56 @@ def test_s17_rocchio_prf_bruteforce(spark):
         lst.sort()
         assert [(c, cs) for _, c, cs in lst] == want[qid], qid
     assert changed  # PRF is non-vacuous on this corpus
+
+
+def test_q119_kcore_bruteforce(spark):
+    """Core membership counts must equal a direct Python peel, the
+    peel must converge well inside the oracle's unroll depth, and
+    every core node must have induced degree >= K (the defining
+    invariant)."""
+    from dbsink_spark.analytics.advanced import (
+        Q119_K,
+        Q119_MAX_ROUNDS,
+        Q119_MIN_ORDERS,
+        q119_kcore,
+    )
+    from dbsink_spark.analytics.graph import kcore_members
+    from dbsink_spark.analytics.tables import Tables
+
+    from collections import defaultdict
+
+    t = Tables(spark, SF_DIR)
+    li = t.lineitem.select("l_orderkey", "l_suppkey").collect()
+    om = {r["o_orderkey"]: r["o_custkey"] for r in t.orders.collect()}
+    pair_orders = defaultdict(set)
+    for r in li:
+        pair_orders[(om[r["l_orderkey"]] * 2, r["l_suppkey"] * 2 + 1)].add(
+            r["l_orderkey"]
+        )
+    adj = defaultdict(set)
+    for (c, s), os_ in pair_orders.items():
+        if len(os_) >= Q119_MIN_ORDERS:
+            adj[c].add(s)
+            adj[s].add(c)
+    alive = {n: set(v) for n, v in adj.items()}
+    rounds = 0
+    while True:
+        doomed = [n for n, nb in alive.items() if len(nb) < Q119_K]
+        if not doomed:
+            break
+        rounds += 1
+        for n in doomed:
+            for m in alive[n]:
+                alive[m].discard(n)
+            del alive[n]
+    assert rounds <= Q119_MAX_ROUNDS // 2  # generous oracle headroom
+    rows = {r["node_type"]: r for r in q119_kcore(spark, SF_DIR).collect()}
+    for typ, par in (("customer", 0), ("supplier", 1)):
+        want_all = sum(1 for n in adj if n % 2 == par)
+        want_core = sum(1 for n in alive if n % 2 == par)
+        want_ends = sum(len(v) for n, v in alive.items() if n % 2 == par)
+        assert rows[typ]["n_nodes"] == want_all
+        assert rows[typ]["n_core"] == want_core
+        assert rows[typ]["n_core_edge_ends"] == want_ends
+    for n, nb in alive.items():
+        assert len(nb) >= Q119_K

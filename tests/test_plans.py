@@ -18,9 +18,12 @@ SF_DIR = "/root/testdata/sf0.001"
 # d09 runs an iterative driver loop during construction (covered by its
 # own tests); d13 materializes + counts its survivors to pick the final
 # sort strategy (round-5 cardinality gate — both branches plan-tested
-# in test_d13_sort_strategy_*); everything else builds its plan lazily.
+# in test_d13_sort_strategy_*); q119's k-core peels to fixpoint with a
+# driver loop (per-round induced-subgraph plans covered by its tests);
+# everything else builds its plan lazily.
 PLAN_QUERIES = sorted(
-    set(analytics.ALL_QUERIES) - {"d09_dup_clusters", "d13_editdist_near_dup"}
+    set(analytics.ALL_QUERIES)
+    - {"d09_dup_clusters", "d13_editdist_near_dup", "q119_kcore"}
 )
 
 

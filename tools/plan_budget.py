@@ -46,9 +46,9 @@ def main() -> None:
     budget: dict[str, int] = {}
     windows: dict[str, int] = {}
     for name in sorted(analytics.ALL_QUERIES):
-        if name == "d09_dup_clusters":
-            # iterative driver loop during construction; its per-round
-            # plans are covered by its own tests
+        if name in ("d09_dup_clusters", "q119_kcore"):
+            # iterative driver loop during construction; per-round
+            # plans are covered by their own tests
             continue
         df = analytics.ALL_QUERIES[name](spark, SF_DIR)
         stats = plan_stats(df)
