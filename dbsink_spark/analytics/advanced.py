@@ -7334,9 +7334,10 @@ def q116_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets wrong by treating open customers as dead. S(t) =
     ∏_{t'≤t} (1 − d_t'/n_t') over event times, n = at-risk count.
 
-    Scale shape: the corpus pass is one per-customer min/max
-    aggregate (map-side combinable); everything after runs on the
-    DURATION GRID — per-month counts (calendar-bounded, ≤ ~80 rows),
+    Scale shape: ONE corpus pass — the per-customer min/max
+    aggregate (map-side combinable; the cutoff is max over the
+    per-customer maxima, so it needs no second scan); after that
+    everything runs on the DURATION GRID — per-month counts (calendar-bounded, ≤ ~80 rows),
     at-risk via one running frame over the grid, and the product via
     a per-row fold over the broadcast grid array (≤80 factors). The
     1-row cutoff aggregate broadcasts. Nothing downstream of the
@@ -7350,11 +7351,15 @@ def q116_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi")
     o = t.orders.select("o_custkey", mi)
-    cutoff = o.agg(F.max("mi").alias("cut"))
+    # ONE corpus pass: the observation cutoff is max over the
+    # per-customer maxima, so it derives from the |customers|-row
+    # intermediate instead of a second scan of orders
+    spans = o.groupBy("o_custkey").agg(
+        F.min("mi").alias("first"), F.max("mi").alias("last")
+    )
+    cutoff = spans.agg(F.max("last").alias("cut"))
     per_cust = (
-        o.groupBy("o_custkey")
-        .agg(F.min("mi").alias("first"), F.max("mi").alias("last"))
-        .crossJoin(F.broadcast(cutoff))
+        spans.crossJoin(F.broadcast(cutoff))
         .select(
             F.when(
                 F.col("last") <= F.col("cut") - Q116_CHURN_GAP_M,
@@ -7475,7 +7480,7 @@ def q117_interp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("t"),
         F.col("value").alias("v"),
         F.lit(1).alias("is_r"),
-        F.lit(None).cast("long").alias("event_id"),
+        "event_id",
     )
     queries = e.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -7485,14 +7490,18 @@ def q117_interp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     u = readings.unionByName(queries)
+    # event_id as the final sort key: multiple readings at the same
+    # (user, t) would otherwise make pv/nv selection partition-order
+    # nondeterministic (the module tie-discipline rule) — backward
+    # takes the highest-id equal-ts reading, forward the lowest
     w_back = (
         Window.partitionBy("user_id")
-        .orderBy("t", F.col("is_r").desc())
+        .orderBy("t", F.col("is_r").desc(), "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_fwd = (
         Window.partitionBy("user_id")
-        .orderBy("t", "is_r")
+        .orderBy("t", "is_r", "event_id")
         .rowsBetween(0, Window.unboundedFollowing)
     )
     rt = F.when(F.col("is_r") == 1, F.col("t"))
@@ -7523,7 +7532,7 @@ def q117_interp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q117_interp_join"] = """
     WITH u AS (
         SELECT user_id, epoch_us(ts) AS t, value AS v, 1 AS is_r,
-               NULL::BIGINT AS event_id
+               event_id
         FROM events WHERE event_type = 'view'
         UNION ALL
         SELECT user_id, epoch_us(ts) AS t, NULL::DOUBLE AS v, 0 AS is_r,
@@ -7533,16 +7542,16 @@ ORACLE["q117_interp_join"] = """
     enriched AS (
         SELECT user_id, t, is_r, event_id,
                last_value(v IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY t, is_r DESC
+                   PARTITION BY user_id ORDER BY t, is_r DESC, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
                last_value(CASE WHEN is_r = 1 THEN t END IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY t, is_r DESC
+                   PARTITION BY user_id ORDER BY t, is_r DESC, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
                first_value(v IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY t, is_r
+                   PARTITION BY user_id ORDER BY t, is_r, event_id
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
                first_value(CASE WHEN is_r = 1 THEN t END IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY t, is_r
+                   PARTITION BY user_id ORDER BY t, is_r, event_id
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
         FROM u
     )
@@ -7586,8 +7595,8 @@ def _q118_pair(t: Tables, table: str, a: str, b: str) -> DataFrame:
             (
                 (F.col("nij") / F.col("n"))
                 * F.log(
-                    (F.col("nij") * F.col("n"))
-                    / (F.col("na") * F.col("nb"))
+                    (F.col("nij").cast("double") * F.col("n"))
+                    / (F.col("na").cast("double") * F.col("nb"))
                 )
             ).alias("term"),
         )
@@ -7647,7 +7656,11 @@ def q118_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     all derive from the ≤|a|·|b|-cell grid. The three MI/entropy sums
     are ordered LEFT FOLDS over key-sorted cell lists (the q87/q116
     float discipline), so raw doubles hash-match the oracle with no
-    tolerance. One honest caveat: ln() is the first transcendental at
+    tolerance. The log-ratio products are computed in DOUBLE
+    (nij·N and n_a·n_b overflow BIGINT around 10^9-row cells ×
+    10^13-row corpora; the double product is exact below 2^53 and
+    scale-safe above it, with identical rounding in both engines).
+    One honest caveat: ln() is the first transcendental at
     the gate — JVM Math.log guarantees ≤1 ulp, not correct rounding —
     and Spark/DuckDB agree bit-for-bit on every cell this data
     produces (verified sf0.01/sf0.1/vanilla); the pure-Python
@@ -7677,7 +7690,7 @@ def _q118_pair_sql(table: str, a: str, b: str) -> str:
         tot AS (SELECT sum(nij)::BIGINT AS n FROM joint),
         cells AS (
             SELECT joint.a, joint.b,
-                   (nij / n) * ln((nij * n) / (na * nb)) AS term
+                   (nij / n) * ln((nij::DOUBLE * n) / (na::DOUBLE * nb)) AS term
             FROM joint JOIN ma USING (a) JOIN mb USING (b), tot
         )
         SELECT count(*)::BIGINT AS n_cells,

@@ -412,15 +412,17 @@ def kcore_members(
     localCheckpointed every round AND shrinks monotonically — round i
     re-derives degrees from the INDUCED subgraph of round i-1's
     survivors, so per-round cost tracks the shrinking graph, not the
-    input. Early exit on the first round that deletes nothing. Raises
-    if the peel hasn't converged within max_rounds: callers pick the
-    bound to match their oracle's unroll depth, so a silent partial
-    peel must never masquerade as the core.
+    input. Early exit on the first round that deletes nothing.
+    Supports peel depths up to max_rounds INCLUSIVE: the fixpoint
+    check costs one extra no-deletion iteration, budgeted here, so
+    callers can set max_rounds equal to their oracle's unroll depth
+    without an off-by-one. Raises if the peel hasn't converged within
+    that — a silent partial peel must never masquerade as the core.
     """
     und = edges.localCheckpoint(eager=True)
     n_edges = und.count()
     rounds = 0
-    for _ in range(max_rounds):
+    for _ in range(max_rounds + 1):
         alive = (
             und.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))

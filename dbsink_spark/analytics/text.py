@@ -2398,9 +2398,10 @@ def t31_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline), per-source totals broadcast (|sources| rows), and
     the KL sum is an ordered left fold over each source's word-sorted
     term list (q118's float discipline, including its documented
-    ≤1-ulp ln() caveat). BIGINT products nsw·N stay under 2^53 up
-    to ~10^8-token corpora per the q118 bound; past that the ratio
-    form ((nsw/ns)/(nw/N)) is the documented rewrite.
+    ≤1-ulp ln() caveat). The log-ratio products are DOUBLE (q118's
+    overflow rule): exact below 2^53, scale-safe and identically
+    rounded in both engines above it — no BIGINT product at any
+    corpus size.
     """
     d = Tables(spark, sf_dir).documents
     tok = d.select("source", F.explode(_words()).alias("w"))
@@ -2420,8 +2421,8 @@ def t31_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (F.col("nsw") / F.col("ns"))
                 * F.log(
-                    (F.col("nsw") * F.col("n"))
-                    / (F.col("ns") * F.col("nw"))
+                    (F.col("nsw").cast("double") * F.col("n"))
+                    / (F.col("ns").cast("double") * F.col("nw"))
                 )
             ).alias("term"),
         )
@@ -2455,7 +2456,7 @@ ORACLE["t31_kl_drift"] = """
     tot AS (SELECT sum(nw)::BIGINT AS n FROM corp_w),
     terms AS (
         SELECT source, w,
-               (nsw / ns) * ln((nsw * n) / (ns * nw)) AS term
+               (nsw / ns) * ln((nsw::DOUBLE * n) / (ns::DOUBLE * nw)) AS term
         FROM src_w JOIN corp_w USING (w) JOIN tot_s USING (source), tot
     ),
     kl AS (

@@ -352,3 +352,28 @@ def test_label_propagation_two_cliques_with_bridge(spark):
     got = {r["node"]: r["label"] for r in label_propagation(df, 4).collect()}
     assert {got[x] for x in a} == {0}
     assert {got[x] for x in b} == {10}
+
+
+def test_kcore_supports_peel_depth_equal_to_bound(spark):
+    """A path graph's 2-core peels one endpoint pair per round: 8
+    nodes need exactly 4 deleting rounds and an empty core. With
+    max_rounds=4 the fixpoint check must still fit (the verification
+    round is budgeted on top — the off-by-one a round-7 review
+    caught), and the peel must report 4 rounds."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.graph import kcore_members
+
+    pairs = [(i, i + 1) for i in range(7)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    stats: dict = {}
+    core = kcore_members(edges, 2, 4, stats=stats)
+    assert core.count() == 0
+    assert stats["rounds"] == 4
+    # one round short must raise, not return a partial core
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        kcore_members(edges, 2, 3)
