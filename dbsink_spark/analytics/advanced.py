@@ -7102,64 +7102,94 @@ def q114_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Poisson(1)-many times) is embarrassingly parallel and is THE
     at-scale bootstrap.
 
-    Determinism: the per-(row, replicate) weight comes from the
-    portable h64 hash mapped through LITERAL Poisson CDF thresholds
-    (ppm integers) — both engines draw the identical weight, so the
-    replicate means are exact integer floor-divisions and the CI is
-    an exact order statistic of the 64-row replicate distribution.
+    Determinism: each row draws ONE portable 60-bit hash (h64 of the
+    order key); replicate b's uniform is an overflow-safe affine
+    rehash of it (the minhash-permutation machinery, per-replicate
+    literal coefficients) mapped through LITERAL Poisson CDF
+    thresholds in parts-per-billion — both engines draw the identical
+    weight, so replicate means are exact integer floor-divisions and
+    the CI is an exact order statistic.
 
-    Plan shape at 100 TB: the 64× explode is map-side (no shuffle of
-    the expanded rows — the per-replicate partial aggregates combine
-    before the 64-row shuffle). Cost is 64 hash+weight evaluations
-    per row, embarrassingly parallel; the final sort is 64 rows in
-    one array. B is the knob (classic guidance: 50-200 replicates
-    stabilize a 95% CI).
+    Plan shape — NO ROW EXPANSION: v1 exploded orders × B and
+    aggregated the 96M expanded rows (17 s at sf0.1, and the explode
+    itself was 2/3 of it); here all B replicates are columns of ONE
+    map-side-combinable aggregate (2·B+2 sums), and the CI is an
+    array sort of the single result row. Per-row cost is one md5 +
+    B integer affines; the shuffle carries one 130-column partial
+    row per task. B is the knob (50-200 stabilizes a 95% CI).
     """
+    from ..functions.hashing import AFFINE_MOD, REDUCE_MOD, h64
+
+    # the 2·B+2-column aggregate exceeds the default codegen width cap
+    # (spark.sql.codegen.maxFields = 100), which silently drops the
+    # whole plan to interpreted mode — measured 6.2 s vs 1.5 s at
+    # sf0.1. Raised at runtime like tables.load's session pins; wider
+    # codegen is fall-back-safe (the generator catches 64KB-method
+    # overflows and reverts per-stage).
+    if int(spark.conf.get("spark.sql.codegen.maxFields", "100")) < 2 * Q114_B + 40:
+        spark.conf.set("spark.sql.codegen.maxFields", str(2 * Q114_B + 40))
+
     t = Tables(spark, sf_dir)
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    from ..functions.hashing import h64
+    base = t.orders.select(
+        (h64(F.col("o_orderkey").cast("string")) % REDUCE_MOD).alias("hr"),
+        cents.alias("v"),
+    )
 
-    u = F.pmod(
-        h64(F.concat_ws(":", F.col("o_orderkey").cast("string"), F.col("b").cast("string"))),
-        F.lit(1000000),
+    def _w(b: int):
+        u = (
+            F.col("hr") * (Q114_AFF_A0 + Q114_AFF_DA * b)
+            + (Q114_AFF_B0 + Q114_AFF_DB * b)
+        ) % AFFINE_MOD
+        w = F.lit(len(Q114_POISSON_CDF_PPM))
+        for k in range(len(Q114_POISSON_CDF_PPM) - 1, -1, -1):
+            w = F.when(u < Q114_POISSON_CDF_PPM[k] * 1000, k).otherwise(w)
+        return w
+
+    aggs = []
+    for b in range(Q114_B):
+        w = _w(b)
+        aggs.append(F.sum(w * F.col("v")).alias(f"wv{b}"))
+        aggs.append(F.sum(w).alias(f"ww{b}"))
+    one = base.agg(
+        *aggs, F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n")
     )
-    w = F.lit(len(Q114_POISSON_CDF_PPM))
-    for k in range(len(Q114_POISSON_CDF_PPM) - 1, -1, -1):
-        w = F.when(u < Q114_POISSON_CDF_PPM[k], k).otherwise(w)
-    reps = (
-        t.orders.select(F.col("o_orderkey"), cents.alias("v"))
-        .select("o_orderkey", "v", F.explode(F.sequence(F.lit(0), F.lit(Q114_B - 1))).alias("b"))
-        .select("b", w.alias("w"), "v")
-        .groupBy("b")
-        .agg(F.sum(F.expr("w * v")).alias("wv"), F.sum("w").alias("ww"))
-        .select("b", F.expr("wv * 100 div ww").alias("mean_c100"))
+    means = F.array_sort(
+        F.array(
+            *[F.expr(f"wv{b} * 100 div ww{b}") for b in range(Q114_B)]
+        )
     )
-    point = t.orders.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(cents).alias("sv"),
-    ).select(F.expr("sv * 100 div n").alias("point_c100"), "n")
     lo_rank = (25 * Q114_B + 999) // 1000   # ceil(0.025·B) = 2
     hi_rank = (975 * Q114_B + 999) // 1000  # ceil(0.975·B) = 63
-    dist = reps.agg(
-        F.array_sort(F.collect_list("mean_c100")).alias("ms"),
-        F.count(F.lit(1)).alias("n_reps"),
-    ).select(
-        "n_reps",
-        F.element_at("ms", lo_rank).alias("ci_lo_c100"),
-        F.element_at("ms", hi_rank).alias("ci_hi_c100"),
+    return one.select(
+        "n",
+        F.lit(Q114_B).cast("long").alias("n_reps"),
+        F.expr("sv * 100 div n").alias("point_c100"),
+        F.element_at(means, lo_rank).alias("ci_lo_c100"),
+        F.element_at(means, hi_rank).alias("ci_hi_c100"),
     )
-    return point.crossJoin(F.broadcast(dist)).select(
-        "n", "n_reps", "point_c100", "ci_lo_c100", "ci_hi_c100"
-    )
+
+
+# per-replicate affine coefficients (a_b = A0 + DA·b, b_b = B0 + DB·b):
+# with hr < REDUCE_MOD ≈ 2^20 and a_63 ≈ 2.5e8 the product stays ≈
+# 2.6e14 « 2^63 in both engines (DuckDB raises on BIGINT overflow)
+Q114_AFF_A0, Q114_AFF_DA = 1000003, 4000037
+Q114_AFF_B0, Q114_AFF_DB = 104729, 7919
 
 
 def _q114_oracle() -> str:
-    from ..functions.hashing import h64_sql
+    from ..functions.hashing import AFFINE_MOD, REDUCE_MOD, h64_sql
 
-    u = h64_sql("o_orderkey::VARCHAR || ':' || b::VARCHAR") + " % 1000000"
+    # the oracle keeps the row-expansion form (values are identical;
+    # only the ENGINE needs the explode-free plan)
+    u = (
+        f"(({h64_sql('o_orderkey::VARCHAR')} % {REDUCE_MOD})"
+        f" * ({Q114_AFF_A0} + {Q114_AFF_DA} * b)"
+        f" + ({Q114_AFF_B0} + {Q114_AFF_DB} * b)) % {AFFINE_MOD}"
+    )
     w = str(len(Q114_POISSON_CDF_PPM))
     for k in range(len(Q114_POISSON_CDF_PPM) - 1, -1, -1):
-        w = f"CASE WHEN u < {Q114_POISSON_CDF_PPM[k]} THEN {k} ELSE {w} END"
+        w = f"CASE WHEN u < {Q114_POISSON_CDF_PPM[k] * 1000} THEN {k} ELSE {w} END"
     lo_rank = (25 * Q114_B + 999) // 1000
     hi_rank = (975 * Q114_B + 999) // 1000
     return f"""

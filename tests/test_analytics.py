@@ -1553,13 +1553,32 @@ def test_q114_bootstrap_ci_bruteforce(spark):
             .alias("v"),
         ).collect()
     }
+    from dbsink_spark.analytics.advanced import (
+        Q114_AFF_A0,
+        Q114_AFF_B0,
+        Q114_AFF_DA,
+        Q114_AFF_DB,
+    )
+    from dbsink_spark.functions.hashing import AFFINE_MOD, REDUCE_MOD
+
+    hr = {
+        key: int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16) % REDUCE_MOD
+        for key in vals
+    }
     means = []
     for b in range(Q114_B):
         wv = ww = 0
         for key, v in vals.items():
-            u = int(hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:15], 16) % 1000000
+            u = (
+                hr[key] * (Q114_AFF_A0 + Q114_AFF_DA * b)
+                + (Q114_AFF_B0 + Q114_AFF_DB * b)
+            ) % AFFINE_MOD
             w = next(
-                (k for k, thr in enumerate(Q114_POISSON_CDF_PPM) if u < thr),
+                (
+                    k
+                    for k, thr in enumerate(Q114_POISSON_CDF_PPM)
+                    if u < thr * 1000
+                ),
                 len(Q114_POISSON_CDF_PPM),
             )
             wv += w * v
