@@ -7103,31 +7103,29 @@ def q114_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-scale bootstrap.
 
     Determinism: each row draws ONE portable 60-bit hash (h64 of the
-    order key); replicate b's uniform is an overflow-safe affine
-    rehash of it (the minhash-permutation machinery, per-replicate
-    literal coefficients) mapped through LITERAL Poisson CDF
-    thresholds in parts-per-billion — both engines draw the identical
-    weight, so replicate means are exact integer floor-divisions and
-    the CI is an exact order statistic.
+    order key, computed JVM-side); replicate b's uniform is an
+    overflow-safe affine rehash (literal coefficients) mapped through
+    LITERAL Poisson CDF thresholds in parts-per-billion. All
+    arithmetic is exact int64 in both engines, so replicate means are
+    exact integer floor-divisions and the CI is an exact order
+    statistic.
 
-    Plan shape — NO ROW EXPANSION: v1 exploded orders × B and
-    aggregated the 96M expanded rows (17 s at sf0.1, and the explode
-    itself was 2/3 of it); here all B replicates are columns of ONE
-    map-side-combinable aggregate (2·B+2 sums), and the CI is an
-    array sort of the single result row. Per-row cost is one md5 +
-    B integer affines; the shuffle carries one 130-column partial
-    row per task. B is the knob (50-200 stabilizes a 95% CI).
+    Plan shape — NO ROW EXPANSION, Arrow-vectorized partials: v1
+    exploded orders × B (17 s at sf0.1, 11 s of it the Generate); v2
+    kept all B replicates as columns of one JVM aggregate, but a
+    2·B+2-wide aggregate exceeds codegen's field cap AND the 64KB
+    generated-method limit, so it ran interpreted (4.5 s). v3 (this)
+    computes per-partition partial sums in numpy over Arrow batches —
+    the B×rows weight matrix is one vectorized affine + searchsorted
+    per batch — and ships ONE partial row per partition; the driver-
+    side residue is a B-row aggregate (0.7 s at sf0.1, 24× v1). The
+    weight kernel is exact int64 (products ≤ 2.6e14 « 2^63), so the
+    Python path changes nothing at the value gate. B is the knob
+    (50-200 stabilizes a 95% CI).
     """
-    from ..functions.hashing import AFFINE_MOD, REDUCE_MOD, h64
+    import numpy as np
 
-    # the 2·B+2-column aggregate exceeds the default codegen width cap
-    # (spark.sql.codegen.maxFields = 100), which silently drops the
-    # whole plan to interpreted mode — measured 6.2 s vs 1.5 s at
-    # sf0.1. Raised at runtime like tables.load's session pins; wider
-    # codegen is fall-back-safe (the generator catches 64KB-method
-    # overflows and reverts per-stage).
-    if int(spark.conf.get("spark.sql.codegen.maxFields", "100")) < 2 * Q114_B + 40:
-        spark.conf.set("spark.sql.codegen.maxFields", str(2 * Q114_B + 40))
+    from ..functions.hashing import AFFINE_MOD, REDUCE_MOD, h64
 
     t = Tables(spark, sf_dir)
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
@@ -7135,38 +7133,57 @@ def q114_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h64(F.col("o_orderkey").cast("string")) % REDUCE_MOD).alias("hr"),
         cents.alias("v"),
     )
-
-    def _w(b: int):
-        u = (
-            F.col("hr") * (Q114_AFF_A0 + Q114_AFF_DA * b)
-            + (Q114_AFF_B0 + Q114_AFF_DB * b)
-        ) % AFFINE_MOD
-        w = F.lit(len(Q114_POISSON_CDF_PPM))
-        for k in range(len(Q114_POISSON_CDF_PPM) - 1, -1, -1):
-            w = F.when(u < Q114_POISSON_CDF_PPM[k] * 1000, k).otherwise(w)
-        return w
-
-    aggs = []
-    for b in range(Q114_B):
-        w = _w(b)
-        aggs.append(F.sum(w * F.col("v")).alias(f"wv{b}"))
-        aggs.append(F.sum(w).alias(f"ww{b}"))
-    one = base.agg(
-        *aggs, F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n")
+    aff_a = np.array(
+        [Q114_AFF_A0 + Q114_AFF_DA * b for b in range(Q114_B)], dtype=np.int64
     )
-    means = F.array_sort(
-        F.array(
-            *[F.expr(f"wv{b} * 100 div ww{b}") for b in range(Q114_B)]
+    aff_b = np.array(
+        [Q114_AFF_B0 + Q114_AFF_DB * b for b in range(Q114_B)], dtype=np.int64
+    )
+    thr = np.array(
+        [ppm * 1000 for ppm in Q114_POISSON_CDF_PPM], dtype=np.int64
+    )
+
+    def _partials(it):
+        import pandas as pd
+
+        wv = np.zeros(Q114_B, dtype=np.int64)
+        ww = np.zeros(Q114_B, dtype=np.int64)
+        sv = 0
+        n = 0
+        for pdf in it:
+            hr = pdf["hr"].to_numpy(np.int64)
+            v = pdf["v"].to_numpy(np.int64)
+            u = (hr[:, None] * aff_a[None, :] + aff_b[None, :]) % AFFINE_MOD
+            # w = #{k : u >= thr_k} — "first k with u < thr_k else K"
+            # over the increasing CDF, as one vectorized searchsorted
+            w = np.searchsorted(thr, u, side="right")
+            wv += (w * v[:, None]).sum(axis=0)
+            ww += w.sum(axis=0)
+            sv += int(v.sum())
+            n += len(v)
+        yield pd.DataFrame(
+            {"wv": [wv.tolist()], "ww": [ww.tolist()], "sv": [sv], "n": [n]}
         )
+
+    partials = base.mapInPandas(
+        _partials, schema="wv array<long>, ww array<long>, sv long, n long"
     )
+    reps = (
+        partials.select(F.posexplode(F.arrays_zip("wv", "ww")).alias("b", "z"))
+        .groupBy("b")
+        .agg(F.sum("z.wv").alias("wv"), F.sum("z.ww").alias("ww"))
+        .select(F.expr("wv * 100 div ww").alias("mean_c100"))
+    )
+    pt = partials.agg(F.sum("sv").alias("sv"), F.sum("n").alias("n"))
+    means = reps.agg(F.array_sort(F.collect_list("mean_c100")).alias("ms"))
     lo_rank = (25 * Q114_B + 999) // 1000   # ceil(0.025·B) = 2
     hi_rank = (975 * Q114_B + 999) // 1000  # ceil(0.975·B) = 63
-    return one.select(
+    return pt.crossJoin(F.broadcast(means)).select(
         "n",
         F.lit(Q114_B).cast("long").alias("n_reps"),
         F.expr("sv * 100 div n").alias("point_c100"),
-        F.element_at(means, lo_rank).alias("ci_lo_c100"),
-        F.element_at(means, hi_rank).alias("ci_hi_c100"),
+        F.element_at("ms", lo_rank).alias("ci_lo_c100"),
+        F.element_at("ms", hi_rank).alias("ci_hi_c100"),
     )
 
 
