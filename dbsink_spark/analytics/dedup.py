@@ -1603,10 +1603,17 @@ def d18_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally: new shingles vs the maintained first-seen table
     (the q106 IVM pattern applies verbatim).
     """
-    d = Tables(spark, sf_dir).documents
+    # explode_OUTER, not explode: a plain Generate makes Catalyst
+    # infer `size(arr) > 0 AND isnotnull(arr)` and push it below the
+    # projection WITH THE WHOLE SHINGLING+md5 EXPRESSION SUBSTITUTED
+    # IN — the entire per-doc hash pipeline evaluated twice per row
+    # (measured 4.5 s vs 0.8 s at sf0.1). outer=true has no non-empty
+    # precondition, so nothing is inferred; the null row an empty doc
+    # produces is dropped on the cheap exploded column instead.
     sh = (
-        d.select("source", F.explode(_shingles(_words())).alias("s"))
-        .select("source", h64(F.col("s")).alias("h"))
+        _hashed_docs(spark, sf_dir)
+        .select("source", F.explode_outer("shh").alias("h"))
+        .filter(F.col("h").isNotNull())
         .distinct()
     )
     first = sh.groupBy("h").agg(F.min("source").alias("first_source"))
