@@ -6265,8 +6265,10 @@ def q107_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-split rescans: O(n) per series, not O(n²). All series values
     are integer cents; prefix sums are exact BIGINT running sums over
     the month-ordered frame; only the final g(k) arithmetic is double
-    (fixed operand order → bit-identical cross-engine), reported
-    floor-rounded with integer left/right means.
+    (fixed operand order → bit-identical cross-engine), reported as a
+    SCALE-INVARIANT relative gain (ppm of S²/n — the raw cents² gain
+    is quadratic in data volume and overflows BIGINT at sf0.1+) with
+    integer left/right means.
 
     Plan shape at 100 TB: the heavy pass is the (segment, month)
     revenue aggregate — map-side combinable, shuffle bounded by
@@ -6316,6 +6318,7 @@ def q107_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg",
         "month",
         "n",
+        sd.alias("sd"),
         gain.alias("gain"),
         F.expr("s1 DIV k").alias("left_mean_cents"),
         F.expr("(s - s1) DIV (n - k)").alias("right_mean_cents"),
@@ -6325,9 +6328,14 @@ def q107_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("min_by(month, struct(-gain, month))").alias("cp_month"),
             F.first("n").alias("n_months"),
-            F.expr("floor(max_by(gain, struct(gain, month)) + 0.5)").alias(
-                "gain_floor"
-            ),
+            # relative explained-sum in ppm of S²/n — SCALE-INVARIANT:
+            # raw gain is cents² (quadratic in data volume) and
+            # overflowed BIGINT at sf0.1 (DuckDB raises, Spark floor
+            # wraps silently — the round-7 full-sf0.1 sweep caught it)
+            F.expr(
+                "floor(max_by(gain, struct(gain, month)) * 1000000.0 "
+                "/ (first(sd) * first(sd) / first(n)) + 0.5)"
+            ).cast("long").alias("gain_rel_ppm"),
             F.expr("min_by(left_mean_cents, struct(-gain, month))").alias(
                 "left_mean_cents"
             ),
@@ -6360,6 +6368,7 @@ def _q107_oracle() -> str:
     ),
     scored AS (
         SELECT seg, month, n,
+               s::DOUBLE AS sd,
                s1::DOUBLE * s1::DOUBLE / k
                + (s - s1)::DOUBLE * (s - s1)::DOUBLE / (n - k)
                - s::DOUBLE * s::DOUBLE / n AS gain,
@@ -6369,13 +6378,14 @@ def _q107_oracle() -> str:
     ),
     best AS (
         SELECT seg, month AS cp_month, n AS n_months,
-               floor(gain + 0.5)::BIGINT AS gain_floor,
+               floor(gain * 1000000.0 / (sd * sd / n) + 0.5)::BIGINT
+                   AS gain_rel_ppm,
                left_mean_cents, right_mean_cents,
                row_number() OVER (PARTITION BY seg
                                   ORDER BY gain DESC, month) AS rn
         FROM scored
     )
-    SELECT seg, cp_month, n_months, gain_floor,
+    SELECT seg, cp_month, n_months, gain_rel_ppm,
            left_mean_cents, right_mean_cents
     FROM best WHERE rn = 1
     ORDER BY seg

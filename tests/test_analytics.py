@@ -1270,6 +1270,17 @@ def test_q107_split_minimizes_sse_bruteforce(spark):
         )
         assert got[seg]["cp_month"] == pts[best - 1][0], seg
         assert got[seg]["n_months"] == len(vals)
+        n, stot = len(vals), sum(vals)
+        tss_term = (stot / 1.0) * stot / n  # S^2/n in float
+        s1 = sum(vals[:best])
+        gain = (
+            s1 * 1.0 * s1 / best
+            + (stot - s1) * 1.0 * (stot - s1) / (n - best)
+            - stot * 1.0 * stot / n
+        )
+        want_ppm = gain * 1000000.0 / tss_term
+        assert abs(got[seg]["gain_rel_ppm"] - want_ppm) <= 1.0
+        assert 0 <= got[seg]["gain_rel_ppm"] <= 1_000_000 * n
         assert got[seg]["left_mean_cents"] == sum(vals[:best]) // best
         assert got[seg]["right_mean_cents"] == sum(vals[best:]) // (
             len(vals) - best
