@@ -368,6 +368,8 @@ UNGATED = frozenset(
         "t31_kl_drift",
         "s17_rocchio_prf",
         "q119_kcore",
+        "q120_mann_whitney",
+        "q121_kendall_tau",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

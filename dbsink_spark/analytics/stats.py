@@ -781,3 +781,322 @@ def _d14_oracle() -> str:
 
 ORACLE["d14_source_overlap_matrix"] = _d14_oracle()
 QUERIES["d14_source_overlap_matrix"] = d14_source_overlap_matrix
+
+
+# ---------------------------------------------------------------------------
+# q120: Mann-Whitney U test (returned vs accepted quantity distributions)
+# ---------------------------------------------------------------------------
+
+
+def q120_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing the line-item
+    quantity distribution of returnflag 'A' vs 'R' — the
+    nonparametric two-sample test (q43 fits lines, q87 tests
+    categorical independence; this asks "does one group
+    stochastically dominate the other" with no normality
+    assumption), reported as the scale-free AUC effect size
+    (P(x_A > x_B) + ½P(=), in ppm) and a tie-corrected z.
+
+    The textbook formulation ranks the pooled corpus — a global
+    sort. Quantity has a BOUNDED integer domain, so U needs only the
+    per-value group histogram: U_A = Σ_v n_A(v)·(cumB(<v) + n_B(v)/2)
+    — one map-side-combinable ≤50-row aggregate, a running frame
+    over that grid, and ordered folds for the float sums. Raw U is
+    QUADRATIC in counts (the q107 overflow lesson), so every
+    reported number is scale-free (AUC ppm, z) or linear (group
+    sizes); products are formed in double.
+    """
+    li = Tables(spark, sf_dir).lineitem.filter(
+        F.col("l_returnflag").isin("A", "R")
+    ).select(
+        F.col("l_quantity").cast("long").alias("v"),
+        (F.col("l_returnflag") == "A").cast("long").alias("is_a"),
+    )
+    grid = li.groupBy("v").agg(
+        F.sum("is_a").alias("na"),
+        F.sum(1 - F.col("is_a")).alias("nb"),
+    )
+    w_below = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    g2 = grid.select(
+        "v",
+        "na",
+        "nb",
+        F.coalesce(F.sum("nb").over(w_below), F.lit(0)).alias("cumb"),
+    )
+    one = g2.agg(
+        F.array_sort(F.collect_list(F.struct("v", "na", "nb", "cumb"))).alias(
+            "a"
+        )
+    )
+    fold = lambda expr: F.aggregate(F.col("a"), F.lit(0.0), expr)
+    u_a = fold(lambda acc, x: acc + x["na"] * (x["cumb"] + x["nb"] / 2.0))
+    t3 = fold(
+        lambda acc, x: acc
+        + (
+            (x["na"] + x["nb"]).cast("double")
+            * (x["na"] + x["nb"])
+            * (x["na"] + x["nb"])
+            - (x["na"] + x["nb"])
+        )
+    )
+    na_tot = F.aggregate(
+        F.col("a"), F.lit(0).cast("long"), lambda acc, x: acc + x["na"]
+    )
+    nb_tot = F.aggregate(
+        F.col("a"), F.lit(0).cast("long"), lambda acc, x: acc + x["nb"]
+    )
+    scored = one.select(
+        na_tot.alias("n_a"),
+        nb_tot.alias("n_b"),
+        F.size("a").alias("n_values"),
+        u_a.alias("u"),
+        t3.alias("t3"),
+    )
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    nd = nad + nbd
+    mu = nad * nbd / 2.0
+    var = nad * nbd / 12.0 * ((nd + 1.0) - F.col("t3") / (nd * (nd - 1.0)))
+    return scored.select(
+        "n_a",
+        "n_b",
+        "n_values",
+        F.floor(F.col("u") * 1000000.0 / (nad * nbd) + 0.5)
+        .cast("long")
+        .alias("auc_ppm"),
+        F.floor((F.col("u") - mu) / F.sqrt(var) * 1000.0 + 0.5)
+        .cast("long")
+        .alias("z_milli"),
+    )
+
+
+ORACLE["q120_mann_whitney"] = """
+    WITH li AS (
+        SELECT l_quantity::BIGINT AS v,
+               (l_returnflag = 'A')::BIGINT AS is_a
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ),
+    grid AS (
+        SELECT v, sum(is_a)::BIGINT AS na, sum(1 - is_a)::BIGINT AS nb
+        FROM li GROUP BY v
+    ),
+    g2 AS (
+        SELECT v, na, nb,
+               coalesce(sum(nb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS cumb
+        FROM grid
+    ),
+    one AS (
+        SELECT list({'v': v, 'na': na, 'nb': nb, 'cumb': cumb}
+                    ORDER BY v) AS a
+        FROM g2
+    ),
+    scored AS (
+        SELECT list_reduce(list_prepend(0::BIGINT,
+                   [x.na FOR x IN a]), (p, q) -> p + q) AS n_a,
+               list_reduce(list_prepend(0::BIGINT,
+                   [x.nb FOR x IN a]), (p, q) -> p + q) AS n_b,
+               len(a)::BIGINT AS n_values,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   [x.na * (x.cumb + x.nb / 2.0) FOR x IN a]),
+                   (p, q) -> p + q) AS u,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   [(x.na + x.nb)::DOUBLE * (x.na + x.nb) * (x.na + x.nb)
+                    - (x.na + x.nb) FOR x IN a]),
+                   (p, q) -> p + q) AS t3
+        FROM one
+    )
+    SELECT n_a, n_b, n_values,
+           floor(u * 1000000.0 / (n_a::DOUBLE * n_b) + 0.5)::BIGINT
+               AS auc_ppm,
+           floor((u - n_a::DOUBLE * n_b / 2.0)
+                 / sqrt(n_a::DOUBLE * n_b / 12.0
+                        * (((n_a::DOUBLE + n_b) + 1.0)
+                           - t3 / ((n_a::DOUBLE + n_b)
+                                   * ((n_a::DOUBLE + n_b) - 1.0))))
+                 * 1000.0 + 0.5)::BIGINT AS z_milli
+    FROM scored
+"""
+QUERIES["q120_mann_whitney"] = q120_mann_whitney
+
+
+# ---------------------------------------------------------------------------
+# q121: Kendall tau-b rank correlation (quantity vs discount)
+# ---------------------------------------------------------------------------
+
+
+def q121_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between line-item quantity and
+    discount — the ordinal-association member of the dependence
+    family (q31 Pearson assumes linearity, q118 MI ignores order;
+    tau-b measures monotone association with exact tie handling).
+
+    The textbook computation is O(n²) pairs or a merge-sort over the
+    corpus; both columns have BOUNDED integer domains, so every pair
+    statistic is computable from the ≤ 50×11 contingency grid:
+    concordant pairs C = Σ_cell n·(mass strictly greater in both
+    coords), discordant likewise — the dominance masses come from a
+    grid self-join (≤550² comparisons, data-size-independent), and
+    C/D/tie products are formed in DOUBLE and summed by ordered
+    folds (quadratic-magnitude integers are the q107 overflow trap).
+    Reported numbers are scale-free: concordant/discordant ppm of
+    all pairs and tau_b in micro-units.
+    """
+    li = Tables(spark, sf_dir).lineitem.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("d"),
+    )
+    cells = li.groupBy("q", "d").agg(F.count(F.lit(1)).alias("n"))
+    a, b = cells.alias("a"), cells.alias("b")
+    gg = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.q") > F.col("a.q")) & (F.col("b.d") > F.col("a.d")),
+        )
+        .groupBy(F.col("a.q").alias("q"), F.col("a.d").alias("d"))
+        .agg(F.sum("b.n").alias("ngg"))
+    )
+    gl = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.q") > F.col("a.q")) & (F.col("b.d") < F.col("a.d")),
+        )
+        .groupBy(F.col("a.q").alias("q"), F.col("a.d").alias("d"))
+        .agg(F.sum("b.n").alias("ngl"))
+    )
+    g = (
+        cells.join(gg, ["q", "d"], "left")
+        .join(gl, ["q", "d"], "left")
+        .select(
+            "q",
+            "d",
+            "n",
+            F.coalesce("ngg", F.lit(0)).alias("ngg"),
+            F.coalesce("ngl", F.lit(0)).alias("ngl"),
+        )
+    )
+    one = g.agg(
+        F.array_sort(
+            F.collect_list(F.struct("q", "d", "n", "ngg", "ngl"))
+        ).alias("a")
+    )
+    foldd = lambda expr: F.aggregate(F.col("a"), F.lit(0.0), expr)
+    c_sum = foldd(lambda acc, x: acc + x["n"].cast("double") * x["ngg"])
+    d_sum = foldd(lambda acc, x: acc + x["n"].cast("double") * x["ngl"])
+    n_tot = F.aggregate(
+        F.col("a"), F.lit(0).cast("long"), lambda acc, x: acc + x["n"]
+    )
+    # tie masses per margin: ordered folds over the margin grids
+    mq = (
+        cells.groupBy("q")
+        .agg(F.sum("n").alias("t"))
+        .agg(F.array_sort(F.collect_list(F.struct("q", "t"))).alias("m"))
+        .select(
+            F.aggregate(
+                F.col("m"),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"].cast("double") * (x["t"] - 1) / 2.0,
+            ).alias("tx")
+        )
+    )
+    md = (
+        cells.groupBy("d")
+        .agg(F.sum("n").alias("t"))
+        .agg(F.array_sort(F.collect_list(F.struct("d", "t"))).alias("m"))
+        .select(
+            F.aggregate(
+                F.col("m"),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"].cast("double") * (x["t"] - 1) / 2.0,
+            ).alias("ty")
+        )
+    )
+    scored = (
+        one.select(
+            F.size("a").alias("n_cells"),
+            n_tot.alias("n"),
+            c_sum.alias("c"),
+            d_sum.alias("dd"),
+        )
+        .crossJoin(F.broadcast(mq))
+        .crossJoin(F.broadcast(md))
+    )
+    nd = F.col("n").cast("double")
+    t_all = nd * (nd - 1) / 2.0
+    tau = (F.col("c") - F.col("dd")) / F.sqrt(
+        (t_all - F.col("tx")) * (t_all - F.col("ty"))
+    )
+    return scored.select(
+        "n",
+        "n_cells",
+        F.floor(F.col("c") * 1000000.0 / t_all + 0.5)
+        .cast("long")
+        .alias("concordant_ppm"),
+        F.floor(F.col("dd") * 1000000.0 / t_all + 0.5)
+        .cast("long")
+        .alias("discordant_ppm"),
+        F.floor(tau * 1000000.0 + 0.5).cast("long").alias("tau_micro"),
+    )
+
+
+ORACLE["q121_kendall_tau"] = """
+    WITH li AS (
+        SELECT l_quantity::BIGINT AS q,
+               floor(l_discount * 100 + 0.5)::BIGINT AS d
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT q, d, count(*)::BIGINT AS n FROM li GROUP BY q, d
+    ),
+    dom AS (
+        SELECT a.q, a.d, a.n,
+               coalesce(sum(CASE WHEN b.q > a.q AND b.d > a.d
+                                 THEN b.n END), 0)::BIGINT AS ngg,
+               coalesce(sum(CASE WHEN b.q > a.q AND b.d < a.d
+                                 THEN b.n END), 0)::BIGINT AS ngl
+        FROM cells a, cells b
+        GROUP BY a.q, a.d, a.n
+    ),
+    one AS (
+        SELECT list({'q': q, 'd': d, 'n': n, 'ngg': ngg, 'ngl': ngl}
+                    ORDER BY q, d) AS a
+        FROM dom
+    ),
+    folds AS (
+        SELECT len(a)::BIGINT AS n_cells,
+               list_reduce(list_prepend(0::BIGINT, [x.n FOR x IN a]),
+                   (p, s) -> p + s) AS n,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   [x.n::DOUBLE * x.ngg FOR x IN a]), (p, s) -> p + s) AS c,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   [x.n::DOUBLE * x.ngl FOR x IN a]), (p, s) -> p + s) AS dd
+        FROM one
+    ),
+    mq AS (
+        SELECT list_reduce(list_prepend(0.0::DOUBLE,
+                   [x.t::DOUBLE * (x.t - 1) / 2.0 FOR x IN
+                    list({'q': q, 't': t} ORDER BY q)]),
+                   (p, s) -> p + s) AS tx
+        FROM (SELECT q, sum(n)::BIGINT AS t FROM cells GROUP BY q)
+    ),
+    md AS (
+        SELECT list_reduce(list_prepend(0.0::DOUBLE,
+                   [x.t::DOUBLE * (x.t - 1) / 2.0 FOR x IN
+                    list({'d': d, 't': t} ORDER BY d)]),
+                   (p, s) -> p + s) AS ty
+        FROM (SELECT d, sum(n)::BIGINT AS t FROM cells GROUP BY d)
+    )
+    SELECT n, n_cells,
+           floor(c * 1000000.0 / (n::DOUBLE * (n::DOUBLE - 1) / 2.0)
+                 + 0.5)::BIGINT AS concordant_ppm,
+           floor(dd * 1000000.0 / (n::DOUBLE * (n::DOUBLE - 1) / 2.0)
+                 + 0.5)::BIGINT AS discordant_ppm,
+           floor((c - dd) / sqrt(((n::DOUBLE * (n::DOUBLE - 1) / 2.0) - tx)
+                 * ((n::DOUBLE * (n::DOUBLE - 1) / 2.0) - ty))
+                 * 1000000.0 + 0.5)::BIGINT AS tau_micro
+    FROM folds, mq, md
+"""
+QUERIES["q121_kendall_tau"] = q121_kendall_tau

