@@ -370,6 +370,7 @@ UNGATED = frozenset(
         "q119_kcore",
         "q120_mann_whitney",
         "q121_kendall_tau",
+        "q122_ks_test",
         "q37_time_gapfill",
         "q40_funnel",
         "q53_hopping_window",

@@ -1100,3 +1100,110 @@ ORACLE["q121_kendall_tau"] = """
     FROM folds, mq, md
 """
 QUERIES["q121_kendall_tau"] = q121_kendall_tau
+
+
+# ---------------------------------------------------------------------------
+# q122: two-sample Kolmogorov-Smirnov distance on the bounded grid
+# ---------------------------------------------------------------------------
+
+
+def q122_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the 'A' and 'R'
+    quantity distributions: D = max_v |F_A(v) − F_B(v)| — the
+    distribution-shape complement to q120 (Mann-Whitney sees location
+    shift; KS sees ANY CDF divergence). Same bounded-domain shape as
+    q120: one ≤50-row group histogram, running frames over the grid,
+    and a grid-sized max — no pooled sort, nothing quadratic.
+
+    Exactness: each CDF is an integer ppm floor-division of its own
+    group count (never a cross-product of counts — cumA·nB is the
+    q107 overflow bomb), so D_ppm is exact integer arithmetic with a
+    documented ≤1 ppm quantization per side; the asymptotic
+    significance scale sqrt(nA·nB/(nA+nB))·D is double with fixed
+    operand order.
+    """
+    li = Tables(spark, sf_dir).lineitem.filter(
+        F.col("l_returnflag").isin("A", "R")
+    ).select(
+        F.col("l_quantity").cast("long").alias("v"),
+        (F.col("l_returnflag") == "A").cast("long").alias("is_a"),
+    )
+    grid = li.groupBy("v").agg(
+        F.sum("is_a").alias("na"), F.sum(1 - F.col("is_a")).alias("nb")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    g = grid.select(
+        "v",
+        F.expr(
+            "sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) * 1000000 "
+            "DIV sum(na) OVER ()"
+        ).alias("cdfa_ppm"),
+        F.expr(
+            "sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) * 1000000 "
+            "DIV sum(nb) OVER ()"
+        ).alias("cdfb_ppm"),
+        F.sum("na").over(w_all).alias("n_a"),
+        F.sum("nb").over(w_all).alias("n_b"),
+    )
+    d_ppm = F.abs(F.col("cdfa_ppm") - F.col("cdfb_ppm"))
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    ks_scale = F.sqrt(nad * nbd / (nad + nbd)) * (
+        F.col("d_ppm").cast("double") / 1000000.0
+    )
+    return (
+        g.select(
+            "n_a", "n_b", d_ppm.alias("d_ppm"), F.col("v").alias("at_v")
+        )
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max("d_ppm").alias("d_ppm"),
+            F.expr("min_by(at_v, struct(-d_ppm, at_v))").alias("at_v"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_ppm",
+            "at_v",
+            F.floor(ks_scale * 1000.0 + 0.5).cast("long").alias("ks_milli"),
+        )
+    )
+
+
+ORACLE["q122_ks_test"] = """
+    WITH li AS (
+        SELECT l_quantity::BIGINT AS v,
+               (l_returnflag = 'A')::BIGINT AS is_a
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ),
+    grid AS (
+        SELECT v, sum(is_a)::BIGINT AS na, sum(1 - is_a)::BIGINT AS nb
+        FROM li GROUP BY v
+    ),
+    g AS (
+        SELECT v,
+               (sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                * 1000000 // sum(na) OVER ())::BIGINT AS cdfa_ppm,
+               (sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                * 1000000 // sum(nb) OVER ())::BIGINT AS cdfb_ppm,
+               sum(na) OVER ()::BIGINT AS n_a,
+               sum(nb) OVER ()::BIGINT AS n_b
+        FROM grid
+    ),
+    scored AS (
+        SELECT n_a, n_b, abs(cdfa_ppm - cdfb_ppm)::BIGINT AS d_ppm, v
+        FROM g
+    ),
+    best AS (
+        SELECT n_a, n_b, d_ppm, v AS at_v,
+               row_number() OVER (ORDER BY d_ppm DESC, v) AS rn
+        FROM scored
+    )
+    SELECT n_a, n_b, d_ppm, at_v,
+           floor(sqrt(n_a::DOUBLE * n_b / (n_a::DOUBLE + n_b))
+                 * (d_ppm::DOUBLE / 1000000.0) * 1000.0 + 0.5)::BIGINT
+               AS ks_milli
+    FROM best WHERE rn = 1
+"""
+QUERIES["q122_ks_test"] = q122_ks_test

@@ -2191,3 +2191,35 @@ def test_q121_kendall_tau_bruteforce(spark):
     assert abs(row["tau_micro"] - tau * 1e6) <= 1.0
     assert abs(row["tau_micro"]) <= 1_000_000
     assert c_sum + d_sum <= t_all
+
+
+def test_q122_ks_bruteforce(spark):
+    """D must equal the max ppm-CDF gap computed directly, at the
+    correct argmax value, and satisfy D >= |AUC-based lower bound| of
+    zero and <= 1e6."""
+    from dbsink_spark.analytics.stats import q122_ks_test
+    from dbsink_spark.analytics.tables import Tables
+
+    from collections import Counter
+
+    rows = (
+        Tables(spark, SF_DIR)
+        .lineitem.select("l_returnflag", "l_quantity")
+        .collect()
+    )
+    ca = Counter(int(r["l_quantity"]) for r in rows if r["l_returnflag"] == "A")
+    cb = Counter(int(r["l_quantity"]) for r in rows if r["l_returnflag"] == "R")
+    na, nb = sum(ca.values()), sum(cb.values())
+    cuma = cumb = 0
+    best = (-1, None)
+    for v in sorted(set(ca) | set(cb)):
+        cuma += ca.get(v, 0)
+        cumb += cb.get(v, 0)
+        d = abs(cuma * 1_000_000 // na - cumb * 1_000_000 // nb)
+        if d > best[0]:
+            best = (d, v)
+    row = q122_ks_test(spark, SF_DIR).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert row["d_ppm"] == best[0]
+    assert row["at_v"] == best[1]
+    assert 0 <= row["d_ppm"] <= 1_000_000

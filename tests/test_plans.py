@@ -190,6 +190,9 @@ UNPARTITIONED_WINDOW_RATIONALE = {
     "d18_novelty_curve":
         "cumulative curve runs over the |sources|-row per-source aggregate "
         "(4 here; source cardinality is catalog-sized by construction)",
+    "q122_ks_test":
+        "CDF frames run over the quantity-value grid — ≤ 50 rows by "
+        "domain construction after the combinable group histogram",
     "q120_mann_whitney":
         "the cumulative-below frame runs over the quantity-value grid — "
         "≤ 50 rows by domain construction after the combinable histogram",
