@@ -328,46 +328,46 @@ UNGATED = frozenset(
         # sanctioned promotion as new capability classes: weighted
         # graph traversal, bounded-state exact heavy hitters,
         # contamination-curve profiling, sliding-window sketch merge):
-        "q92_weighted_sssp",
-        "q93_heavy_hitters",
+        # "q92_weighted_sssp",  # PROMOTED to gate in round-8 rotation
+        # "q93_heavy_hitters",  # PROMOTED to gate in round-8 rotation
         "t29_overlap_profile",
-        "q94_sliding_distinct",
-        "s12_ivf_maxsim",
-        "q95_digest_diff",
+        # "q94_sliding_distinct",  # PROMOTED to gate in round-8 rotation
+        # "s12_ivf_maxsim",  # PROMOTED to gate in round-8 rotation
+        # "q95_digest_diff",  # PROMOTED to gate in round-8 rotation
         "q96_compaction_plan",
-        "d17_cc_alternating",
+        # "d17_cc_alternating",  # PROMOTED to gate in round-8 rotation
         "q97_zone_map_skip",
         "q98_basket_triples",
         "q99_fd_audit",
         "s13_ann_recall",
         "s14_rrf_fusion",
-        "s15_pq_adc",
+        # "s15_pq_adc",  # PROMOTED to gate in round-8 rotation
         "q100_quota_sample",
         "q101_salted_join",
-        "q102_point_in_polygon",
+        # "q102_point_in_polygon",  # PROMOTED to gate in round-8 rotation
         "q103_radius_join",
-        "q104_nn_join",
+        # "q104_nn_join",  # PROMOTED to gate in round-8 rotation
         "q105_label_prop",
-        "q106_ivm_maintain",
-        "q107_changepoint",
+        # "q106_ivm_maintain",  # PROMOTED to gate in round-8 rotation
+        # "q107_changepoint",  # PROMOTED to gate in round-8 rotation
         "q108_acf",
         "q109_benford",
         "q110_interval_union",
         "q111_assoc_rules",
         "q112_decile_lift",
         "q113_mix_shift",
-        "q114_bootstrap_ci",
+        # "q114_bootstrap_ci",  # PROMOTED to gate in round-8 rotation
         "s16_sq_search",
         "d18_novelty_curve",
-        "d19_sorted_neighborhood",
-        "t30_quantile_norm",
+        # "d19_sorted_neighborhood",  # PROMOTED to gate in round-8 rotation
+        # "t30_quantile_norm",  # PROMOTED to gate in round-8 rotation
         "q115_theil_sen",
         "q116_kaplan_meier",
         "q117_interp_join",
         "q118_mutual_info",
         "t31_kl_drift",
         "s17_rocchio_prf",
-        "q119_kcore",
+        # "q119_kcore",  # PROMOTED to gate in round-8 rotation
         "q120_mann_whitney",
         "q121_kendall_tau",
         "q122_ks_test",
@@ -386,6 +386,82 @@ UNGATED = frozenset(
         "d06_embedding_near_dup",
         "d10_containment",
         "s07_knn_graph",
+        # ROUND-8 GATE ROTATION — requested by VERDICT_r07 "Next round
+        # #1": promote 15 of the 43 never-gated round-7 rows, leading
+        # with the new capability classes (q92 weighted SSSP, d17
+        # star-contraction CC, q102+q104 the spatial family's first
+        # gate exposure, q93 bounded-state heavy hitters, q94 sliding
+        # HLL, q95 digest reconciliation, q106 IVM, q107 changepoint,
+        # q114 Arrow+numpy partial-agg bootstrap, q119 k-core, s12
+        # two-stage retrieval, s15 PQ-ADC, d19 sorted-neighborhood,
+        # t30 quantile norm — all uncommented above); these 15
+        # previously-gated rows demote in exchange, each redundant with
+        # machinery that stays gated or promotes:
+        #   q22 as-of join — strict subset of gated q89 bitemporal
+        #       as-of (same last-value-before join, one time axis
+        #       instead of two)
+        #   q38 range join — banded-key candidate-join mechanics ride
+        #       promoted q102 grid containment + q104 ring blocking
+        #       (same bucketize→equi-join→exact-verify shape)
+        #   q51 count-min — point-frequency estimation superseded by
+        #       promoted q93 exact bounded-state heavy hitters (same
+        #       task, strictly stronger guarantee) + gated q88
+        #       mergeable-sketch algebra
+        #   q56 bitmap distinct — mergeable distinct class carried by
+        #       gated q88 HLL rollup + promoted q94 sliding HLL (same
+        #       register algebra, re-aggregable)
+        #   q61 pagerank — iterative Pregel-as-joins machinery stays
+        #       gated four ways: promoted q92 SSSP (same per-round
+        #       join+checkpoint cycle), promoted q119 k-core, promoted
+        #       d17 star-contraction CC
+        #   q68 weighted median — weighted order statistics ride the
+        #       SAME shared drill primitive (analytics/drill.py) as
+        #       gated q84 histogram quantiles; promoted t30 adds the
+        #       quantile-matching class
+        #   q73 clamped running sum — cross-batch carry mapInPandas
+        #       fold = gated q90 CUSUM's exact machinery (same
+        #       repartition+sortWithinPartitions+carry pattern)
+        #   q80 Holt forecast — ordered-recurrence fold ⊂ gated q90
+        #       CUSUM (same fold discipline) + promoted q107
+        #       changepoint (same series-segmentation family)
+        #   q83 BFS hops — strict subset of promoted q92 weighted
+        #       SSSP (BFS = SSSP with unit weights, same frontier
+        #       pruning + per-round localCheckpoint)
+        #   q87 chi-square — sorted-fold float discipline carried by
+        #       gated t27 Zipf OLS (same array_sort+aggregate fold);
+        #       contingency agg ⊂ gated q12 cube machinery
+        #   d09 dup clusters — propagation CC superseded by promoted
+        #       d17 star-contraction (same task, O(log n) rounds
+        #       regardless of component diameter)
+        #   s02 centroid assign — cell assignment IS the first stage
+        #       of promoted s12 IVF→MaxSim and gated s09 ANN recall
+        #       (identical min_by-distance machinery)
+        #   s04 numpy top-k — brute-force scoring kernel rides gated
+        #       s11 MaxSim + promoted s12's re-rank stage (same
+        #       Arrow+numpy batch kernel)
+        #   t07 winnowing — shingle→hash→select fingerprinting family
+        #       stays gated via d03 MinHash + d15 LSH audit (same
+        #       candidate-generation discipline)
+        #   t26 RAKE keyphrases — per-group term scoring/ranking ⊂
+        #       gated t21 BM25 + gated t02 quality token stats
+        # Rotation policy unchanged: composition moves ONLY on external
+        # verdict sanction; demoted rows stay oracle-verified each
+        # pytest run (test_registry_parity) + tools/check_oracle.py.
+        "q22_asof_join",
+        "q38_range_join",
+        "q51_countmin",
+        "q56_bitmap_distinct",
+        "q61_pagerank",
+        "q68_weighted_median",
+        "q73_clamped_running_sum",
+        "q80_holt_forecast",
+        "q83_bfs_hops",
+        "q87_chi_square",
+        "d09_dup_clusters",
+        "s02_centroid_assign",
+        "s04_numpy_topk",
+        "t07_winnowing",
+        "t26_rake_keyphrases",
     }
 )
 

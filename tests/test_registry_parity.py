@@ -110,42 +110,31 @@ def test_headline_operators_are_gated():
     in place of q11/s03/d05/q18; round-5 rotation per VERDICT_r04 #1
     demoted s01/q42; round-6 rotation per VERDICT_r05 #1 promoted the
     15-row session-3 wave; round-7 rotation per VERDICT_r06 #1
-    promoted the full round-6 operator wave (q83–q91/d15/d16/s11/t27/
-    t28) plus q57 and demoted q37/q40/q53/q54/q59/q62/q63/q74/q76/
-    q78/t10/t13/d06/d10/s07 — each capability class stays gated via
-    the rows named in analytics.UNGATED's rationale)."""
+    promoted the full round-6 operator wave (q83-q91/d15/d16/s11/t27/
+    t28) plus q57; round-8 rotation per VERDICT_r07 #1 promoted 15 of
+    the 43 never-gated round-7 rows (q92/q93/q94/q95/q102/q104/q106/
+    q107/q114/q119/d17/d19/s12/s15/t30) and demoted q22/q38/q51/q56/
+    q61/q68/q73/q80/q83/q87/d09/s02/s04/t07/t26 — each capability
+    class stays gated via the rows named in analytics.UNGATED's
+    rationale)."""
     headline = {
         "d01_dedup_exact",
         "d03_minhash_lsh",
         "d13_editdist_near_dup",
         "d08_decontaminate",
-        "d09_dup_clusters",
-        "s02_centroid_assign",
         "s09_ann_recall",
-        "s04_numpy_topk",
         "t14_pii_redact",
-        "q22_asof_join",
         "m01_media_features",
         "q49_zorder_index",
-        "q51_countmin",
-        "q56_bitmap_distinct",
         "t19_bpe_apply",
-        "q61_pagerank",
         "q64_column_profile",
-        "q68_weighted_median",
-        "q73_clamped_running_sum",
-        "q80_holt_forecast",
         "q82_basket_pairs",
         "t21_bm25_rank",
         "t23_leakage_free_split",
-        "t26_rake_keyphrases",
-        # round-7 promotions (first-time gate rows):
         "q57_bloom_semi_prune",
-        "q83_bfs_hops",
         "q84_histogram_quantiles",
         "q85_merge_upsert",
         "q86_skyline",
-        "q87_chi_square",
         "q88_hll_rollup",
         "q89_bitemporal_asof",
         "q90_cusum",
@@ -155,6 +144,22 @@ def test_headline_operators_are_gated():
         "s11_maxsim_topk",
         "t27_zipf_fit",
         "t28_crosslingual_align",
+        # round-8 promotions (first-time gate rows):
+        "q92_weighted_sssp",
+        "q93_heavy_hitters",
+        "q94_sliding_distinct",
+        "q95_digest_diff",
+        "q102_point_in_polygon",
+        "q104_nn_join",
+        "q106_ivm_maintain",
+        "q107_changepoint",
+        "q114_bootstrap_ci",
+        "q119_kcore",
+        "d17_cc_alternating",
+        "d19_sorted_neighborhood",
+        "s12_ivf_maxsim",
+        "s15_pq_adc",
+        "t30_quantile_norm",
     }
     missing = headline - set(analytics.QUERIES)
     assert not missing, missing
