@@ -449,6 +449,68 @@ def test_skyline_prune_is_exact_and_effective(spark):
     assert direct == via_prune
 
 
+def test_skyline_sample_mod_derivation():
+    """VERDICT_r07 #2: the sample mod must be DERIVED from the grid
+    size — no fixed knob. The sample sweep's expected input
+    n_grid/mod must stay under the target at every scale while tiny
+    grids keep the historical 1/64 rate."""
+    from dbsink_spark.analytics.advanced import (
+        Q86_SAMPLE_TARGET_ROWS,
+        _skyline_sample_mod,
+    )
+
+    assert _skyline_sample_mod(0) == 64
+    assert _skyline_sample_mod(10_000) == 64
+    assert _skyline_sample_mod(64 * Q86_SAMPLE_TARGET_ROWS) == 64
+    assert _skyline_sample_mod(64 * Q86_SAMPLE_TARGET_ROWS + 1) == 128
+    # a 100 TB-class grid: 10^10 distinct points → sample still bounded
+    for n in (10**8, 10**10, 10**12):
+        mod = _skyline_sample_mod(n)
+        assert n / mod <= Q86_SAMPLE_TARGET_ROWS, (n, mod)
+        assert mod & (mod - 1) == 0 and mod >= 64  # power of two, floored
+
+
+def test_skyline_prune_large_grid_sample_bounded(spark, monkeypatch):
+    """Force a grid larger than 64× a (shrunken) target and assert the
+    derived mod actually bounds the sample-sweep input while the
+    skyline stays exact — the integration half of the
+    no-fixed-knob fix (the exactness property test above covers
+    correctness at the default target)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics import advanced
+    from dbsink_spark.analytics.advanced import skyline_min2d, skyline_sample_prune
+    from dbsink_spark.functions.hashing import h64
+
+    monkeypatch.setattr(advanced, "Q86_SAMPLE_TARGET_ROWS", 8)
+    rng = random.Random(7)
+    pts = [(rng.randint(0, 10**6), rng.randint(0, 10**6)) for _ in range(3000)]
+    df = spark.createDataFrame(pts, ["x", "y"]).groupBy("x", "y").count()
+    n_grid = df.count()
+    mod = advanced._skyline_sample_mod(n_grid)
+    assert n_grid / mod <= 8  # derived, not the fixed 64
+    assert mod > 64
+
+    n_sample = df.filter(
+        h64(F.concat_ws("|", F.col("x").cast("string"), F.col("y").cast("string")))
+        % mod
+        == 0
+    ).count()
+    # hash-uniform sample: expectation n/mod ≤ 8; allow generous slack
+    assert n_sample <= 8 * 4, n_sample
+
+    direct = sorted((r["x"], r["y"]) for r in skyline_min2d(df, "x", "y").collect())
+    via = sorted(
+        (r["x"], r["y"])
+        for r in skyline_min2d(
+            skyline_sample_prune(df, "x", "y"), "x", "y"
+        ).collect()
+    )
+    assert direct == via
+
+
 def test_merge_upsert_invariants(spark):
     """q85 semantic invariants beyond the oracle hash: deleted keys
     vanish, inserted keys appear exactly once, updated keys carry the

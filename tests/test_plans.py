@@ -175,9 +175,11 @@ def test_d13_sort_strategy_global_orderby_over_cap(spark):
 # exchange-count harness because WindowExec adds no Exchange line.
 UNPARTITIONED_WINDOW_RATIONALE = {
     "q86_skyline":
-        "sample sweep runs over the 1/Q86_SAMPLE_MOD hash sample (the mod is "
-        "the documented scale knob); main sweep runs over the prune survivor "
-        "set, ≈ skyline-sized (E ≈ ln n) after the broadcast anti-join",
+        "sample sweep input is BOUNDED BY CONSTRUCTION: the hash-sample mod "
+        "derives from the grid count so E[sample] ≤ Q86_SAMPLE_TARGET_ROWS "
+        "(2^16) at any corpus size — no manual knob; main sweep runs over "
+        "the prune survivor set, ≈ skyline-sized (E ≈ ln n) after the "
+        "broadcast anti-join",
     "q87_chi_square":
         "global frame over the |status|×|priority| contingency grid — "
         "~15 cells after the map-side-combinable count",
