@@ -344,6 +344,16 @@ def cc_alternating(
         if digest == prev:
             break
         prev = digest
+    else:
+        # module fail-loud policy (matches kcore_members): a silent
+        # partial contraction would return WRONG component labels.
+        # Practically unreachable — alternating star contraction
+        # converges in O(log n) rounds (Kiveris et al., SoCC'14), so
+        # 30 rounds cover any n < 2^30-component graph.
+        raise RuntimeError(
+            f"cc_alternating: no fixed point after {max_rounds} rounds "
+            "(digest still moving) — raise max_rounds"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     lbl = E.select(F.col("u").alias("doc_id"), F.col("v").alias("lbl"))

@@ -55,8 +55,13 @@ def _h(s: str) -> int:
 def _zones() -> list[tuple[int, list[tuple[int, int]]]]:
     """Deterministic CCW triangles (zone_id, [(x, y)] * 3): centers and
     radii from md5 so every engine/test re-derives the identical set.
-    Vertices are ordered by construction angle (ascending), which for a
-    star-shaped vertex set around the center is CCW."""
+    Vertices start in ascending construction-angle order; ascending
+    angle alone does NOT guarantee CCW (all three angles can land
+    within a <180° arc, e.g. 119°/121°/241°, putting the center
+    outside the triangle), so the signed area is checked and the
+    winding flipped if needed — the downstream all->=0 half-plane test
+    is unsatisfiable for a CW triangle and would yield a silently
+    empty zone MIRRORED into the oracle."""
     out = []
     for z in range(N_ZONES):
         cx = 1_500 + _h(f"z{z}cx") % (WORLD - 3_000)
@@ -72,6 +77,12 @@ def _zones() -> list[tuple[int, list[tuple[int, int]]]]:
             verts.append(
                 (cx + int(r * math.cos(ang)), cy + int(r * math.sin(ang)))
             )
+        (ax, ay), (bx, by), (qx, qy) = verts
+        cross = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+        if cross < 0:  # CW — swap two vertices to restore CCW
+            verts = [verts[0], verts[2], verts[1]]
+            cross = -cross
+        assert cross > 0, f"degenerate zone {z}: collinear vertices"
         out.append((z, verts))
     return out
 

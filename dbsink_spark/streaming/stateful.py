@@ -485,6 +485,23 @@ def session_tracker(
                     start_us, last_us, n = t, t, 0
                 if start_us is None:
                     start_us = t
+                elif t < start_us:
+                    # cross-batch regression (within the watermark,
+                    # earlier than the open session's recorded start —
+                    # ts_all is sorted, so only carried state can sit
+                    # ahead of t)
+                    if start_us - t > gap_us:
+                        # beyond the gap: the event cannot belong to
+                        # the open session (a gap > g separates them),
+                        # so it forms its own already-closed
+                        # single-event session rather than being
+                        # silently absorbed
+                        closed.append((t, t, 1, "gap"))
+                        continue
+                    # in-gap: the session genuinely started earlier
+                    # than first recorded — move the start back so
+                    # session_start never postdates the earliest event
+                    start_us = t
                 if last_us is None or t > last_us:
                     last_us = t
                 n += 1

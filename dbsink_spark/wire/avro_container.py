@@ -44,6 +44,10 @@ _SYNC = b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f"
 # for the CLI replay / test fixtures it serves, an OOM for a data lake
 # file. The guard fails fast with the executor-path pointer instead.
 MAX_DRIVER_BYTES = 256 * 1024 * 1024
+# append_container header-read bound: magic + metadata map + sync must
+# fit; 4 MiB dwarfs any real schema while keeping the read cheap on
+# block-laden files
+_APPEND_HEADER_BYTES = 4 * 1024 * 1024
 
 
 def _read_header(buf: io.BytesIO, path: str) -> tuple[dict, str, bytes]:
@@ -59,7 +63,13 @@ def _read_header(buf: io.BytesIO, path: str) -> tuple[dict, str, bytes]:
         codec = codec.decode()
     if codec not in ("null", "deflate"):
         raise ValueError(f"{path}: unsupported avro codec {codec!r}")
-    return schema, codec, buf.read(16)
+    sync = buf.read(16)
+    if len(sync) != 16:
+        raise ValueError(
+            f"{path}: truncated Avro container — sync marker incomplete "
+            f"({len(sync)}/16 bytes after the metadata map)"
+        )
+    return schema, codec, sync
 
 
 def _encode_block(schema: dict, records: list, codec: str, sync: bytes) -> bytes:
@@ -150,6 +160,21 @@ def append_container(path: str, records: list) -> None:
     with open(path, "rb") as f:
         # header prefix only: magic + metadata map + sync. 4 MiB bounds
         # the read for block-laden files while dwarfing any real schema
-        schema, codec, sync = _read_header(io.BytesIO(f.read(4 * 1024 * 1024)), path)
+        head = f.read(_APPEND_HEADER_BYTES)
+    try:
+        schema, codec, sync = _read_header(io.BytesIO(head), path)
+    except ValueError:
+        raise
+    except Exception as exc:
+        # a metadata map that exhausts the bounded read window fails
+        # deep inside the zigzag/map decode — surface the real cause
+        if len(head) == _APPEND_HEADER_BYTES:
+            raise ValueError(
+                f"{path}: container header exceeds the "
+                f"{_APPEND_HEADER_BYTES}-byte append read window "
+                "(oversized metadata map?) — read the file with "
+                "read_container and rewrite it instead"
+            ) from exc
+        raise
     with open(path, "ab") as f:
         f.write(_encode_block(schema, records, codec, sync))

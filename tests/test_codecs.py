@@ -282,6 +282,40 @@ def test_avro_container_append_blocks(tmp_path):
         ]
 
 
+def test_avro_container_header_validation(tmp_path, monkeypatch):
+    """ADVICE r07: truncated files must fail with a clear
+    truncation error (not a downstream zigzag misparse), and a
+    metadata map exceeding append_container's bounded header read
+    must name the real cause instead of a confusing decode error."""
+    import pytest
+
+    from dbsink_spark.wire import avro_container as ac
+
+    schema = _schema()
+    p = str(tmp_path / "t.avro")
+    ac.write_container(p, schema, [dict(MSG, uid="u0")])
+    raw = open(p, "rb").read()
+
+    # cut the file mid-sync (header magic + metadata survive)
+    import io as _io
+
+    hdr = _io.BytesIO(raw)
+    assert hdr.read(4) == ac.MAGIC
+    from dbsink_spark.wire import avro_lite
+
+    avro_lite.decode(ac._META_SCHEMA, hdr)
+    sync_at = hdr.tell()
+    cut = str(tmp_path / "cut.avro")
+    open(cut, "wb").write(raw[: sync_at + 7])  # 7 of 16 sync bytes
+    with pytest.raises(ValueError, match="sync marker incomplete"):
+        ac.append_container(cut, [dict(MSG, uid="x")])
+
+    # metadata map larger than the (shrunken) append read window
+    monkeypatch.setattr(ac, "_APPEND_HEADER_BYTES", 64)
+    with pytest.raises(ValueError, match="header exceeds"):
+        ac.append_container(p, [dict(MSG, uid="x")])
+
+
 def test_avro_container_driver_size_guard(tmp_path):
     """read_container is a DRIVER-side helper: it must refuse a file
     over the limit with a pointer at the executor path instead of

@@ -1109,6 +1109,68 @@ def test_session_tracker_gap_and_timeout_close(spark, tmp_path):
     assert rows[k3]["n_events"] == 1 and rows[k3]["closed_by"] == "gap"
 
 
+def test_session_tracker_out_of_order_regression(spark, tmp_path):
+    """ADVICE r07: a cross-batch event EARLIER than the open session's
+    recorded start must (a) move session_start backward when it is
+    within the gap — emitted start never postdates the earliest member
+    event — and (b) become its own already-closed single-event session
+    when it precedes the start by more than the gap (it cannot belong:
+    a gap > g separates it from every session member)."""
+    import os as _os
+
+    from dbsink_spark.streaming.stateful import session_tracker
+
+    indir = tmp_path / "sess_ooo_in"
+    indir.mkdir()
+    # batch 1 opens a's session [10:10, 10:15]; batch 2 regresses with
+    # 10:05 (in-gap: start must move back) and 08:00 (beyond-gap: own
+    # closed session); batch 3's far-future sentinel key advances the
+    # watermark past a's last + gap -> a's session closes by timeout
+    batches = [
+        [("a", "2024-01-01 10:10:00"), ("a", "2024-01-01 10:15:00")],
+        [("a", "2024-01-01 10:05:00"), ("a", "2024-01-01 08:00:00")],
+        [("z", "2024-01-02 12:00:00")],
+    ]
+    for bi, rows in enumerate(batches):
+        p = indir / f"b{bi}.json"
+        with open(p, "w") as f:
+            for u, ts in rows:
+                f.write(json.dumps({"user_id": u, "ts": ts}) + "\n")
+        _os.utime(p, (1_700_000_000 + bi * 60,) * 2)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    out = session_tracker(stream, gap_seconds=1800, delay="3 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_ooo")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ooo"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"])): r
+        for r in spark.sql("SELECT * FROM sessions_ooo").collect()
+    }
+    k_lone = ("a", "2024-01-01 08:00:00", "2024-01-01 08:00:00")
+    k_main = ("a", "2024-01-01 10:05:00", "2024-01-01 10:15:00")
+    assert set(rows) == {k_lone, k_main}, rows
+    assert rows[k_lone]["n_events"] == 1 and rows[k_lone]["closed_by"] == "gap"
+    assert rows[k_main]["n_events"] == 3 and rows[k_main]["closed_by"] == "timeout"
+
+
 def test_session_tracker_flushed_equals_batch_sessionize(spark, tmp_path):
     """With every session flushed (a far-future sentinel advances the
     watermark past all timeouts), the emitted sessions must equal a
