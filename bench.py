@@ -35,6 +35,41 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Cross-round calibration row (VERDICT_r07 #3): a FROZEN scan-agg —
+    # q01's shape as of round 8, inlined here so later q01 edits cannot
+    # move it — timed before the query loop. r04 and r07 both hit
+    # uniform cross-boot host-factor inflation (1.3-1.4x) that made
+    # artifact-to-artifact per-query ratios meaningless; with this row
+    # in every artifact, regression = per-query ratio / calibration
+    # ratio. NEVER EDIT the query below: its byte-stability across
+    # rounds is the point.
+    from pyspark.sql import functions as CF
+
+    from dbsink_spark.analytics.tables import load as _load
+
+    cal_runs = []
+    for _ in range(5):
+        t0 = time.time()
+        (
+            _load(spark, sf_dir, "lineitem")
+            .filter(CF.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                CF.sum("l_quantity").alias("sum_qty"),
+                CF.sum("l_extendedprice").alias("sum_price"),
+                CF.avg("l_discount").alias("avg_disc"),
+                CF.count(CF.lit(1)).alias("n"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        cal_runs.append(time.time() - t0)
+    calibration = {
+        "min_sec": round(min(cal_runs), 3),
+        "median_sec": round(sorted(cal_runs)[2], 3),
+    }
+
     # three runs per query: the first pays JIT/codegen compilation; min
     # is the stable cross-round signal, median separates noise from
     # regression (round-4 review: a +0.16 s drift was unclassifiable
@@ -130,6 +165,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        # calibration sits TOP-LEVEL (not extras) so the driver-recorded
+        # stdout line carries it into BENCH_r{N}.json — extras are
+        # dropped from the line for byte budget
+        "calibration": calibration,
         "extras": {"d09_propagate": d09_propagate, "nwic_transform_100k": nwic},
         "sf": sf,
     }
