@@ -37,14 +37,17 @@ class PlanStats:
     python_evals: int = 0           # row-at-a-time Python UDFs (BatchEvalPython)
     arrow_evals: int = 0            # vectorized (ArrowEvalPython / mapInPandas)
     unpartitioned_windows: int = 0  # Window nodes with no PARTITION BY
+    # Window nodes partitioned ONLY by known corpus-size-independent
+    # low-cardinality keys (one "col_a,col_b" signature per node)
+    lowcard_window_keys: list[str] = field(default_factory=list)
     notes: list[str] = field(default_factory=list)
 
     def as_dict(self) -> dict:
         return asdict(self)
 
 
-def _count_unpartitioned_windows(plan: str) -> int:
-    """Count Window nodes whose spec has NO partition clause.
+def _iter_window_nodes(plan: str):
+    """Yield ``(groups, exempt)`` for every Window node in the plan.
 
     A ``Window`` plan line renders its clauses as top-level bracket
     groups after the node name (verified against Spark 4.x
@@ -57,25 +60,20 @@ def _count_unpartitioned_windows(plan: str) -> int:
 
     The 2-group shapes disambiguate by content: an order spec always
     renders a sort direction (`` ASC``/`` DESC``); a partition spec
-    never does. Unpartitioned windows sort their ENTIRE input into one
-    partition (WindowExec's own runtime warning) — the straggler class
-    the shuffle-exchange budget cannot see, so it gets its own
-    counter. ``WindowGroupLimit`` nodes never match (different node
-    name) and are the bounded top-k shape this check permits. An
-    unpartitioned Window fed DIRECTLY by ``TakeOrderedAndProject`` or
-    ``WindowGroupLimit`` (the LimitPushDownThroughWindow /
-    InferWindowGroupLimit rewrites of ``row_number ... WHERE rank <=
-    k``) is NOT counted: its input is provably ≤ the pushed limit.
+    never does. ``WindowGroupLimit`` nodes never match (different node
+    name). ``exempt`` is True when the Window is fed DIRECTLY by
+    ``TakeOrderedAndProject`` or ``WindowGroupLimit`` (the
+    LimitPushDownThroughWindow / InferWindowGroupLimit rewrites of
+    ``row_number ... WHERE rank <= k``): its input is provably ≤ the
+    pushed limit.
     """
-    n = 0
     lines = plan.splitlines()
     for ln, line in enumerate(lines):
         idx = line.find("Window [")
         if idx == -1:
             continue
         child = lines[ln + 1] if ln + 1 < len(lines) else ""
-        if "TakeOrderedAndProject" in child or "WindowGroupLimit" in child:
-            continue
+        exempt = "TakeOrderedAndProject" in child or "WindowGroupLimit" in child
         groups, depth = [], 0
         start = idx + len("Window ")
         for i, ch in enumerate(line[start:], start):
@@ -87,11 +85,91 @@ def _count_unpartitioned_windows(plan: str) -> int:
                 depth -= 1
                 if depth == 0:
                     groups[-1] = line[groups[-1] : i + 1]
+        yield groups, exempt
+
+
+def _count_unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes whose spec has NO partition clause.
+
+    Unpartitioned windows sort their ENTIRE input into one partition
+    (WindowExec's own runtime warning) — the straggler class the
+    shuffle-exchange budget cannot see, so it gets its own counter.
+    Exempt nodes (see ``_iter_window_nodes``) are NOT counted.
+    """
+    n = 0
+    for groups, exempt in _iter_window_nodes(plan):
+        if exempt:
+            continue
         if len(groups) == 1:
             n += 1
         elif len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
             n += 1
     return n
+
+
+# Harness-table columns whose cardinality is SMALL AND INDEPENDENT of
+# corpus size (TPC-H categoricals, the synthetic documents/events
+# enums, the md5-derived spatial zones), plus the aliases registry
+# queries project them through. A Window partitioned ONLY by these
+# keys divides corpus-sized input into a constant number of tasks —
+# corpus/|key| rows per task, the q68 straggler class that is
+# invisible to both the exchange budget and the unpartitioned-window
+# counter (round-8 tripwire, VERDICT_r07 #4).
+LOW_CARD_COLUMNS = frozenset(
+    {
+        # lineitem categoricals (+ common aliases)
+        "l_returnflag", "returnflag", "flag",
+        "l_linestatus", "linestatus",
+        # orders
+        "o_orderstatus", "status",
+        "o_orderpriority", "priority",
+        # customer / supplier / nation / region
+        "c_mktsegment", "mktsegment", "segment",
+        "c_nationkey", "s_nationkey", "n_nationkey", "nationkey",
+        "n_name", "nation", "nation_name",
+        "r_regionkey", "regionkey", "r_name", "region", "region_name",
+        # part
+        "p_brand", "brand", "p_mfgr", "mfgr",
+        # documents / events enums
+        "lang", "language", "source", "src", "event_type", "etype",
+        # spatial zones (N_ZONES = 12)
+        "zone", "zone_id",
+    }
+)
+
+
+def _lowcard_window_keys(plan: str) -> list[str]:
+    """Partition-key signatures of Window nodes partitioned ONLY by
+    known corpus-size-independent low-cardinality columns.
+
+    Returns one ``"col_a,col_b"`` signature (sorted, base names with
+    the ``#id`` suffix stripped) per offending Window node. A key
+    that mixes in ANY unknown/high-cardinality column is at least as
+    fine-grained as that column and is not flagged. Exempt nodes (see
+    ``_iter_window_nodes``) are skipped, as are unpartitioned ones
+    (the other counter's job).
+    """
+    import re
+
+    out = []
+    for groups, exempt in _iter_window_nodes(plan):
+        if exempt:
+            continue
+        if len(groups) == 3:
+            part = groups[1]
+        elif len(groups) == 2 and not (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            part = groups[1]
+        else:
+            continue
+        cols = {
+            m.group(1).lower()
+            for m in re.finditer(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", part)
+        }
+        if cols and cols <= LOW_CARD_COLUMNS:
+            out.append(",".join(sorted(cols)))
+    return out
 
 
 def plan_stats(df: DataFrame) -> PlanStats:
@@ -130,6 +208,7 @@ def plan_stats(df: DataFrame) -> PlanStats:
         + plan.count("FlatMapCoGroupsInArrow")
     )
     s.unpartitioned_windows = _count_unpartitioned_windows(plan)
+    s.lowcard_window_keys = _lowcard_window_keys(plan)
     if s.cartesian_products:
         s.notes.append("cartesian product present — unbounded pairwise work")
     if s.python_evals:
@@ -139,6 +218,14 @@ def plan_stats(df: DataFrame) -> PlanStats:
             "unpartitioned Window in plan — entire input sorts into ONE "
             "partition; acceptable only over provably small (grid-bounded) "
             "inputs"
+        )
+    if s.lowcard_window_keys:
+        s.notes.append(
+            "Window partitioned only by low-cardinality key(s) "
+            f"{sorted(set(s.lowcard_window_keys))} — corpus-sized input "
+            "divides into a constant task count (corpus/|key| rows per "
+            "task); acceptable only over pre-aggregated or "
+            "cardinality-gated inputs"
         )
     return s
 

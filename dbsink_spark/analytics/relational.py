@@ -778,20 +778,13 @@ QUERIES["q52_quality_audit"] = q52_quality_audit
 # ---------------------------------------------------------------------------
 
 
-def q55_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions: quartile assignment via
-    ``ntile(4)`` over order value within each priority class, reduced
-    to the per-quartile boundary report (count, min/max price) — the
-    percentile-banding shape analysts use for cohort cuts. Completes
-    the window-function surface next to ranking (q13), offsets (q14),
-    running frames (q15/q44).
+Q55_WINDOW_MAX_ROWS = 20_000_000  # per-priority sort stays one comfortable task
 
-    Deterministic: the window orders by the unique (price, orderkey)
-    pair, and ntile's fill rule (earlier tiles get the extra rows) is
-    SQL-standard on both engines. Output values are carried inputs and
-    counts — nothing float.
-    """
-    o = Tables(spark, sf_dir).orders
+
+def _q55_window_path(o: DataFrame) -> DataFrame:
+    """q55's historical windowed-ntile plan — exact, but its
+    ``PARTITION BY o_orderpriority`` (5 values) window sorts a fifth
+    of the corpus per task; cardinality-gated by q55 below."""
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return (
         o.select(
@@ -807,6 +800,114 @@ def q55_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "quartile")
     )
+
+
+def q55_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile assignment via
+    ``ntile(4)`` over order value within each priority class, reduced
+    to the per-quartile boundary report (count, min/max price) — the
+    percentile-banding shape analysts use for cohort cuts. Completes
+    the window-function surface next to ranking (q13), offsets (q14),
+    running frames (q15/q44).
+
+    Deterministic: the window orders by the unique (price, orderkey)
+    pair, and ntile's fill rule (earlier tiles get the extra rows) is
+    SQL-standard on both engines. Output values are carried inputs and
+    counts — nothing float.
+
+    Scale (round-8 rework, the q68 playbook): ``ntile(4) OVER
+    (PARTITION BY o_orderpriority ...)`` funnels a FIFTH of the corpus
+    into one task — the low-cardinality-partition straggler class the
+    round-8 tripwire flags. The strategy is cardinality-gated: below
+    Q55_WINDOW_MAX_ROWS the window runs (a fifth of a SMALL input in
+    one task beats drill-round job latency); above it the report needs
+    only ORDER STATISTICS — tile k's row count is n//4 (+1 for the
+    first n%4 tiles) by ntile's SQL fill rule, its min/max price are
+    the values at ranks c_{k-1}+1 and c_k — which
+    ``drill.weighted_value_at`` finds with unit weights in ~3
+    fully-parallel counting rounds (8 targets per priority drilled in
+    the same jobs, raw-price pushdown twins included). Both paths are
+    exact and row-identical (a test forces the drill path and asserts
+    equality); emitted prices are read back from the rows so the
+    output carries the original parquet double.
+    """
+    from .drill import weighted_value_at
+
+    o = Tables(spark, sf_dir).orders
+    sel_df = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("w"),
+        "o_totalprice",
+    )
+    # ONE probe aggregation serves the cardinality gate, the targets,
+    # AND the drill's initial brackets
+    counts = (
+        sel_df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("mn"),
+            F.max("cents").alias("mx"),
+        )
+        .collect()
+    )
+    if sum(r["n"] for r in counts) <= Q55_WINDOW_MAX_ROWS:
+        return _q55_window_path(o)
+    targets: dict = {}
+    tiles: dict = {}
+    for r in counts:
+        g, n = r["o_orderpriority"], r["n"]
+        base, extra = divmod(n, 4)
+        cum, tg, tl = 0, {}, []
+        for k in range(1, 5):
+            s = base + (1 if k <= extra else 0)
+            if s == 0:  # n < 4: ntile assigns only the first n tiles
+                continue
+            tg[f"lo{k}"] = cum + 1
+            tg[f"hi{k}"] = cum + s
+            tl.append((k, s))
+            cum += s
+        targets[g] = tg
+        tiles[g] = tl
+    brackets = {
+        (r["o_orderpriority"], lbl): (r["mn"], r["mx"] + 1, 0)
+        for r in counts
+        for lbl in targets[r["o_orderpriority"]]
+    }
+    sel = weighted_value_at(
+        sel_df, "o_orderpriority", "cents", "w", targets,
+        raw_col="o_totalprice", raw_scale=100, brackets=brackets,
+    )
+    # read the original parquet doubles back from the rows (cents are
+    # order-isomorphic to the 2-decimal prices, so each selected cents
+    # value maps to exactly one price double)
+    wanted = {(g, c) for (g, _), (c, _) in sel.items()}
+    lut = {
+        (r["o_orderpriority"], r["cents"]): r["p"]
+        for r in sel_df.filter(
+            F.col("cents").isin([c for _, c in wanted])
+        )
+        .groupBy("o_orderpriority", "cents")
+        .agg(F.min("o_totalprice").alias("p"))
+        .collect()
+        if (r["o_orderpriority"], r["cents"]) in wanted
+    }
+    rows = [
+        (
+            g,
+            k,
+            s,
+            lut[(g, sel[(g, f"lo{k}")][0])],
+            lut[(g, sel[(g, f"hi{k}")][0])],
+        )
+        for g, tl in tiles.items()
+        for k, s in tl
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_orderpriority string, quartile int, n_orders bigint, "
+        "min_price double, max_price double",
+    ).orderBy("o_orderpriority", "quartile")
 
 
 ORACLE["q55_ntile_quartiles"] = """

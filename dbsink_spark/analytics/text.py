@@ -532,23 +532,23 @@ def t11_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ``offset div budget``, and docs straddling a bin boundary are
     counted (they get split across two windows).
 
-    Scale: the cumulative sum windows per SOURCE, not globally — each
-    shard packs independently in parallel (a global order would funnel
-    the corpus through one partition). That mirrors real pipelines:
-    packing is per input shard.
+    Scale (round-8 rework): the cumulative sum is per SOURCE — but a
+    plain ``PARTITION BY source`` window funnels corpus/|sources| rows
+    into ONE task (4 sources here: the q68 straggler class, caught by
+    the round-8 low-cardinality-window tripwire). The running offset
+    is instead assembled scale-out by ``bigwin.grouped_running_sum``:
+    range-partition on (source, doc_id), local cumsum per (partition,
+    source) window (~n/P rows per window group), per-group partition
+    offsets from a ≤ P·|sources|-row totals table, broadcast back.
+    Exact same cumulative sums, no corpus-sized window group anywhere.
     """
-    from pyspark.sql.window import Window
+    from .bigwin import grouped_running_sum
 
     d = Tables(spark, sf_dir).documents
-    per = d.select("source", "doc_id", F.size(_words()).alias("n_tokens"))
-    win = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    per = d.select(
+        "source", "doc_id", F.size(_words()).cast("long").alias("n_tokens")
     )
-    per = per.withColumn(
-        "cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0).cast("long"))
-    )
+    per = grouped_running_sum(per, "source", ["doc_id"], "n_tokens", "cum_before")
     per = per.withColumn("bin", F.expr(f"cum_before div {PACK_BUDGET}")).withColumn(
         "crosses",
         F.expr(

@@ -449,6 +449,50 @@ def test_skyline_prune_is_exact_and_effective(spark):
     assert direct == via_prune
 
 
+def test_q55_drill_path_equals_window_path(spark, monkeypatch):
+    """q55's cardinality-gated strategies must be row-identical: force
+    the drill path (gate at 0) and compare against the windowed-ntile
+    plan on the same input — counts, quartile labels, and the exact
+    parquet price doubles."""
+    from dbsink_spark.analytics import relational
+    from dbsink_spark.analytics.tables import Tables
+
+    monkeypatch.setattr(relational, "Q55_WINDOW_MAX_ROWS", 0)
+    got = relational.q55_ntile_quartiles(spark, SF_DIR)
+    want = relational._q55_window_path(Tables(spark, SF_DIR).orders)
+    assert got.columns == want.columns
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_grouped_running_sum_matches_window(spark):
+    """bigwin.grouped_running_sum must equal the plain per-group
+    exclusive cumulative window on every row — including each group's
+    first row (0), single-row groups, and groups spanning several
+    range partitions."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.bigwin import grouped_running_sum
+
+    rng = random.Random(11)
+    rows = [(f"g{rng.randint(0, 3)}", i, rng.randint(0, 100)) for i in range(5000)]
+    rows.append(("lone", 0, 7))  # single-row group
+    df = spark.createDataFrame(rows, ["g", "k", "v"]).repartition(16)
+    got = grouped_running_sum(df, "g", ["k"], "v", "cum")
+    w = Window.partitionBy("g").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = df.withColumn(
+        "cum", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long")
+    )
+    key = lambda r: (r["g"], r["k"])  # noqa: E731
+    got_rows = sorted(got.select("g", "k", "v", "cum").collect(), key=key)
+    want_rows = sorted(want.select("g", "k", "v", "cum").collect(), key=key)
+    assert [tuple(r) for r in got_rows] == [tuple(r) for r in want_rows]
+
+
 def test_skyline_sample_mod_derivation():
     """VERDICT_r07 #2: the sample mod must be DERIVED from the grid
     size — no fixed knob. The sample sweep's expected input

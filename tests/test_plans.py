@@ -215,6 +215,75 @@ UNPARTITIONED_WINDOW_RATIONALE = {
 }
 
 
+# Low-cardinality-partition window rationale (round-8 tripwire,
+# VERDICT_r07 #4): a Window partitioned ONLY by a corpus-size-
+# independent low-cardinality key (introspect.LOW_CARD_COLUMNS)
+# divides corpus-sized input into a CONSTANT task count — corpus/|key|
+# rows per task, the q68 straggler class invisible to both the
+# exchange budget and the unpartitioned-window counter. Allowed
+# signatures live in tests/lowcard_window_budget.json (written by
+# tools/plan_budget.py); this dict carries the WHY — every recorded
+# entry needs a written bounded-input justification, and the budget
+# test fails any query whose live signatures exceed the recording.
+LOWCARD_WINDOW_RATIONALE = {
+    "q48_interp_gapfill":
+        "all three event_type-partitioned windows run over the hourly "
+        "SPINE (|types| x calendar-hours rows after the map-side "
+        "combinable bucket agg), never the corpus; docstring documents "
+        "(type, month) range-partitioning for multi-year spans",
+    "q55_ntile_quartiles":
+        "cardinality-gated (Q55_WINDOW_MAX_ROWS): the priority-"
+        "partitioned ntile window only runs when the probe count says "
+        "the whole input fits one comfortable task per priority; above "
+        "the gate the drill computes the same report as order "
+        "statistics with no window at all (forced-path equality test)",
+    "q68_weighted_median":
+        "cardinality-gated (Q68_WINDOW_MAX_ROWS): the flag-partitioned "
+        "cumsum window runs below the gate; above it the drill selects "
+        "the crossing price and the window runs only over the "
+        "single-price tie slice (pushed-down equality filter)",
+    "t11_pack":
+        "the source-partitioned window runs over bigwin's per-"
+        "(partition, source) totals table — <= shuffle-partition-count "
+        "rows per source (cluster-config-bounded); the corpus-sized "
+        "cumsum is the (pid, source)-partitioned local window",
+    "t30_quantile_norm":
+        "source-partitioned frames run over per-source score "
+        "histograms — <= T30_BINS+1 rows per source by domain "
+        "construction (bounded integer grid)",
+}
+
+
+def test_lowcard_window_detector_flags_q68_pregate_form(spark):
+    """Prove the detector catches the class it exists for: q68's
+    PRE-GATE windowed form (cumsum partitioned by 3-value
+    l_returnflag over the whole lineitem input — exactly what ran
+    before the round-7 drill rework) must be flagged, and the
+    same window re-keyed by a high-cardinality column must not."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.advanced import _q68_window_path
+    from dbsink_spark.analytics.introspect import plan_stats
+    from dbsink_spark.analytics.tables import Tables
+
+    li = Tables(spark, SF_DIR).lineitem.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_extendedprice",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    flagged = plan_stats(_q68_window_path(li))
+    assert "l_returnflag" in ",".join(flagged.lowcard_window_keys), flagged
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy("cents")
+    fine = plan_stats(li.withColumn("c", F.sum("w").over(w)))
+    assert fine.lowcard_window_keys == [], fine.lowcard_window_keys
+
+
 def test_shuffle_budget_not_exceeded(spark):
     """Every query's compiled plan must stay within its recorded
     hash-exchange budget (tests/plan_budget.json, generated by
@@ -241,8 +310,19 @@ def test_shuffle_budget_not_exceeded(spark):
         f"{missing_rationale} recorded in window_budget.json without a "
         "small-input rationale in UNPARTITIONED_WINDOW_RATIONALE"
     )
+    with open(
+        os.path.join(os.path.dirname(__file__), "lowcard_window_budget.json")
+    ) as f:
+        lowcard_budget = json.load(f)
+    missing_lowcard = set(lowcard_budget) - set(LOWCARD_WINDOW_RATIONALE)
+    assert not missing_lowcard, (
+        f"{missing_lowcard} recorded in lowcard_window_budget.json without "
+        "a bounded-input rationale in LOWCARD_WINDOW_RATIONALE"
+    )
 
-    over, window_over = {}, {}
+    from dbsink_spark.analytics.introspect import _lowcard_window_keys
+
+    over, window_over, lowcard_over = {}, {}, {}
     for name, allowed in budget.items():
         df = analytics.ALL_QUERIES[name](spark, SF_DIR)
         plan = _plan(df)
@@ -253,6 +333,10 @@ def test_shuffle_budget_not_exceeded(spark):
         w_allowed = window_budget.get(name, 0)
         if w > w_allowed:
             window_over[name] = (w_allowed, w)
+        lc = sorted(_lowcard_window_keys(plan))
+        lc_allowed = lowcard_budget.get(name, [])
+        if lc != lc_allowed and len(lc) > len(lc_allowed):
+            lowcard_over[name] = (lc_allowed, lc)
         spark.catalog.clearCache()
     assert not over, f"shuffle budget exceeded (allowed, got): {over}"
     assert not window_over, (
@@ -260,6 +344,13 @@ def test_shuffle_budget_not_exceeded(spark):
         f"{window_over} — either repartition the window, bound its input, "
         "or re-run tools/plan_budget.py AND add a rationale to "
         "UNPARTITIONED_WINDOW_RATIONALE"
+    )
+    assert not lowcard_over, (
+        "low-cardinality-partition Window over un-rationalized input "
+        f"(allowed, got): {lowcard_over} — either cardinality-gate the "
+        "window (q68/q55 pattern), assemble it scale-out (bigwin), or "
+        "re-run tools/plan_budget.py AND add a rationale to "
+        "LOWCARD_WINDOW_RATIONALE"
     )
 
 
@@ -387,6 +478,20 @@ def test_d19_rank_assembly_reuses_one_range_exchange(spark):
     from dbsink_spark.analytics.dedup import d19_sorted_neighborhood
 
     df = d19_sorted_neighborhood(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+
+
+def test_t11_pack_offset_assembly_reuses_one_range_exchange(spark):
+    """t11's per-source cumulative sum (bigwin.grouped_running_sum) is
+    only correct if the totals branch and the local-window branch read
+    the SAME materialized range shuffle — the d19 invariant,
+    generalized to grouped cumsums. After execution AQE must have
+    deduplicated the range exchange into ReusedExchange nodes."""
+    from dbsink_spark.analytics.text import t11_pack
+
+    df = t11_pack(spark, SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan

@@ -30,6 +30,7 @@ _TESTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
                       "tests")
 OUT = os.path.join(_TESTS, "plan_budget.json")
 WINDOW_OUT = os.path.join(_TESTS, "window_budget.json")
+LOWCARD_OUT = os.path.join(_TESTS, "lowcard_window_budget.json")
 
 
 def exchange_count(df) -> int:
@@ -45,6 +46,7 @@ def main() -> None:
     spark = get_spark("plan-budget")
     budget: dict[str, int] = {}
     windows: dict[str, int] = {}
+    lowcard: dict[str, list[str]] = {}
     for name in sorted(analytics.ALL_QUERIES):
         if name in ("d09_dup_clusters", "q119_kcore"):
             # iterative driver loop during construction; per-round
@@ -59,6 +61,14 @@ def main() -> None:
         # small-input rationale for EVERY query with a nonzero count.
         if stats.unpartitioned_windows:
             windows[name] = stats.unpartitioned_windows
+        # third budget line (round-8 tripwire, VERDICT_r07 #4): Window
+        # nodes partitioned ONLY by corpus-size-independent
+        # low-cardinality keys — corpus/|key| rows per task, invisible
+        # to BOTH the exchange budget and the unpartitioned counter
+        # (the q68 class). test_plans requires a written bounded-input
+        # rationale for every recorded signature.
+        if stats.lowcard_window_keys:
+            lowcard[name] = sorted(stats.lowcard_window_keys)
         spark.catalog.clearCache()
     with open(OUT, "w") as f:
         json.dump(budget, f, indent=1, sort_keys=True)
@@ -66,10 +76,15 @@ def main() -> None:
     with open(WINDOW_OUT, "w") as f:
         json.dump(windows, f, indent=1, sort_keys=True)
         f.write("\n")
+    with open(LOWCARD_OUT, "w") as f:
+        json.dump(lowcard, f, indent=1, sort_keys=True)
+        f.write("\n")
     print(f"wrote {OUT}: {len(budget)} queries, "
           f"total exchanges {sum(budget.values())}")
     print(f"wrote {WINDOW_OUT}: {len(windows)} queries with "
           f"unpartitioned windows, total {sum(windows.values())}")
+    print(f"wrote {LOWCARD_OUT}: {len(lowcard)} queries with "
+          "low-cardinality-partition windows")
 
 
 if __name__ == "__main__":
