@@ -447,6 +447,16 @@ UNGATED = frozenset(
         # Rotation policy unchanged: composition moves ONLY on external
         # verdict sanction; demoted rows stay oracle-verified each
         # pytest run (test_registry_parity) + tools/check_oracle.py.
+        # round-8 additions beyond the 50-row driver gate (same policy
+        # — oracle-verified locally + benched; candidates for a future
+        # sanctioned promotion as new capability classes: partition-
+        # quality scoring, permutation inference, join-view IVM,
+        # vocabulary/unseen-mass estimation, filtered vector search):
+        "q123_modularity",
+        "q124_permutation_test",
+        "q125_join_ivm",
+        "t32_vocab_estimate",
+        "s18_filtered_search",
         "q22_asof_join",
         "q38_range_join",
         "q51_countmin",

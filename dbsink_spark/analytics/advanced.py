@@ -6102,7 +6102,11 @@ def q105_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q105_oracle() -> str:
+def _q105_label_cte() -> str:
+    """The WITH fragment building q105's deterministic LPA labels
+    (pairs / edges / lp0..lpN CTEs) — shared verbatim by q105's own
+    oracle and q123's modularity oracle so both engines score the
+    IDENTICAL partition."""
     head = f"""
     WITH pairs AS (
         SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
@@ -6133,7 +6137,11 @@ def _q105_oracle() -> str:
             GROUP BY e.dst, l.label
         ) WHERE rn = 1
     )"""
-    return head + body + f""",
+    return head + body
+
+
+def _q105_oracle() -> str:
+    return _q105_label_cte() + f""",
     comms AS (
         SELECT label, count(*) AS sz,
                sum((node % 2 = 0)::INT) AS n_cust,
@@ -6153,6 +6161,128 @@ def _q105_oracle() -> str:
 
 ORACLE["q105_label_prop"] = _q105_oracle()
 QUERIES["q105_label_prop"] = q105_label_prop
+
+
+def q123_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition QUALITY for q105's communities: Newman modularity
+    Q = Σ_c [e_c/m − (d_c/2m)²] over the undirected trade-pair graph
+    (VERDICT_r07 #8) — the scalar that says whether the label
+    propagation found real structure (Q > 0) or noise. Completes the
+    graph family's evaluate member: q105 partitions, q123 scores the
+    partition.
+
+    Exactness: every piece is an exact BIGINT — m (edge count),
+    intra-community edge count, Σ_c d_c² (degree-mass squares; see
+    tests/test_oracle_audit.py for the int64 magnitude rationale) —
+    and the single float is ONE division of two exact int64s
+    (num = 4·m·e_in − Σd_c², den = 4·m²), identically rounded on
+    both engines.
+
+    Scale: labels come from the same bounded-round LPA as q105
+    (per-round equi-join + hash aggs, no windows); scoring is two
+    label joins on the edge list + combinable aggregates — no
+    pairwise work, no sort, no collect.
+    """
+    from .graph import label_propagation
+
+    t = Tables(spark, sf_dir)
+    pairs = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= Q105_MIN_WEIGHT)
+        .select("c", "s")
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .unionAll(
+            pairs.select(F.col("c").alias("src"), F.col("c").alias("dst")).distinct()
+        )
+        .unionAll(
+            pairs.select(F.col("s").alias("src"), F.col("s").alias("dst")).distinct()
+        )
+    )
+    # the label table feeds three joins — materialize LPA once
+    labels = label_propagation(edges, Q105_ROUNDS).localCheckpoint(eager=True)
+    lc = labels.select(F.col("node").alias("c"), F.col("label").alias("lbl_c"))
+    ls = labels.select(F.col("node").alias("s"), F.col("label").alias("lbl_s"))
+    intra = (
+        pairs.join(lc, "c")
+        .join(ls, "s")
+        .agg(
+            F.count(F.lit(1)).alias("m_edges"),
+            F.sum((F.col("lbl_c") == F.col("lbl_s")).cast("long")).alias(
+                "intra_edges"
+            ),
+        )
+    )
+    deg = (
+        pairs.select(F.col("c").alias("node"))
+        .unionAll(pairs.select(F.col("s").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dmass = (
+        deg.join(labels, "node")
+        .groupBy("label")
+        .agg(F.sum("deg").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum(F.col("d") * F.col("d")).alias("degree_sq_sum"),
+        )
+    )
+    return intra.crossJoin(dmass).select(
+        "n_communities",
+        "m_edges",
+        "intra_edges",
+        "degree_sq_sum",
+        (
+            (
+                4 * F.col("m_edges") * F.col("intra_edges")
+                - F.col("degree_sq_sum")
+            ).cast("double")
+            / (4 * F.col("m_edges") * F.col("m_edges")).cast("double")
+        ).alias("modularity"),
+    )
+
+
+ORACLE["q123_modularity"] = _q105_label_cte() + f""",
+    deg AS (
+        SELECT node, count(*)::BIGINT AS deg
+        FROM (SELECT c AS node FROM pairs UNION ALL SELECT s FROM pairs)
+        GROUP BY node
+    ),
+    dmass AS (
+        SELECT l.label, sum(d.deg)::BIGINT AS dm
+        FROM deg d JOIN lp{Q105_ROUNDS} l ON l.node = d.node
+        GROUP BY l.label
+    ),
+    dstat AS (
+        SELECT count(*)::BIGINT AS n_communities,
+               sum(dm * dm)::BIGINT AS degree_sq_sum
+        FROM dmass
+    ),
+    istat AS (
+        SELECT count(*)::BIGINT AS m_edges,
+               sum((lc.label = ls.label)::INT)::BIGINT AS intra_edges
+        FROM pairs p
+        JOIN lp{Q105_ROUNDS} lc ON lc.node = p.c
+        JOIN lp{Q105_ROUNDS} ls ON ls.node = p.s
+    )
+    SELECT n_communities, m_edges, intra_edges, degree_sq_sum,
+           (4 * m_edges * intra_edges - degree_sq_sum)::DOUBLE
+               / (4 * m_edges * m_edges)::DOUBLE AS modularity
+    FROM istat CROSS JOIN dstat
+    """
+QUERIES["q123_modularity"] = q123_modularity
 
 
 # ---------------------------------------------------------------------------
@@ -7945,3 +8075,97 @@ def _q119_oracle() -> str:
 
 ORACLE["q119_kcore"] = _q119_oracle()
 QUERIES["q119_kcore"] = q119_kcore
+
+
+# ---------------------------------------------------------------------------
+# q125: incremental JOIN-view maintenance (delta-join algebra)
+# ---------------------------------------------------------------------------
+
+Q125_CUTOFF = "1996-01-01"  # orders after the cutoff are the insert delta
+Q125_CUST_MOD = 5           # h64(custkey) % 5 == 0 customers are the dim delta
+
+
+def q125_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — q106's IVM contract
+    extended from self-maintainable aggregates to the two-sided join
+    case: the per-nation revenue view V = γ(O ⋈ C) is maintained under
+    SIMULTANEOUS deltas on both inputs (new orders ΔO after the
+    cutoff, new customers ΔC = a deterministic h64 slice) via the
+    textbook delta-join expansion
+
+        Δ(O ⋈ C) = ΔO ⋈ C_old  ∪  O_old ⋈ ΔC  ∪  ΔO ⋈ ΔC
+
+    with γ's sums re-aggregated over state ⊕ Δ (sums/counts are
+    self-maintainable). The oracle is the FULL recompute of
+    γ((O_old ∪ ΔO) ⋈ (C_old ∪ ΔC)) — a hash match IS the proof the
+    delta algebra loses nothing.
+
+    Scale: the state is a materialized per-nation aggregate (25
+    rows); ΔO ⋈ C_old shuffles only the DELTA-sized probe side;
+    O_old ⋈ ΔC and ΔO ⋈ ΔC broadcast the small delta dimension — no
+    full-corpus re-join ever runs, which is the entire point of IVM
+    at 100 TB.
+    """
+    from ..functions.hashing import h64
+
+    t = Tables(spark, sf_dir)
+    o = t.orders.select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = t.customer.select("c_custkey", "c_nationkey")
+    is_delta_cust = h64(F.col("c_custkey").cast("string")) % Q125_CUST_MOD == 0
+    c_old = c.filter(~is_delta_cust)
+    c_new = c.filter(is_delta_cust)
+    o_old = o.filter(F.col("o_orderdate") < Q125_CUTOFF)
+    o_new = o.filter(F.col("o_orderdate") >= Q125_CUTOFF)
+
+    def gamma(orders_df: DataFrame, cust_df: DataFrame) -> DataFrame:
+        return (
+            orders_df.join(
+                cust_df, F.col("o_custkey") == F.col("c_custkey")
+            )
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("revenue_cents"),
+            )
+        )
+
+    # materialized view state (the table an IVM system would persist)
+    state = gamma(o_old, c_old).localCheckpoint(eager=True)
+    delta = (
+        gamma(o_new, c_old)
+        .unionByName(gamma(o_old, F.broadcast(c_new)))
+        .unionByName(gamma(o_new, F.broadcast(c_new)))
+    )
+    merged = (
+        state.unionByName(delta)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+    )
+    n = Tables(spark, sf_dir).nation.select("n_nationkey", "n_name")
+    return (
+        merged.join(
+            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("n_name", "n_orders", "revenue_cents")
+        .orderBy("n_name")
+    )
+
+
+ORACLE["q125_join_ivm"] = """
+    SELECT n_name,
+           count(*)::BIGINT AS n_orders,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """
+QUERIES["q125_join_ivm"] = q125_join_ivm

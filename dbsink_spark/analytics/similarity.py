@@ -2110,3 +2110,140 @@ ORACLE["s17_rocchio_prf"] = f"""
     ORDER BY query_id, rank
 """
 QUERIES["s17_rocchio_prf"] = s17_rocchio_prf
+
+
+# ---------------------------------------------------------------------------
+# s18: filtered vector search (pre-filter exact + post-filter recall audit)
+# ---------------------------------------------------------------------------
+
+S18_LABEL = 3       # metadata predicate: corpus restricted to this label
+S18_POST_K = 20     # post-filter arm: global top-K candidates, then filter
+
+
+def s18_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the metadata-constrained retrieval
+    every production vector store must answer (`WHERE label = X ORDER
+    BY cosine LIMIT k`), plus the audit of the cheap way to fake it.
+    Two arms over one scoring pass:
+
+    * PRE-filter (the correct plan): restrict the corpus to the
+      predicate FIRST — the label filter pushes into the parquet scan
+      — then exact top-k. Recall is 1 by construction.
+    * POST-filter (the tempting shortcut when an unfiltered ANN index
+      already exists): take the global top-S18_POST_K, THEN apply the
+      predicate. Every pre-filter result row carries ``in_postfilter``
+      — whether the shortcut would have surfaced it. The fraction of
+      zeros IS the post-filter recall loss this operator exists to
+      measure.
+
+    Scale: one Arrow/numpy scoring pass over the corpus (the s04
+    kernel — queries broadcast by closure, corpus never shuffles for
+    scoring); both arms are rank-filter windows on the scored pairs,
+    which InferWindowGroupLimit bounds to the pushed k. The flag join
+    broadcasts the ≤ |queries|·S18_POST_K post-filter survivor set.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window as W
+
+    v = _vectors(spark, sf_dir)
+    qrows = v.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    q_ids = [r.vec_id for r in qrows]
+    q_mat = np.array([r.v for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("corpus_id", T.LongType()),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.array(list(pdf["v"]), dtype=np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ q_mat.T
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n),
+                    "corpus_id": np.tile(pdf["vec_id"].values, len(q_ids)),
+                    "label": np.tile(pdf["label"].values, len(q_ids)),
+                    "cosine": sims.T.reshape(-1),
+                }
+            )
+
+    scored = (
+        v.filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", "label", "v")
+        .mapInPandas(score, out_schema)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
+    pre = (
+        scored.filter(F.col("label") == S18_LABEL)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "corpus_id", "rank")
+    )
+    post = (
+        scored.withColumn("grank", F.row_number().over(w))
+        .filter(F.col("grank") <= S18_POST_K)
+        .filter(F.col("label") == S18_LABEL)
+        .select("query_id", F.col("corpus_id").alias("p_id"))
+    )
+    return (
+        pre.join(
+            F.broadcast(post),
+            (pre.query_id == post.query_id) & (pre.corpus_id == post.p_id),
+            "left",
+        )
+        .select(
+            pre.query_id,
+            "corpus_id",
+            "rank",
+            F.col("p_id").isNotNull().cast("int").alias("in_postfilter"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE["s18_filtered_search"] = f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, c.label,
+               list_sum([q.v[i] * c.v[i] for i in generate_series(1, {DIM})])
+               / (sqrt(list_sum([x*x for x in q.v])) * sqrt(list_sum([x*x for x in c.v])))
+               AS cosine
+        FROM v q CROSS JOIN v c
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    ),
+    pre AS (
+        SELECT query_id, corpus_id, rank FROM (
+            SELECT query_id, corpus_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, corpus_id) AS rank
+            FROM scored WHERE label = {S18_LABEL}
+        ) WHERE rank <= {TOPK}
+    ),
+    post AS (
+        SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id, label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, corpus_id) AS grank
+            FROM scored
+        ) WHERE grank <= {S18_POST_K} AND label = {S18_LABEL}
+    )
+    SELECT pre.query_id, pre.corpus_id, pre.rank,
+           (post.corpus_id IS NOT NULL)::INT AS in_postfilter
+    FROM pre
+    LEFT JOIN post ON pre.query_id = post.query_id
+                  AND pre.corpus_id = post.corpus_id
+    ORDER BY pre.query_id, pre.rank
+"""
+QUERIES["s18_filtered_search"] = s18_filtered_search

@@ -1207,3 +1207,137 @@ ORACLE["q122_ks_test"] = """
     FROM best WHERE rn = 1
 """
 QUERIES["q122_ks_test"] = q122_ks_test
+
+
+# ---------------------------------------------------------------------------
+# q124: paired permutation test (seeded sign-flip resampling)
+# ---------------------------------------------------------------------------
+
+Q124_CUTOFF = "1995-06-01"  # early vs late spend split
+Q124_PERMS = 64             # deterministic sign-flip permutations
+
+
+def q124_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired permutation test — the resampling-INFERENCE member the
+    family lacked (q114 bootstraps a CI; q120/q121/q122 are rank
+    tests; this is the exact-null significance machine). Per customer,
+    d = early spend − late spend (cents, exact); under H0 (no shift)
+    each d is symmetric, so the null distribution of T = Σd comes from
+    sign-flipping: permutation p flips d's sign where
+    h64(custkey|p) is odd. p-value = (1 + #{p: |T_p| ≥ |T|}) / (P+1),
+    reported in exact milli-units.
+
+    Everything is integer-exact end to end: cents differences, ±sums,
+    the final floor division — no float ever exists, so both engines
+    hash-match bit-for-bit (the q90/q73 discipline, applied to
+    resampling).
+
+    Scale: the P-way resample is an explode over a LITERAL sequence
+    (never-empty — immune to the InferFiltersFromGenerate
+    double-evaluation trap) followed by a map-side-combinable ±sum:
+    the shuffle carries P rows per partition, and P is a constant —
+    no corpus-sized blowup reaches any exchange.
+    """
+    o = Tables(spark, sf_dir).orders
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = (
+        o.select("o_custkey", "o_orderdate", cents.alias("cents"))
+        .groupBy("o_custkey")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("o_orderdate") < Q124_CUTOFF, F.col("cents"))
+                    .otherwise(F.lit(0))
+                )
+                - F.sum(
+                    F.when(F.col("o_orderdate") >= Q124_CUTOFF, F.col("cents"))
+                    .otherwise(F.lit(0))
+                )
+            ).alias("d")
+        )
+    )
+    obs = d.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("d").alias("t_obs_cents"),
+    )
+    from ..functions.hashing import h64
+
+    signed = d.select(
+        "o_custkey",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(Q124_PERMS - 1))).alias("p"),
+    ).withColumn(
+        "sd",
+        F.when(
+            h64(
+                F.concat_ws(
+                    "|", F.col("o_custkey").cast("string"), F.col("p").cast("string")
+                )
+            )
+            % 2
+            == 0,
+            F.col("d"),
+        ).otherwise(-F.col("d")),
+    )
+    tp = signed.groupBy("p").agg(F.sum("sd").alias("t_p"))
+    return (
+        tp.crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("n_units").alias("n_units"),
+            F.max("t_obs_cents").alias("t_obs_cents"),
+            F.count(F.lit(1)).alias("n_perms"),
+            F.sum(
+                (F.abs(F.col("t_p")) >= F.abs(F.col("t_obs_cents"))).cast("long")
+            ).alias("n_extreme"),
+        )
+        .select(
+            "n_units",
+            "t_obs_cents",
+            "n_perms",
+            "n_extreme",
+            F.expr(f"(1000 * (1 + n_extreme)) DIV ({Q124_PERMS} + 1)").alias(
+                "p_milli"
+            ),
+        )
+    )
+
+
+def _q124_oracle() -> str:
+    from ..functions.hashing import h64_sql
+
+    sign_key = h64_sql("o_custkey::VARCHAR || '|' || p.p::VARCHAR")
+    return f"""
+    WITH d AS (
+        SELECT o_custkey,
+               (sum(CASE WHEN o_orderdate < '{Q124_CUTOFF}'
+                         THEN round(o_totalprice * 100)::BIGINT ELSE 0 END)
+              - sum(CASE WHEN o_orderdate >= '{Q124_CUTOFF}'
+                         THEN round(o_totalprice * 100)::BIGINT ELSE 0 END)
+               )::BIGINT AS d
+        FROM orders GROUP BY o_custkey
+    ),
+    obs AS (
+        SELECT count(*)::BIGINT AS n_units, sum(d)::BIGINT AS t_obs
+        FROM d
+    ),
+    perm AS (
+        SELECT p.p,
+               sum(CASE WHEN {sign_key} % 2 = 0 THEN d ELSE -d END)::BIGINT
+                   AS t_p
+        FROM d
+        CROSS JOIN (SELECT unnest(generate_series(0, {Q124_PERMS - 1})) AS p) p
+        GROUP BY p.p
+    )
+    SELECT n_units,
+           t_obs AS t_obs_cents,
+           count(*)::BIGINT AS n_perms,
+           sum((abs(t_p) >= abs(t_obs))::INT)::BIGINT AS n_extreme,
+           ((1000 * (1 + sum((abs(t_p) >= abs(t_obs))::INT)))
+            // ({Q124_PERMS} + 1))::BIGINT AS p_milli
+    FROM perm CROSS JOIN obs
+    GROUP BY n_units, t_obs
+    """
+
+
+ORACLE["q124_permutation_test"] = _q124_oracle()
+QUERIES["q124_permutation_test"] = q124_permutation_test

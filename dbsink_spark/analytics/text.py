@@ -2471,3 +2471,76 @@ ORACLE["t31_kl_drift"] = """
     ORDER BY source
 """
 QUERIES["t31_kl_drift"] = t31_kl_drift
+
+
+# ---------------------------------------------------------------------------
+# t32: vocabulary estimation (Good-Turing unseen mass + Chao1 richness)
+# ---------------------------------------------------------------------------
+
+
+def t32_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus COVERAGE estimation — the "how much vocabulary haven't
+    we seen yet" member of the text family (t09 counts the observed
+    vocabulary; this estimates the unobserved part). From the term
+    frequency spectrum (frequency-of-frequencies f_r):
+
+    * Good-Turing unseen probability mass P0 = f1/N — the chance the
+      NEXT token is a never-seen type (Good 1953), in exact ppm;
+    * Chao1 richness lower bound V + f1·(f1−1)/(2·(f2+1)) — the
+      bias-corrected estimator (Chao 1984) of how many types exist
+      including unseen ones, with integer floor division.
+
+    Both estimators are pure integer arithmetic over three combinable
+    aggregates (token count, vocab size, spectrum head), so the gate
+    hash-matches bit-for-bit.
+
+    Scale: explode → term counts (one hash shuffle on the term) →
+    frequency-of-frequencies (one shuffle on the FREQUENCY — the
+    spectrum is at most |distinct frequencies| rows, ≪ vocab) →
+    single-row residue. Nothing wider than the term-count exchange
+    every tf/df operator (t09/t21) already pays.
+    """
+    d = Tables(spark, sf_dir).documents
+    tok = d.select(F.explode(_words()).alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("r"))
+    spectrum = counts.groupBy("r").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        spectrum.agg(
+            F.sum(F.col("r") * F.col("f")).alias("n_tokens"),
+            F.sum("f").alias("vocab_seen"),
+            F.sum(F.when(F.col("r") == 1, F.col("f")).otherwise(0)).alias("f1"),
+            F.sum(F.when(F.col("r") == 2, F.col("f")).otherwise(0)).alias("f2"),
+        )
+        .select(
+            "n_tokens",
+            "vocab_seen",
+            "f1",
+            "f2",
+            F.expr("(1000000 * f1) DIV n_tokens").alias("unseen_ppm"),
+            F.expr("vocab_seen + (f1 * (f1 - 1)) DIV (2 * (f2 + 1))").alias(
+                "chao1_vocab"
+            ),
+        )
+    )
+
+
+ORACLE["t32_vocab_estimate"] = """
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    counts AS (SELECT w, count(*)::BIGINT AS r FROM tok GROUP BY w),
+    spectrum AS (SELECT r, count(*)::BIGINT AS f FROM counts GROUP BY r),
+    s AS (
+        SELECT sum(r * f)::BIGINT AS n_tokens,
+               sum(f)::BIGINT AS vocab_seen,
+               sum(CASE WHEN r = 1 THEN f ELSE 0 END)::BIGINT AS f1,
+               sum(CASE WHEN r = 2 THEN f ELSE 0 END)::BIGINT AS f2
+        FROM spectrum
+    )
+    SELECT n_tokens, vocab_seen, f1, f2,
+           ((1000000 * f1) // n_tokens)::BIGINT AS unseen_ppm,
+           (vocab_seen + (f1 * (f1 - 1)) // (2 * (f2 + 1)))::BIGINT
+               AS chao1_vocab
+    FROM s
+    """
+QUERIES["t32_vocab_estimate"] = t32_vocab_estimate

@@ -51,6 +51,17 @@ PRODUCT_SUM_RATIONALE = {
         "statistic, int64-safe below 9.2e18 wedges; degrees come from "
         "the bounded LSH candidate graph, not raw corpus fanout."
     ),
+    "q123_modularity": (
+        "sum(dm*dm) over community degree masses is bounded by (2m)^2 "
+        "— int64-safe below ~1.5e9 edges, the SAME bound as the "
+        "modularity denominator 4m^2 the operator divides by; DuckDB "
+        "raises loudly beyond."
+    ),
+    "t32_vocab_estimate": (
+        "sum(r*f) over the frequency-of-frequencies spectrum IS the "
+        "total token count N (sum of r x (types with frequency r)) — "
+        "linear in corpus size by construction."
+    ),
     "t08_quality_rules": (
         "product of 0/1 rule flags (r_len * r_wordlen * r_stop * "
         "r_div): each factor is boolean-derived, the product is 0/1, "
