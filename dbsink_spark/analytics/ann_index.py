@@ -206,3 +206,72 @@ def compact_index(
 
     shutil.rmtree(vdir)
     os.rename(staged, vdir)
+
+
+def maxsim_query(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    topk: int = TOPK,
+    n_probe: int = 2,
+) -> DataFrame:
+    """LAKE-RESIDENT two-stage retrieval: s12's IVF→MaxSim pipeline
+    run against the persisted index instead of an in-query
+    quantization pass (VERDICT_r07 #8) — stage 1 probes the
+    ``n_probe`` nearest cells per query and reads ONLY those cell
+    partitions of the vector lake (directory-level pruning, appends
+    included); stage 2 re-ranks the candidates with the
+    late-interaction MaxSim fold (identical arithmetic to
+    s11/s12, so the in-query and lake-resident plans are
+    row-identical over the same store — pinned by
+    tests/test_ann_index.py).
+
+    ``queries`` is (query_id, qv). Output matches s12's shape minus
+    the in-query-only rounding: (query_id, corpus_id, cell, maxsim,
+    rank).
+    """
+    from .similarity import _maxsim_parts, _maxsim_score
+
+    cent = spark.read.parquet(os.path.join(path, CENTROIDS_DIR))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cent_label")
+    )
+    probes = (
+        queries.join(F.broadcast(cent))
+        .select(
+            "query_id", "cent_label", _d2(F.col("qv"), F.col("cv")).alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", F.col("cent_label").alias("cell"))
+    )
+    probe_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    index = spark.read.parquet(os.path.join(path, VECTORS_DIR)).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    cparts = index.select(
+        F.col("vec_id").alias("corpus_id"), "cell", *_maxsim_parts("c")
+    )
+    qparts = queries.select(
+        "query_id", F.col("qv").alias("v")
+    ).select("query_id", *_maxsim_parts("q"))
+    scored = (
+        cparts.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qparts), "query_id")
+        .select("query_id", "corpus_id", "cell", _maxsim_score().alias("maxsim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "corpus_id",
+            "cell",
+            F.round("maxsim", 4).alias("maxsim"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
