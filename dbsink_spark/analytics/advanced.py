@@ -2273,7 +2273,9 @@ QUERIES["q67_weighted_sample"] = q67_weighted_sample
 # ---------------------------------------------------------------------------
 
 
-Q68_WINDOW_MAX_ROWS = 20_000_000  # per-flag sort stays one comfortable task
+from .drill import SINGLE_TASK_SORT_MAX_ROWS
+
+Q68_WINDOW_MAX_ROWS = SINGLE_TASK_SORT_MAX_ROWS  # shared gate (drill.py)
 
 
 def _q68_window_path(li: DataFrame) -> DataFrame:

@@ -35,6 +35,15 @@ from pyspark.sql import functions as F
 
 FANOUT = 1000  # sub-ranges per round; 8-digit ranges pin in ~3 rounds
 
+# The ONE windowed-vs-drill gate threshold (q68 median, q55 ntile):
+# below this many rows the low-cardinality-partition window path runs
+# (a corpus-fraction of a SMALL input sorting in one task beats paying
+# ~0.5 s/round of drill job latency); above it the radix drill keeps
+# every task bounded. Both paths are exact and row-identical (forced-
+# path tests), so the constant moves COST only, never results — one
+# documented knob instead of one per operator (VERDICT_r07 "watch").
+SINGLE_TASK_SORT_MAX_ROWS = 20_000_000
+
 
 def weighted_value_at(
     df: DataFrame,

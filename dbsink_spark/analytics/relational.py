@@ -778,7 +778,9 @@ QUERIES["q52_quality_audit"] = q52_quality_audit
 # ---------------------------------------------------------------------------
 
 
-Q55_WINDOW_MAX_ROWS = 20_000_000  # per-priority sort stays one comfortable task
+from .drill import SINGLE_TASK_SORT_MAX_ROWS
+
+Q55_WINDOW_MAX_ROWS = SINGLE_TASK_SORT_MAX_ROWS  # shared gate (drill.py)
 
 
 def _q55_window_path(o: DataFrame) -> DataFrame:
