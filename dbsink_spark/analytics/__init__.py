@@ -457,6 +457,7 @@ UNGATED = frozenset(
         "q125_join_ivm",
         "t32_vocab_estimate",
         "s18_filtered_search",
+        "q126_spearman_monthly",
         "q22_asof_join",
         "q38_range_join",
         "q51_countmin",

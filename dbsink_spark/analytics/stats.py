@@ -1341,3 +1341,116 @@ def _q124_oracle() -> str:
 
 ORACLE["q124_permutation_test"] = _q124_oracle()
 QUERIES["q124_permutation_test"] = q124_permutation_test
+
+
+# ---------------------------------------------------------------------------
+# q126: Spearman rank correlation (monthly revenue vs order volume)
+# ---------------------------------------------------------------------------
+
+
+def q126_spearman_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between monthly revenue and monthly
+    order count — completing the correlation triad (q31 Pearson on
+    values, q121 Kendall on concordant pairs, Spearman on ranks):
+    monotone association robust to outliers, the standard report for
+    "do busier months earn proportionally more".
+
+    Ranks use the tie-safe AVERAGE-rank convention held in exact
+    half-units (hr = 2·|below| + |equal| + 1 — an integer even when
+    the average rank is x.5), so Σd² is exact in quarter-units and
+    ρ_milli = 1000 − (6000·Σd²_q) // (4·n·(n²−1)) is pure integer
+    floor arithmetic — no float exists, both engines hash-match
+    bit-for-bit (the q90/q124 discipline).
+
+    Scale: the ONLY corpus pass is the map-side-combinable monthly
+    aggregate; ranks, differences, and the ρ residue all run over the
+    calendar-bounded ~80-row series (SF-independent), the same
+    bounded-grid window class as q115/q116 (rationale recorded in
+    tests/test_plans.py).
+    """
+    o = Tables(spark, sf_dir).orders
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+    def half_ranks(df: DataFrame, val: str, out: str) -> DataFrame:
+        per = df.groupBy(val).agg(F.count(F.lit(1)).alias("_cnt"))
+        w = Window.orderBy(val).rowsBetween(Window.unboundedPreceding, -1)
+        hr = per.select(
+            val,
+            (
+                2 * F.coalesce(F.sum("_cnt").over(w), F.lit(0).cast("long"))
+                + F.col("_cnt")
+                + 1
+            ).alias(out),
+        )
+        return df.join(hr, val)
+
+    ranked = half_ranks(
+        half_ranks(monthly, "rev_cents", "hr_rev"), "n_orders", "hr_vol"
+    )
+    d2 = (F.col("hr_rev") - F.col("hr_vol")) * (F.col("hr_rev") - F.col("hr_vol"))
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.sum(d2).alias("sum_d2_quarter"),
+        )
+        .select(
+            "n_months",
+            "sum_d2_quarter",
+            F.expr(
+                "1000 - (6000 * sum_d2_quarter)"
+                " DIV (4 * n_months * (n_months * n_months - 1))"
+            ).alias("rho_milli"),
+        )
+    )
+
+
+ORACLE["q126_spearman_monthly"] = """
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_cents,
+               count(*)::BIGINT AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    rr AS (
+        SELECT rev_cents,
+               (2 * coalesce(sum(cnt) OVER (ORDER BY rev_cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT + cnt + 1) AS hr_rev
+        FROM (SELECT rev_cents, count(*)::BIGINT AS cnt
+              FROM monthly GROUP BY rev_cents)
+    ),
+    rv AS (
+        SELECT n_orders,
+               (2 * coalesce(sum(cnt) OVER (ORDER BY n_orders
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT + cnt + 1) AS hr_vol
+        FROM (SELECT n_orders, count(*)::BIGINT AS cnt
+              FROM monthly GROUP BY n_orders)
+    ),
+    ranked AS (
+        SELECT m.month, rr.hr_rev, rv.hr_vol
+        FROM monthly m
+        JOIN rr ON m.rev_cents = rr.rev_cents
+        JOIN rv ON m.n_orders = rv.n_orders
+    ),
+    s AS (
+        SELECT count(*)::BIGINT AS n_months,
+               sum((hr_rev - hr_vol) * (hr_rev - hr_vol))::BIGINT
+                   AS sum_d2_quarter
+        FROM ranked
+    )
+    SELECT n_months, sum_d2_quarter,
+           (1000 - (6000 * sum_d2_quarter)
+            // (4 * n_months * (n_months * n_months - 1)))::BIGINT
+               AS rho_milli
+    FROM s
+    """
+QUERIES["q126_spearman_monthly"] = q126_spearman_monthly

@@ -2329,3 +2329,36 @@ def test_q122_ks_bruteforce(spark):
     assert row["d_ppm"] == best[0]
     assert row["at_v"] == best[1]
     assert 0 <= row["d_ppm"] <= 1_000_000
+
+
+def test_q126_half_ranks_are_average_ranks(spark):
+    """q126's integer half-rank formula (2·|below| + |equal| + 1) must
+    equal 2× the statistical average rank on tied data — pinned
+    against a plain python reference with heavy ties."""
+    import random
+
+    from dbsink_spark.analytics.stats import q126_spearman_monthly  # noqa: F401
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    vals = [rng.randint(0, 5) for _ in range(40)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["i", "v"])
+
+    per = df.groupBy("v").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    hr = per.select(
+        "v",
+        (
+            2 * F.coalesce(F.sum("_cnt").over(w), F.lit(0).cast("long"))
+            + F.col("_cnt")
+            + 1
+        ).alias("hr"),
+    )
+    got = {r["v"]: r["hr"] for r in hr.collect()}
+
+    s = sorted(vals)
+    for v in set(vals):
+        ranks = [i + 1 for i, x in enumerate(s) if x == v]
+        avg_rank = sum(ranks) / len(ranks)
+        assert got[v] == int(2 * avg_rank), (v, got[v], avg_rank)

@@ -212,6 +212,10 @@ UNPARTITIONED_WINDOW_RATIONALE = {
         "offset frame runs over the per-partition count table — ≤ "
         "shuffle-partition-count rows (cluster-config-bounded); the "
         "corpus-sized rank is the pid-partitioned window + offset join",
+    "q126_spearman_monthly":
+        "both half-rank frames run over the distinct-value sets of the "
+        "calendar-bounded monthly aggregate (≤ ~80 rows, SF-independent); "
+        "the corpus pass is the combinable monthly agg",
 }
 
 
