@@ -6037,6 +6037,48 @@ Q105_ROUNDS = 4
 Q105_MIN_WEIGHT = 2  # trade pairs with >= 2 line items form the community graph
 
 
+def _q105_pairs(t: Tables) -> DataFrame:
+    """The weighted customer↔supplier trade-pair relation (q105/q123
+    SHARE this — Spark-side twin of the `pairs` CTE both oracles build
+    via _q105_label_cte, factored in the round-8 review so the two
+    operators can never silently score different graphs).
+    UN-checkpointed; shape pinned in
+    test_plans::test_checkpointed_aggregates_keep_plan_shape."""
+    return (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= Q105_MIN_WEIGHT)
+        .select("c", "s")
+    )
+
+
+def _q105_edges(pairs: DataFrame) -> DataFrame:
+    """Symmetrized LPA edge list + SELF-LOOP votes: on a bipartite
+    graph the pure neighbour vote oscillates in lockstep (every
+    customer adopts a supplier label and vice versa each round,
+    collapsing to the two bipartition classes); a node voting for its
+    own current label is the standard damping that lets genuine dense
+    groups crystallize."""
+    return (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .unionAll(
+            pairs.select(F.col("c").alias("src"), F.col("c").alias("dst")).distinct()
+        )
+        .unionAll(
+            pairs.select(F.col("s").alias("src"), F.col("s").alias("dst")).distinct()
+        )
+    )
+
+
 def q105_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by deterministic synchronous label
     propagation over the customer↔supplier trade graph (q61/q83's edge
@@ -6062,31 +6104,8 @@ def q105_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import label_propagation
 
     t = Tables(spark, sf_dir)
-    pairs = (
-        t.lineitem.select("l_orderkey", "l_suppkey")
-        .join(
-            t.orders.select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= Q105_MIN_WEIGHT)
-        .select("c", "s")
-    )
-    # symmetrize + SELF-LOOP votes: on a bipartite graph the pure
-    # neighbour vote oscillates in lockstep (every customer adopts a
-    # supplier label and vice versa each round, collapsing to the two
-    # bipartition classes); a node voting for its own current label is
-    # the standard damping that lets genuine dense groups crystallize.
-    edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .unionAll(pairs.select(F.col("c").alias("src"), F.col("c").alias("dst")).distinct())
-        .unionAll(pairs.select(F.col("s").alias("src"), F.col("s").alias("dst")).distinct())
-    )
+    pairs = _q105_pairs(t)
+    edges = _q105_edges(pairs)
     labels = label_propagation(edges, Q105_ROUNDS)
     comms = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("sz"),
@@ -6188,30 +6207,12 @@ def q123_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import label_propagation
 
     t = Tables(spark, sf_dir)
-    pairs = (
-        t.lineitem.select("l_orderkey", "l_suppkey")
-        .join(
-            t.orders.select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= Q105_MIN_WEIGHT)
-        .select("c", "s")
-    )
-    edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .unionAll(
-            pairs.select(F.col("c").alias("src"), F.col("c").alias("dst")).distinct()
-        )
-        .unionAll(
-            pairs.select(F.col("s").alias("src"), F.col("s").alias("dst")).distinct()
-        )
-    )
+    # pairs feeds edges (4 refs) + the intra join + the degree table —
+    # checkpoint the one corpus join+agg instead of re-planning it
+    # seven times (round-8 review; un-checkpointed shape pinned in
+    # test_checkpointed_aggregates_keep_plan_shape)
+    pairs = _q105_pairs(t).localCheckpoint(eager=True)
+    edges = _q105_edges(pairs)
     # the label table feeds three joins — materialize LPA once
     labels = label_propagation(edges, Q105_ROUNDS).localCheckpoint(eager=True)
     lc = labels.select(F.col("node").alias("c"), F.col("label").alias("lbl_c"))

@@ -213,7 +213,7 @@ def maxsim_query(
     path: str,
     queries: DataFrame,
     topk: int = TOPK,
-    n_probe: int = 2,
+    n_probe: int = N_PROBE,
 ) -> DataFrame:
     """LAKE-RESIDENT two-stage retrieval: s12's IVF→MaxSim pipeline
     run against the persisted index instead of an in-query

@@ -2179,10 +2179,15 @@ def s18_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # the scored pairs feed BOTH rank arms (pre-filter and global) —
+    # checkpoint the one numpy scoring pass rather than running the
+    # corpus matmul twice (round-8 review); the materialized rows are
+    # narrow (two ids, a label, a double — no vectors)
     scored = (
         v.filter(F.col("vec_id") >= N_QUERIES)
         .select("vec_id", "label", "v")
         .mapInPandas(score, out_schema)
+        .localCheckpoint(eager=True)
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
     pre = (

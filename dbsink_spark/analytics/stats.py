@@ -1238,24 +1238,11 @@ def q124_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries P rows per partition, and P is a constant —
     no corpus-sized blowup reaches any exchange.
     """
-    o = Tables(spark, sf_dir).orders
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    d = (
-        o.select("o_custkey", "o_orderdate", cents.alias("cents"))
-        .groupBy("o_custkey")
-        .agg(
-            (
-                F.sum(
-                    F.when(F.col("o_orderdate") < Q124_CUTOFF, F.col("cents"))
-                    .otherwise(F.lit(0))
-                )
-                - F.sum(
-                    F.when(F.col("o_orderdate") >= Q124_CUTOFF, F.col("cents"))
-                    .otherwise(F.lit(0))
-                )
-            ).alias("d")
-        )
-    )
+    # the diff table feeds BOTH the observed stat and the 64-way
+    # permutation explode — checkpoint the one corpus aggregate
+    # rather than paying the orders scan twice (un-checkpointed shape
+    # pinned in test_plans::test_checkpointed_aggregates_keep_plan_shape)
+    d = _q124_diffs(Tables(spark, sf_dir).orders).localCheckpoint(eager=True)
     obs = d.agg(
         F.count(F.lit(1)).alias("n_units"),
         F.sum("d").alias("t_obs_cents"),
@@ -1298,6 +1285,29 @@ def q124_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(1000 * (1 + n_extreme)) DIV ({Q124_PERMS} + 1)").alias(
                 "p_milli"
             ),
+        )
+    )
+
+
+def _q124_diffs(o: DataFrame) -> DataFrame:
+    """q124's per-customer (early − late) cents difference aggregate,
+    UN-checkpointed — factored so the plan harness can pin its shape
+    (one map-side-combinable hash agg over the orders scan)."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select("o_custkey", "o_orderdate", cents.alias("cents"))
+        .groupBy("o_custkey")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("o_orderdate") < Q124_CUTOFF, F.col("cents"))
+                    .otherwise(F.lit(0))
+                )
+                - F.sum(
+                    F.when(F.col("o_orderdate") >= Q124_CUTOFF, F.col("cents"))
+                    .otherwise(F.lit(0))
+                )
+            ).alias("d")
         )
     )
 

@@ -479,6 +479,21 @@ def session_tracker(
                     int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col])
                 )
             ts_all.sort()
+            # cross-batch regressions (within the watermark, earlier
+            # than the open session's recorded start — ts_all is
+            # sorted, so only carried state can sit ahead of t):
+            # events beyond the gap of the open session's start build
+            # their own PENDING session (gap-sessionized among
+            # themselves, not emitted as fragments); an in-gap event
+            # moves the open start backward, and if it also chains to
+            # the pending session (≤ gap on both sides) the pending
+            # session MERGES into the open one — matching what batch
+            # sessionization of the concatenated events would produce.
+            # A pending session still open at batch end closes by gap
+            # (it is > gap from the open session, else it merged; an
+            # even-later event that would extend it is the documented
+            # cross-batch approximation of interval-only state).
+            pending: list | None = None  # [start, last, count]
             for t in ts_all:
                 if last_us is not None and t - last_us > gap_us:
                     closed.append((start_us, last_us, n, "gap"))
@@ -486,25 +501,40 @@ def session_tracker(
                 if start_us is None:
                     start_us = t
                 elif t < start_us:
-                    # cross-batch regression (within the watermark,
-                    # earlier than the open session's recorded start —
-                    # ts_all is sorted, so only carried state can sit
-                    # ahead of t)
                     if start_us - t > gap_us:
-                        # beyond the gap: the event cannot belong to
-                        # the open session (a gap > g separates them),
-                        # so it forms its own already-closed
-                        # single-event session rather than being
-                        # silently absorbed
-                        closed.append((t, t, 1, "gap"))
+                        # belongs before the open session
+                        if pending is None:
+                            pending = [t, t, 1]
+                        elif t - pending[1] <= gap_us:
+                            pending[1] = t
+                            pending[2] += 1
+                        else:
+                            closed.append(
+                                (pending[0], pending[1], pending[2], "gap")
+                            )
+                            pending = [t, t, 1]
                         continue
                     # in-gap: the session genuinely started earlier
                     # than first recorded — move the start back so
                     # session_start never postdates the earliest event
-                    start_us = t
+                    if pending is not None:
+                        if t - pending[1] <= gap_us:
+                            # pending chains through t into the open
+                            # session — one real session, merge it
+                            start_us = pending[0]
+                            n += pending[2]
+                        else:
+                            closed.append(
+                                (pending[0], pending[1], pending[2], "gap")
+                            )
+                        pending = None
+                    if t < start_us:
+                        start_us = t
                 if last_us is None or t > last_us:
                     last_us = t
                 n += 1
+            if pending is not None:
+                closed.append((pending[0], pending[1], pending[2], "gap"))
             if n:
                 state.update((start_us, last_us, n))
                 # close when the watermark certifies no event can still

@@ -163,12 +163,17 @@ def append_container(path: str, records: list) -> None:
         head = f.read(_APPEND_HEADER_BYTES)
     try:
         schema, codec, sync = _read_header(io.BytesIO(head), path)
-    except ValueError:
-        raise
     except Exception as exc:
         # a metadata map that exhausts the bounded read window fails
-        # deep inside the zigzag/map decode — surface the real cause
-        if len(head) == _APPEND_HEADER_BYTES:
+        # deep inside the zigzag/map decode (EOFError) — or, if it
+        # ends within 16 bytes of the window edge, as the truncated-
+        # sync ValueError. Either way, when the window was read FULL
+        # the file is not necessarily damaged: name the real cause.
+        window_edge = len(head) == _APPEND_HEADER_BYTES and (
+            not isinstance(exc, ValueError)
+            or "sync marker incomplete" in str(exc)
+        )
+        if window_edge:
             raise ValueError(
                 f"{path}: container header exceeds the "
                 f"{_APPEND_HEADER_BYTES}-byte append read window "

@@ -28,6 +28,20 @@ PRODUCT_SUM_RATIONALE = {
         "computes the same moments in DOUBLE with a documented "
         "integer-exactness window."
     ),
+    "q42_time_weighted": (
+        "trapezoid area2 sums (v+pv) x microsecond gaps per "
+        "(user, type): bounded by 2 x max_cents x that user-type's "
+        "time SPAN in us — int64-safe to ~15 years at 10^4-cent "
+        "values (spans are per-user, not corpus-wide); DuckDB raises "
+        "loudly beyond, and the documented transform is a us->ms "
+        "downscale (caught by the round-8 widened detector)."
+    ),
+    "q126_spearman_monthly": (
+        "Sum of squared half-rank differences over the CALENDAR-"
+        "bounded monthly series: d^2 <= (2n)^2 with n ~ 80 months, "
+        "sum <= 4n^3 ~ 2e6 — nowhere near int64 at any corpus size "
+        "(the series length is time-bounded, not data-bounded)."
+    ),
     "q43_regression_stats": (
         "Sxy/Sxx sums of (centered month-index) x (cents): month "
         "index spans ~80, so magnitude ~ n * 40 * max_cents — inside "
@@ -96,9 +110,11 @@ def _product_sum_flags(sql: str) -> list[str]:
                 depth -= 1
             i += 1
         arg = low[start : i - 1]
-        has_product = re.search(
-            r"[a-z_][\w.]*\s*\*\s*[a-z_(]", arg
-        ) or re.search(r"\)\s*\*\s*[a-z_][\w.]*", arg)
+        # a product of two non-literal operands: identifier or
+        # parenthesized expression on EACH side of '*' (round-8
+        # review: ')*(' — e.g. sum((a-b)*(c-d)) — escaped the two
+        # one-sided patterns)
+        has_product = re.search(r"[a-z_)][\w.]*\s*\*\s*[a-z_(]", arg)
         if not has_product:
             continue
         if any(op in arg for op in _BOOL_OPS):
@@ -139,6 +155,10 @@ def test_detector_canaries():
     assert _product_sum_flags("SELECT sum(x * x)::BIGINT AS s FROM t")
     assert _product_sum_flags(
         "SELECT (sum(nij * n) - k)::BIGINT AS s FROM t"
+    )
+    # parenthesized operands (the round-8 review gap)
+    assert _product_sum_flags(
+        "SELECT sum((a - b) * (c - d))::BIGINT AS s FROM t"
     )
     # boolean count: product inside a comparison -> 0/1 -> row-bounded
     assert not _product_sum_flags(

@@ -339,7 +339,12 @@ def test_shuffle_budget_not_exceeded(spark):
             window_over[name] = (w_allowed, w)
         lc = sorted(_lowcard_window_keys(plan))
         lc_allowed = lowcard_budget.get(name, [])
-        if lc != lc_allowed and len(lc) > len(lc_allowed):
+        # sub-MULTISET check (round-8 review: a length-only gate let a
+        # rationalized signature be swapped for a different
+        # un-rationalized one at equal count)
+        from collections import Counter
+
+        if Counter(lc) - Counter(lc_allowed):
             lowcard_over[name] = (lc_allowed, lc)
         spark.catalog.clearCache()
     assert not over, f"shuffle budget exceeded (allowed, got): {over}"
@@ -469,6 +474,23 @@ def test_checkpointed_aggregates_keep_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert "partial_count" in plan
+    # round-8 checkpointed builders: q124's per-customer diff agg (one
+    # hash agg with map-side combine) and the q105/q123 shared trade-
+    # pair relation (orderkey equi-join + one combinable pair agg —
+    # never a nested-loop join)
+    from dbsink_spark.analytics.stats import _q124_diffs
+
+    plan = _plan(_q124_diffs(t.orders))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_" in plan
+
+    from dbsink_spark.analytics.advanced import _q105_pairs
+
+    plan = _plan(_q105_pairs(t))
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # s18's checkpointed scoring pass is scan → mapInPandas with ZERO
+    # exchanges — nothing shuffle-shaped to pin (noted for the rule)
 
 
 def test_d19_rank_assembly_reuses_one_range_exchange(spark):

@@ -1171,6 +1171,84 @@ def test_session_tracker_out_of_order_regression(spark, tmp_path):
     assert rows[k_main]["n_events"] == 3 and rows[k_main]["closed_by"] == "timeout"
 
 
+def test_session_tracker_regression_pending_and_chain_merge(spark, tmp_path):
+    """Round-8 review scenarios: (a) two beyond-gap early events within
+    the gap of EACH OTHER form ONE pending session, not fragments;
+    (b) a beyond-gap event followed by an in-gap event that chains to
+    it (≤ gap on both sides) merges pending + bridge + open session
+    into one — both matching batch sessionization of the concatenated
+    events."""
+    import os as _os
+
+    from dbsink_spark.streaming.stateful import session_tracker
+
+    indir = tmp_path / "sess_chain_in"
+    indir.mkdir()
+    # user a (scenario a): open [10:10, 10:15]; batch 2 delivers 09:00 +
+    #   09:10 — both beyond the 30-min gap of 10:10, 10 min apart:
+    #   ONE closed session [09:00, 09:10] n=2.
+    # user b (scenario b): open [10:10, 10:15]; batch 2 delivers 09:20
+    #   (beyond gap: 50 min) then 09:45 (in-gap of 10:10 AND within
+    #   gap of 09:20): everything merges into [09:20, 10:15] n=4.
+    # batch 3's far-future sentinel closes both open sessions by
+    #   timeout.
+    batches = [
+        [
+            ("a", "2024-01-01 10:10:00"),
+            ("a", "2024-01-01 10:15:00"),
+            ("b", "2024-01-01 10:10:00"),
+            ("b", "2024-01-01 10:15:00"),
+        ],
+        [
+            ("a", "2024-01-01 09:00:00"),
+            ("a", "2024-01-01 09:10:00"),
+            ("b", "2024-01-01 09:20:00"),
+            ("b", "2024-01-01 09:45:00"),
+        ],
+        [("z", "2024-01-02 12:00:00")],
+    ]
+    for bi, rows in enumerate(batches):
+        p = indir / f"b{bi}.json"
+        with open(p, "w") as f:
+            for u, ts in rows:
+                f.write(json.dumps({"user_id": u, "ts": ts}) + "\n")
+        _os.utime(p, (1_700_000_000 + bi * 60,) * 2)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    out = session_tracker(stream, gap_seconds=1800, delay="3 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_chain")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_chain"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"])): r
+        for r in spark.sql("SELECT * FROM sessions_chain").collect()
+    }
+    k_a_early = ("a", "2024-01-01 09:00:00", "2024-01-01 09:10:00")
+    k_a_open = ("a", "2024-01-01 10:10:00", "2024-01-01 10:15:00")
+    k_b = ("b", "2024-01-01 09:20:00", "2024-01-01 10:15:00")
+    assert set(rows) == {k_a_early, k_a_open, k_b}, rows
+    assert rows[k_a_early]["n_events"] == 2 and rows[k_a_early]["closed_by"] == "gap"
+    assert rows[k_a_open]["n_events"] == 2 and rows[k_a_open]["closed_by"] == "timeout"
+    assert rows[k_b]["n_events"] == 4 and rows[k_b]["closed_by"] == "timeout"
+
+
 def test_session_tracker_flushed_equals_batch_sessionize(spark, tmp_path):
     """With every session flushed (a far-future sentinel advances the
     watermark past all timeouts), the emitted sessions must equal a
