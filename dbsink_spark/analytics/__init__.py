@@ -458,6 +458,8 @@ UNGATED = frozenset(
         "t32_vocab_estimate",
         "s18_filtered_search",
         "q126_spearman_monthly",
+        "m05_cdc_chunks",
+        "q127_peak_concurrency",
         "q22_asof_join",
         "q38_range_join",
         "q51_countmin",

@@ -8172,3 +8172,89 @@ ORACLE["q125_join_ivm"] = """
     ORDER BY n_name
     """
 QUERIES["q125_join_ivm"] = q125_join_ivm
+
+
+# ---------------------------------------------------------------------------
+# q127: sweep-line temporal occupancy (peak concurrent intervals)
+# ---------------------------------------------------------------------------
+
+Q127_TRANSIT_DAYS = 14  # each line item is "in transit" for 14 days
+
+
+def q127_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency — the sweep-line member the temporal
+    family lacked (q110 unions intervals, q50 versions them; this
+    asks "how many are active AT ONCE, and when did the peak first
+    happen"): each line item occupies [shipdate, shipdate+14d); the
+    answer per return flag is the classic +1/−1 boundary-event sweep.
+
+    Plan: boundary events aggregate to the DAILY grid first (map-side
+    combinable — the corpus collapses to |flags| × calendar-days net
+    deltas BEFORE any window), then one running sum over the
+    calendar-bounded grid (≤ ~2.5k rows per flag — the q126/q115
+    bounded-window class, low-cardinality rationale recorded), then
+    an equi-join argmax picks the earliest peak day. Integer counts
+    end to end; the peak date is a carried DATE — hash-exact on both
+    engines.
+
+    At 100 TB nothing changes: the sweep's window input is
+    calendar-sized, not corpus-sized — the corpus only ever feeds the
+    combinable delta aggregate.
+    """
+    li = Tables(spark, sf_dir).lineitem
+    ship = F.col("l_shipdate").cast("date")
+    ev = li.select(
+        "l_returnflag", ship.alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        li.select(
+            "l_returnflag",
+            F.date_add(ship, Q127_TRANSIT_DAYS).alias("d"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    grid = ev.groupBy("l_returnflag", "d").agg(F.sum("delta").alias("net"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    occ = grid.withColumn("occ", F.sum("net").over(w))
+    pk = occ.groupBy("l_returnflag").agg(F.max("occ").alias("peak_in_transit"))
+    return (
+        occ.join(F.broadcast(pk), "l_returnflag")
+        .filter(F.col("occ") == F.col("peak_in_transit"))
+        .groupBy("l_returnflag", "peak_in_transit")
+        .agg(F.min("d").alias("peak_date"))
+        .select("l_returnflag", "peak_in_transit", "peak_date")
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE["q127_peak_concurrency"] = f"""
+    WITH ev AS (
+        SELECT l_returnflag, l_shipdate::DATE AS d, 1 AS delta FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, l_shipdate::DATE + {Q127_TRANSIT_DAYS}, -1
+        FROM lineitem
+    ),
+    grid AS (
+        SELECT l_returnflag, d, sum(delta)::BIGINT AS net
+        FROM ev GROUP BY 1, 2
+    ),
+    occ AS (
+        SELECT l_returnflag, d,
+               (sum(net) OVER (PARTITION BY l_returnflag ORDER BY d))::BIGINT
+                   AS occ
+        FROM grid
+    ),
+    pk AS (
+        SELECT l_returnflag, max(occ)::BIGINT AS peak_in_transit
+        FROM occ GROUP BY 1
+    )
+    SELECT o.l_returnflag, p.peak_in_transit, min(o.d) AS peak_date
+    FROM occ o
+    JOIN pk p ON o.l_returnflag = p.l_returnflag
+             AND o.occ = p.peak_in_transit
+    GROUP BY 1, 2 ORDER BY 1
+"""
+QUERIES["q127_peak_concurrency"] = q127_peak_concurrency

@@ -350,3 +350,178 @@ ORACLE["m04_binary_near_dup"] = f"""
 """
 
 QUERIES["m04_binary_near_dup"] = m04_binary_near_dup
+
+
+# ---------------------------------------------------------------------------
+# m05: content-defined chunking (storage-dedup estimation over binary)
+# ---------------------------------------------------------------------------
+
+CDC_STRIDE = 8   # bytes between boundary probes
+CDC_WINDOW = 8   # probe window bytes (16 hex chars)
+CDC_MOD = 64     # P(cut) per probe -> E[chunk] ~ 512 bytes
+
+
+def m05_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over BINARY payloads — the
+    storage-level dedup estimator every training-data lake wants
+    before deciding how to store a multimodal corpus: boundaries are
+    chosen by CONTENT (a rolling window hash hitting a modulus), so
+    an insertion early in a blob shifts only the chunks it touches —
+    unlike fixed-size blocks, where everything downstream re-chunks
+    (the rsync/LBFS/FastCDC insight). Per source: chunk count,
+    distinct-chunk count, total vs unique bytes, and the duplicated-
+    byte ppm the lake would save with chunk-level dedup.
+
+    This variant probes every CDC_STRIDE bytes and cuts wherever
+    h64(window) % CDC_MOD == 0 — the pure content-predicate form,
+    which is embarrassingly parallel and engine-exact. (Production
+    FastCDC adds min/max chunk bounds, which makes the scan
+    sequential per blob; the boundary-shift-resistance property this
+    operator exists to measure is already present without them.)
+    Blobs shorter than one window are excluded (no probe fits).
+
+    Everything is built-in HOFs over the hex encoding of the blob —
+    transform/filter/sequence for the probe lattice, substr for the
+    windows and chunks, h64 for both the boundary predicate and the
+    chunk fingerprint. No Python worker, no explode of per-BYTE rows:
+    the only exploded granularity is per-CHUNK (~512-byte expected),
+    so the shuffle carries corpus_bytes/512 narrow rows.
+
+    Scale: the probe/chunk construction is a per-row map (pushed
+    projection over the blob column); the two-level aggregate
+    (per (source, chunk_hash), then per source) is map-side
+    combinable. At 100 TB the (source, chunk_hash) exchange is the
+    only corpus-order shuffle — 16-byte keys, no payload bytes ever
+    shuffle.
+    """
+    return _cdc_aggregate(cdc_chunks(Tables(spark, sf_dir).documents))
+
+
+def cdc_chunks(d: DataFrame) -> DataFrame:
+    """(source, clen, chash) chunk rows for every text payload in
+    ``d`` — the factored CDC core, so property tests can chunk
+    synthetic blobs. Stride-lattice probing is shift-resistant to
+    insertions whose byte length is a MULTIPLE of CDC_STRIDE (the
+    probe lattice realigns after the edit; per-byte probing — stride
+    1 — gives full resistance at 8x probe cost), which the
+    boundary-shift property test pins."""
+    from ..functions.hashing import h64
+
+    base = d.select(
+        "source",
+        F.hex(F.encode("text", "utf-8")).alias("hx"),
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n"),
+    ).filter(F.col("n") >= CDC_WINDOW)
+    cuts = F.filter(
+        F.transform(
+            F.sequence(
+                F.lit(CDC_STRIDE).cast("long"), F.col("n"), F.lit(CDC_STRIDE).cast("long")
+            ),
+            lambda p: F.when(
+                h64(
+                    F.col("hx").substr(
+                        ((p - F.lit(CDC_WINDOW)) * 2 + 1).cast("int"),
+                        F.lit(2 * CDC_WINDOW),
+                    )
+                )
+                % CDC_MOD
+                == 0,
+                p,
+            ),
+        ),
+        lambda x: x.isNotNull() & (x < F.col("n")),
+    )
+    b = F.concat(
+        F.array(F.lit(0).cast("long")), cuts, F.array(F.col("n"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(b) - 1),
+        lambda i: F.struct(
+            F.element_at(b, i).alias("a"), F.element_at(b, i + 1).alias("z")
+        ),
+    )
+    chunks = base.select(
+        "source", "hx", F.explode(pairs).alias("c")
+    ).select(
+        "source",
+        (F.col("c.z") - F.col("c.a")).alias("clen"),
+        h64(
+            F.col("hx").substr(
+                (F.col("c.a") * 2 + 1).cast("int"),
+                ((F.col("c.z") - F.col("c.a")) * 2).cast("int"),
+            )
+        ).alias("chash"),
+    )
+    return chunks
+
+
+def _cdc_aggregate(chunks: DataFrame) -> DataFrame:
+    per = chunks.groupBy("source", "chash").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("clen").alias("clen")
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_distinct_chunks"),
+            F.sum(F.col("cnt") * F.col("clen")).alias("bytes_total"),
+            F.sum("clen").alias("bytes_unique"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct_chunks",
+            "bytes_total",
+            "bytes_unique",
+            F.expr(
+                "(1000000 * (bytes_total - bytes_unique)) DIV bytes_total"
+            ).alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["m05_cdc_chunks"] = f"""
+    WITH h AS (
+        SELECT source, hex(encode(text)) AS hx,
+               octet_length(encode(text))::BIGINT AS n
+        FROM documents
+        WHERE octet_length(encode(text)) >= {CDC_WINDOW}
+    ),
+    cuts AS (
+        SELECT source, hx, n,
+               [0::BIGINT]
+               || list_filter(
+                      [CASE WHEN {h64_sql(f"substr(hx, ((p - {CDC_WINDOW}) * 2 + 1)::INT, {2 * CDC_WINDOW})")}
+                                 % {CDC_MOD} = 0
+                            THEN p::BIGINT END
+                       for p in generate_series({CDC_STRIDE}, n, {CDC_STRIDE})],
+                      x -> x IS NOT NULL AND x < n)
+               || [n] AS b
+        FROM h
+    ),
+    chunks AS (
+        SELECT source, hx,
+               unnest([{{'a': b[i], 'z': b[i + 1]}}
+                       for i in generate_series(1, len(b) - 1)]) AS c
+        FROM cuts
+    ),
+    hashed AS (
+        SELECT source, (c.z - c.a)::BIGINT AS clen,
+               {h64_sql("substr(hx, (c.a * 2 + 1)::INT, ((c.z - c.a) * 2)::INT)")} AS chash
+        FROM chunks
+    ),
+    per AS (
+        SELECT source, chash, count(*)::BIGINT AS cnt, min(clen)::BIGINT AS clen
+        FROM hashed GROUP BY source, chash
+    )
+    SELECT source,
+           sum(cnt)::BIGINT AS n_chunks,
+           count(*)::BIGINT AS n_distinct_chunks,
+           sum(cnt * clen)::BIGINT AS bytes_total,
+           sum(clen)::BIGINT AS bytes_unique,
+           ((1000000 * (sum(cnt * clen) - sum(clen))) // sum(cnt * clen))::BIGINT
+               AS dup_ppm
+    FROM per GROUP BY source ORDER BY source
+"""
+QUERIES["m05_cdc_chunks"] = m05_cdc_chunks

@@ -2362,3 +2362,42 @@ def test_q126_half_ranks_are_average_ranks(spark):
         ranks = [i + 1 for i, x in enumerate(s) if x == v]
         avg_rank = sum(ranks) / len(ranks)
         assert got[v] == int(2 * avg_rank), (v, got[v], avg_rank)
+
+
+def test_m05_cdc_boundaries_shift_resistant(spark):
+    """The property content-defined chunking exists for: inserting
+    bytes early in a blob must leave every chunk after the first
+    post-edit boundary IDENTICAL (fixed-size blocking re-chunks the
+    whole tail). Stride-lattice probing guarantees this for
+    insertions of CDC_STRIDE multiples — pinned here with an 8-byte
+    insertion; a counter-check asserts the edit actually changed the
+    early chunks (the test isn't vacuous)."""
+    import random
+    import string
+
+    from dbsink_spark.analytics.multimodal import CDC_STRIDE, cdc_chunks
+
+    rng = random.Random(41)
+    body = "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(4000))
+    edited = body[:50] + "INSERTXY" + body[50:]  # 8 bytes = CDC_STRIDE
+    assert len("INSERTXY") == CDC_STRIDE
+
+    df = spark.createDataFrame(
+        [("orig", body), ("edit", edited)], ["source", "text"]
+    )
+    rows = cdc_chunks(df).collect()
+    orig = [r["chash"] for r in rows if r["source"] == "orig"]
+    edit = [r["chash"] for r in rows if r["source"] == "edit"]
+    # collect() order within one partition follows row order; chunks
+    # were exploded in boundary order per doc
+    assert len(orig) > 3, "blob must split into several chunks"
+    # every chunk hash from the second original chunk on must appear
+    # as a SUFFIX of the edited chunking (first chunk absorbed the
+    # edit; realigned lattice reproduces the rest bit-for-bit)
+    k = 1
+    while orig[k] not in edit:
+        k += 1
+        assert k < len(orig), "no shared suffix — shift resistance broken"
+    assert edit[edit.index(orig[k]) :] == orig[k:]
+    # non-vacuous: the pre-edit prefix differs
+    assert orig[:k] != edit[: edit.index(orig[k])]

@@ -76,6 +76,11 @@ PRODUCT_SUM_RATIONALE = {
         "total token count N (sum of r x (types with frequency r)) — "
         "linear in corpus size by construction."
     ),
+    "m05_cdc_chunks": (
+        "sum(cnt*clen) over distinct chunks IS the corpus byte count "
+        "(each byte belongs to exactly one chunk occurrence) — linear "
+        "in corpus size by construction."
+    ),
     "t08_quality_rules": (
         "product of 0/1 rule flags (r_len * r_wordlen * r_stop * "
         "r_div): each factor is boolean-derived, the product is 0/1, "

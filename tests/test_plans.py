@@ -251,6 +251,10 @@ LOWCARD_WINDOW_RATIONALE = {
         "(partition, source) totals table — <= shuffle-partition-count "
         "rows per source (cluster-config-bounded); the corpus-sized "
         "cumsum is the (pid, source)-partitioned local window",
+    "q127_peak_concurrency":
+        "the flag-partitioned sweep window runs over the DAILY boundary "
+        "grid (<= ~2.5k calendar days per flag, SF-independent); the "
+        "corpus only feeds the combinable +1/-1 delta aggregate",
     "t30_quantile_norm":
         "source-partitioned frames run over per-source score "
         "histograms — <= T30_BINS+1 rows per source by domain "
