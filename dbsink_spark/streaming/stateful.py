@@ -570,3 +570,110 @@ def session_tracker(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_SLIDING_HLL_STATE_SCHEMA = "regs array<long>"
+
+
+def _sliding_hll_out_schema() -> str:
+    return (
+        "day date, nonzero_registers long, sum_pow long, est_distinct_floor long"
+    )
+
+
+def sliding_hll_tracker(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+    delay: str = "1 day",
+) -> DataFrame:
+    """Streaming twin of q94's trailing-distinct series (E12 sliding
+    SKETCH windows): "weekly active users by day" emitted as the
+    watermark finalizes each day — COUNT(DISTINCT) cannot slide or
+    stream, mergeable HLL registers do both.
+
+    Shape: each event fans out to the ``window_days`` trailing-window
+    SLOTS it contributes to (slot = window END day — the standard
+    reverse-fanout streaming sliding windows use); state per slot is
+    the Q62_M HLL registers, merged per micro-batch with register max
+    — commutative AND idempotent, so out-of-order arrivals and
+    replayed batches inside the watermark are harmless by
+    construction. A slot emits ONCE when the event-time watermark
+    passes its end-of-day (EventTimeTimeout) and its state is
+    removed: state is bounded by (active slots ≤ window + lateness
+    horizon) × Q62_M longs per... nothing grows with the stream.
+
+    The register/bucket/rho arithmetic imports q94's own helpers, so
+    the finalized rows are provably the batch operator's numbers —
+    pinned by the stream ≡ batch equivalence test.
+    """
+    from ..analytics.advanced import Q62_M, Q62_NUM, Q62_SHIFT, _q62_h64_user
+
+    h = _q62_h64_user()
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    base = (
+        df.withWatermark(ts_col, delay)
+        .select(
+            F.col(ts_col),
+            day.alias("day"),
+            (h % Q62_M).cast("long").alias("bucket"),
+            h.alias("h"),
+        )
+        .withColumn("w", F.expr(f"h DIV {Q62_M}"))
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(Q62_SHIFT))
+        .otherwise(F.lit(Q62_SHIFT) - F.length(F.bin(F.col("w"))))
+        .cast("long")
+    )
+    fanned = base.select(
+        F.col(ts_col),
+        F.explode(
+            F.sequence("day", F.date_add("day", window_days - 1))
+        ).alias("slot"),
+        "bucket",
+        rho.alias("rho"),
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (slot,) = key
+        if state.hasTimedOut:
+            (regs,) = state.get
+            nz = sum(1 for r in regs if r > 0)
+            sum_pow = sum(1 << (Q62_SHIFT - r) for r in regs if r > 0)
+            est = int(float(Q62_NUM) / sum_pow) if sum_pow else 0
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "day": [slot],
+                    "nonzero_registers": [nz],
+                    "sum_pow": [sum_pow],
+                    "est_distinct_floor": [est],
+                }
+            )
+            return
+        regs = list(state.get[0]) if state.exists else [0] * Q62_M
+        for pdf in pdfs:
+            for b, r in zip(pdf["bucket"], pdf["rho"]):
+                b = int(b)
+                if r > regs[b]:
+                    regs[b] = int(r)
+        state.update((regs,))
+        # finalize when the watermark certifies the slot's day is over
+        import datetime as _dt
+
+        end_of_day = _dt.datetime.combine(
+            slot + _dt.timedelta(days=1), _dt.time.min
+        )
+        state.setTimeoutTimestamp(int(end_of_day.timestamp() * 1000))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return fanned.groupBy("slot").applyInPandasWithState(
+        update,
+        outputStructType=_sliding_hll_out_schema(),
+        stateStructType=_SLIDING_HLL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

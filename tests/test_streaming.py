@@ -1332,3 +1332,90 @@ def test_session_tracker_flushed_equals_batch_sessionize(spark, tmp_path):
             n += 1
         want.add((u, str(start), str(last), n))
     assert got == want
+
+
+def test_sliding_hll_tracker_equals_batch_reference(spark, tmp_path):
+    """E12 sliding-sketch windows: the streaming tracker's finalized
+    rows must equal a python reference that fans every event into its
+    trailing-window slots and merges registers — the same arithmetic
+    q94 verifies against its DuckDB oracle (the tracker imports q94's
+    own hash/register helpers). Chronologically-split micro-batches +
+    a far-future sentinel flush every real slot through the
+    event-time timeout."""
+    import datetime as _dt
+    import hashlib
+    import os as _os
+
+    from dbsink_spark.analytics.advanced import Q62_M, Q62_NUM, Q62_SHIFT
+    from dbsink_spark.analytics.tables import load
+    from dbsink_spark.streaming.stateful import sliding_hll_tracker
+
+    SF = "/root/testdata/sf0.001"
+    ev = [
+        (r["ts"], r["user_id"])
+        for r in load(spark, SF, "events").select("ts", "user_id").collect()
+    ]
+    ev.sort(key=lambda t: t[0])
+    split = len(ev) * 3 // 5
+    sentinel_ts = ev[-1][0] + _dt.timedelta(days=400)
+    batches = [ev[:split], ev[split:], [(sentinel_ts, "zz-sentinel")]]
+
+    indir = tmp_path / "hll_in"
+    indir.mkdir()
+    for bi, rows in enumerate(batches):
+        p = indir / f"b{bi}.json"
+        with open(p, "w") as f:
+            for ts, uid in rows:
+                f.write(
+                    json.dumps(
+                        {"ts": ts.strftime("%Y-%m-%d %H:%M:%S.%f"), "user_id": uid}
+                    )
+                    + "\n"
+                )
+        _os.utime(p, (1_700_000_000 + bi * 60,) * 2)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    out = sliding_hll_tracker(stream, delay="30 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_slots")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["day"]: (r["nonzero_registers"], r["sum_pow"], r["est_distinct_floor"])
+        for r in spark.sql("SELECT * FROM hll_slots").collect()
+    }
+
+    # python reference: fan out, register-max, finalize (q94 arithmetic)
+    slots: dict = {}
+    for ts, uid in ev:  # sentinel excluded — its slots never finalize
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+        bucket, w = h % Q62_M, h // Q62_M
+        rho = Q62_SHIFT if w == 0 else Q62_SHIFT - (len(bin(w)) - 2)
+        day = ts.date()
+        for k in range(7):
+            regs = slots.setdefault(day + _dt.timedelta(days=k), [0] * Q62_M)
+            if rho > regs[bucket]:
+                regs[bucket] = rho
+    want = {}
+    for day, regs in slots.items():
+        nz = sum(1 for r in regs if r > 0)
+        sp = sum(1 << (Q62_SHIFT - r) for r in regs if r > 0)
+        want[day] = (nz, sp, int(float(Q62_NUM) / sp))
+    assert got == want
+    assert len(got) > 5
