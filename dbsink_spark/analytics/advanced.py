@@ -8201,7 +8201,30 @@ def q127_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-sized, not corpus-sized — the corpus only ever feeds the
     combinable delta aggregate.
     """
-    li = Tables(spark, sf_dir).lineitem
+    # occ feeds BOTH the peak aggregate and the argmax join —
+    # checkpoint the grid-sized sweep (≤ |flags| × calendar days rows)
+    # rather than paying the corpus scan + delta aggregate twice
+    # (round-8 review; un-checkpointed shape pinned in
+    # test_checkpointed_aggregates_keep_plan_shape)
+    occ = _q127_occupancy(Tables(spark, sf_dir).lineitem).localCheckpoint(
+        eager=True
+    )
+    pk = occ.groupBy("l_returnflag").agg(F.max("occ").alias("peak_in_transit"))
+    return (
+        occ.join(F.broadcast(pk), "l_returnflag")
+        .filter(F.col("occ") == F.col("peak_in_transit"))
+        .groupBy("l_returnflag", "peak_in_transit")
+        .agg(F.min("d").alias("peak_date"))
+        .select("l_returnflag", "peak_in_transit", "peak_date")
+        .orderBy("l_returnflag")
+    )
+
+
+def _q127_occupancy(li: DataFrame) -> DataFrame:
+    """q127's sweep table (flag, day, running occupancy),
+    UN-checkpointed — factored so the plan harness can pin its shape
+    (one combinable delta aggregate feeding the calendar-bounded
+    window)."""
     ship = F.col("l_shipdate").cast("date")
     ev = li.select(
         "l_returnflag", ship.alias("d"), F.lit(1).alias("delta")
@@ -8218,16 +8241,7 @@ def q127_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    occ = grid.withColumn("occ", F.sum("net").over(w))
-    pk = occ.groupBy("l_returnflag").agg(F.max("occ").alias("peak_in_transit"))
-    return (
-        occ.join(F.broadcast(pk), "l_returnflag")
-        .filter(F.col("occ") == F.col("peak_in_transit"))
-        .groupBy("l_returnflag", "peak_in_transit")
-        .agg(F.min("d").alias("peak_date"))
-        .select("l_returnflag", "peak_in_transit", "peak_date")
-        .orderBy("l_returnflag")
-    )
+    return grid.withColumn("occ", F.sum("net").over(w))
 
 
 ORACLE["q127_peak_concurrency"] = f"""

@@ -380,12 +380,20 @@ def m05_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator exists to measure is already present without them.)
     Blobs shorter than one window are excluded (no probe fits).
 
-    Everything is built-in HOFs over the hex encoding of the blob —
-    transform/filter/sequence for the probe lattice, substr for the
-    windows and chunks, h64 for both the boundary predicate and the
-    chunk fingerprint. No Python worker, no explode of per-BYTE rows:
-    the only exploded granularity is per-CHUNK (~512-byte expected),
-    so the shuffle carries corpus_bytes/512 narrow rows.
+    Everything is built-in HOFs over the BINARY payload —
+    transform/filter/sequence for the probe lattice, byte-indexed
+    binary substr (O(1) seek; the hex-string form would pay an
+    O(position) UTF-8 scan per window — quadratic) for windows and
+    chunks, hex+h64 for both the boundary predicate and the chunk
+    fingerprint, chunks hashed INSIDE the per-row array so the blob
+    never rides the explode. Linear in blob size (measured flat
+    ~200 us/probe, interpreter-bound: HOF lambdas don't codegen); for
+    MB-class media blobs that is ~5 MB/s/core — raise CDC_STRIDE or
+    swap the probe kernel for an Arrow/numpy rolling hash (m-family
+    mapInPandas plumbing) when chunking dominates; the HOF form stays
+    the oracle-exact reference. The only exploded granularity is
+    per-CHUNK (~512-byte expected), so the shuffle carries
+    corpus_bytes/512 narrow rows.
 
     Scale: the probe/chunk construction is a per-row map (pushed
     projection over the blob column); the two-level aggregate
@@ -407,9 +415,17 @@ def cdc_chunks(d: DataFrame) -> DataFrame:
     boundary-shift property test pins."""
     from ..functions.hashing import h64
 
+    # Spark side operates on the raw BINARY: substring on BinaryType is
+    # BYTE-indexed (O(1) seek + O(len) copy), where substr on the hex
+    # STRING pays an O(position) UTF-8 character scan per window — on a
+    # 256 KB blob that is quadratic (round-8 review #2: 64 KB blobs
+    # effectively hung). hex() is applied to the 8-byte window / chunk
+    # slices only, and hex(substring(blob,a,l)) == substr(hex(blob),
+    # 2a-1, 2l), so the hashed strings — and the oracle, which keeps
+    # the hex-string form DuckDB can express — are value-identical.
     base = d.select(
         "source",
-        F.hex(F.encode("text", "utf-8")).alias("hx"),
+        F.encode("text", "utf-8").alias("bb"),
         F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n"),
     ).filter(F.col("n") >= CDC_WINDOW)
     cuts = F.filter(
@@ -419,9 +435,11 @@ def cdc_chunks(d: DataFrame) -> DataFrame:
             ),
             lambda p: F.when(
                 h64(
-                    F.col("hx").substr(
-                        ((p - F.lit(CDC_WINDOW)) * 2 + 1).cast("int"),
-                        F.lit(2 * CDC_WINDOW),
+                    F.hex(
+                        F.col("bb").substr(
+                            (p - F.lit(CDC_WINDOW) + 1).cast("int"),
+                            F.lit(CDC_WINDOW),
+                        )
                     )
                 )
                 % CDC_MOD
@@ -431,26 +449,47 @@ def cdc_chunks(d: DataFrame) -> DataFrame:
         ),
         lambda x: x.isNotNull() & (x < F.col("n")),
     )
-    b = F.concat(
-        F.array(F.lit(0).cast("long")), cuts, F.array(F.col("n"))
+    # MATERIALIZE the boundary array as a named column before it is
+    # referenced again (round-8 review #2): inlining the expression
+    # into size() + two element_at()s re-evaluates the ENTIRE md5
+    # probe lattice per pair index — quadratic in blob size (a 64 KB
+    # blob effectively hung). CollapseProject keeps a projection
+    # boundary for multi-referenced non-cheap aliases, so the lattice
+    # computes once per row; the plan shape is pinned by
+    # test_m05_probe_lattice_computed_once.
+    bounded = base.withColumn(
+        "b",
+        F.concat(F.array(F.lit(0).cast("long")), cuts, F.array(F.col("n"))),
     )
     pairs = F.transform(
-        F.sequence(F.lit(1), F.size(b) - 1),
+        F.sequence(F.lit(1), F.size(F.col("b")) - 1),
         lambda i: F.struct(
-            F.element_at(b, i).alias("a"), F.element_at(b, i + 1).alias("z")
+            F.element_at(F.col("b"), i).alias("a"),
+            F.element_at(F.col("b"), i + 1).alias("z"),
         ),
     )
-    chunks = base.select(
-        "source", "hx", F.explode(pairs).alias("c")
-    ).select(
-        "source",
-        (F.col("c.z") - F.col("c.a")).alias("clen"),
-        h64(
-            F.col("hx").substr(
-                (F.col("c.a") * 2 + 1).cast("int"),
-                ((F.col("c.z") - F.col("c.a")) * 2).cast("int"),
-            )
-        ).alias("chash"),
+    # hash chunks INSIDE the per-row array, then explode the small
+    # (clen, chash) structs: exploding the pairs FIRST would make every
+    # generated row carry the full blob to its substr — O(chunks x
+    # blob) bytes, quadratic again at MB blobs (round-8 review #2,
+    # second leg). The blob is touched once per row, never rides the
+    # Generate.
+    chunk_arr = F.transform(
+        pairs,
+        lambda c: F.struct(
+            (c["z"] - c["a"]).alias("clen"),
+            h64(
+                F.hex(
+                    F.col("bb").substr(
+                        (c["a"] + 1).cast("int"),
+                        (c["z"] - c["a"]).cast("int"),
+                    )
+                )
+            ).alias("chash"),
+        ),
+    )
+    chunks = bounded.select("source", F.explode(chunk_arr).alias("c")).select(
+        "source", F.col("c.clen").alias("clen"), F.col("c.chash").alias("chash")
     )
     return chunks
 

@@ -608,9 +608,13 @@ def sliding_hll_tracker(
     the finalized rows are provably the batch operator's numbers —
     pinned by the stream ≡ batch equivalence test.
     """
-    from ..analytics.advanced import Q62_M, Q62_NUM, Q62_SHIFT, _q62_h64_user
+    from ..analytics.advanced import Q62_M, Q62_NUM, Q62_SHIFT
+    from ..functions.hashing import h64
 
-    h = _q62_h64_user()
+    # same hash as q94's _q62_h64_user, parameterized on user_col
+    # (round-8 review: the helper hardcodes user_id, silently ignoring
+    # the caller's column)
+    h = h64(F.col(user_col).cast("string"))
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
     base = (
         df.withWatermark(ts_col, delay)
@@ -653,20 +657,33 @@ def sliding_hll_tracker(
                 }
             )
             return
-        regs = list(state.get[0]) if state.exists else [0] * Q62_M
+        regs = list(state.get[0]) if state.exists else None
         for pdf in pdfs:
+            if not len(pdf):
+                continue
+            if regs is None:
+                regs = [0] * Q62_M
             for b, r in zip(pdf["bucket"], pdf["rho"]):
                 b = int(b)
                 if r > regs[b]:
                     regs[b] = int(r)
+        if regs is None:  # every row late-filtered upstream: no state,
+            return        # no timeout — never a spurious all-zero slot
         state.update((regs,))
-        # finalize when the watermark certifies the slot's day is over
+        # finalize when the watermark certifies the slot's day is over.
+        # UTC-explicit epoch arithmetic (calendar.timegm): naive
+        # .timestamp() applies the executor OS timezone, which on a
+        # non-UTC host would time the slot out hours early and emit
+        # duplicate partial rows (round-8 review)
+        import calendar as _cal
         import datetime as _dt
 
         end_of_day = _dt.datetime.combine(
             slot + _dt.timedelta(days=1), _dt.time.min
         )
-        state.setTimeoutTimestamp(int(end_of_day.timestamp() * 1000))
+        state.setTimeoutTimestamp(
+            int(_cal.timegm(end_of_day.timetuple()) * 1000)
+        )
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -169,9 +169,16 @@ def append_container(path: str, records: list) -> None:
         # ends within 16 bytes of the window edge, as the truncated-
         # sync ValueError. Either way, when the window was read FULL
         # the file is not necessarily damaged: name the real cause.
-        window_edge = len(head) == _APPEND_HEADER_BYTES and (
-            not isinstance(exc, ValueError)
-            or "sync marker incomplete" in str(exc)
+        # only a file LARGER than the window can blame the window — a
+        # file truncated at exactly the window size keeps its accurate
+        # truncation/EOF diagnosis (round-8 review)
+        window_edge = (
+            len(head) == _APPEND_HEADER_BYTES
+            and os.path.getsize(path) > _APPEND_HEADER_BYTES
+            and (
+                not isinstance(exc, ValueError)
+                or "sync marker incomplete" in str(exc)
+            )
         )
         if window_edge:
             raise ValueError(

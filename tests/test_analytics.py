@@ -2401,3 +2401,16 @@ def test_m05_cdc_boundaries_shift_resistant(spark):
     assert edit[edit.index(orig[k]) :] == orig[k:]
     # non-vacuous: the pre-edit prefix differs
     assert orig[:k] != edit[: edit.index(orig[k])]
+
+
+def test_m05_probe_lattice_computed_once(spark):
+    """Round-8 review: the md5 probe lattice must appear exactly once
+    in the optimized plan (the boundary array is a materialized
+    column) — inlining it into size() + element_at() re-evaluates the
+    whole lattice per chunk pair, which is quadratic in blob size.
+    The only other md5 is the per-chunk fingerprint."""
+    from dbsink_spark.analytics.multimodal import cdc_chunks
+
+    df = spark.createDataFrame([("s", "hello world " * 40)], ["source", "text"])
+    plan = cdc_chunks(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5(") == 2, plan.count("md5(")

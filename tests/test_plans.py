@@ -493,6 +493,18 @@ def test_checkpointed_aggregates_keep_plan_shape(spark):
     plan = _plan(_q105_pairs(t))
     assert "partial_count" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # q127's checkpointed sweep: the corpus feeds ONE combinable delta
+    # aggregate; the flag-partitioned window runs over the aggregated
+    # calendar grid (its low-cardinality key is rationalized in
+    # LOWCARD_WINDOW_RATIONALE — the checkpoint hides it from the
+    # live budget, so the pin lives here)
+    from dbsink_spark.analytics.advanced import _q127_occupancy
+
+    plan = _plan(_q127_occupancy(t.lineitem))
+    assert "partial_sum" in plan
+    from dbsink_spark.analytics.introspect import _lowcard_window_keys
+
+    assert _lowcard_window_keys(plan) == ["l_returnflag"], _lowcard_window_keys(plan)
     # s18's checkpointed scoring pass is scan → mapInPandas with ZERO
     # exchanges — nothing shuffle-shaped to pin (noted for the rule)
 
