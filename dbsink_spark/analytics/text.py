@@ -2544,3 +2544,222 @@ ORACLE["t32_vocab_estimate"] = """
     FROM s
     """
 QUERIES["t32_vocab_estimate"] = t32_vocab_estimate
+
+
+# ---------------------------------------------------------------------------
+# t33: boilerplate detection (source-frequent shingle coverage)
+# ---------------------------------------------------------------------------
+
+BOILER_SHINGLE_W = 3  # words per positional shingle
+BOILER_MIN_DOCS = 3  # shingle is boilerplate if in >= this many docs of a source
+
+
+def t33_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection — the CCNet-style "same phrase repeated
+    across many documents of one source" profile (headers, footers,
+    navigation chrome). A positional word 3-shingle is *boilerplate*
+    within its source when it occurs in >= ``BOILER_MIN_DOCS`` distinct
+    documents of that source; every document then reports how many of
+    its shingle POSITIONS are covered by boilerplate shingles (exact
+    integer ppm). Dedup (d-family) asks "is this whole document a
+    copy"; this asks "how much of this document is chrome" — the
+    removal signal an LLM ingest pipeline thresholds on.
+
+    Plan shape: shingles are hashed to 8-byte keys INSIDE the
+    ``transform`` lambda before the explode (generated rows never carry
+    text), doc-frequency is one (source, h) hash aggregation over the
+    distinct-per-doc projection, and the per-position count is an
+    equi-join back on the same (source, h) key — two shuffles on 8-byte
+    keys, both combinable map-side. At 100 TB the boilerplate set is
+    corpus-frequent-only (df >= threshold keeps it tiny relative to the
+    shingle universe) so AQE turns the join-back into a broadcast.
+    """
+    from ..functions.hashing import h64
+
+    d = Tables(spark, sf_dir).documents
+    dw = d.withColumn("w", _words()).filter(F.size("w") >= BOILER_SHINGLE_W)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (BOILER_SHINGLE_W - 1)),
+        lambda i: h64(
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("w"), i),
+                F.element_at(F.col("w"), i + 1),
+                F.element_at(F.col("w"), i + 2),
+            )
+        ),
+    )
+    pos = dw.select(
+        "doc_id",
+        "source",
+        F.size("w").alias("nw"),
+        F.explode(sh).alias("h"),
+    ).withColumn("n_pos", F.col("nw") - (BOILER_SHINGLE_W - 1))
+    df = (
+        pos.select("source", "h", "doc_id")
+        .distinct()
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("source", "h")
+    )
+    return (
+        pos.join(df, ["source", "h"])
+        .groupBy("doc_id", "n_pos")
+        .agg(F.count(F.lit(1)).alias("n_boiler_pos"))
+        .select(
+            "doc_id",
+            "n_pos",
+            "n_boiler_pos",
+            F.expr("(1000000 * n_boiler_pos) DIV n_pos").alias("boiler_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["t33_boilerplate"] = f"""
+    WITH docs AS (
+        SELECT doc_id, source,
+               [string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2]
+                for i in generate_series(1, len(string_split(text,' ')) - 2)] AS sh
+        FROM documents
+        WHERE len(string_split(text,' ')) >= {BOILER_SHINGLE_W}
+    ), pos AS (
+        SELECT doc_id, source, len(sh) AS n_pos, {h64_sql('unnest(sh)')} AS h
+        FROM docs
+    ), df AS (
+        SELECT source, h
+        FROM (SELECT DISTINCT source, h, doc_id FROM pos)
+        GROUP BY source, h
+        HAVING count(*) >= {BOILER_MIN_DOCS}
+    )
+    SELECT p.doc_id,
+           p.n_pos::INT AS n_pos,
+           count(*)::BIGINT AS n_boiler_pos,
+           ((1000000 * count(*)) // p.n_pos)::BIGINT AS boiler_ppm
+    FROM pos p JOIN df USING (source, h)
+    GROUP BY p.doc_id, p.n_pos
+    ORDER BY doc_id
+"""
+QUERIES["t33_boilerplate"] = t33_boilerplate
+
+
+# ---------------------------------------------------------------------------
+# t34: per-source dataset card (corpus composition summary)
+# ---------------------------------------------------------------------------
+
+
+def t34_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source *dataset card*: the one-row-per-source composition
+    summary a training-data pipeline publishes next to each corpus
+    slice — volume (docs, tokens), exact-duplicate rate, language mix
+    (distinct langs + dominant lang), and length distribution cuts
+    (low-median and p90 of n_chars). Integer-exact throughout: ratios
+    are ppm floor-divisions, the dominant lang rides a zero-padded
+    count-pack (ties break toward the lexicographically greatest
+    lang), and the length cuts are grid order statistics.
+
+    Plan shape: three small aggregates joined on source — (1) one
+    combinable groupBy(source) pass over the corpus, (2) a
+    (source, lang) count re-aggregated to the dominant lang, (3) a
+    (source, n_chars) GRID whose windowed cumsum input is bounded by
+    |sources| x |distinct lengths|, never corpus-sized (the q68/q84
+    discipline: windows only over grid-sized relations). All three
+    shuffle on the same tiny source key; the final joins broadcast.
+    """
+    from ..functions.hashing import h64
+
+    d = Tables(spark, sf_dir).documents
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h64(F.col("text"))).alias("n_uniq"),
+        F.sum(F.size(_words())).alias("total_words"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    lang_mode = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.concat(F.lpad(F.col("c").cast("string"), 12, "0"), F.lit("|"), F.col("lang"))
+            ).alias("packed")
+        )
+        .select("source", F.substring_index("packed", "|", -1).alias("top_lang"))
+    )
+    grid = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("source")
+    cuts = (
+        grid.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("tot", F.sum("c").over(w_tot))
+        .groupBy("source")
+        .agg(
+            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("n_chars"))).alias(
+                "median_chars"
+            ),
+            F.min(F.when(10 * F.col("cum") >= 9 * F.col("tot"), F.col("n_chars"))).alias(
+                "p90_chars"
+            ),
+        )
+    )
+    return (
+        base.join(lang_mode, "source")
+        .join(cuts, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(1000000 * n_uniq) DIV n_docs").alias("uniq_ppm"),
+            "total_words",
+            "n_langs",
+            "top_lang",
+            "median_chars",
+            "p90_chars",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["t34_dataset_card"] = f"""
+    WITH base AS (
+        SELECT source,
+               count(*)::BIGINT AS n_docs,
+               count(DISTINCT {h64_sql('text')})::BIGINT AS n_uniq,
+               sum(len(string_split(text, ' ')))::BIGINT AS total_words,
+               count(DISTINCT lang)::BIGINT AS n_langs
+        FROM documents GROUP BY source
+    ), lc AS (
+        SELECT source, lang, count(*)::BIGINT AS c
+        FROM documents GROUP BY source, lang
+    ), lang_mode AS (
+        SELECT source,
+               string_split(max(lpad(c::VARCHAR, 12, '0') || '|' || lang), '|')[2]
+                   AS top_lang
+        FROM lc GROUP BY source
+    ), grid AS (
+        SELECT source, n_chars, count(*)::BIGINT AS c
+        FROM documents GROUP BY source, n_chars
+    ), cum AS (
+        SELECT source, n_chars, c,
+               sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY source) AS tot
+        FROM grid
+    ), cuts AS (
+        SELECT source,
+               min(CASE WHEN 2 * cum >= tot THEN n_chars END) AS median_chars,
+               min(CASE WHEN 10 * cum >= 9 * tot THEN n_chars END) AS p90_chars
+        FROM cum GROUP BY source
+    )
+    SELECT source, n_docs,
+           ((1000000 * n_uniq) // n_docs)::BIGINT AS uniq_ppm,
+           total_words, n_langs, top_lang, median_chars, p90_chars
+    FROM base JOIN lang_mode USING (source) JOIN cuts USING (source)
+    ORDER BY source
+"""
+QUERIES["t34_dataset_card"] = t34_dataset_card
