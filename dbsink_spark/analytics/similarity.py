@@ -686,7 +686,11 @@ def s07_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _s07_oracle() -> str:
+def _s07_knn_cte() -> str:
+    """The s07 graph as a reusable WITH-clause body: CTEs ``v`` (vectors
+    + norms), ``b`` (bucketed), and ``knn`` (vec_id, neighbor_id, rank
+    <= KNN_K). Shared by the s07 oracle and the s19 refinement oracle so
+    both verify against the IDENTICAL base graph."""
     planes = hyperplane_weights()[:N_GRAPH_PLANES]
     bucket_terms = " + ".join(
         f"(CASE WHEN list_sum([v[i] * ({_weights_sql(w)})[i] for i in generate_series(1, {DIM})]) > 0 "
@@ -694,7 +698,7 @@ def _s07_oracle() -> str:
         for p, w in enumerate(planes)
     )
     return f"""
-        WITH v AS (
+        v AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,
                    sqrt(list_sum([x*x for x in embedding::DOUBLE[]])) AS vn
             FROM embeddings
@@ -705,14 +709,22 @@ def _s07_oracle() -> str:
                    list_sum([a.v[i] * c.v[i] for i in generate_series(1, {DIM})])
                        / (a.vn * c.vn) AS cosine
             FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
-        ), ranked AS (
-            SELECT vec_id, neighbor_id,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY cosine DESC, neighbor_id) AS rank
-            FROM scored
+        ), knn AS (
+            SELECT vec_id, neighbor_id, rank FROM (
+                SELECT vec_id, neighbor_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM scored
+            ) WHERE rank <= {KNN_K}
         )
+    """
+
+
+def _s07_oracle() -> str:
+    return f"""
+        WITH {_s07_knn_cte()}
         SELECT vec_id, neighbor_id, rank::INT AS rank
-        FROM ranked WHERE rank <= {KNN_K}
+        FROM knn
         ORDER BY vec_id, rank
     """
 
@@ -2252,3 +2264,229 @@ ORACLE["s18_filtered_search"] = f"""
     ORDER BY pre.query_id, pre.rank
 """
 QUERIES["s18_filtered_search"] = s18_filtered_search
+
+
+# ---------------------------------------------------------------------------
+# s19: one NN-descent refinement round over the s07 kNN graph
+# ---------------------------------------------------------------------------
+
+
+def s19_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-descent refinement round (Dong et al., WWW'11) over the
+    s07 LSH-bucketed kNN graph: a vector's improved neighbor candidates
+    are its current neighbors, its REVERSE neighbors, and its
+    neighbors' neighbors — "a neighbor of my neighbor is probably my
+    neighbor". Candidates are re-ranked by EXACT cosine and the top
+    KNN_K kept; ``new_edge`` marks neighbors the bucket-blocked base
+    graph missed (the recall the round recovers across bucket
+    boundaries).
+
+    NN-descent is the standard distributed kNN-graph algorithm
+    precisely because each round is three bounded equi-joins on the
+    O(n*k) edge list — candidate fanout per node is <= k + k + k^2
+    regardless of corpus size, and no round touches the full n x n
+    space. At 100 TB you iterate this operator to convergence; one
+    registered round keeps the gate deterministic. Re-rank cosines use
+    the sequential-fold kernel (module header), so values hash-match
+    the oracle exactly; ranks tie-break on neighbor_id.
+
+    The base graph is persisted: three candidate branches consume it,
+    and the applyInPandas scoring of s07 must not replan per branch.
+    """
+    g = s07_knn_graph(spark, sf_dir).select("vec_id", "neighbor_id").persist()
+    direct = g.select(
+        F.col("vec_id").alias("u"), F.col("neighbor_id").alias("c")
+    ).withColumn("d", F.lit(1))
+    reverse = g.select(
+        F.col("neighbor_id").alias("u"), F.col("vec_id").alias("c")
+    ).withColumn("d", F.lit(0))
+    g1, g2 = g.alias("g1"), g.alias("g2")
+    hop2 = (
+        g1.join(g2, F.col("g1.neighbor_id") == F.col("g2.vec_id"))
+        .filter(F.col("g2.neighbor_id") != F.col("g1.vec_id"))
+        .select(
+            F.col("g1.vec_id").alias("u"),
+            F.col("g2.neighbor_id").alias("c"),
+            F.lit(0).alias("d"),
+        )
+    )
+    cand = (
+        direct.unionByName(reverse)
+        .unionByName(hop2)
+        .groupBy("u", "c")
+        .agg(F.max("d").alias("d"))
+    )
+    v = _vectors(spark, sf_dir)
+    vu = v.select(F.col("vec_id").alias("u"), F.col("v").alias("uv"), _norm(F.col("v")).alias("un"))
+    vc = v.select(F.col("vec_id").alias("c"), F.col("v").alias("cv"), _norm(F.col("v")).alias("cn"))
+    cos = _dot(F.col("uv"), F.col("cv")) / (F.col("un") * F.col("cn"))
+    scored = cand.join(vu, "u").join(vc, "c").select("u", "c", "d", cos.alias("cosine"))
+    w = Window.partitionBy("u").orderBy(F.col("cosine").desc(), F.col("c"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            F.col("u").alias("vec_id"),
+            F.col("c").alias("neighbor_id"),
+            "rank",
+            F.round("cosine", 4).alias("cosine"),
+            (1 - F.col("d")).alias("new_edge"),
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+ORACLE["s19_nn_descent"] = f"""
+    WITH {_s07_knn_cte()},
+    cand AS (
+        SELECT vec_id AS u, neighbor_id AS c, 1 AS d FROM knn
+        UNION ALL
+        SELECT neighbor_id AS u, vec_id AS c, 0 AS d FROM knn
+        UNION ALL
+        SELECT a.vec_id AS u, e.neighbor_id AS c, 0 AS d
+        FROM knn a JOIN knn e ON a.neighbor_id = e.vec_id
+        WHERE e.neighbor_id != a.vec_id
+    ), cd AS (
+        SELECT u, c, max(d) AS d FROM cand GROUP BY u, c
+    ), rescored AS (
+        SELECT cd.u, cd.c, cd.d,
+               list_sum([a.v[i] * z.v[i] for i in generate_series(1, {DIM})])
+                   / (a.vn * z.vn) AS cosine
+        FROM cd JOIN v a ON a.vec_id = cd.u JOIN v z ON z.vec_id = cd.c
+    ), r2 AS (
+        SELECT u, c, d, cosine,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY cosine DESC, c) AS rank
+        FROM rescored
+    )
+    SELECT u AS vec_id, c AS neighbor_id, rank::INT AS rank,
+           round(cosine, 4) AS cosine, (1 - d)::INT AS new_edge
+    FROM r2 WHERE rank <= {KNN_K}
+    ORDER BY vec_id, rank
+"""
+QUERIES["s19_nn_descent"] = s19_nn_descent
+
+
+# ---------------------------------------------------------------------------
+# s20: MMR-diversified top-k retrieval
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 12  # relevance-ranked candidate pool fed to the greedy stage
+MMR_K = 4  # results returned
+MMR_LAMBDA = 0.7  # relevance weight; (1 - lambda) penalizes redundancy
+
+
+def s20_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    diversified retrieval: after the distributed relevance stage, pick
+    results greedily by ``lambda*rel - (1-lambda)*max sim to already
+    selected`` so the top-k covers the query's neighborhood instead of
+    returning four near-copies — the standard de-redundancy step on
+    top of any ANN ranker (s01/s12). The empty-selection penalty is 0,
+    so step 1 is pure relevance.
+
+    Plan shape: the corpus never leaves the executors — relevance is a
+    broadcast-query scan + TakeOrdered top-``MMR_POOL`` (exactly s01's
+    scaling), and pairwise sims among the pool are a broadcast
+    self-join of MMR_POOL rows. Only those <= POOL + POOL^2 scored rows
+    are collected; the greedy loop is O(K*POOL) driver arithmetic over
+    that bounded set (the drill-bracket discipline: collect only
+    provably tiny relations). All cosines use the sequential-fold
+    kernel, so driver floats equal oracle doubles bit-for-bit.
+    """
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), _norm(F.col("v")).alias("qn")
+    )
+    corpus = v.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("corpus_id"), F.col("v").alias("cv"), _norm(F.col("v")).alias("cn")
+    )
+    rel_cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    pool = (
+        corpus.join(F.broadcast(q))
+        .select("corpus_id", "cv", "cn", rel_cos.alias("rel"))
+        .orderBy(F.col("rel").desc(), "corpus_id")
+        .limit(MMR_POOL)
+    ).persist()
+    a = pool.select(F.col("corpus_id").alias("ida"), F.col("cv").alias("va"), F.col("cn").alias("na"))
+    b = pool.select(F.col("corpus_id").alias("idb"), F.col("cv").alias("vb"), F.col("cn").alias("nb"))
+    sim_cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    sims = (
+        a.join(F.broadcast(b), F.col("ida") != F.col("idb"))
+        .select("ida", "idb", sim_cos.alias("sim"))
+    )
+    rel_rows = {int(r.corpus_id): float(r.rel) for r in pool.select("corpus_id", "rel").collect()}
+    sim_rows = {(int(r.ida), int(r.idb)): float(r.sim) for r in sims.collect()}
+    selected: list[tuple[int, int, float, float]] = []  # (step, id, score, rel)
+    chosen: list[int] = []
+    for step in range(1, MMR_K + 1):
+        best = None
+        for cid in sorted(rel_rows):
+            if cid in chosen:
+                continue
+            penalty = max((sim_rows[(cid, s)] for s in chosen), default=0.0)
+            score = MMR_LAMBDA * rel_rows[cid] - (1 - MMR_LAMBDA) * penalty
+            if best is None or score > best[0]:
+                best = (score, cid)
+        selected.append((step, best[1], best[0], rel_rows[best[1]]))
+        chosen.append(best[1])
+    out = spark.createDataFrame(
+        selected, "step int, corpus_id long, mmr_score double, relevance double"
+    )
+    return out.select(
+        "step",
+        "corpus_id",
+        F.round("mmr_score", 4).alias("mmr_score"),
+        F.round("relevance", 4).alias("relevance"),
+    ).orderBy("step")
+
+
+def _s20_oracle() -> str:
+    lam, pen = MMR_LAMBDA, 1 - MMR_LAMBDA
+    dot = f"list_sum([a.v[i] * z.v[i] for i in generate_series(1, {DIM})])"
+    steps = []
+    for k in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(f"SELECT corpus_id FROM s{j}" for j in range(1, k))
+        steps.append(f"""
+    s{k} AS MATERIALIZED (
+        SELECT r.corpus_id, {lam} * r.rel - {pen} * max(s.sim) AS score, r.rel
+        FROM rel r JOIN sims s
+          ON s.ida = r.corpus_id AND s.idb IN ({prev})
+        WHERE r.corpus_id NOT IN ({prev})
+        GROUP BY r.corpus_id, r.rel
+        ORDER BY score DESC, r.corpus_id LIMIT 1
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS step, corpus_id, round(score, 4) AS mmr_score, "
+        f"round(rel, 4) AS relevance FROM s{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum([x*x for x in embedding::DOUBLE[]])) AS vn
+        FROM embeddings
+    ), q AS (SELECT v, vn FROM v WHERE vec_id = 0),
+    rel AS MATERIALIZED (
+        SELECT z.vec_id AS corpus_id,
+               list_sum([q.v[i] * z.v[i] for i in generate_series(1, {DIM})])
+                   / (q.vn * z.vn) AS rel
+        FROM v z, q WHERE z.vec_id >= {N_QUERIES}
+        ORDER BY rel DESC, corpus_id LIMIT {MMR_POOL}
+    ), sims AS MATERIALIZED (
+        SELECT ra.corpus_id AS ida, rb.corpus_id AS idb,
+               {dot} / (a.vn * z.vn) AS sim
+        FROM rel ra JOIN rel rb ON ra.corpus_id != rb.corpus_id
+        JOIN v a ON a.vec_id = ra.corpus_id
+        JOIN v z ON z.vec_id = rb.corpus_id
+    ), s1 AS MATERIALIZED (
+        SELECT corpus_id, {lam} * rel AS score, rel
+        FROM rel ORDER BY score DESC, corpus_id LIMIT 1
+    ),{",".join(steps)}
+    {selects}
+    ORDER BY step
+"""
+
+
+ORACLE["s20_mmr_diversify"] = _s20_oracle()
+QUERIES["s20_mmr_diversify"] = s20_mmr_diversify
