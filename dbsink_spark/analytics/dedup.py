@@ -1777,3 +1777,182 @@ ORACLE["d19_sorted_neighborhood"] = f"""
     ORDER BY doc_a, doc_b
 """
 QUERIES["d19_sorted_neighborhood"] = d19_sorted_neighborhood
+
+
+# ---------------------------------------------------------------------------
+# d20: incremental-ingest dedup (new batch vs corpus + within batch)
+# ---------------------------------------------------------------------------
+
+# the newest ~20% of doc_ids play the "incoming batch"; everything below
+# the cutoff is the already-ingested corpus
+D20_NEW_NUM, D20_NEW_DEN = 4, 5  # cutoff = ceil(4/5 * (max_id + 1))
+
+
+def d20_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup decision — the shape a 100 TB pipeline
+    actually runs per arriving batch: the corpus is NEVER re-paired
+    against itself; only new-vs-corpus and new-vs-new candidates are
+    generated. Every new doc gets one decision by fixed priority:
+
+      ``exact_dup_corpus``  same content hash exists in the corpus
+      ``exact_dup_batch``   a smaller-id new doc has the same hash
+      ``near_dup_corpus``   verified Jaccard >= threshold vs a corpus doc
+      ``near_dup_batch``    verified Jaccard >= threshold vs a smaller-id
+                            surviving new doc (evaluated independently of
+                            that doc's own fate — keeper chains are d16's
+                            job, not the ingest gate's)
+      ``keep``              none of the above
+
+    ``match_id`` is the smallest matching doc of the deciding class
+    (NULL for keeps). Near-dup candidates ride the SAME LSH band
+    machinery as d03 (``banded_sigs``), but the band join is
+    new-batch-sided: corpus band rows stream against the tiny batch
+    side (at scale: the persisted band index, cf. ``ann_index``'s
+    append path), so per-batch cost tracks batch size + bucket
+    occupancy, not corpus^2.
+    """
+    d = Tables(spark, sf_dir).documents
+    max_id = d.agg(F.max("doc_id").alias("m")).collect()[0].m  # scalar, bounded
+    cutoff = -((-D20_NEW_NUM * (max_id + 1)) // D20_NEW_DEN)
+
+    hashed = d.select("doc_id", "source", "text", h64(F.col("text")).alias("h"))
+    old = hashed.filter(F.col("doc_id") < cutoff)
+    new = hashed.filter(F.col("doc_id") >= cutoff)
+    oldmin = old.groupBy("h").agg(F.min("doc_id").alias("corpus_match"))
+    newmin = new.groupBy("h").agg(F.min("doc_id").alias("batch_min"))
+    ex = (
+        new.join(oldmin, "h", "left")
+        .join(newmin, "h")
+        .select("doc_id", "corpus_match", "batch_min")
+    )
+
+    survivors = ex.filter(
+        F.col("corpus_match").isNull() & (F.col("batch_min") == F.col("doc_id"))
+    ).select("doc_id")
+    hd = _hashed_docs(spark, sf_dir).persist()
+    hd_old = hd.filter(F.col("doc_id") < cutoff)
+    hd_new = hd.join(survivors, "doc_id", "semi")
+    bands_old = banded_sigs(hd_old)
+    bands_new = banded_sigs(hd_new)
+    bn, bo = bands_new.alias("bn"), bands_old.alias("bo")
+    cand_oc = (
+        bn.join(
+            bo,
+            (F.col("bn.band_id") == F.col("bo.band_id"))
+            & (F.col("bn.bucket") == F.col("bo.bucket")),
+        )
+        .select(F.col("bo.doc_id").alias("doc_a"), F.col("bn.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    b1, b2 = bands_new.alias("b1"), bands_new.alias("b2")
+    cand_nn = (
+        b1.join(
+            b2,
+            (F.col("b1.band_id") == F.col("b2.band_id"))
+            & (F.col("b1.bucket") == F.col("b2.bucket"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ver = _verify_jaccard(cand_oc.unionByName(cand_nn), hd)
+    near_c = (
+        ver.filter(F.col("doc_a") < cutoff)
+        .groupBy("doc_b")
+        .agg(F.min("doc_a").alias("near_corpus"))
+    )
+    near_b = (
+        ver.filter(F.col("doc_a") >= cutoff)
+        .groupBy("doc_b")
+        .agg(F.min("doc_a").alias("near_batch"))
+    )
+
+    full = (
+        ex.join(near_c, ex.doc_id == near_c.doc_b, "left")
+        .drop("doc_b")
+        .join(near_b, ex.doc_id == near_b.doc_b, "left")
+        .drop("doc_b")
+    )
+    decision = (
+        F.when(F.col("corpus_match").isNotNull(), F.lit("exact_dup_corpus"))
+        .when(F.col("batch_min") < F.col("doc_id"), F.lit("exact_dup_batch"))
+        .when(F.col("near_corpus").isNotNull(), F.lit("near_dup_corpus"))
+        .when(F.col("near_batch").isNotNull(), F.lit("near_dup_batch"))
+        .otherwise(F.lit("keep"))
+    )
+    match_id = (
+        F.when(F.col("corpus_match").isNotNull(), F.col("corpus_match"))
+        .when(F.col("batch_min") < F.col("doc_id"), F.col("batch_min"))
+        .when(F.col("near_corpus").isNotNull(), F.col("near_corpus"))
+        .when(F.col("near_batch").isNotNull(), F.col("near_batch"))
+    )
+    return full.select(
+        "doc_id", decision.alias("decision"), match_id.alias("match_id")
+    ).orderBy("doc_id")
+
+
+ORACLE["d20_incremental_dedup"] = f"""
+    WITH cut AS (
+        SELECT -((-{D20_NEW_NUM} * (max(doc_id) + 1)) // {D20_NEW_DEN}) AS c
+        FROM documents
+    ), h AS (
+        SELECT doc_id, source, text, {h64_sql('text')} AS h FROM documents
+    ), old AS (SELECT h.* FROM h, cut WHERE doc_id < c),
+    new AS (SELECT h.* FROM h, cut WHERE doc_id >= c),
+    oldmin AS (SELECT h, min(doc_id) AS corpus_match FROM old GROUP BY h),
+    newmin AS (SELECT h, min(doc_id) AS batch_min FROM new GROUP BY h),
+    ex AS (
+        SELECT n.doc_id, o.corpus_match, m.batch_min
+        FROM new n LEFT JOIN oldmin o USING (h) JOIN newmin m USING (h)
+    ), surv AS (
+        SELECT doc_id FROM ex WHERE corpus_match IS NULL AND batch_min = doc_id
+    ), docs AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS sh
+        FROM documents, cut
+        WHERE len(string_split(text,' ')) >= 3
+          AND (doc_id < c OR doc_id IN (SELECT doc_id FROM surv))
+    ), hashed AS (
+        SELECT doc_id, sh, list_transform(sh, s -> {h64_sql('s')}) AS shh FROM docs
+    ), sigs AS (
+        SELECT doc_id, sh, {_minhash_sig_sql()} FROM hashed
+    ), banded AS (
+        {_band_rows_sql()}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id,
+        cut
+        WHERE b.doc_id >= c
+    ), ver AS (
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(da.sh, db.sh))::DOUBLE
+                     / len(list_distinct(da.sh || db.sh)), 4) AS jaccard
+        FROM cand
+        JOIN docs da ON da.doc_id = doc_a
+        JOIN docs db ON db.doc_id = doc_b
+    ), verok AS (
+        SELECT doc_a, doc_b FROM ver WHERE jaccard >= {JACCARD_THRESHOLD}
+    ), near_c AS (
+        SELECT doc_b AS doc_id, min(doc_a) AS near_corpus
+        FROM verok, cut WHERE doc_a < c GROUP BY doc_b
+    ), near_b AS (
+        SELECT doc_b AS doc_id, min(doc_a) AS near_batch
+        FROM verok, cut WHERE doc_a >= c GROUP BY doc_b
+    )
+    SELECT e.doc_id,
+           CASE WHEN e.corpus_match IS NOT NULL THEN 'exact_dup_corpus'
+                WHEN e.batch_min < e.doc_id THEN 'exact_dup_batch'
+                WHEN nc.near_corpus IS NOT NULL THEN 'near_dup_corpus'
+                WHEN nb.near_batch IS NOT NULL THEN 'near_dup_batch'
+                ELSE 'keep' END AS decision,
+           CASE WHEN e.corpus_match IS NOT NULL THEN e.corpus_match
+                WHEN e.batch_min < e.doc_id THEN e.batch_min
+                WHEN nc.near_corpus IS NOT NULL THEN nc.near_corpus
+                WHEN nb.near_batch IS NOT NULL THEN nb.near_batch
+                END AS match_id
+    FROM ex e
+    LEFT JOIN near_c nc USING (doc_id)
+    LEFT JOIN near_b nb USING (doc_id)
+    ORDER BY doc_id
+"""
+QUERIES["d20_incremental_dedup"] = d20_incremental_dedup
