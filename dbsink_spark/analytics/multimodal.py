@@ -564,3 +564,95 @@ ORACLE["m05_cdc_chunks"] = f"""
     FROM per GROUP BY source ORDER BY source
 """
 QUERIES["m05_cdc_chunks"] = m05_cdc_chunks
+
+
+# ---------------------------------------------------------------------------
+# m06: payload entropy triage (byte-distribution profile per blob)
+# ---------------------------------------------------------------------------
+
+# class cuts applied to the ROUNDED entropy (both engines classify the
+# identical round-4 double, so the thresholds carry no ulp boundary risk)
+M06_LOW_BITS = 4.05
+M06_MID_BITS = 4.15
+
+
+def m06_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload triage by byte-distribution entropy — the cheap
+    first-pass filter a multimodal ingest runs on opaque blobs before
+    paying for a real decoder: near-uniform byte histograms
+    (entropy -> 8 bits) mean already-compressed/encrypted payloads a
+    text pipeline should skip, low-entropy histograms mean repetitive
+    filler. Per blob: size, distinct symbols, dominant symbol (ties
+    break toward the greatest symbol via a zero-padded count-pack),
+    Shannon entropy in bits, and the triage class cut on the ROUNDED
+    entropy. This corpus's synthetic blobs are UTF-8 text, so symbol ==
+    byte; the plumbing (binary column -> decode -> histogram) is the
+    real multimodal path.
+
+    Plan shape: explode to (doc, symbol) -> one combinable count
+    aggregation -> one per-doc fold over the <= |alphabet|-sized
+    histogram. Entropy uses the sequential ln-fold ordered by symbol
+    (the q118/t27 float discipline), H = (ln n - sum c*ln c / n)/ln 2,
+    so values hash-match the oracle exactly. Both shuffles key on
+    8-byte-ish (doc_id, symbol) — no wide rows move.
+    """
+    media = media_table(spark, sf_dir)
+    txt = media.select("doc_id", F.decode(F.col("blob"), "utf-8").alias("t"))
+    grp = (
+        txt.select("doc_id", F.explode(F.split("t", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    folded = grp.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bytes"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.substring_index(
+            F.max(F.concat(F.lpad(F.col("c").cast("string"), 12, "0"), F.lit("|"), F.col("ch"))),
+            "|",
+            -1,
+        ).alias("top_sym"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("ch", "c"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["c"] * F.log(s["c"]),
+        ).alias("s"),
+    )
+    ent = F.round((F.log("n_bytes") - F.col("s") / F.col("n_bytes")) / F.log(F.lit(2.0)), 4)
+    out = folded.withColumn("entropy_bits", ent)
+    cls = (
+        F.when(F.col("entropy_bits") < M06_LOW_BITS, F.lit("low"))
+        .when(F.col("entropy_bits") < M06_MID_BITS, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    return out.select(
+        "doc_id", "n_bytes", "n_distinct", "top_sym", "entropy_bits", cls.alias("triage")
+    ).orderBy("doc_id")
+
+
+ORACLE["m06_payload_entropy"] = f"""
+    WITH pos AS (
+        SELECT doc_id,
+               unnest([substr(text, i, 1) for i in generate_series(1, len(text))]) AS ch
+        FROM documents
+    ), grp AS (
+        SELECT doc_id, ch, count(*)::BIGINT AS c FROM pos GROUP BY doc_id, ch
+    ), folded AS (
+        SELECT doc_id,
+               sum(c)::BIGINT AS n_bytes,
+               count(*)::BIGINT AS n_distinct,
+               string_split(max(lpad(c::VARCHAR, 12, '0') || '|' || ch), '|')[2] AS top_sym,
+               list_sum(list(c * ln(c) ORDER BY ch)) AS s
+        FROM grp GROUP BY doc_id
+    ), scored AS (
+        SELECT doc_id, n_bytes, n_distinct, top_sym,
+               round((ln(n_bytes) - s / n_bytes) / ln(2), 4) AS entropy_bits
+        FROM folded
+    )
+    SELECT doc_id, n_bytes, n_distinct, top_sym, entropy_bits,
+           CASE WHEN entropy_bits < {M06_LOW_BITS} THEN 'low'
+                WHEN entropy_bits < {M06_MID_BITS} THEN 'mid'
+                ELSE 'high' END AS triage
+    FROM scored
+    ORDER BY doc_id
+"""
+QUERIES["m06_payload_entropy"] = m06_payload_entropy
