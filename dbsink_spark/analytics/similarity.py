@@ -627,10 +627,6 @@ def s07_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential fold in the last ulp, the induced ranking doesn't; ties
     break on neighbor_id via id-sorted stable argsort.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
     v = _vectors(spark, sf_dir)
     planes = hyperplane_weights()[:N_GRAPH_PLANES]
     bucket = None
@@ -641,6 +637,16 @@ def s07_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.shiftleft(bit, p)
         bucket = term if bucket is None else bucket + term
     b = v.select("vec_id", "v", bucket.alias("bucket"))
+    return _knn_block_apply(b).orderBy("vec_id", "rank")
+
+
+def _knn_block_apply(b: DataFrame) -> DataFrame:
+    """Per-bucket tiled-numpy top-KNN_K over a (vec_id, v, bucket)
+    relation — s07's scoring kernel, shared with s19's per-view base
+    graphs. Rank-only output (see s07 docstring)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
     out_schema = T.StructType(
         [
@@ -679,11 +685,7 @@ def s07_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.concat(outs, ignore_index=True)
 
-    return (
-        b.groupBy("bucket")
-        .applyInPandas(knn_block, out_schema)
-        .orderBy("vec_id", "rank")
-    )
+    return b.groupBy("bucket").applyInPandas(knn_block, out_schema)
 
 
 def _s07_knn_cte() -> str:
@@ -2271,19 +2273,39 @@ QUERIES["s18_filtered_search"] = s18_filtered_search
 # ---------------------------------------------------------------------------
 
 
+def _view_bucket(planes: list[list[int]]):
+    """LSH bucket id column from an explicit plane slice (the s07
+    bucketing generalized so s19 can build several independent views)."""
+    bucket = None
+    for p, wts in enumerate(planes):
+        wcol = F.array(*[F.lit(float(x)) for x in wts])
+        dot = _dot(F.col("v"), wcol)
+        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, p)
+        bucket = term if bucket is None else bucket + term
+    return bucket
+
+
 def s19_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One NN-descent refinement round (Dong et al., WWW'11) over the
-    s07 LSH-bucketed kNN graph: a vector's improved neighbor candidates
+    """One NN-descent refinement round (Dong et al., WWW'11) over a
+    TWO-VIEW LSH base graph: a vector's improved neighbor candidates
     are its current neighbors, its REVERSE neighbors, and its
     neighbors' neighbors — "a neighbor of my neighbor is probably my
     neighbor". Candidates are re-ranked by EXACT cosine and the top
-    KNN_K kept; ``new_edge`` marks neighbors the bucket-blocked base
-    graph missed (the recall the round recovers across bucket
-    boundaries).
+    KNN_K kept; ``new_edge`` marks neighbors absent from BOTH base
+    views — recall the descent step recovers across bucket boundaries.
+
+    The base MUST be multi-view: a single LSH bucketing partitions the
+    corpus, so knn(u) ⊆ bucket(u) makes every neighbor-of-neighbor
+    land back in bucket(u) and the round provably a no-op (caught by
+    the first-cut property test). With two independent plane sets
+    (planes 0-3 and 4-7), u's view-A neighbor contributes its view-B
+    neighborhood — candidates u's own buckets never contained, which
+    is exactly how NN-descent converges from partial views.
 
     NN-descent is the standard distributed kNN-graph algorithm
     precisely because each round is three bounded equi-joins on the
-    O(n*k) edge list — candidate fanout per node is <= k + k + k^2
+    O(n*k) edge list — candidate fanout per node is <= 2k + 2k + 4k^2
     regardless of corpus size, and no round touches the full n x n
     space. At 100 TB you iterate this operator to convergence; one
     registered round keeps the gate deterministic. Re-rank cosines use
@@ -2291,9 +2313,21 @@ def s19_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle exactly; ranks tie-break on neighbor_id.
 
     The base graph is persisted: three candidate branches consume it,
-    and the applyInPandas scoring of s07 must not replan per branch.
+    and the applyInPandas scoring of the views must not replan per
+    branch.
     """
-    g = s07_knn_graph(spark, sf_dir).select("vec_id", "neighbor_id").persist()
+    views = [
+        hyperplane_weights()[:N_GRAPH_PLANES],
+        hyperplane_weights()[N_GRAPH_PLANES : 2 * N_GRAPH_PLANES],
+    ]
+    vv = _vectors(spark, sf_dir)
+    parts = [
+        _knn_block_apply(
+            vv.select("vec_id", "v", _view_bucket(pl).alias("bucket"))
+        ).select("vec_id", "neighbor_id")
+        for pl in views
+    ]
+    g = parts[0].unionByName(parts[1]).dropDuplicates(["vec_id", "neighbor_id"]).persist()
     direct = g.select(
         F.col("vec_id").alias("u"), F.col("neighbor_id").alias("c")
     ).withColumn("d", F.lit(1))
@@ -2336,8 +2370,49 @@ def s19_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_view_cte(name: str, lo: int, hi: int) -> str:
+    """One LSH-view kNN graph as CTEs ``b_<name>``/``scored_<name>``/
+    ``<name>`` (vec_id, neighbor_id) over the shared ``v`` CTE, built
+    from hyperplanes [lo, hi) — the SQL twin of s19's per-view base."""
+    planes = hyperplane_weights()[lo:hi]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_sum([v[i] * ({_weights_sql(w)})[i] for i in generate_series(1, {DIM})]) > 0 "
+        f"THEN (1::BIGINT << {p}) ELSE 0 END)"
+        for p, w in enumerate(planes)
+    )
+    return f"""
+    b_{name} AS (
+        SELECT vec_id, v, vn, ({bucket_terms}) AS bucket FROM v
+    ), scored_{name} AS (
+        SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+               list_sum([a.v[i] * c.v[i] for i in generate_series(1, {DIM})])
+                   / (a.vn * c.vn) AS cosine
+        FROM b_{name} a JOIN b_{name} c
+          ON a.bucket = c.bucket AND a.vec_id != c.vec_id
+    ), {name} AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored_{name}
+        ) WHERE rank <= {KNN_K}
+    )"""
+
+
 ORACLE["s19_nn_descent"] = f"""
-    WITH {_s07_knn_cte()},
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum([x*x for x in embedding::DOUBLE[]])) AS vn
+        FROM embeddings
+    ), {_knn_view_cte("knn_a", 0, N_GRAPH_PLANES)},
+    {_knn_view_cte("knn_b", N_GRAPH_PLANES, 2 * N_GRAPH_PLANES)},
+    knn AS (
+        SELECT DISTINCT vec_id, neighbor_id FROM (
+            SELECT vec_id, neighbor_id FROM knn_a
+            UNION ALL
+            SELECT vec_id, neighbor_id FROM knn_b
+        )
+    ),
     cand AS (
         SELECT vec_id AS u, neighbor_id AS c, 1 AS d FROM knn
         UNION ALL
