@@ -460,6 +460,17 @@ UNGATED = frozenset(
         "q126_spearman_monthly",
         "m05_cdc_chunks",
         "q127_peak_concurrency",
+        # round-8 final wave (same policy — oracle-verified locally +
+        # benched; candidates for a future sanctioned promotion as new
+        # capability classes: boilerplate-coverage profiling, dataset
+        # cards, NN-descent graph refinement, MMR diversified
+        # retrieval, incremental-ingest dedup, payload entropy triage):
+        "t33_boilerplate",
+        "t34_dataset_card",
+        "s19_nn_descent",
+        "s20_mmr_diversify",
+        "d20_incremental_dedup",
+        "m06_payload_entropy",
         "q22_asof_join",
         "q38_range_join",
         "q51_countmin",

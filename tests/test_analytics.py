@@ -2414,3 +2414,274 @@ def test_m05_probe_lattice_computed_once(spark):
     df = spark.createDataFrame([("s", "hello world " * 40)], ["source", "text"])
     plan = cdc_chunks(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("md5(") == 2, plan.count("md5(")
+
+
+def test_t33_boilerplate_bruteforce(spark):
+    """Positional boilerplate coverage must equal a direct Python
+    recount: per-source 3-shingle doc frequency, threshold, per-doc
+    covered positions. Runs at sf0.01 — sf0.001's corpus has too few
+    same-source shingle collisions to exercise the threshold."""
+    from collections import defaultdict
+
+    from dbsink_spark.analytics.tables import Tables
+    from dbsink_spark.analytics.text import (
+        BOILER_MIN_DOCS,
+        BOILER_SHINGLE_W,
+        t33_boilerplate,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = Tables(spark, sf).documents.select("doc_id", "source", "text").collect()
+    per_doc = {}
+    docfreq = defaultdict(set)
+    for r in docs:
+        w = r["text"].split(" ")
+        if len(w) < BOILER_SHINGLE_W:
+            continue
+        sh = [" ".join(w[i : i + BOILER_SHINGLE_W]) for i in range(len(w) - BOILER_SHINGLE_W + 1)]
+        per_doc[r["doc_id"]] = (r["source"], sh)
+        for s in set(sh):
+            docfreq[(r["source"], s)].add(r["doc_id"])
+    boiler = {k for k, v in docfreq.items() if len(v) >= BOILER_MIN_DOCS}
+    want = []
+    for doc_id, (source, sh) in sorted(per_doc.items()):
+        n_boiler = sum(1 for s in sh if (source, s) in boiler)
+        if n_boiler:
+            want.append((doc_id, len(sh), n_boiler, 1000000 * n_boiler // len(sh)))
+    got = [
+        (r["doc_id"], r["n_pos"], r["n_boiler_pos"], r["boiler_ppm"])
+        for r in t33_boilerplate(spark, sf).collect()
+    ]
+    assert got == want
+    assert got  # non-vacuous: sf0.01 has cross-doc repeated phrases
+
+
+def test_t34_dataset_card_bruteforce(spark):
+    """Every card column must equal a direct Python recount (exact
+    integers, pack-based top lang, grid order statistics)."""
+    from collections import Counter, defaultdict
+
+    from dbsink_spark.analytics.text import t34_dataset_card
+    from dbsink_spark.analytics.tables import Tables
+
+    docs = Tables(spark, SF_DIR).documents.select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    ).collect()
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r["source"]].append(r)
+    want = []
+    for src in sorted(by_src):
+        rows = by_src[src]
+        n = len(rows)
+        uniq = len({r["text"] for r in rows})
+        words = sum(len(r["text"].split(" ")) for r in rows)
+        langs = {r["lang"] for r in rows}
+        lc = Counter(r["lang"] for r in rows)
+        top = max(lc, key=lambda l: (lc[l], l))
+        lens = sorted(r["n_chars"] for r in rows)
+        cum, med, p90 = 0, None, None
+        for length, c in sorted(Counter(lens).items()):
+            cum += c
+            if med is None and 2 * cum >= n:
+                med = length
+            if p90 is None and 10 * cum >= 9 * n:
+                p90 = length
+        want.append(
+            (src, n, 1000000 * uniq // n, words, len(langs), top, med, p90)
+        )
+    got = [tuple(r) for r in t34_dataset_card(spark, SF_DIR).collect()]
+    assert got == want
+
+
+def test_s19_nn_descent_improves_recall(spark):
+    """One descent round must (a) produce a neighbor list whose exact
+    brute-force recall@K is >= each single-view base graph's, and (b)
+    actually recover cross-bucket neighbors (new_edge > 0) — the
+    first-cut single-view formulation failed (b) by construction."""
+    import numpy as np
+
+    from dbsink_spark.analytics.similarity import (
+        KNN_K,
+        N_GRAPH_PLANES,
+        _knn_block_apply,
+        _vectors,
+        _view_bucket,
+        hyperplane_weights,
+        s19_nn_descent,
+    )
+
+    out = s19_nn_descent(spark, SF_DIR).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    new_edges = sum(r["new_edge"] for r in out)
+    assert new_edges > 0
+
+    vecs = _vectors(spark, SF_DIR).collect()
+    ids = np.array([r["vec_id"] for r in vecs])
+    m = np.array([r["v"] for r in vecs], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    true_k = {
+        int(ids[i]): set(ids[np.argsort(-sims[i], kind="stable")[:KNN_K]])
+        for i in range(len(ids))
+    }
+    vv = _vectors(spark, SF_DIR)
+    for lo, hi in ((0, N_GRAPH_PLANES), (N_GRAPH_PLANES, 2 * N_GRAPH_PLANES)):
+        planes = hyperplane_weights()[lo:hi]
+        base = _knn_block_apply(
+            vv.select("vec_id", "v", _view_bucket(planes).alias("bucket"))
+        ).collect()
+        base_n = {}
+        for r in base:
+            base_n.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        base_recall = sum(
+            len(base_n.get(u, set()) & true_k[u]) for u in true_k
+        )
+        ref_recall = sum(len(got.get(u, set()) & true_k[u]) for u in true_k)
+        assert ref_recall >= base_recall
+
+
+def test_s20_mmr_greedy_matches_pure_python(spark):
+    """The selected ids and round-4 scores must equal a from-scratch
+    Python MMR over sequential-fold cosines (the same fold order the
+    engine and oracle use, so the comparison is exact)."""
+    from dbsink_spark.analytics.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+        N_QUERIES,
+        s20_mmr_diversify,
+        _vectors,
+    )
+
+    vecs = {r["vec_id"]: r["v"] for r in _vectors(spark, SF_DIR).collect()}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return acc ** 0.5
+
+    q = vecs[0]
+    qn = norm(q)
+    rel = {
+        cid: fold_dot(q, v) / (qn * norm(v))
+        for cid, v in vecs.items()
+        if cid >= N_QUERIES
+    }
+    pool = sorted(rel, key=lambda c: (-rel[c], c))[:MMR_POOL]
+    sim = {
+        (a, b): fold_dot(vecs[a], vecs[b]) / (norm(vecs[a]) * norm(vecs[b]))
+        for a in pool
+        for b in pool
+        if a != b
+    }
+    chosen, want = [], []
+    for step in range(1, MMR_K + 1):
+        best = None
+        for cid in sorted(pool):
+            if cid in chosen:
+                continue
+            pen = max((sim[(cid, s)] for s in chosen), default=0.0)
+            score = MMR_LAMBDA * rel[cid] - (1 - MMR_LAMBDA) * pen
+            if best is None or score > best[0]:
+                best = (score, cid)
+        chosen.append(best[1])
+        want.append((step, best[1], round(best[0], 4), round(rel[best[1]], 4)))
+    got = [tuple(r) for r in s20_mmr_diversify(spark, SF_DIR).collect()]
+    assert got == want
+
+
+def test_d20_decisions_are_consistent(spark):
+    """Per-doc decision invariants at sf0.01: every new doc decided
+    exactly once; match ids precede the doc and come from the class
+    the decision names; exact corpus dups really share text with their
+    match; priority means an exact corpus dup is never reported as
+    anything else."""
+    from dbsink_spark.analytics.dedup import (
+        D20_NEW_DEN,
+        D20_NEW_NUM,
+        d20_incremental_dedup,
+    )
+    from dbsink_spark.analytics.tables import Tables
+
+    sf = "/root/testdata/sf0.01"
+    docs = {r["doc_id"]: r["text"] for r in Tables(spark, sf).documents.collect()}
+    max_id = max(docs)
+    cutoff = -((-D20_NEW_NUM * (max_id + 1)) // D20_NEW_DEN)
+    out = d20_incremental_dedup(spark, sf).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        d for d in docs if d >= cutoff
+    )
+    classes = {r["decision"] for r in out}
+    assert len(classes) >= 2  # non-vacuous: dup classes + keeps present
+    old_texts = {docs[d] for d in docs if d < cutoff}
+    for r in out:
+        if r["decision"] == "keep":
+            assert r["match_id"] is None
+            assert docs[r["doc_id"]] not in old_texts
+            continue
+        assert r["match_id"] is not None and r["match_id"] < r["doc_id"]
+        if r["decision"].endswith("corpus"):
+            assert r["match_id"] < cutoff
+        else:
+            assert r["match_id"] >= cutoff
+        if r["decision"] == "exact_dup_corpus":
+            assert docs[r["match_id"]] == docs[r["doc_id"]]
+        if r["decision"].startswith("near"):
+            assert docs[r["match_id"]] != docs[r["doc_id"]] or r[
+                "decision"
+            ] == "near_dup_batch"
+    # any new doc whose text exists in the corpus must be exact_dup_corpus
+    for r in out:
+        if docs[r["doc_id"]] in old_texts:
+            assert r["decision"] == "exact_dup_corpus"
+
+
+def test_m06_entropy_bruteforce(spark):
+    """Entropy/count columns must match a direct Python recount; the
+    triage class must be the documented cut of the engine's own
+    rounded entropy (ln is <= 1 ulp per engine, so the float compare
+    uses rel_tol — integers and symbols stay exact)."""
+    import math
+    from collections import Counter
+
+    from dbsink_spark.analytics.multimodal import (
+        M06_LOW_BITS,
+        M06_MID_BITS,
+        m06_payload_entropy,
+    )
+    from dbsink_spark.analytics.tables import Tables
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in Tables(spark, SF_DIR).documents.select("doc_id", "text").collect()
+    }
+    out = m06_payload_entropy(spark, SF_DIR).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(texts)
+    for r in out:
+        t = texts[r["doc_id"]]
+        c = Counter(t)
+        assert r["n_bytes"] == len(t)
+        assert r["n_distinct"] == len(c)
+        assert r["top_sym"] == max(c, key=lambda ch: (c[ch], ch))
+        s = 0.0
+        for ch in sorted(c):
+            s += c[ch] * math.log(c[ch])
+        ent = (math.log(len(t)) - s / len(t)) / math.log(2)
+        assert math.isclose(r["entropy_bits"], ent, rel_tol=1e-9, abs_tol=1e-4)
+        want_cls = (
+            "low"
+            if r["entropy_bits"] < M06_LOW_BITS
+            else "mid" if r["entropy_bits"] < M06_MID_BITS else "high"
+        )
+        assert r["triage"] == want_cls

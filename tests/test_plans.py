@@ -259,6 +259,11 @@ LOWCARD_WINDOW_RATIONALE = {
         "source-partitioned frames run over per-source score "
         "histograms — <= T30_BINS+1 rows per source by domain "
         "construction (bounded integer grid)",
+    "t34_dataset_card":
+        "both source-partitioned windows (cumsum + total) run over the "
+        "(source, n_chars) GRID produced by the combinable count "
+        "aggregate — <= |sources| x |distinct lengths| rows, bounded "
+        "by the length-domain, never corpus-sized",
 }
 
 
