@@ -1813,18 +1813,25 @@ def d20_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = Tables(spark, sf_dir).documents
     max_id = d.agg(F.max("doc_id").alias("m")).collect()[0].m  # scalar, bounded
-    cutoff = -((-D20_NEW_NUM * (max_id + 1)) // D20_NEW_DEN)
+    # ceiling via POSITIVE operands only: Python // floors but DuckDB //
+    # truncates toward zero, so the negated-floor ceiling idiom diverges
+    # between engine and oracle on any doc count not divisible by the
+    # denominator (round-7 signed-division rule; caught in review)
+    cutoff = (D20_NEW_NUM * (max_id + 1) + D20_NEW_DEN - 1) // D20_NEW_DEN
 
     hashed = d.select("doc_id", "source", "text", h64(F.col("text")).alias("h"))
     old = hashed.filter(F.col("doc_id") < cutoff)
     new = hashed.filter(F.col("doc_id") >= cutoff)
     oldmin = old.groupBy("h").agg(F.min("doc_id").alias("corpus_match"))
     newmin = new.groupBy("h").agg(F.min("doc_id").alias("batch_min"))
+    # persisted: one tiny row per new doc, but its lineage (full-text
+    # hashing + two corpus aggregations) would otherwise re-plan under
+    # every downstream consumer (survivors semi-join + final assembly)
     ex = (
         new.join(oldmin, "h", "left")
         .join(newmin, "h")
         .select("doc_id", "corpus_match", "batch_min")
-    )
+    ).persist()
 
     survivors = ex.filter(
         F.col("corpus_match").isNull() & (F.col("batch_min") == F.col("doc_id"))
@@ -1856,23 +1863,14 @@ def d20_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     ver = _verify_jaccard(cand_oc.unionByName(cand_nn), hd)
-    near_c = (
-        ver.filter(F.col("doc_a") < cutoff)
-        .groupBy("doc_b")
-        .agg(F.min("doc_a").alias("near_corpus"))
-    )
-    near_b = (
-        ver.filter(F.col("doc_a") >= cutoff)
-        .groupBy("doc_b")
-        .agg(F.min("doc_a").alias("near_batch"))
+    # one conditional aggregation covers both match classes (review:
+    # two filtered groupBys + two joins re-ran the verify subtree)
+    near = ver.groupBy("doc_b").agg(
+        F.min(F.when(F.col("doc_a") < cutoff, F.col("doc_a"))).alias("near_corpus"),
+        F.min(F.when(F.col("doc_a") >= cutoff, F.col("doc_a"))).alias("near_batch"),
     )
 
-    full = (
-        ex.join(near_c, ex.doc_id == near_c.doc_b, "left")
-        .drop("doc_b")
-        .join(near_b, ex.doc_id == near_b.doc_b, "left")
-        .drop("doc_b")
-    )
+    full = ex.join(near, ex.doc_id == near.doc_b, "left").drop("doc_b")
     decision = (
         F.when(F.col("corpus_match").isNotNull(), F.lit("exact_dup_corpus"))
         .when(F.col("batch_min") < F.col("doc_id"), F.lit("exact_dup_batch"))
@@ -1893,7 +1891,8 @@ def d20_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["d20_incremental_dedup"] = f"""
     WITH cut AS (
-        SELECT -((-{D20_NEW_NUM} * (max(doc_id) + 1)) // {D20_NEW_DEN}) AS c
+        SELECT ({D20_NEW_NUM} * (max(doc_id) + 1) + {D20_NEW_DEN} - 1)
+                   // {D20_NEW_DEN} AS c
         FROM documents
     ), h AS (
         SELECT doc_id, source, text, {h64_sql('text')} AS h FROM documents
@@ -1932,27 +1931,25 @@ ORACLE["d20_incremental_dedup"] = f"""
         JOIN docs db ON db.doc_id = doc_b
     ), verok AS (
         SELECT doc_a, doc_b FROM ver WHERE jaccard >= {JACCARD_THRESHOLD}
-    ), near_c AS (
-        SELECT doc_b AS doc_id, min(doc_a) AS near_corpus
-        FROM verok, cut WHERE doc_a < c GROUP BY doc_b
-    ), near_b AS (
-        SELECT doc_b AS doc_id, min(doc_a) AS near_batch
-        FROM verok, cut WHERE doc_a >= c GROUP BY doc_b
+    ), near AS (
+        SELECT doc_b AS doc_id,
+               min(CASE WHEN doc_a < c THEN doc_a END) AS near_corpus,
+               min(CASE WHEN doc_a >= c THEN doc_a END) AS near_batch
+        FROM verok, cut GROUP BY doc_b
     )
     SELECT e.doc_id,
            CASE WHEN e.corpus_match IS NOT NULL THEN 'exact_dup_corpus'
                 WHEN e.batch_min < e.doc_id THEN 'exact_dup_batch'
-                WHEN nc.near_corpus IS NOT NULL THEN 'near_dup_corpus'
-                WHEN nb.near_batch IS NOT NULL THEN 'near_dup_batch'
+                WHEN n.near_corpus IS NOT NULL THEN 'near_dup_corpus'
+                WHEN n.near_batch IS NOT NULL THEN 'near_dup_batch'
                 ELSE 'keep' END AS decision,
            CASE WHEN e.corpus_match IS NOT NULL THEN e.corpus_match
                 WHEN e.batch_min < e.doc_id THEN e.batch_min
-                WHEN nc.near_corpus IS NOT NULL THEN nc.near_corpus
-                WHEN nb.near_batch IS NOT NULL THEN nb.near_batch
+                WHEN n.near_corpus IS NOT NULL THEN n.near_corpus
+                WHEN n.near_batch IS NOT NULL THEN n.near_batch
                 END AS match_id
     FROM ex e
-    LEFT JOIN near_c nc USING (doc_id)
-    LEFT JOIN near_b nb USING (doc_id)
+    LEFT JOIN near n USING (doc_id)
     ORDER BY doc_id
 """
 QUERIES["d20_incremental_dedup"] = d20_incremental_dedup

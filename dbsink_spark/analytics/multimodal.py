@@ -606,10 +606,12 @@ def m06_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = grp.groupBy("doc_id").agg(
         F.sum("c").alias("n_bytes"),
         F.count(F.lit(1)).alias("n_distinct"),
-        F.substring_index(
-            F.max(F.concat(F.lpad(F.col("c").cast("string"), 12, "0"), F.lit("|"), F.col("ch"))),
-            "|",
-            -1,
+        # fixed-width pack, NOT a delimiter split: the symbol domain is
+        # arbitrary payload bytes, so any chosen delimiter could BE the
+        # dominant symbol (review finding) — the suffix after the
+        # 12-digit count is always exactly the symbol
+        F.expr(
+            "substring(max(concat(lpad(cast(c as string), 12, '0'), ch)), 13)"
         ).alias("top_sym"),
         F.aggregate(
             F.sort_array(F.collect_list(F.struct("ch", "c"))),
@@ -640,7 +642,7 @@ ORACLE["m06_payload_entropy"] = f"""
         SELECT doc_id,
                sum(c)::BIGINT AS n_bytes,
                count(*)::BIGINT AS n_distinct,
-               string_split(max(lpad(c::VARCHAR, 12, '0') || '|' || ch), '|')[2] AS top_sym,
+               substr(max(lpad(c::VARCHAR, 12, '0') || ch), 13) AS top_sym,
                list_sum(list(c * ln(c) ORDER BY ch)) AS s
         FROM grp GROUP BY doc_id
     ), scored AS (

@@ -629,14 +629,7 @@ def s07_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     v = _vectors(spark, sf_dir)
     planes = hyperplane_weights()[:N_GRAPH_PLANES]
-    bucket = None
-    for p, wts in enumerate(planes):
-        wcol = F.array(*[F.lit(float(x)) for x in wts])
-        dot = _dot(F.col("v"), wcol)
-        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, p)
-        bucket = term if bucket is None else bucket + term
-    b = v.select("vec_id", "v", bucket.alias("bucket"))
+    b = v.select("vec_id", "v", _view_bucket(planes).alias("bucket"))
     return _knn_block_apply(b).orderBy("vec_id", "rank")
 
 
@@ -688,43 +681,47 @@ def _knn_block_apply(b: DataFrame) -> DataFrame:
     return b.groupBy("bucket").applyInPandas(knn_block, out_schema)
 
 
-def _s07_knn_cte() -> str:
-    """The s07 graph as a reusable WITH-clause body: CTEs ``v`` (vectors
-    + norms), ``b`` (bucketed), and ``knn`` (vec_id, neighbor_id, rank
-    <= KNN_K). Shared by the s07 oracle and the s19 refinement oracle so
-    both verify against the IDENTICAL base graph."""
-    planes = hyperplane_weights()[:N_GRAPH_PLANES]
+_VECTORS_CTE = """v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum([x*x for x in embedding::DOUBLE[]])) AS vn
+        FROM embeddings
+    )"""
+
+
+def _knn_view_cte(name: str, lo: int, hi: int) -> str:
+    """One LSH-view kNN graph as CTEs ``b_<name>``/``scored_<name>``/
+    ``<name>`` (vec_id, neighbor_id, rank <= KNN_K) over the shared
+    ``v`` CTE, built from hyperplanes [lo, hi). The s07 oracle and both
+    of s19's base views instantiate THIS builder, so the graphs they
+    verify against cannot drift apart."""
+    planes = hyperplane_weights()[lo:hi]
     bucket_terms = " + ".join(
         f"(CASE WHEN list_sum([v[i] * ({_weights_sql(w)})[i] for i in generate_series(1, {DIM})]) > 0 "
         f"THEN (1::BIGINT << {p}) ELSE 0 END)"
         for p, w in enumerate(planes)
     )
     return f"""
-        v AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v,
-                   sqrt(list_sum([x*x for x in embedding::DOUBLE[]])) AS vn
-            FROM embeddings
-        ), b AS (
-            SELECT vec_id, v, vn, ({bucket_terms}) AS bucket FROM v
-        ), scored AS (
-            SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
-                   list_sum([a.v[i] * c.v[i] for i in generate_series(1, {DIM})])
-                       / (a.vn * c.vn) AS cosine
-            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
-        ), knn AS (
-            SELECT vec_id, neighbor_id, rank FROM (
-                SELECT vec_id, neighbor_id,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY cosine DESC, neighbor_id) AS rank
-                FROM scored
-            ) WHERE rank <= {KNN_K}
-        )
-    """
+    b_{name} AS (
+        SELECT vec_id, v, vn, ({bucket_terms}) AS bucket FROM v
+    ), scored_{name} AS (
+        SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+               list_sum([a.v[i] * c.v[i] for i in generate_series(1, {DIM})])
+                   / (a.vn * c.vn) AS cosine
+        FROM b_{name} a JOIN b_{name} c
+          ON a.bucket = c.bucket AND a.vec_id != c.vec_id
+    ), {name} AS (
+        SELECT vec_id, neighbor_id, rank FROM (
+            SELECT vec_id, neighbor_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored_{name}
+        ) WHERE rank <= {KNN_K}
+    )"""
 
 
 def _s07_oracle() -> str:
     return f"""
-        WITH {_s07_knn_cte()}
+        WITH {_VECTORS_CTE}, {_knn_view_cte("knn", 0, N_GRAPH_PLANES)}
         SELECT vec_id, neighbor_id, rank::INT AS rank
         FROM knn
         ORDER BY vec_id, rank
@@ -2370,41 +2367,8 @@ def s19_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_view_cte(name: str, lo: int, hi: int) -> str:
-    """One LSH-view kNN graph as CTEs ``b_<name>``/``scored_<name>``/
-    ``<name>`` (vec_id, neighbor_id) over the shared ``v`` CTE, built
-    from hyperplanes [lo, hi) — the SQL twin of s19's per-view base."""
-    planes = hyperplane_weights()[lo:hi]
-    bucket_terms = " + ".join(
-        f"(CASE WHEN list_sum([v[i] * ({_weights_sql(w)})[i] for i in generate_series(1, {DIM})]) > 0 "
-        f"THEN (1::BIGINT << {p}) ELSE 0 END)"
-        for p, w in enumerate(planes)
-    )
-    return f"""
-    b_{name} AS (
-        SELECT vec_id, v, vn, ({bucket_terms}) AS bucket FROM v
-    ), scored_{name} AS (
-        SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
-               list_sum([a.v[i] * c.v[i] for i in generate_series(1, {DIM})])
-                   / (a.vn * c.vn) AS cosine
-        FROM b_{name} a JOIN b_{name} c
-          ON a.bucket = c.bucket AND a.vec_id != c.vec_id
-    ), {name} AS (
-        SELECT vec_id, neighbor_id FROM (
-            SELECT vec_id, neighbor_id,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY cosine DESC, neighbor_id) AS rank
-            FROM scored_{name}
-        ) WHERE rank <= {KNN_K}
-    )"""
-
-
 ORACLE["s19_nn_descent"] = f"""
-    WITH v AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-               sqrt(list_sum([x*x for x in embedding::DOUBLE[]])) AS vn
-        FROM embeddings
-    ), {_knn_view_cte("knn_a", 0, N_GRAPH_PLANES)},
+    WITH {_VECTORS_CTE}, {_knn_view_cte("knn_a", 0, N_GRAPH_PLANES)},
     {_knn_view_cte("knn_b", N_GRAPH_PLANES, 2 * N_GRAPH_PLANES)},
     knn AS (
         SELECT DISTINCT vec_id, neighbor_id FROM (

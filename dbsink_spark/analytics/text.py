@@ -2559,20 +2559,25 @@ def t33_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     across many documents of one source" profile (headers, footers,
     navigation chrome). A positional word 3-shingle is *boilerplate*
     within its source when it occurs in >= ``BOILER_MIN_DOCS`` distinct
-    documents of that source; every document then reports how many of
-    its shingle POSITIONS are covered by boilerplate shingles (exact
-    integer ppm). Dedup (d-family) asks "is this whole document a
-    copy"; this asks "how much of this document is chrome" — the
-    removal signal an LLM ingest pipeline thresholds on.
+    documents of that source; every document (with >= W words) then
+    reports how many of its shingle POSITIONS are covered by
+    boilerplate shingles (exact integer ppm) — zero-coverage documents
+    emit an explicit 0-ppm row, so thresholding consumers can tell
+    "clean" from "absent". Dedup (d-family) asks "is this whole
+    document a copy"; this asks "how much of this document is chrome"
+    — the removal signal an LLM ingest pipeline thresholds on.
 
     Plan shape: shingles are hashed to 8-byte keys INSIDE the
     ``transform`` lambda before the explode (generated rows never carry
     text), doc-frequency is one (source, h) hash aggregation over the
     distinct-per-doc projection, and the per-position count is an
     equi-join back on the same (source, h) key — two shuffles on 8-byte
-    keys, both combinable map-side. At 100 TB the boilerplate set is
-    corpus-frequent-only (df >= threshold keeps it tiny relative to the
-    shingle universe) so AQE turns the join-back into a broadcast.
+    keys, both combinable map-side. The exploded relation feeds both
+    branches, so it is persisted (multi-consumer house rule — without
+    it the corpus scan + shingle hashing pipeline compiles twice). At
+    100 TB the boilerplate set is corpus-frequent-only (df >= threshold
+    keeps it tiny relative to the shingle universe) so AQE turns the
+    join-back into a broadcast.
     """
     from ..functions.hashing import h64
 
@@ -2589,12 +2594,16 @@ def t33_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    pos = dw.select(
-        "doc_id",
-        "source",
-        F.size("w").alias("nw"),
-        F.explode(sh).alias("h"),
-    ).withColumn("n_pos", F.col("nw") - (BOILER_SHINGLE_W - 1))
+    pos = (
+        dw.select(
+            "doc_id",
+            "source",
+            F.size("w").alias("nw"),
+            F.explode(sh).alias("h"),
+        )
+        .withColumn("n_pos", F.col("nw") - (BOILER_SHINGLE_W - 1))
+        .persist()
+    )
     df = (
         pos.select("source", "h", "doc_id")
         .distinct()
@@ -2603,10 +2612,21 @@ def t33_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= BOILER_MIN_DOCS)
         .select("source", "h")
     )
-    return (
+    covered = (
         pos.join(df, ["source", "h"])
-        .groupBy("doc_id", "n_pos")
+        .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_boiler_pos"))
+    )
+    base = dw.select(
+        "doc_id", (F.size("w") - (BOILER_SHINGLE_W - 1)).alias("n_pos")
+    )
+    return (
+        base.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_pos",
+            F.coalesce("n_boiler_pos", F.lit(0)).alias("n_boiler_pos"),
+        )
         .select(
             "doc_id",
             "n_pos",
@@ -2633,13 +2653,18 @@ ORACLE["t33_boilerplate"] = f"""
         FROM (SELECT DISTINCT source, h, doc_id FROM pos)
         GROUP BY source, h
         HAVING count(*) >= {BOILER_MIN_DOCS}
+    ), covered AS (
+        SELECT p.doc_id, count(*)::BIGINT AS n_boiler_pos
+        FROM pos p JOIN df USING (source, h)
+        GROUP BY p.doc_id
+    ), base AS (
+        SELECT doc_id, len(sh) AS n_pos FROM docs
     )
-    SELECT p.doc_id,
-           p.n_pos::INT AS n_pos,
-           count(*)::BIGINT AS n_boiler_pos,
-           ((1000000 * count(*)) // p.n_pos)::BIGINT AS boiler_ppm
-    FROM pos p JOIN df USING (source, h)
-    GROUP BY p.doc_id, p.n_pos
+    SELECT b.doc_id,
+           b.n_pos::INT AS n_pos,
+           coalesce(c.n_boiler_pos, 0)::BIGINT AS n_boiler_pos,
+           ((1000000 * coalesce(c.n_boiler_pos, 0)) // b.n_pos)::BIGINT AS boiler_ppm
+    FROM base b LEFT JOIN covered c USING (doc_id)
     ORDER BY doc_id
 """
 QUERIES["t33_boilerplate"] = t33_boilerplate

@@ -49,6 +49,16 @@ def test_registry_count_matches_documented():
     m = re.search(r"# (\d+)/(\d+) queries hash-match", readme)
     assert m, "README quickstart oracle-count line missing"
     assert int(m.group(1)) == int(m.group(2)) == len(analytics.ALL_QUERIES)
+    # COVERAGE.md counts (round-8 review: its ungated count went stale
+    # at 150 while README was guarded — cover both of its lines too)
+    with open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")) as f:
+        coverage = f.read()
+    m = re.search(r"(\d+) more\s*\noracle-verified queries", coverage)
+    assert m, "COVERAGE ungated-count line missing"
+    assert int(m.group(1)) == len(analytics.UNGATED)
+    m = re.search(r"the full (\d+) run in", coverage)
+    assert m, "COVERAGE full-count line missing"
+    assert int(m.group(1)) == len(analytics.ALL_QUERIES)
 
 
 def test_multimodal_not_registry_tail():
