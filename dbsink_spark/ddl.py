@@ -33,12 +33,22 @@ def quoted(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
+def _pg_type(col: ColumnSpec, postgis: bool) -> str:
+    """Postgres column type; geometry degrades to WKT TEXT when the
+    server lacks PostGIS (sink.SinkWriter.postgis — documented
+    degraded mode, probed not assumed)."""
+    if not postgis and col.bind.startswith("geometry"):
+        return "TEXT"
+    return col.pg_type
+
+
 def create_statements(
     mapping: Mapping,
     dialect: str = "postgres",
     schema: str | None = None,
     drop: bool = False,
     truncate: bool = False,
+    postgis: bool = True,
 ) -> list[str]:
     """Idempotent environment + table DDL, in execution order.
 
@@ -72,7 +82,7 @@ def create_statements(
             default = f"nextval('{mapping.sequence_name}')"
             col_defs.append(f"{quoted(c.name)} INTEGER PRIMARY KEY DEFAULT {default}")
             continue
-        sql_type = c.pg_type if dialect == "postgres" else _duck_type(c)
+        sql_type = _pg_type(c, postgis) if dialect == "postgres" else _duck_type(c)
         col_defs.append(f"{quoted(c.name)} {sql_type}")
     stmts.append(f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(col_defs)})")
 
@@ -83,7 +93,7 @@ def create_statements(
     for c in mapping.columns:
         if c.bind == "serial":
             continue
-        sql_type = c.pg_type if dialect == "postgres" else _duck_type(c)
+        sql_type = _pg_type(c, postgis) if dialect == "postgres" else _duck_type(c)
         stmts.append(
             f"ALTER TABLE {table} ADD COLUMN IF NOT EXISTS {quoted(c.name)} "
             f"{sql_type.replace(' NOT NULL', '')}"

@@ -83,6 +83,16 @@ class SinkWriter:
     #     reference's absent-dict-key. (A message can then not
     #     intentionally null a column — the one residual divergence.)
     update_mode: str = "overwrite"  # overwrite | preserve
+    # PostGIS availability. None = auto-probe at ensure_table time:
+    # try CREATE EXTENSION postgis, then check pg_extension. False =
+    # DEGRADED GEOMETRY MODE — geometry columns are created as TEXT and
+    # bound as plain WKT (no ST_GeomFromText), so the rest of the sink
+    # (hstore, jsonb, LWW upsert, DDL sequence) runs against a vanilla
+    # Postgres without the PostGIS package. The reference requires
+    # PostGIS (dbsink/tables.py geometry columns); degraded mode is an
+    # explicit, documented divergence for PostGIS-less servers, and
+    # binds are only degraded AFTER the probe confirms absence.
+    postgis: bool | None = None
 
     @property
     def effective_mode(self) -> str:
@@ -90,14 +100,40 @@ class SinkWriter:
             return self.mode
         return "partition" if self.dialect == "postgres" else "driver"
 
+    def _probe_postgis(self, conn) -> bool:
+        cur = conn.cursor()
+        try:
+            cur.execute("CREATE EXTENSION IF NOT EXISTS postgis")
+        except Exception:
+            self._rollback(conn)
+        try:
+            cur = conn.cursor()
+            cur.execute("SELECT count(*) FROM pg_extension WHERE extname = 'postgis'")
+            return bool(cur.fetchall()[0][0])
+        except Exception:
+            self._rollback(conn)
+            return True  # probe failed — keep full-fidelity binds
+
     # -- DDL phase -----------------------------------------------------
     def ensure_table(self, drop: bool = False, truncate: bool = False) -> None:
         if not self.do_inserts:
             return
         conn = self.connect()
         try:
+            if self.dialect == "postgres" and self.postgis is None:
+                self.postgis = self._probe_postgis(conn)
+                if not self.postgis:
+                    L.warning(
+                        "PostGIS unavailable: geometry columns degrade to "
+                        "WKT TEXT (documented degraded mode)"
+                    )
             for stmt in create_statements(
-                self.mapping, self.dialect, self.schema, drop=drop, truncate=truncate
+                self.mapping,
+                self.dialect,
+                self.schema,
+                drop=drop,
+                truncate=truncate,
+                postgis=self.postgis is not False,
             ):
                 try:
                     conn.execute(stmt) if self.dialect == "duckdb" else conn.cursor().execute(stmt)
@@ -163,7 +199,10 @@ class SinkWriter:
         binds = []
         for c in cols:
             if self.dialect == "postgres":
-                if c.bind == "jsonb":
+                if c.bind in ("geometry", "geometry_union") and self.postgis is False:
+                    # degraded mode (see the postgis field): WKT text
+                    binds.append(ph)
+                elif c.bind == "jsonb":
                     binds.append(f"{ph}::jsonb")
                 elif c.bind == "hstore":
                     binds.append(f"{ph}::hstore")
@@ -347,10 +386,21 @@ def duckdb_connect_factory(path: str) -> Callable[[], object]:
     return connect
 
 
-def postgres_connect_factory(dsn: str) -> Callable[[], object]:  # pragma: no cover
-    def connect():
-        import psycopg2  # gated optional dependency
+def postgres_connect_factory(dsn: str) -> Callable[[], object]:
+    """psycopg2 when available; otherwise the pure-python wire client
+    (``wire.pg_lite``, simple-query protocol + client-side literals) —
+    environments with a Postgres server but no driver wheel still get
+    the live sink path. Both return DBAPI-shaped connections the
+    writer's non-psycopg2 fallback (`cursor.executemany`) handles."""
 
-        return psycopg2.connect(dsn)
+    def connect():
+        try:
+            import psycopg2  # gated optional dependency
+
+            return psycopg2.connect(dsn)
+        except ImportError:
+            from .wire.pg_lite import connect as pg_lite_connect
+
+            return pg_lite_connect(dsn)
 
     return connect

@@ -1,0 +1,67 @@
+"""Offline tests for the pure-python Postgres wire client's literal
+rendering (the live protocol path is exercised by
+tests/test_integration_live.py when a server is reachable)."""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+
+import pytest
+
+from dbsink_spark.wire.pg_lite import PgLiteError, render_literal, render_sql
+
+
+def test_render_literal_scalars():
+    assert render_literal(None) == "NULL"
+    assert render_literal(True) == "TRUE"
+    assert render_literal(False) == "FALSE"
+    assert render_literal(42) == "42"
+    assert render_literal(-7) == "-7"
+    assert render_literal(2.5) == "2.5"
+    assert render_literal(float("nan")) == "'NaN'::float8"
+    assert render_literal(float("inf")) == "'Infinity'::float8"
+    assert render_literal(float("-inf")) == "'-Infinity'::float8"
+
+
+def test_render_literal_strings_quote_doubling_only():
+    # standard_conforming_strings=on: backslash is ordinary, only the
+    # single quote doubles
+    assert render_literal("o'brien") == "'o''brien'"
+    assert render_literal(r"back\slash") == r"'back\slash'"
+    assert render_literal("") == "''"
+
+
+def test_render_literal_temporal_binary_json():
+    assert render_literal(datetime(2026, 8, 15, 1, 2, 3)) == "'2026-08-15 01:02:03'"
+    assert render_literal(date(2026, 8, 15)) == "'2026-08-15'"
+    assert render_literal(b"\x00\xff") == r"'\x00ff'::bytea"
+    assert render_literal({"b": 1, "a": 2}) == "'{\"a\": 2, \"b\": 1}'"
+
+
+def test_render_sql_substitution_order_and_casts():
+    sql = "INSERT INTO t VALUES (%s, %s::hstore, ST_GeomFromText(%s, 4326))"
+    out = render_sql(sql, [1, '"k"=>"v"', "POINT(1 2)"])
+    assert out == (
+        "INSERT INTO t VALUES (1, '\"k\"=>\"v\"'::hstore, "
+        "ST_GeomFromText('POINT(1 2)', 4326))"
+    )
+
+
+def test_render_sql_mismatched_placeholders_raise():
+    with pytest.raises(PgLiteError):
+        render_sql("SELECT %s, %s", [1])
+    with pytest.raises(PgLiteError):
+        render_sql("SELECT %s", [1, 2])
+
+
+def test_render_sql_no_params_passthrough():
+    # question marks (hstore's ? operator) are NOT placeholders
+    sql = "SELECT count(*) FROM t WHERE values ? 'mfr'"
+    assert render_sql(sql, None) == sql
+
+
+def test_render_literal_float_roundtrip():
+    for v in (0.1, 1e-300, 1.7976931348623157e308, -2.2250738585072014e-308):
+        assert float(render_literal(v)) == v
+    assert math.isnan(float("nan"))  # sanity for the NaN branch above
