@@ -104,6 +104,11 @@ class SinkWriter:
         cur = conn.cursor()
         try:
             cur.execute("CREATE EXTENSION IF NOT EXISTS postgis")
+            # commit NOW: under psycopg2 the whole ensure_table runs in
+            # one implicit transaction, and a later swallowed-TRUNCATE
+            # rollback would silently discard the just-installed
+            # extension while self.postgis stays cached True (review)
+            self._commit(conn)
         except Exception:
             self._rollback(conn)
         try:
@@ -120,7 +125,13 @@ class SinkWriter:
             return
         conn = self.connect()
         try:
-            if self.dialect == "postgres" and self.postgis is None:
+            needs_gis = any(
+                c.bind.startswith("geometry") for c in self.mapping.columns
+            )
+            if self.dialect == "postgres" and self.postgis is None and needs_gis:
+                # probe ONLY when the mapping binds geometry: installing
+                # PostGIS is a side-effectful schema change no
+                # geometry-less sink should trigger (review)
                 self.postgis = self._probe_postgis(conn)
                 if not self.postgis:
                     L.warning(
@@ -136,6 +147,12 @@ class SinkWriter:
                 postgis=self.postgis is not False,
             ):
                 try:
+                    if "TRUNCATE" in stmt or "DELETE FROM" in stmt:
+                        # checkpoint: a swallowed truncate-failure
+                        # rollback must not also discard the schema/
+                        # extension statements sharing psycopg2's
+                        # implicit transaction (review)
+                        self._commit(conn)
                     conn.execute(stmt) if self.dialect == "duckdb" else conn.cursor().execute(stmt)
                 except Exception as e:
                     # truncate of a missing table is swallowed, as the

@@ -38,6 +38,7 @@ import math
 import socket
 import struct
 from datetime import date, datetime
+from decimal import Decimal
 from urllib.parse import unquote, urlparse
 
 __all__ = ["connect", "PgLiteError", "render_literal", "render_sql"]
@@ -115,7 +116,10 @@ def _convert(oid: int, text: str):
     if oid in _FLOAT_OIDS:
         return float(text)
     if oid == _NUMERIC_OID:
-        return float(text)
+        # Decimal, not float: psycopg2 returns Decimal for NUMERIC, and
+        # the two drivers are interchangeable behind the same factory —
+        # they must not disagree on exact-aggregate values (review)
+        return Decimal(text)
     if oid == _BOOL_OID:
         return text == "t"
     return text
@@ -171,6 +175,13 @@ class Cursor:
         self.description = None
         self.rowcount = -1
         self._rows: list[tuple] = []
+        self._pos = 0
+
+    def _reset(self) -> None:
+        self.description = None
+        self.rowcount = -1
+        self._rows = []
+        self._pos = 0
 
     def execute(self, sql: str, params=None) -> None:
         self._run(render_sql(sql, params))
@@ -179,12 +190,22 @@ class Cursor:
         stmts = [render_sql(sql, p) for p in seq_of_params]
         if stmts:
             self._run(";".join(stmts))
+        else:
+            # a no-op batch must not leave the PREVIOUS statement's
+            # rows/rowcount visible on the cursor (review)
+            self._reset()
 
     def fetchall(self) -> list[tuple]:
-        return list(self._rows)
+        out = self._rows[self._pos :]
+        self._pos = len(self._rows)
+        return out
 
     def fetchone(self):
-        return self._rows[0] if self._rows else None
+        if self._pos >= len(self._rows):
+            return None
+        row = self._rows[self._pos]
+        self._pos += 1
+        return row
 
     def close(self) -> None:  # DBAPI shape
         pass
@@ -196,6 +217,7 @@ class Cursor:
         self.close()
 
     def _run(self, sql: str) -> None:
+        self._reset()
         proto = self._conn._proto
         proto.send(b"Q", sql.encode() + b"\x00")
         cols: list[tuple[str, int]] = []
@@ -265,12 +287,19 @@ class Connection:
         pass
 
     def close(self) -> None:
+        # never raises: close() runs in `finally:` blocks where an
+        # exception here would MASK the real error (psycopg2's close is
+        # equally silent on a dead socket) — review finding
         if not self.closed:
+            self.closed = True
             try:
                 self._proto.send(b"X", b"")
+            except Exception:
+                pass
+            try:
                 self._proto.sock.close()
-            finally:
-                self.closed = True
+            except Exception:
+                pass
 
     def __enter__(self):
         return self
@@ -291,7 +320,10 @@ def connect(dsn: str, connect_timeout: float | None = None) -> Connection:
     password = unquote(u.password or "")
     database = (u.path or "/").lstrip("/") or user
     sock = socket.create_connection((host, port), timeout=connect_timeout)
-    sock.settimeout(None)
+    # the timeout must also bound the STARTUP HANDSHAKE (a port that
+    # accepts but never answers would otherwise hang forever — review);
+    # it is lifted only once ReadyForQuery arrives, matching psycopg2's
+    # connect_timeout scope
     proto = _Proto(sock)
     proto.send_startup(user, database)
     while True:
@@ -313,6 +345,7 @@ def connect(dsn: str, connect_timeout: float | None = None) -> Connection:
                     f"unsupported auth method {code} (use trust/md5/cleartext)"
                 )
         elif mtype == b"Z":
+            sock.settimeout(None)
             return Connection(proto)
         elif mtype == b"E":
             fields = _error_fields(payload)

@@ -64,14 +64,23 @@ def _pg_available() -> bool:
 
 
 def _postgis_available() -> bool:
+    """Mirror the sink's FUNCTIONAL probe (CREATE EXTENSION + check
+    pg_extension), not pg_available_extensions: on a restricted-
+    privilege server the extension can be 'available' yet impossible
+    to install — the sink would degrade geometry to WKT text and the
+    ST_NPoints assertions would hard-fail where this gate promised a
+    skip (review finding)."""
     if not PG_OK:
         return False
     con = _pg_connect()
     try:
+        try:
+            con.cursor().execute("CREATE EXTENSION IF NOT EXISTS postgis")
+            con.commit()
+        except Exception:
+            con.rollback()
         with con.cursor() as cur:
-            cur.execute(
-                "SELECT count(*) FROM pg_available_extensions WHERE name = 'postgis'"
-            )
+            cur.execute("SELECT count(*) FROM pg_extension WHERE extname = 'postgis'")
             return bool(cur.fetchall()[0][0])
     except Exception:
         return False
