@@ -298,3 +298,48 @@ def test_kafka_round_trip(tmp_path):
         replay_source(spark, f"{FIXTURES}/replayer.json")
     ).count()
     assert n == expect > 0
+
+
+@pytest.mark.integration
+@requires_pg
+def test_pg_streaming_foreachbatch_checkpoint(tmp_path):
+    """S2 against LIVE Postgres: file stream → transform → foreachBatch
+    upsert (executor-side connections), then a SECOND stream over the
+    same checkpoint must not reprocess — the exactly-once-per-batch
+    contract of the production path, previously proven only on DuckDB
+    (tests/test_streaming.py::test_stream_end_to_end)."""
+    from dbsink_spark.mappings import resolve
+    from dbsink_spark.session import get_spark
+    from dbsink_spark.sink import SinkWriter, postgres_connect_factory
+    from dbsink_spark.sources import file_stream
+    from dbsink_spark.streaming import run_stream
+
+    spark = get_spark("dbsink-it-pg-stream")
+    indir = tmp_path / "in"
+    indir.mkdir()
+    with open(f"{FIXTURES}/replayer.json") as f:
+        messages = json.load(f)
+    with open(indir / "batch0.json", "w") as f:
+        for m in messages:
+            f.write(json.dumps({"key": "k", "value": json.dumps(m)}) + "\n")
+
+    table = f"it_stream_{uuid.uuid4().hex[:8]}"
+    mapping = resolve("GenericFloat", "it-stream")
+    mapping.table = table  # unique per run — the cluster persists
+    writer = SinkWriter(
+        mapping, postgres_connect_factory(PG_DSN), dialect="postgres"
+    )
+    writer.ensure_table(drop=True)
+
+    for attempt in (1, 2):
+        q = run_stream(
+            file_stream(spark, str(indir)),
+            mapping,
+            writer,
+            checkpoint=str(tmp_path / "ckpt"),
+            trigger={"availableNow": True},
+        )
+        assert q.awaitTermination(120), "availableNow drain did not finish"
+        n = _pg_query(f'SELECT count(*) FROM "{table}"')[0][0]
+        assert n == 4, (attempt, n)  # second pass: checkpoint prevents reprocess
+    _pg_query(f'DROP TABLE "{table}"')
