@@ -633,10 +633,11 @@ def s07_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_block_apply(b).orderBy("vec_id", "rank")
 
 
-def _knn_block_apply(b: DataFrame) -> DataFrame:
-    """Per-bucket tiled-numpy top-KNN_K over a (vec_id, v, bucket)
-    relation — s07's scoring kernel, shared with s19's per-view base
-    graphs. Rank-only output (see s07 docstring)."""
+def _knn_block_apply(b: DataFrame, keys: tuple[str, ...] = ("bucket",)) -> DataFrame:
+    """Per-block tiled-numpy top-KNN_K over a (vec_id, v, *keys)
+    relation — s07's scoring kernel, shared with s19's multi-view base
+    (which blocks on a composite (view, bucket) key in ONE pass).
+    Rank-only output (see s07 docstring)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -678,7 +679,7 @@ def _knn_block_apply(b: DataFrame) -> DataFrame:
             )
         return pd.concat(outs, ignore_index=True)
 
-    return b.groupBy("bucket").applyInPandas(knn_block, out_schema)
+    return b.groupBy(*keys).applyInPandas(knn_block, out_schema)
 
 
 _VECTORS_CTE = """v AS (
@@ -2318,13 +2319,29 @@ def s19_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
         hyperplane_weights()[N_GRAPH_PLANES : 2 * N_GRAPH_PLANES],
     ]
     vv = _vectors(spark, sf_dir)
-    parts = [
-        _knn_block_apply(
-            vv.select("vec_id", "v", _view_bucket(pl).alias("bucket"))
-        ).select("vec_id", "neighbor_id")
-        for pl in views
-    ]
-    g = parts[0].unionByName(parts[1]).dropDuplicates(["vec_id", "neighbor_id"]).persist()
+    # BOTH views ride one exploded (view, bucket) key — one exchange +
+    # one applyInPandas stage instead of a per-view pair (the kernel
+    # blocks on the composite key, so view-A and view-B buckets never
+    # mix); the 2-element struct array is literal-arity, which keeps
+    # the InferFiltersFromGenerate double-evaluation trap (d18) away
+    vb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("view"), _view_bucket(pl).alias("bucket")
+                )
+                for i, pl in enumerate(views)
+            ]
+        )
+    )
+    b = vv.select("vec_id", "v", vb.alias("vb")).select(
+        "vec_id", "v", F.col("vb.view").alias("view"), F.col("vb.bucket").alias("bucket")
+    )
+    g = (
+        _knn_block_apply(b, keys=("view", "bucket"))
+        .dropDuplicates(["vec_id", "neighbor_id"])
+        .persist()
+    )
     direct = g.select(
         F.col("vec_id").alias("u"), F.col("neighbor_id").alias("c")
     ).withColumn("d", F.lit(1))
