@@ -124,3 +124,63 @@ def test_live_close_is_silent_on_dead_socket():
     con._proto.sock.close()  # simulate a server crash
     con.close()  # must not raise (runs inside finally: blocks)
     assert con.closed
+
+
+def test_live_literal_roundtrip_property():
+    """Any python string rendered as a literal must come back
+    byte-identical from the server — the definitive check on the
+    escaping rules (quote doubling, no backslash escapes under
+    standard_conforming_strings). Deterministic corpus: quotes,
+    backslashes, unicode, hstore/geometry-looking payloads, mixed
+    control-ish whitespace (NUL is excluded — Postgres text cannot
+    carry it, matching psycopg2's own ValueError)."""
+    from dbsink_spark.wire.pg_lite import render_literal
+
+    corpus = [
+        "plain",
+        "o'brien",
+        "''",
+        "'",
+        r"back\slash",
+        r"\'" + "mixed",
+        '"double" quotes',
+        "tab\there, newline\nhere, cr\rhere",
+        "unicode: δσ→∞ 中文 🙂",
+        '"k"=>"v", "a"=>NULL',
+        "POINT(1.5 -2.25)",
+        "%s placeholder-looking",
+        "  leading and trailing  ",
+        "a" * 4096,
+    ]
+    con = _live_conn()
+    try:
+        cur = con.cursor()
+        for s in corpus:
+            cur.execute(f"SELECT {render_literal(s)}")
+            assert cur.fetchall() == [(s,)], repr(s)
+        # numerics, bools, temporal, bytea through one round trip
+        from datetime import date, datetime
+        from decimal import Decimal
+
+        cur.execute(
+            "SELECT "
+            + ", ".join(
+                [
+                    render_literal(-(2**62)),
+                    render_literal(2.5),
+                    render_literal(True) + "::bool",
+                    render_literal(b"\x00\xff\x7c") + "",
+                    render_literal(date(2026, 8, 15)) + "::date::text",
+                    render_literal(datetime(2026, 8, 15, 1, 2, 3)) + "::timestamp::text",
+                ]
+            )
+        )
+        row = cur.fetchall()[0]
+        assert row[0] == -(2**62)
+        assert row[1] == 2.5
+        assert row[2] is True
+        assert row[3] == r"\x00ff7c"  # bytea comes back as hex text
+        assert row[4] == "2026-08-15"
+        assert row[5] == "2026-08-15 01:02:03"
+    finally:
+        con.close()
