@@ -471,6 +471,7 @@ UNGATED = frozenset(
         "s20_mmr_diversify",
         "d20_incremental_dedup",
         "m06_payload_entropy",
+        "s21_kcenter_select",
         "q22_asof_join",
         "q38_range_join",
         "q51_countmin",

@@ -2546,3 +2546,101 @@ def _s20_oracle() -> str:
 
 ORACLE["s20_mmr_diversify"] = _s20_oracle()
 QUERIES["s20_mmr_diversify"] = s20_mmr_diversify
+
+
+# ---------------------------------------------------------------------------
+# s21: k-center greedy selection (farthest-point traversal)
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 5  # centers selected (seed + 4 greedy rounds)
+
+
+def s21_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-center greedy selection (Gonzalez 1985 farthest-point
+    traversal): seed with vec_id 0, then repeatedly pick the vector
+    FARTHEST from its nearest already-selected center — the classic
+    2-approximation for k-center and the standard diversity/coreset
+    selector a training pipeline uses to pick maximally-spread
+    exemplars (the opposite of s20's query-anchored MMR: no query,
+    pure corpus coverage). Output: selection order, the chosen vector,
+    and its squared distance to the nearest previous center (the
+    covering radius the next round improves).
+
+    Plan shape: each greedy round is ONE corpus scan + a combinable
+    max-of-struct aggregate — the selected centers are embedded as
+    literal arrays (bounded: K vectors), so nothing joins and nothing
+    shuffles but the single agg row; at 100 TB each round is a
+    map-side-combinable reduction, and rounds are K-1 sequential jobs
+    (the q92/q83 iterative discipline, with K fixed and tiny).
+    Distances are sequential folds of (x-y)^2, ties break to the
+    smaller vec_id via a negated-id struct max — all exact
+    cross-engine, so the oracle hash-matches bit-for-bit.
+    """
+    v = _vectors(spark, sf_dir).select("vec_id", "v").persist()
+    seed = v.filter(F.col("vec_id") == 0).collect()[0]
+    centers: list[tuple[int, list[float], float | None]] = [(0, list(seed.v), None)]
+
+    def dist_to(cv: list[float]):
+        carr = F.array(*[F.lit(float(x)) for x in cv])
+        return F.aggregate(
+            F.zip_with(F.col("v"), carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(KCENTER_K - 1):
+        mind = F.least(*[dist_to(cv) for _, cv, _ in centers]) if len(centers) > 1 else dist_to(centers[0][1])
+        chosen_ids = [cid for cid, _, _ in centers]
+        best = (
+            v.filter(~F.col("vec_id").isin(chosen_ids))
+            .select("vec_id", "v", mind.alias("d"))
+            .agg(F.max(F.struct(F.col("d"), (-F.col("vec_id")).alias("nid"), F.col("v"))).alias("m"))
+            .collect()[0]
+            .m
+        )
+        centers.append((int(-best.nid), list(best.v), float(best.d)))
+
+    rows = [
+        (step + 1, cid, None if d is None else round(d, 4))
+        for step, (cid, _, d) in enumerate(centers)
+    ]
+    return spark.createDataFrame(
+        rows, "step int, vec_id long, min_dist_sq double"
+    ).orderBy("step")
+
+
+def _s21_oracle() -> str:
+    dist = (
+        "list_sum([(z.v[i] - {c}.v[i]) * (z.v[i] - {c}.v[i]) "
+        f"for i in generate_series(1, {DIM})])"
+    )
+    ctes, prev = [], ["c1"]
+    ctes.append("c1 AS MATERIALIZED (SELECT vec_id, v FROM v WHERE vec_id = 0)")
+    for k in range(2, KCENTER_K + 1):
+        dists = ", ".join(dist.format(c=c) for c in prev)
+        mind = f"least({dists})" if len(prev) > 1 else dists
+        notin = " UNION ALL ".join(f"SELECT vec_id FROM {c}" for c in prev)
+        ctes.append(f"""
+    c{k} AS MATERIALIZED (
+        SELECT z.vec_id, z.v, {mind} AS d
+        FROM v z, {', '.join(prev)}
+        WHERE z.vec_id NOT IN ({notin})
+        ORDER BY d DESC, z.vec_id LIMIT 1
+    )""")
+        prev.append(f"c{k}")
+    selects = ["SELECT 1 AS step, vec_id, NULL::DOUBLE AS min_dist_sq FROM c1"]
+    selects += [
+        f"SELECT {k} AS step, vec_id, round(d, 4) AS min_dist_sq FROM c{k}"
+        for k in range(2, KCENTER_K + 1)
+    ]
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), {','.join(ctes)}
+    {' UNION ALL '.join(selects)}
+    ORDER BY step
+"""
+
+
+ORACLE["s21_kcenter_select"] = _s21_oracle()
+QUERIES["s21_kcenter_select"] = s21_kcenter_select

@@ -2703,3 +2703,39 @@ def test_d20_cutoff_formula_matches_duckdb():
             f"select ({D20_NEW_NUM}*({max_id}+1)+{D20_NEW_DEN}-1)//{D20_NEW_DEN}"
         ).fetchone()[0]
         assert py == sql, max_id
+
+
+def test_s21_kcenter_matches_pure_python_greedy(spark):
+    """Selection order and covering radii must equal a from-scratch
+    Python farthest-point traversal over sequential-fold squared
+    distances (identical IEEE op order → exact compare)."""
+    from dbsink_spark.analytics.similarity import (
+        KCENTER_K,
+        _vectors,
+        s21_kcenter_select,
+    )
+
+    vecs = {r["vec_id"]: list(r["v"]) for r in _vectors(spark, SF_DIR).collect()}
+
+    def dist_sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    centers = [0]
+    want = [(1, 0, None)]
+    for step in range(2, KCENTER_K + 1):
+        best = None
+        for cid in sorted(vecs):
+            if cid in centers:
+                continue
+            d = min(dist_sq(vecs[cid], vecs[c]) for c in centers)
+            # ties break to the SMALLER vec_id (ascending scan keeps first)
+            if best is None or d > best[0]:
+                best = (d, cid)
+        centers.append(best[1])
+        want.append((step, best[1], round(best[0], 4)))
+    got = [tuple(r) for r in s21_kcenter_select(spark, SF_DIR).collect()]
+    assert got == want
+    assert len(set(c for _, c, _ in got)) == KCENTER_K  # all distinct
