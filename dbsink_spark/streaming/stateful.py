@@ -694,3 +694,73 @@ def sliding_hll_tracker(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming exact-dedup decisions: keeper state carried across batches
+# ---------------------------------------------------------------------------
+
+_DEDUP_STATE_SCHEMA = "keeper long"
+
+
+def _dedup_out_schema(key_col: str, id_col: str) -> str:
+    return f"{key_col} long, {id_col} long, decision string, match_id long"
+
+
+def dedup_decision_tracker(
+    df: DataFrame, key_col: str = "content_hash", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming exact-dedup decisions — the stateful twin of d20's
+    exact stage (and of batch d01): keyed by content hash, state is
+    the KEEPER id (first arrival owns the hash), and every arriving
+    row emits a decision: ``keep`` for the hash's first-ever document,
+    ``exact_dup`` + the keeper as ``match_id`` for every later one —
+    including replays and documents arriving in later micro-batches,
+    which is precisely the incremental-ingest semantics d20 computes
+    per batch against the accumulated corpus.
+
+    Rows sort by ``id_col`` WITHIN a micro-batch (deterministic keeper
+    under any executor interleaving); across batches the established
+    keeper persists, so when the caller feeds batches in id order the
+    streaming decisions equal batch d01's min-id clusters exactly
+    (pytest-asserted equivalence).
+
+    State per distinct content hash is ONE long — at scale the state
+    store IS the dedup index (the streaming analog of d20's persisted
+    corpus-hash relation), keyed by the same 8-byte h64 every batch
+    dedup operator joins on.
+    """
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (h,) = key
+        keeper = state.get[0] if state.exists else None
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf[id_col])
+        ids.sort()
+        out = {key_col: [], id_col: [], "decision": [], "match_id": []}
+        for i in ids:
+            out[key_col].append(h)
+            out[id_col].append(i)
+            if keeper is None:
+                keeper = i
+                out["decision"].append("keep")
+                out["match_id"].append(None)
+            else:
+                # first arrival owns the hash: a smaller id arriving
+                # LATER still dups to the standing keeper (streaming
+                # semantics; equals batch min-id when fed in id order)
+                out["decision"].append("exact_dup")
+                out["match_id"].append(keeper)
+        state.update((keeper,))
+        yield pd.DataFrame(out)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_dedup_out_schema(key_col, id_col),
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

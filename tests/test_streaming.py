@@ -1419,3 +1419,93 @@ def test_sliding_hll_tracker_equals_batch_reference(spark, tmp_path):
         want[day] = (nz, sp, int(float(Q62_NUM) / sp))
     assert got == want
     assert len(got) > 5
+
+
+def test_dedup_decision_tracker_equals_batch_d01(spark, tmp_path):
+    """E12 streaming dedup: decisions from id-ordered micro-batches
+    must equal batch d01's min-id clusters — keeps are exactly the
+    keepers, every dup maps to its cluster's keeper — and a REPLAY of
+    the first batch over the same checkpoint-free stream must emit
+    only exact_dup rows pointing at the established keepers."""
+    import os as _os
+
+    from dbsink_spark.analytics.dedup import d01_dedup_exact
+    from dbsink_spark.analytics.tables import Tables
+    from dbsink_spark.functions.hashing import h64
+    from dbsink_spark.streaming.stateful import dedup_decision_tracker
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.001"
+    docs = (
+        Tables(spark, SF)
+        .documents.select("doc_id", h64(F.col("text")).alias("content_hash"))
+        .collect()
+    )
+    rows = sorted((r["doc_id"], r["content_hash"]) for r in docs)
+    third = len(rows) // 3
+    # three id-ordered batches + a REPLAY of batch 0 as a fourth
+    # micro-batch of the SAME run (memory-sink queries cannot recover
+    # a checkpoint, but state persists across micro-batches in-run)
+    batches = [rows[:third], rows[third : 2 * third], rows[2 * third :], rows[:third]]
+
+    indir = tmp_path / "dedup_in"
+    indir.mkdir()
+    for bi, chunk in enumerate(batches):
+        p = indir / f"b{bi}.json"
+        with open(p, "w") as f:
+            for doc_id, h in chunk:
+                f.write(json.dumps({"doc_id": doc_id, "content_hash": h}) + "\n")
+        _os.utime(p, (1_700_000_000 + bi * 60,) * 2)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content_hash", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    out = dedup_decision_tracker(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_decisions")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    q.awaitTermination(180)
+    from collections import defaultdict
+
+    got = defaultdict(list)
+    for r in spark.sql("SELECT * FROM dedup_decisions").collect():
+        got[r["doc_id"]].append((r["decision"], r["match_id"]))
+
+    batch = {
+        r["doc_id"]: (r["keeper_id"], r["is_dup"])
+        for r in d01_dedup_exact(spark, SF).collect()
+    }
+    assert sorted(got) == sorted(batch)
+    replay_ids = {doc_id for doc_id, _ in batches[0]}
+    n_replay_dups = 0
+    for doc_id, decisions in got.items():
+        keeper_id, is_dup = batch[doc_id]
+        # first-arrival decision must equal batch d01's min-id cluster
+        if is_dup:
+            first = ("exact_dup", keeper_id)
+        else:
+            first = ("keep", None)
+        assert first in decisions, (doc_id, decisions)
+        if doc_id in replay_ids:
+            # the replayed copy hits the ESTABLISHED keeper
+            assert len(decisions) == 2, (doc_id, decisions)
+            others = [d for d in decisions if d != first] or [first]
+            assert others[0] == ("exact_dup", keeper_id), (doc_id, decisions)
+            n_replay_dups += 1
+        else:
+            assert decisions == [first], (doc_id, decisions)
+    assert n_replay_dups == len(replay_ids)  # dup path non-vacuous
