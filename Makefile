@@ -49,8 +49,9 @@ integration-pg-up:
 	mkdir -p $(dir $(PG_DATA)) && chown -R postgres $(dir $(PG_DATA))
 	test -d $(PG_DATA) || su postgres -s /bin/bash -c \
 		"initdb -D $(PG_DATA) -U dbsink --auth=trust"
+	su postgres -s /bin/bash -c "pg_ctl -D $(PG_DATA) status" >/dev/null 2>&1 || \
 	su postgres -s /bin/bash -c "pg_ctl -D $(PG_DATA) -l $(dir $(PG_DATA))pg.log \
-		-o '-p 5433 -c listen_addresses=localhost' start" || true
+		-o '-p 5433 -c listen_addresses=localhost' start"
 	sleep 2
 	psql "postgresql://dbsink@localhost:5433/postgres" -tc \
 		"SELECT 1 FROM pg_database WHERE datname='dbsink'" | grep -q 1 || \

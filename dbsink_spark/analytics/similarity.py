@@ -2600,6 +2600,7 @@ def s21_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         centers.append((int(-best.nid), list(best.v), float(best.d)))
 
+    v.unpersist()  # the returned frame is driver-built; don't pin the cache
     rows = [
         (step + 1, cid, None if d is None else round(d, 4))
         for step, (cid, _, d) in enumerate(centers)

@@ -22,12 +22,17 @@ postgres dialect). That matches what psycopg2 itself does for
 real psycopg2 remains the intended driver (``sink.postgres_connect_
 factory`` prefers it and falls back here only when the import fails).
 
-The connection runs in AUTOCOMMIT (each Query message is its own
-implicit transaction); ``commit``/``rollback`` are no-ops kept for
-DBAPI-shape compatibility with the sink's usage. ``executemany``
-joins all rendered statements into ONE Query message — one network
-round trip per batch, preserving row order (and therefore LWW upsert
-semantics) inside a single implicit transaction.
+Transaction semantics MATCH psycopg2 (review: the exactly-once batch
+ledger in ``streaming.sketches.apply_batch_once`` depends on the
+marker INSERT and the data merge committing ATOMICALLY): the first
+statement after connect/commit/rollback opens an explicit
+transaction (a ``BEGIN;`` prefix on the same Query message), and
+``commit()``/``rollback()`` end it. A server error leaves the
+transaction aborted until rollback — exactly psycopg2's
+InFailedSqlTransaction behavior the sink already handles.
+``executemany`` joins all rendered statements into ONE Query message
+— one network round trip per batch, preserving row order (and
+therefore LWW upsert semantics) inside the open transaction.
 """
 
 from __future__ import annotations
@@ -71,6 +76,10 @@ def render_literal(v) -> str:
         if math.isinf(v):
             return ("'Infinity'" if v > 0 else "'-Infinity'") + "::float8"
         return repr(v)
+    if isinstance(v, Decimal):
+        # bare numeric literal, matching psycopg2's adapter (a quoted
+        # string would bind as unknown/text — review)
+        return str(v) if v.is_finite() else "'" + str(v) + "'::numeric"
     if isinstance(v, datetime):
         return "'" + v.isoformat(sep=" ") + "'"
     if isinstance(v, date):
@@ -218,7 +227,14 @@ class Cursor:
 
     def _run(self, sql: str) -> None:
         self._reset()
-        proto = self._conn._proto
+        conn = self._conn
+        if not conn._in_tx:
+            # open an explicit transaction on the same round trip: the
+            # simple protocol would otherwise commit at message end,
+            # breaking psycopg2's one-implicit-transaction contract
+            sql = "BEGIN;" + sql
+            conn._in_tx = True
+        proto = conn._proto
         proto.send(b"Q", sql.encode() + b"\x00")
         cols: list[tuple[str, int]] = []
         rows: list[tuple] = []
@@ -276,15 +292,31 @@ class Connection:
     def __init__(self, proto: _Proto):
         self._proto = proto
         self.closed = False
+        self._in_tx = False
 
     def cursor(self) -> Cursor:
         return Cursor(self)
 
-    def commit(self) -> None:  # autocommit — see module docstring
-        pass
+    def _end_tx(self, verb: str) -> None:
+        if not self._in_tx:
+            return
+        self._in_tx = False
+        error = None
+        self._proto.send(b"Q", verb.encode() + b"\x00")
+        while True:
+            mtype, payload = self._proto.read_message()
+            if mtype == b"Z":
+                break
+            if mtype == b"E":
+                error = _error_fields(payload)
+        if error is not None and verb == "COMMIT":
+            raise PgLiteError(error.get("M", "commit failed"))
+
+    def commit(self) -> None:
+        self._end_tx("COMMIT")
 
     def rollback(self) -> None:
-        pass
+        self._end_tx("ROLLBACK")
 
     def close(self) -> None:
         # never raises: close() runs in `finally:` blocks where an
@@ -325,7 +357,20 @@ def connect(dsn: str, connect_timeout: float | None = None) -> Connection:
     # it is lifted only once ReadyForQuery arrives, matching psycopg2's
     # connect_timeout scope
     proto = _Proto(sock)
-    proto.send_startup(user, database)
+    try:
+        proto.send_startup(user, database)
+        return _handshake(proto, sock, user, password)
+    except BaseException:
+        # a timeout/EOF mid-handshake must not leak the fd (the
+        # availability probes retry in loops — review)
+        try:
+            sock.close()
+        except Exception:
+            pass
+        raise
+
+
+def _handshake(proto: _Proto, sock: socket.socket, user: str, password: str) -> Connection:
     while True:
         mtype, payload = proto.read_message()
         if mtype == b"R":

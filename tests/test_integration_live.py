@@ -331,15 +331,25 @@ def test_pg_streaming_foreachbatch_checkpoint(tmp_path):
     )
     writer.ensure_table(drop=True)
 
-    for attempt in (1, 2):
-        q = run_stream(
-            file_stream(spark, str(indir)),
-            mapping,
-            writer,
-            checkpoint=str(tmp_path / "ckpt"),
-            trigger={"availableNow": True},
-        )
-        assert q.awaitTermination(120), "availableNow drain did not finish"
-        n = _pg_query(f'SELECT count(*) FROM "{table}"')[0][0]
-        assert n == 4, (attempt, n)  # second pass: checkpoint prevents reprocess
-    _pg_query(f'DROP TABLE "{table}"')
+    try:
+        for attempt in (1, 2):
+            q = run_stream(
+                file_stream(spark, str(indir)),
+                mapping,
+                writer,
+                checkpoint=str(tmp_path / "ckpt"),
+                trigger={"availableNow": True},
+            )
+            assert q.awaitTermination(120), "availableNow drain did not finish"
+            n = _pg_query(f'SELECT count(*) FROM "{table}"')[0][0]
+            assert n == 4, (attempt, n)  # 2nd pass: checkpoint blocks reprocess
+    finally:
+        # committed DDL in a finally: _pg_query never commits, so a
+        # bare DROP would roll back under psycopg2 and leak the table
+        # into the persistent cluster on every run (review)
+        con = _pg_connect()
+        try:
+            con.cursor().execute(f'DROP TABLE IF EXISTS "{table}"')
+            con.commit()
+        finally:
+            con.close()

@@ -184,3 +184,63 @@ def test_live_literal_roundtrip_property():
         assert row[5] == "2026-08-15 01:02:03"
     finally:
         con.close()
+
+
+def test_live_transactions_are_atomic():
+    """psycopg2-parity transaction semantics (the exactly-once batch
+    ledger depends on them): uncommitted work is invisible to other
+    connections and discarded by rollback/close; commit makes the
+    whole statement sequence visible atomically."""
+    import uuid
+
+    table = f"pg_lite_tx_{uuid.uuid4().hex[:8]}"
+    a, b = _live_conn(), _live_conn()
+    try:
+        ca = a.cursor()
+        ca.execute(f"CREATE TABLE {table} (k int)")
+        ca.execute(f"INSERT INTO {table} VALUES (1)")
+        # b must not see the uncommitted table
+        cb = b.cursor()
+        try:
+            cb.execute(f"SELECT count(*) FROM {table}")
+            assert False, "uncommitted DDL visible across connections"
+        except Exception:
+            b.rollback()
+        a.commit()
+        cb = b.cursor()
+        cb.execute(f"SELECT count(*) FROM {table}")
+        assert cb.fetchall() == [(1,)]
+        b.commit()
+        # rollback discards
+        ca.execute(f"INSERT INTO {table} VALUES (2)")
+        a.rollback()
+        ca.execute(f"SELECT count(*) FROM {table}")
+        assert ca.fetchall() == [(1,)]
+        # an error aborts the transaction until rollback (psycopg2's
+        # InFailedSqlTransaction behavior)
+        try:
+            ca.execute("SELECT broken syntax")
+        except Exception:
+            pass
+        try:
+            ca.execute(f"SELECT count(*) FROM {table}")
+            assert False, "aborted transaction accepted a statement"
+        except Exception:
+            a.rollback()
+        ca.execute(f"SELECT count(*) FROM {table}")
+        assert ca.fetchall() == [(1,)]
+        a.commit()
+    finally:
+        for con in (a, b):
+            try:
+                con.rollback()
+            except Exception:
+                pass
+        c = _live_conn()
+        try:
+            c.cursor().execute(f"DROP TABLE IF EXISTS {table}")
+            c.commit()
+        finally:
+            c.close()
+        a.close()
+        b.close()

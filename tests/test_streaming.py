@@ -1478,7 +1478,7 @@ def test_dedup_decision_tracker_equals_batch_d01(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "availableNow drain did not finish"
     from collections import defaultdict
 
     got = defaultdict(list)
