@@ -24,10 +24,15 @@ scale-out, generalizing d19's global-rank machinery
   4. broadcast the offsets back: offset + local cum IS the group
      cumulative sum.
 
-Both consumers of the ranged DataFrame (totals, local cumsum) compile
-onto ONE physical range exchange via Spark's ReusedExchange, so the
-sampled range boundaries — and therefore every pid — are consistent
-across the two uses (pinned by tests/test_plans.py).
+Correctness needs BOTH consumers of the ranged DataFrame (totals,
+local cumsum) to observe the SAME spark_partition_id assignment. The
+function does not leave that to plan luck (an AQE variation or a Spark
+upgrade could compile the range exchange twice with independently
+sampled boundaries — advisor finding): the ranged frame is MATERIALIZED
+with ``localCheckpoint`` before either consumer derives from it, so the
+pids are frozen in storage and re-sampling is impossible by
+construction. The checkpoint write is the same single materialization
+the shuffle would have performed; consumers read it twice either way.
 """
 
 from __future__ import annotations
@@ -53,8 +58,10 @@ def grouped_running_sum(
     partition-order-dependent. ``value_col`` must be integral
     (cast upstream); sums are BIGINT.
     """
-    part = df.repartitionByRange(group_col, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(group_col, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     totals = part.groupBy("_pid", group_col).agg(
         F.sum(value_col).cast("long").alias("_c")

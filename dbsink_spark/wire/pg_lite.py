@@ -117,6 +117,7 @@ _INT_OIDS = {20, 21, 23, 26, 28}  # int8, int2, int4, oid, xid
 _FLOAT_OIDS = {700, 701}  # float4, float8
 _BOOL_OID = 16
 _NUMERIC_OID = 1700
+_BYTEA_OID = 17
 
 
 def _convert(oid: int, text: str):
@@ -131,7 +132,26 @@ def _convert(oid: int, text: str):
         return Decimal(text)
     if oid == _BOOL_OID:
         return text == "t"
+    if oid == _BYTEA_OID:
+        # psycopg2 returns bytes/memoryview for bytea; returning the
+        # literal '\x…' hex TEXT here would break the drivers'
+        # interchangeability contract (advisor finding). bytea_output
+        # defaults to 'hex' since 9.0; reject the legacy escape format
+        # rather than mis-decode it.
+        if not text.startswith(r"\x"):
+            raise PgLiteError(
+                "bytea_output is not 'hex'; pg_lite only decodes hex bytea"
+            )
+        return bytes.fromhex(text[2:])
     return text
+
+
+def _parameter_status(payload: bytes) -> tuple[str, str]:
+    """ParameterStatus ('S') payload: name\\0value\\0."""
+    end = payload.index(b"\x00")
+    name = payload[:end].decode("utf-8", "replace")
+    vend = payload.index(b"\x00", end + 1)
+    return name, payload[end + 1 : vend].decode("utf-8", "replace")
 
 
 class _Proto:
@@ -274,7 +294,15 @@ class Cursor:
                 error = _error_fields(payload)
             elif mtype == b"Z":
                 break
-            elif mtype in (b"S", b"K", b"N", b"I"):
+            elif mtype == b"S":
+                # a mid-session `SET standard_conforming_strings` (or a
+                # pooler splice) reports here — re-check, don't discard
+                # (advisor finding: quote-doubling rendering is only
+                # safe while the setting stays on)
+                name, value = _parameter_status(payload)
+                conn._params[name] = value
+                _check_scs(conn._params)
+            elif mtype in (b"K", b"N", b"I"):
                 continue
             else:
                 raise PgLiteError(f"unexpected message {mtype!r}")
@@ -288,11 +316,27 @@ class Cursor:
         self.rowcount = rowcount
 
 
+def _check_scs(params: dict[str, str]) -> None:
+    """render_literal escapes by quote-doubling ONLY, which is an
+    injection surface when standard_conforming_strings=off (backslashes
+    become escapes). psycopg2 performs this same check; refuse to carry
+    writes on a server/pooler that reports the setting off (advisor
+    finding)."""
+    scs = params.get("standard_conforming_strings")
+    if scs is not None and scs.lower() != "on":
+        raise PgLiteError(
+            "server reports standard_conforming_strings="
+            f"{scs!r}; pg_lite's quote-doubling literals are unsafe — "
+            "use psycopg2 or SET standard_conforming_strings=on"
+        )
+
+
 class Connection:
-    def __init__(self, proto: _Proto):
+    def __init__(self, proto: _Proto, params: dict[str, str] | None = None):
         self._proto = proto
         self.closed = False
         self._in_tx = False
+        self._params: dict[str, str] = params or {}
 
     def cursor(self) -> Cursor:
         return Cursor(self)
@@ -371,6 +415,7 @@ def connect(dsn: str, connect_timeout: float | None = None) -> Connection:
 
 
 def _handshake(proto: _Proto, sock: socket.socket, user: str, password: str) -> Connection:
+    params: dict[str, str] = {}
     while True:
         mtype, payload = proto.read_message()
         if mtype == b"R":
@@ -390,13 +435,20 @@ def _handshake(proto: _Proto, sock: socket.socket, user: str, password: str) -> 
                     f"unsupported auth method {code} (use trust/md5/cleartext)"
                 )
         elif mtype == b"Z":
+            # the startup packet stream always includes ParameterStatus
+            # for standard_conforming_strings (server ≥ 8.2); verify it
+            # BEFORE handing out a connection that renders literals
+            _check_scs(params)
             sock.settimeout(None)
-            return Connection(proto)
+            return Connection(proto, params)
         elif mtype == b"E":
             fields = _error_fields(payload)
             sock.close()
             raise PgLiteError(fields.get("M", "startup failed"))
-        elif mtype in (b"S", b"K", b"N"):
+        elif mtype == b"S":
+            name, value = _parameter_status(payload)
+            params[name] = value
+        elif mtype in (b"K", b"N"):
             continue
         else:
             sock.close()

@@ -67,6 +67,38 @@ def test_render_literal_float_roundtrip():
     assert math.isnan(float("nan"))  # sanity for the NaN branch above
 
 
+def test_check_scs_rejects_off_and_accepts_on():
+    """Quote-doubling literals are only safe under
+    standard_conforming_strings=on; the client must refuse a server or
+    pooler reporting it off (advisor finding — psycopg2 does the same
+    check) and must tolerate servers that don't report it at all."""
+    from dbsink_spark.wire.pg_lite import _check_scs
+
+    _check_scs({"standard_conforming_strings": "on"})
+    _check_scs({"standard_conforming_strings": "ON"})
+    _check_scs({})  # pre-8.2 server: no report, no rendering guarantees claimed
+    with pytest.raises(PgLiteError, match="standard_conforming_strings"):
+        _check_scs({"standard_conforming_strings": "off"})
+
+
+def test_parameter_status_parse():
+    from dbsink_spark.wire.pg_lite import _parameter_status
+
+    name, value = _parameter_status(b"standard_conforming_strings\x00on\x00")
+    assert (name, value) == ("standard_conforming_strings", "on")
+
+
+def test_convert_bytea_matches_psycopg2():
+    """bytea (OID 17) must decode to bytes like psycopg2, and the
+    legacy non-hex escape format must fail loud, not mis-decode."""
+    from dbsink_spark.wire.pg_lite import _convert
+
+    assert _convert(17, r"\x00ff7c") == b"\x00\xff\x7c"
+    assert _convert(17, r"\x") == b""
+    with pytest.raises(PgLiteError, match="hex"):
+        _convert(17, "abc\\000")
+
+
 def _live_conn():
     import os
 
@@ -79,6 +111,17 @@ def _live_conn():
         return pg_lite.connect(dsn, connect_timeout=2)
     except Exception:
         pytest.skip("no live Postgres for pg_lite cursor-semantics tests")
+
+
+def test_live_handshake_captures_parameter_status():
+    """The startup stream's ParameterStatus messages are parsed (not
+    discarded) and the scs guard saw an 'on' report."""
+    con = _live_conn()
+    try:
+        assert con._params.get("standard_conforming_strings") == "on"
+        assert "server_version" in con._params
+    finally:
+        con.close()
 
 
 def test_live_fetchone_advances_and_fetchall_consumes():
@@ -179,7 +222,9 @@ def test_live_literal_roundtrip_property():
         assert row[0] == -(2**62)
         assert row[1] == 2.5
         assert row[2] is True
-        assert row[3] == r"\x00ff7c"  # bytea comes back as hex text
+        # bytea decodes to BYTES, matching psycopg2 (advisor fix:
+        # OID 17 hex decode in _convert) — full binary round trip
+        assert row[3] == b"\x00\xff\x7c"
         assert row[4] == "2026-08-15"
         assert row[5] == "2026-08-15 01:02:03"
     finally:

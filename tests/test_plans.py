@@ -530,18 +530,37 @@ def test_d19_rank_assembly_reuses_one_range_exchange(spark):
     assert "ReusedExchange" in plan, plan
 
 
-def test_t11_pack_offset_assembly_reuses_one_range_exchange(spark):
+def test_t11_pack_offset_assembly_reads_checkpointed_range(spark):
     """t11's per-source cumulative sum (bigwin.grouped_running_sum) is
-    only correct if the totals branch and the local-window branch read
-    the SAME materialized range shuffle — the d19 invariant,
-    generalized to grouped cumsums. After execution AQE must have
-    deduplicated the range exchange into ReusedExchange nodes."""
+    only correct if the totals branch and the local-window branch
+    observe the SAME spark_partition_id assignment. Since the advisor
+    fix the ranged frame is localCheckpoint-materialized inside the
+    function, so the pids are frozen by construction — the executed
+    plan must show the checkpoint scan (ExistingRDD) and must NOT
+    contain a second live range exchange that could re-sample
+    boundaries."""
     from dbsink_spark.analytics.text import t11_pack
 
     df = t11_pack(spark, SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan, plan
+    assert "ExistingRDD" in plan, plan
+    # pin the invariant on the primitive itself, free of t11's final
+    # output sort (which is a legitimate downstream range exchange):
+    # the only range partitioning is the one frozen inside the
+    # checkpoint, so the returned plan has NONE
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.bigwin import grouped_running_sum
+
+    base = spark.range(1000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    out = grouped_running_sum(base, "g", ["k"], "v", "cum")
+    out.collect()
+    pplan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in pplan, pplan
+    assert "rangepartitioning" not in pplan.lower(), pplan
 
 
 def test_q117_two_window_passes_share_one_exchange(spark):
