@@ -448,30 +448,93 @@ UNGATED = frozenset(
         # verdict sanction; demoted rows stay oracle-verified each
         # pytest run (test_registry_parity) + tools/check_oracle.py.
         # round-8 additions beyond the 50-row driver gate (same policy
-        # — oracle-verified locally + benched; candidates for a future
-        # sanctioned promotion as new capability classes: partition-
-        # quality scoring, permutation inference, join-view IVM,
-        # vocabulary/unseen-mass estimation, filtered vector search):
-        "q123_modularity",
-        "q124_permutation_test",
-        "q125_join_ivm",
-        "t32_vocab_estimate",
-        "s18_filtered_search",
-        "q126_spearman_monthly",
-        "m05_cdc_chunks",
-        "q127_peak_concurrency",
-        # round-8 final wave (same policy — oracle-verified locally +
-        # benched; candidates for a future sanctioned promotion as new
-        # capability classes: boilerplate-coverage profiling, dataset
-        # cards, NN-descent graph refinement, MMR diversified
-        # retrieval, incremental-ingest dedup, payload entropy triage):
-        "t33_boilerplate",
-        "t34_dataset_card",
-        "s19_nn_descent",
-        "s20_mmr_diversify",
-        "d20_incremental_dedup",
-        "m06_payload_entropy",
-        "s21_kcenter_select",
+        # — oracle-verified locally + benched):
+        # "q123_modularity",  # PROMOTED to gate in round-9 rotation
+        # "q124_permutation_test",  # PROMOTED to gate in round-9 rotation
+        # "q125_join_ivm",  # PROMOTED to gate in round-9 rotation
+        # "t32_vocab_estimate",  # PROMOTED to gate in round-9 rotation
+        # "s18_filtered_search",  # PROMOTED to gate in round-9 rotation
+        # "q126_spearman_monthly",  # PROMOTED to gate in round-9 rotation
+        # "m05_cdc_chunks",  # PROMOTED to gate in round-9 rotation
+        # "q127_peak_concurrency",  # PROMOTED to gate in round-9 rotation
+        # round-8 final wave (same policy):
+        # "t33_boilerplate",  # PROMOTED to gate in round-9 rotation
+        # "t34_dataset_card",  # PROMOTED to gate in round-9 rotation
+        # "s19_nn_descent",  # PROMOTED to gate in round-9 rotation
+        # "s20_mmr_diversify",  # PROMOTED to gate in round-9 rotation
+        # "d20_incremental_dedup",  # PROMOTED to gate in round-9 rotation
+        # "m06_payload_entropy",  # PROMOTED to gate in round-9 rotation
+        # "s21_kcenter_select",  # PROMOTED to gate in round-9 rotation
+        # ROUND-9 GATE ROTATION — requested by VERDICT_r08 "Next round
+        # #1": promote the full round-8 operator wave (q123–q127,
+        # t32–t34, s18–s21, d20, m05, m06 — every one vanilla-verified
+        # 15/15 by the round-8 judge; all uncommented above); these 15
+        # previously-gated rows demote in exchange, each redundant with
+        # machinery that stays gated or promotes:
+        #   q64 column profile — agg-with-case profiling shape carried
+        #       by promoted t34 dataset card (per-source composition
+        #       profiling, same two-pass agg) + gated t02 quality rules
+        #   q82 basket pairs — pair co-occurrence self-join ⊂ gated
+        #       d08's equi-join candidate generation + ungated-verified
+        #       q98 basket triples (strict 3-way superset)
+        #   q84 histogram quantiles — rides the SAME shared drill
+        #       primitive (analytics/drill.py) as gated t30
+        #       quantile-norm's order statistics
+        #   q94 sliding distinct — sliding-HLL register algebra =
+        #       gated q88's mergeable HLL rollup + the pytest-pinned
+        #       streaming sliding-HLL tracker (batch ≡ stream)
+        #   q106 IVM maintain — single-relation delta-apply is a strict
+        #       subset of promoted q125 join-IVM (delta propagation
+        #       through a two-sided join)
+        #   q107 changepoint — series segmentation ⊂ gated q90 CUSUM
+        #       (same ordered-fold discipline) + promoted q124
+        #       permutation inference (the significance-testing class)
+        #   q114 bootstrap CI — resample inference = promoted q124's
+        #       literal-sequence resample machinery (same Arrow+numpy
+        #       partial-agg shape)
+        #   q119 k-core — iterative peel rounds = the per-round
+        #       join+localCheckpoint Pregel discipline staying gated
+        #       via q92 SSSP + d17 star-contraction CC; partition
+        #       scoring adds via promoted q123 modularity
+        #   t27 zipf fit — frequency-spectrum sorted-fold OLS ⊂
+        #       promoted t32 vocab estimate (same spectrum aggregation
+        #       + array_sort/aggregate fold, Good-Turing superset)
+        #   t28 crosslingual align — rare-shingle inverted-index join ⊂
+        #       gated d08 decontaminate (same n-gram equi-join + df
+        #       cap) + promoted t33 boilerplate (same shingle-df
+        #       machinery)
+        #   m01 media features — binary mapInPandas plumbing carried by
+        #       promoted m05 CDC chunking + m06 entropy triage (same
+        #       payload-bytes Arrow batch shape, stronger verification)
+        #   d15 LSH audit — recall audit ⊂ promoted s19 NN-descent
+        #       (recall-vs-exact measurement per round) + gated d03
+        #       (the audited MinHash machinery itself)
+        #   d16 cluster keeper — representative selection ⊂ gated d17
+        #       (cluster formation) + promoted s21 k-center greedy
+        #       (the selection class, strictly stronger geometry)
+        #   s09 ANN recall — IVF recall audit ⊂ gated s12 (same IVF
+        #       index + probe machinery) + promoted s19 (same
+        #       recall-vs-brute-force audit shape)
+        #   s11 maxsim topk — strict subset of gated s12 IVF→MaxSim
+        #       (identical MaxSim re-rank kernel, minus the prefilter)
+        # Rotation policy unchanged: composition moves ONLY on external
+        # verdict sanction; demoted rows stay oracle-verified each
+        # pytest run (test_registry_parity) + tools/check_oracle.py.
+        "q64_column_profile",
+        "q82_basket_pairs",
+        "q84_histogram_quantiles",
+        "q94_sliding_distinct",
+        "q106_ivm_maintain",
+        "q107_changepoint",
+        "q114_bootstrap_ci",
+        "q119_kcore",
+        "t27_zipf_fit",
+        "t28_crosslingual_align",
+        "m01_media_features",
+        "d15_lsh_audit",
+        "d16_cluster_keeper",
+        "s09_ann_recall",
+        "s11_maxsim_topk",
         "q22_asof_join",
         "q38_range_join",
         "q51_countmin",

@@ -65,9 +65,9 @@ def test_multimodal_not_registry_tail():
     # r01 lost m01-m03 to the gate's 50-row cut; they must sit well
     # inside the first 50 now.
     order = list(analytics.QUERIES)
-    # (m03 demoted in the round-6 rotation — m01 carries the gated
-    # binary-mapInPandas capability class; m03 is parity-tested below.)
-    for name in ("m01_media_features",):
+    # (m01/m03 demoted in rotations — m05/m06 carry the gated
+    # binary-payload capability class; m01/m03 parity-tested below.)
+    for name in ("m05_cdc_chunks", "m06_payload_entropy"):
         assert order.index(name) < 45, (name, order.index(name))
 
 
@@ -75,6 +75,36 @@ def test_gated_queries_all_have_oracles():
     # every driver-gated row should get the strong (hash) check
     missing = set(analytics.QUERIES) - set(analytics.ORACLE)
     assert not missing, missing
+
+
+def test_gate_debt_ledger_in_sync():
+    """GATE_DEBT.md (VERDICT_r08 #2) must list EXACTLY the rows that
+    have never faced the real driver comparator: ALL registry rows
+    minus the union of every committed CORRECTNESS_r*.json minus the
+    current 50-row gate (which faces the driver this round). Any
+    rotation or registry addition that isn't reflected in the ledger
+    fails here."""
+    import glob
+    import json
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    faced = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            d = json.load(f)
+        faced |= set(d["queries"]) if "queries" in d and isinstance(d["queries"], dict) else set(d)
+    never = set(analytics.ALL_QUERIES) - faced - set(analytics.QUERIES)
+    with open(os.path.join(root, "GATE_DEBT.md")) as f:
+        debt = f.read()
+    listed = set(re.findall(r"([a-z]+\d+_[a-z0-9_]+) \(r\d+\)", debt))
+    assert listed == never, (
+        "ledger != computed never-gated set",
+        sorted(listed - never),
+        sorted(never - listed),
+    )
+    m = re.search(r"Status: \*\*(\d+) rows\*\*", debt)
+    assert m and int(m.group(1)) == len(never), (m, len(never))
 
 
 def _norm(v):
@@ -124,52 +154,54 @@ def test_headline_operators_are_gated():
     t28) plus q57; round-8 rotation per VERDICT_r07 #1 promoted 15 of
     the 43 never-gated round-7 rows (q92/q93/q94/q95/q102/q104/q106/
     q107/q114/q119/d17/d19/s12/s15/t30) and demoted q22/q38/q51/q56/
-    q61/q68/q73/q80/q83/q87/d09/s02/s04/t07/t26 — each capability
-    class stays gated via the rows named in analytics.UNGATED's
-    rationale)."""
+    q61/q68/q73/q80/q83/q87/d09/s02/s04/t07/t26; round-9 rotation per
+    VERDICT_r08 #1 promoted the full round-8 wave (q123-q127/t32-t34/
+    s18-s21/d20/m05/m06) and demoted q64/q82/q84/q94/q106/q107/q114/
+    q119/t27/t28/m01/d15/d16/s09/s11 — each capability class stays
+    gated via the rows named in analytics.UNGATED's rationale)."""
     headline = {
         "d01_dedup_exact",
         "d03_minhash_lsh",
         "d13_editdist_near_dup",
         "d08_decontaminate",
-        "s09_ann_recall",
         "t14_pii_redact",
-        "m01_media_features",
         "q49_zorder_index",
         "t19_bpe_apply",
-        "q64_column_profile",
-        "q82_basket_pairs",
         "t21_bm25_rank",
         "t23_leakage_free_split",
         "q57_bloom_semi_prune",
-        "q84_histogram_quantiles",
         "q85_merge_upsert",
         "q86_skyline",
         "q88_hll_rollup",
         "q89_bitemporal_asof",
         "q90_cusum",
         "q91_proration",
-        "d15_lsh_audit",
-        "d16_cluster_keeper",
-        "s11_maxsim_topk",
-        "t27_zipf_fit",
-        "t28_crosslingual_align",
-        # round-8 promotions (first-time gate rows):
         "q92_weighted_sssp",
         "q93_heavy_hitters",
-        "q94_sliding_distinct",
         "q95_digest_diff",
         "q102_point_in_polygon",
         "q104_nn_join",
-        "q106_ivm_maintain",
-        "q107_changepoint",
-        "q114_bootstrap_ci",
-        "q119_kcore",
         "d17_cc_alternating",
         "d19_sorted_neighborhood",
         "s12_ivf_maxsim",
         "s15_pq_adc",
         "t30_quantile_norm",
+        # round-9 promotions (first-time gate rows):
+        "q123_modularity",
+        "q124_permutation_test",
+        "q125_join_ivm",
+        "q126_spearman_monthly",
+        "q127_peak_concurrency",
+        "t32_vocab_estimate",
+        "t33_boilerplate",
+        "t34_dataset_card",
+        "s18_filtered_search",
+        "s19_nn_descent",
+        "s20_mmr_diversify",
+        "s21_kcenter_select",
+        "d20_incremental_dedup",
+        "m05_cdc_chunks",
+        "m06_payload_entropy",
     }
     missing = headline - set(analytics.QUERIES)
     assert not missing, missing
