@@ -181,30 +181,28 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
-    # Integer DECISECONDS in the stdout map (round-7: 175 queries put
-    # the centisecond map ~45 B under the 1950 B cap — no headroom for
-    # growth; deciseconds drop ~1 B/entry, headroom to ~210 queries).
-    # The stdout map is a coarse per-query signal for the driver;
-    # full 3-decimal min+median seconds stay in BENCH_LOCAL.json (the
-    # diffable artifact regressions are judged from).
-    short = {
-        name.split("_")[0]: int(round(sec * 10)) for name, sec in timings.items()
-    }
-    assert len(short) == len(timings), "short-prefix collision in query names"
-    # stdout budget is ~2000 bytes (driver tail-captures): at 147
-    # queries even the 2-decimal short map leaves no room for the
-    # per-query noisy list, so the line carries only the median TOTAL;
-    # full per-query min+median maps live in the committed
-    # BENCH_LOCAL.json (the diffable artifact).
-    # round-8 byte diet: at 192 queries the line sat ~40 B under the
-    # cap. The median total and verbose calibration keys live in the
-    # committed BENCH_LOCAL.json; the stdout line carries the compact
-    # "cal":[min,median] pair (the cross-round normalizer must reach
-    # BENCH_r{N}.json) and drops the rest.
+    # Round-9 byte diet (VERDICT_r08 #7): at 207 queries the named
+    # short-prefix decisec map sat 1,889 B of the 1,950 B cap (~213-
+    # query ceiling). The stdout line now carries a POSITIONAL decisec
+    # array ordered by sorted full query name; the name order is the
+    # committed BENCH_MANIFEST.json, regenerated every bench run and
+    # pinned by tests/test_registry_parity.py so the array can always
+    # be re-keyed. ~3 B/entry instead of ~9 B: headroom grows from ~6
+    # queries to ~350. Full named 3-decimal min+median maps stay in
+    # the committed BENCH_LOCAL.json (the diffable artifact).
+    names = sorted(timings)
+    manifest_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_MANIFEST.json"
+    )
+    with open(manifest_path, "w") as f:
+        json.dump({"order": names, "unit": "decisec"}, f, indent=1)
+        f.write("\n")
     line = {
         **payload,
-        "queries": short,
+        "queries": [int(round(timings[n] * 10)) for n in names],
         "queries_unit": "decisec",
+        "queries_key": "BENCH_MANIFEST.json",
+        "nq": len(names),
         "cal": [calibration["min_sec"], calibration["median_sec"]],
     }
     del line["queries_median"]

@@ -520,6 +520,13 @@ UNGATED = frozenset(
         # Rotation policy unchanged: composition moves ONLY on external
         # verdict sanction; demoted rows stay oracle-verified each
         # pytest run (test_registry_parity) + tools/check_oracle.py.
+        # round-9 additions beyond the 50-row driver gate (registry
+        # growth frozen at ≤ 5 this round per VERDICT_r08 #2; each row
+        # oracle-verified locally + benched and queued in GATE_DEBT.md):
+        #   s22 — VERDICT_r08 #3's sanctioned iterated NN-descent
+        #   (convergence loop with fixpoint stopping rule + fail-loud
+        #   round bound; q92-style unrolled oracle)
+        "s22_nn_descent_converge",
         "q64_column_profile",
         "q82_basket_pairs",
         "q84_histogram_quantiles",

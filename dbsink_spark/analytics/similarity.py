@@ -2314,34 +2314,10 @@ def s19_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the applyInPandas scoring of the views must not replan per
     branch.
     """
-    views = [
-        hyperplane_weights()[:N_GRAPH_PLANES],
-        hyperplane_weights()[N_GRAPH_PLANES : 2 * N_GRAPH_PLANES],
-    ]
-    vv = _vectors(spark, sf_dir)
-    # BOTH views ride one exploded (view, bucket) key — one exchange +
-    # one applyInPandas stage instead of a per-view pair (the kernel
-    # blocks on the composite key, so view-A and view-B buckets never
-    # mix); the 2-element struct array is literal-arity, which keeps
-    # the InferFiltersFromGenerate double-evaluation trap (d18) away
-    vb = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("view"), _view_bucket(pl).alias("bucket")
-                )
-                for i, pl in enumerate(views)
-            ]
-        )
-    )
-    b = vv.select("vec_id", "v", vb.alias("vb")).select(
-        "vec_id", "v", F.col("vb.view").alias("view"), F.col("vb.bucket").alias("bucket")
-    )
-    g = (
-        _knn_block_apply(b, keys=("view", "bucket"))
-        .dropDuplicates(["vec_id", "neighbor_id"])
-        .persist()
-    )
+    # base graph factored into _nn_base_graph (shared verbatim with the
+    # s22 convergence loop); persisted because three candidate branches
+    # consume it and the applyInPandas scoring must not replan per branch
+    g = _nn_base_graph(spark, sf_dir).persist()
     direct = g.select(
         F.col("vec_id").alias("u"), F.col("neighbor_id").alias("c")
     ).withColumn("d", F.lit(1))
@@ -2645,3 +2621,308 @@ def _s21_oracle() -> str:
 
 ORACLE["s21_kcenter_select"] = _s21_oracle()
 QUERIES["s21_kcenter_select"] = s21_kcenter_select
+
+
+# ---------------------------------------------------------------------------
+# s22: NN-descent iterated to convergence (VERDICT_r08 #3 — s19's round
+# run as the full loop with a fixpoint stopping rule and a fail-loud
+# round bound, the d17/q92 discipline)
+# ---------------------------------------------------------------------------
+
+S22_MAX_ROUNDS = 8  # fail-loud bound; sf0.001-0.1 stop by round 4-5
+# Dong et al.'s update-rate termination: stop at the first round whose
+# ADOPTED new-edge count drops to <= delta * |edges| (they use
+# delta = 0.001 at web scale; 1/100 fits the synthetic corpus' faster
+# geometric decay). Integer num/den, never a float delta: the Spark
+# loop and the unrolled DuckDB oracle must make the IDENTICAL stopping
+# decision (gained * DEN <= edges_prev * NUM, all BIGINT).
+S22_DELTA_NUM, S22_DELTA_DEN = 1, 100
+S22_RECALL_SAMPLE_MOD = 4  # h64(vec_id) % MOD == 0 -> deterministic probe nodes
+
+
+def _nn_base_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s19's two-view LSH base graph (distinct union of per-view,
+    per-bucket exact kNN) — factored so the one-round operator (s19)
+    and the convergence loop (s22) start from the identical seed.
+
+    BOTH views ride one exploded (view, bucket) key — one exchange +
+    one applyInPandas stage instead of a per-view pair (the kernel
+    blocks on the composite key, so view-A and view-B buckets never
+    mix); the 2-element struct array is literal-arity, which keeps
+    the InferFiltersFromGenerate double-evaluation trap (d18) away."""
+    views = [
+        hyperplane_weights()[:N_GRAPH_PLANES],
+        hyperplane_weights()[N_GRAPH_PLANES : 2 * N_GRAPH_PLANES],
+    ]
+    vv = _vectors(spark, sf_dir)
+    vb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("view"), _view_bucket(pl).alias("bucket"))
+                for i, pl in enumerate(views)
+            ]
+        )
+    )
+    b = vv.select("vec_id", "v", vb.alias("vb")).select(
+        "vec_id", "v", F.col("vb.view").alias("view"), F.col("vb.bucket").alias("bucket")
+    )
+    return _knn_block_apply(b, keys=("view", "bucket")).dropDuplicates(
+        ["vec_id", "neighbor_id"]
+    )
+
+
+def _nn_descent_round(g: DataFrame, vu: DataFrame, vc: DataFrame) -> DataFrame:
+    """One NN-descent step: candidates = direct ∪ reverse ∪ 2-hop over
+    the O(n·k) edge list (≤ 2k + 2k + 4k² per node, corpus-size-free),
+    re-ranked by exact cosine, top KNN_K kept. Deterministic given g
+    (ties break on neighbor id), so a repeated edge set IS a fixpoint."""
+    e = g.select("vec_id", "neighbor_id")
+    direct = e.select(F.col("vec_id").alias("u"), F.col("neighbor_id").alias("c"))
+    reverse = e.select(F.col("neighbor_id").alias("u"), F.col("vec_id").alias("c"))
+    g1, g2 = e.alias("g1"), e.alias("g2")
+    hop2 = (
+        g1.join(g2, F.col("g1.neighbor_id") == F.col("g2.vec_id"))
+        .filter(F.col("g2.neighbor_id") != F.col("g1.vec_id"))
+        .select(F.col("g1.vec_id").alias("u"), F.col("g2.neighbor_id").alias("c"))
+    )
+    cand = direct.unionByName(reverse).unionByName(hop2).distinct()
+    cos = _dot(F.col("uv"), F.col("cv")) / (F.col("un") * F.col("cn"))
+    scored = cand.join(vu, "u").join(vc, "c").select("u", "c", cos.alias("cosine"))
+    w = Window.partitionBy("u").orderBy(F.col("cosine").desc(), F.col("c"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            F.col("u").alias("vec_id"),
+            F.col("c").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )
+
+
+def nn_descent_converge(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_rounds: int = S22_MAX_ROUNDS,
+    stats: dict | None = None,
+) -> DataFrame:
+    """NN-descent (Dong et al., WWW'11) run to CONVERGENCE: rounds of
+    :func:`_nn_descent_round` until the update rate dies — the first
+    round r ≥ 2 whose adopted-new-edge count (|g_r \\ g_{r-1}|)
+    satisfies ``gained * S22_DELTA_DEN <= |g_{r-1}| * S22_DELTA_NUM``
+    (Dong et al.'s delta-termination). Progress is guaranteed: each
+    node's candidate set contains its current list, so the per-node
+    (cosine, neighbor) key-sequence is monotone non-decreasing in a
+    finite lattice — adopted counts decay to 0 and the rule MUST fire;
+    the fail-loud ``max_rounds`` bound (the d17/q92 discipline) turns
+    a nondeterministic-scoring bug into an error instead of a hang.
+    Per-round ``localCheckpoint`` keeps plan depth O(1).
+
+    Per-round cost is three bounded equi-joins on the O(n·k) edge list
+    plus one O(n·k) anti-join count for the rule — no round touches
+    the n×n space, so the loop's total cost is
+    rounds × O(n·k·fanout) at any corpus size.
+
+    ``stats`` (optional) receives ``rounds`` (the stopping round) and
+    ``adopted`` (new-edge count per round, r=2 onward).
+    """
+    v = _vectors(spark, sf_dir)
+    vu = v.select(
+        F.col("vec_id").alias("u"), F.col("v").alias("uv"), _norm(F.col("v")).alias("un")
+    )
+    vc = v.select(
+        F.col("vec_id").alias("c"), F.col("v").alias("cv"), _norm(F.col("v")).alias("cn")
+    )
+    base = _nn_base_graph(spark, sf_dir).localCheckpoint()
+    g = base
+    prev: DataFrame | None = None
+    prev_edges = 0
+    adopted_per_round: list[int] = []
+    stopped_at: int | None = None
+    for r in range(1, max_rounds + 1):
+        nxt = _nn_descent_round(g, vu, vc).localCheckpoint()
+        if prev is not None:
+            gained = (
+                nxt.select("vec_id", "neighbor_id")
+                .join(
+                    prev.select("vec_id", "neighbor_id"),
+                    ["vec_id", "neighbor_id"],
+                    "left_anti",
+                )
+                .count()
+            )
+            adopted_per_round.append(gained)
+            if gained * S22_DELTA_DEN <= prev_edges * S22_DELTA_NUM:
+                stopped_at = r
+                g = nxt
+                break
+        prev = nxt
+        prev_edges = nxt.count()
+        g = nxt
+    if stopped_at is None:
+        raise RuntimeError(
+            f"nn_descent_converge: update rate still above "
+            f"{S22_DELTA_NUM}/{S22_DELTA_DEN} after {max_rounds} rounds "
+            f"(adopted per round: {adopted_per_round}) — raise S22_MAX_ROUNDS "
+            "only with a written rationale; an ever-churning graph means the "
+            "tie-break or scoring is nondeterministic"
+        )
+    if stats is not None:
+        stats["rounds"] = stopped_at
+        stats["adopted"] = adopted_per_round
+    return g
+
+
+def nn_descent_sampled_recall(
+    graph: DataFrame, v: DataFrame, sample_mod: int = S22_RECALL_SAMPLE_MOD
+) -> float:
+    """Sampled recall@KNN_K of ``graph`` vs the EXACT top-k — the
+    production stopping signal when a recall target (not the exact
+    fixpoint) bounds the loop. Deterministic probe nodes
+    (h64(vec_id) % mod == 0) broadcast against ONE corpus scan: cost
+    is O(S·n) row ops with S = n/mod sample rows, never n².
+
+    Exact top-k uses the same (cosine desc, neighbor asc) rule as the
+    descent, so graph == exact ⇒ recall == 1.0 exactly."""
+    from ..functions.hashing import h64
+
+    sample = v.filter(h64(F.col("vec_id").cast("string")) % sample_mod == 0).select(
+        F.col("vec_id").alias("u"), F.col("v").alias("uv"), _norm(F.col("v")).alias("un")
+    )
+    corpus = v.select(
+        F.col("vec_id").alias("c"), F.col("v").alias("cv"), _norm(F.col("v")).alias("cn")
+    )
+    # bounded crossJoin: the broadcast side is the S-row probe sample
+    pairs = corpus.crossJoin(F.broadcast(sample)).filter(F.col("c") != F.col("u"))
+    cos = _dot(F.col("uv"), F.col("cv")) / (F.col("un") * F.col("cn"))
+    w = Window.partitionBy("u").orderBy(F.col("cosine").desc(), F.col("c"))
+    exact = (
+        pairs.select("u", "c", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("u", "c")
+    )
+    hits = exact.join(
+        graph.select(
+            F.col("vec_id").alias("u"), F.col("neighbor_id").alias("c")
+        ),
+        ["u", "c"],
+        "left_semi",
+    )
+    total = exact.count()
+    return (hits.count() / total) if total else 1.0
+
+
+def s22_nn_descent_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered convergence loop: the final kNN graph with
+    ``new_edge`` marking neighbors the descent recovered beyond the
+    two-view LSH base, plus the convergence round (min r ≥ 2 with
+    g_r == g_{r-1}) — the oracle unrolls the identical round as
+    chained CTEs (the q92 fixed-unroll pattern; extra rounds past the
+    fixpoint are provable no-ops) and computes the same round count
+    from pairwise CTE diffs."""
+    stats: dict = {}
+    g = nn_descent_converge(spark, sf_dir, stats=stats)
+    base = _nn_base_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("bu"), F.col("neighbor_id").alias("bc")
+    )
+    out = g.join(
+        base,
+        (F.col("vec_id") == F.col("bu")) & (F.col("neighbor_id") == F.col("bc")),
+        "left",
+    )
+    return (
+        out.select(
+            "vec_id",
+            "neighbor_id",
+            "rank",
+            F.round("cosine", 4).alias("cosine"),
+            F.when(F.col("bu").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("new_edge"),
+            F.lit(stats["rounds"]).cast("int").alias("rounds"),
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+def _s22_oracle() -> str:
+    head = f"""
+    WITH {_VECTORS_CTE}, {_knn_view_cte("knn_a", 0, N_GRAPH_PLANES)},
+    {_knn_view_cte("knn_b", N_GRAPH_PLANES, 2 * N_GRAPH_PLANES)},
+    g0 AS MATERIALIZED (
+        SELECT DISTINCT vec_id, neighbor_id FROM (
+            SELECT vec_id, neighbor_id FROM knn_a
+            UNION ALL
+            SELECT vec_id, neighbor_id FROM knn_b
+        )
+    )"""
+    body = ""
+    for i in range(1, S22_MAX_ROUNDS + 1):
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+        # g_i references g_{i-1} four times — an unrolled 8-round chain
+        # would expand 4^8 scans of the parquet (observed: 'Too many
+        # open files'); materialization computes each round once
+        body += f""",
+    cand{i} AS MATERIALIZED (
+        SELECT DISTINCT u, c FROM (
+            SELECT vec_id AS u, neighbor_id AS c FROM g{i - 1}
+            UNION ALL
+            SELECT neighbor_id AS u, vec_id AS c FROM g{i - 1}
+            UNION ALL
+            SELECT a.vec_id AS u, e.neighbor_id AS c
+            FROM g{i - 1} a JOIN g{i - 1} e ON a.neighbor_id = e.vec_id
+            WHERE e.neighbor_id != a.vec_id
+        )
+    ),
+    g{i} AS MATERIALIZED (
+        SELECT u AS vec_id, c AS neighbor_id, rank, cosine FROM (
+            SELECT u, c, cosine,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY cosine DESC, c) AS rank
+            FROM (
+                SELECT cd.u, cd.c,
+                       list_sum([a.v[i] * z.v[i]
+                                 for i in generate_series(1, {DIM})])
+                           / (a.vn * z.vn) AS cosine
+                FROM cand{i} cd
+                JOIN v a ON a.vec_id = cd.u JOIN v z ON z.vec_id = cd.c
+            )
+        ) WHERE rank <= {KNN_K}
+    )"""
+    # stopping round: first r >= 2 whose adopted-new-edge count obeys
+    # gained * DEN <= |g_{r-1}| * NUM — the IDENTICAL integer rule the
+    # Spark loop evaluates, so both engines stop on the same round
+    gain = (
+        lambda r: f"(SELECT count(*) FROM ((SELECT vec_id, neighbor_id FROM g{r}) "
+        f"EXCEPT (SELECT vec_id, neighbor_id FROM g{r - 1})))"
+    )
+    edges = lambda r: f"(SELECT count(*) FROM g{r})"  # noqa: E731
+    cases = " ".join(
+        f"WHEN {gain(r)} * {S22_DELTA_DEN} <= {edges(r - 1)} * {S22_DELTA_NUM} THEN {r}"
+        for r in range(2, S22_MAX_ROUNDS + 1)
+    )
+    finals = " UNION ALL ".join(
+        f"SELECT g.*, conv.rounds FROM g{r} g, conv WHERE conv.rounds = {r}"
+        for r in range(2, S22_MAX_ROUNDS + 1)
+    )
+    return (
+        head
+        + body
+        + f""",
+    conv AS (SELECT CASE {cases} END AS rounds),
+    final AS ({finals})
+    SELECT g.vec_id, g.neighbor_id, g.rank::INT AS rank,
+           round(g.cosine, 4) AS cosine,
+           (CASE WHEN b.vec_id IS NULL THEN 1 ELSE 0 END)::INT AS new_edge,
+           g.rounds::INT AS rounds
+    FROM final g
+    LEFT JOIN g0 b
+      ON b.vec_id = g.vec_id AND b.neighbor_id = g.neighbor_id
+    ORDER BY g.vec_id, g.rank
+    """
+    )
+
+
+ORACLE["s22_nn_descent_converge"] = _s22_oracle()
+QUERIES["s22_nn_descent_converge"] = s22_nn_descent_converge

@@ -2544,6 +2544,115 @@ def test_s19_nn_descent_improves_recall(spark):
         assert ref_recall >= base_recall
 
 
+def test_s19_candidates_bounded_by_fanout(spark):
+    """The scale claim that makes NN-descent viable at 100 TB: one
+    round's candidate generation is three joins on the O(n·k) edge
+    list whose ROW COUNTS are edge-bounded — direct = E, reverse = E,
+    2-hop ≤ E·K (each edge (a,c) contributes once per in-edge of a,
+    and out-degree ≤ K on a top-k graph) — never a function of n²."""
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.similarity import (
+        KNN_K,
+        _nn_base_graph,
+        _nn_descent_round,
+        _norm,
+        _vectors,
+    )
+
+    v = _vectors(spark, SF_DIR)
+    vu = v.select(
+        F.col("vec_id").alias("u"), F.col("v").alias("uv"), _norm(F.col("v")).alias("un")
+    )
+    vc = v.select(
+        F.col("vec_id").alias("c"), F.col("v").alias("cv"), _norm(F.col("v")).alias("cn")
+    )
+    # round-1 output: a proper top-k graph (out-degree <= KNN_K)
+    g1 = _nn_descent_round(_nn_base_graph(spark, SF_DIR), vu, vc)
+    e = g1.select("vec_id", "neighbor_id").persist()
+    E = e.count()
+    out_deg = e.groupBy("vec_id").count().agg(F.max("count")).collect()[0][0]
+    assert out_deg <= KNN_K
+    a, b = e.alias("a"), e.alias("b")
+    hop2_rows = (
+        a.join(b, F.col("a.neighbor_id") == F.col("b.vec_id"))
+        .filter(F.col("b.neighbor_id") != F.col("a.vec_id"))
+        .count()
+    )
+    assert hop2_rows <= E * KNN_K, (hop2_rows, E, KNN_K)
+    # total pre-distinct candidate rows: direct + reverse + 2-hop
+    assert E + E + hop2_rows <= E * (2 + KNN_K)
+    e.unpersist()
+
+
+def test_s19_iterated_recall_monotone(spark):
+    """VERDICT_r08 #3's property: across descent rounds, exact
+    recall@K vs the brute-force kNN graph is monotone non-decreasing
+    (each node's candidate set contains its current list, so the
+    per-node (cosine, id) key-sequence only improves), and the
+    registered convergence loop terminates under its update-rate rule
+    within the fail-loud bound. Also pins the fail-loud path and the
+    sampled-recall probe's direction."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dbsink_spark.analytics.similarity import (
+        KNN_K,
+        S22_MAX_ROUNDS,
+        _nn_base_graph,
+        _nn_descent_round,
+        _norm,
+        _vectors,
+        nn_descent_converge,
+        nn_descent_sampled_recall,
+    )
+
+    vecs = _vectors(spark, SF_DIR).collect()
+    ids = np.array([r["vec_id"] for r in vecs])
+    m = np.array([r["v"] for r in vecs], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    true_k = {
+        int(ids[i]): set(ids[np.argsort(-sims[i], kind="stable")[:KNN_K]])
+        for i in range(len(ids))
+    }
+    denom = sum(len(s) for s in true_k.values())
+
+    def recall(df):
+        got = {}
+        for r in df.select("vec_id", "neighbor_id").collect():
+            got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(u, set()) & true_k[u]) for u in true_k) / denom
+
+    v = _vectors(spark, SF_DIR)
+    vu = v.select(
+        F.col("vec_id").alias("u"), F.col("v").alias("uv"), _norm(F.col("v")).alias("un")
+    )
+    vc = v.select(
+        F.col("vec_id").alias("c"), F.col("v").alias("cv"), _norm(F.col("v")).alias("cn")
+    )
+    g = _nn_base_graph(spark, SF_DIR).localCheckpoint()
+    recalls = []
+    for _ in range(4):
+        g = _nn_descent_round(g, vu, vc).localCheckpoint()
+        recalls.append(recall(g))
+    assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
+
+    stats: dict = {}
+    final = nn_descent_converge(spark, SF_DIR, stats=stats)
+    assert 2 <= stats["rounds"] <= S22_MAX_ROUNDS
+    assert recall(final) >= recalls[0]
+    # sampled probe agrees in direction with the exact measurement
+    assert nn_descent_sampled_recall(final, v) >= nn_descent_sampled_recall(
+        _nn_descent_round(_nn_base_graph(spark, SF_DIR), vu, vc), v
+    ) - 1e-9
+    # fail-loud bound: a 1-round budget can never satisfy the r>=2 rule
+    with _pytest.raises(RuntimeError, match="update rate"):
+        nn_descent_converge(spark, SF_DIR, max_rounds=1)
+
+
 def test_s20_mmr_greedy_matches_pure_python(spark):
     """The selected ids and round-4 scores must equal a from-scratch
     Python MMR over sequential-fold cosines (the same fold order the

@@ -107,6 +107,19 @@ def test_gate_debt_ledger_in_sync():
     assert m and int(m.group(1)) == len(never), (m, len(never))
 
 
+def test_bench_manifest_keys_positional_stdout():
+    """bench.py's stdout line is a positional decisec array (round-9
+    byte diet); the committed BENCH_MANIFEST.json is the key. It must
+    be exactly sorted(ALL_QUERIES) or the recorded BENCH_r{N} arrays
+    can't be re-keyed."""
+    import json
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["order"] == sorted(analytics.ALL_QUERIES)
+    assert manifest["unit"] == "decisec"
+
+
 def _norm(v):
     if v is None:
         return "␀"
