@@ -2735,31 +2735,44 @@ def nn_descent_converge(
     vc = v.select(
         F.col("vec_id").alias("c"), F.col("v").alias("cv"), _norm(F.col("v")).alias("cn")
     )
-    base = _nn_base_graph(spark, sf_dir).localCheckpoint()
+    # eager=False throughout: the per-round stats action below is what
+    # materializes each checkpoint, so a round costs ONE job (not a
+    # checkpoint job + an anti-join job + a count job)
+    base = _nn_base_graph(spark, sf_dir).localCheckpoint(eager=False)
     g = base
     prev: DataFrame | None = None
     prev_edges = 0
     adopted_per_round: list[int] = []
     stopped_at: int | None = None
     for r in range(1, max_rounds + 1):
-        nxt = _nn_descent_round(g, vu, vc).localCheckpoint()
-        if prev is not None:
-            gained = (
-                nxt.select("vec_id", "neighbor_id")
-                .join(
-                    prev.select("vec_id", "neighbor_id"),
-                    ["vec_id", "neighbor_id"],
-                    "left_anti",
-                )
-                .count()
+        nxt = _nn_descent_round(g, vu, vc).localCheckpoint(eager=False)
+        if prev is None:
+            prev = nxt
+            prev_edges = nxt.count()
+            g = nxt
+            continue
+        # one job returns BOTH rule inputs: |g_r| and |g_r \ g_{r-1}|
+        row = (
+            nxt.select("vec_id", "neighbor_id")
+            .join(
+                prev.select("vec_id", "neighbor_id").withColumn("_old", F.lit(1)),
+                ["vec_id", "neighbor_id"],
+                "left",
             )
-            adopted_per_round.append(gained)
-            if gained * S22_DELTA_DEN <= prev_edges * S22_DELTA_NUM:
-                stopped_at = r
-                g = nxt
-                break
+            .agg(
+                F.count(F.lit(1)).alias("edges"),
+                F.sum(F.when(F.col("_old").isNull(), 1).otherwise(0)).alias("gained"),
+            )
+            .collect()[0]
+        )
+        gained = int(row["gained"] or 0)
+        adopted_per_round.append(gained)
+        if gained * S22_DELTA_DEN <= prev_edges * S22_DELTA_NUM:
+            stopped_at = r
+            g = nxt
+            break
         prev = nxt
-        prev_edges = nxt.count()
+        prev_edges = int(row["edges"])
         g = nxt
     if stopped_at is None:
         raise RuntimeError(
