@@ -204,14 +204,27 @@ def banded_sigs(docs: DataFrame, bucket_cap=_CAP_UNSET) -> DataFrame:
         sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
         .select("doc_id", "bb.band_id", "bb.bucket")
     )
-    if bucket_cap is not None:
-        w = Window.partitionBy("band_id", "bucket")
-        out = (
-            out.withColumn("_bc", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bc") <= F.lit(int(bucket_cap)))
-            .drop("_bc")
-        )
-    return out
+    return cap_band_rows(out, bucket_cap)
+
+
+def cap_band_rows(bands: DataFrame, bucket_cap=_CAP_UNSET) -> DataFrame:
+    """Apply the LSH skew guard to an existing band-row relation —
+    factored out of :func:`banded_sigs` so the incremental path can
+    store UNCAPPED rows (cumulative occupancy) yet apply the SAME
+    guard at query time over the accumulated relation (review: the
+    ingest join previously bypassed the cap entirely, diverging from
+    d20 whenever LSH_BUCKET_CAP is set and leaving a degenerate
+    stored bucket free to fan out B x batch candidate pairs)."""
+    if bucket_cap is _CAP_UNSET:
+        bucket_cap = LSH_BUCKET_CAP
+    if bucket_cap is None:
+        return bands
+    w = Window.partitionBy("band_id", "bucket")
+    return (
+        bands.withColumn("_bc", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bc") <= F.lit(int(bucket_cap)))
+        .drop("_bc")
+    )
 
 
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

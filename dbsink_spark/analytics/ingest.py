@@ -43,7 +43,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h64
-from .dedup import JACCARD_THRESHOLD, _verify_jaccard, banded_sigs, hash_docs
+from .dedup import (
+    JACCARD_THRESHOLD,
+    _verify_jaccard,
+    banded_sigs,
+    cap_band_rows,
+    hash_docs,
+)
 
 HASHES_DIR = "hashes"
 BANDS_DIR = "bands"
@@ -107,10 +113,16 @@ def ingest_batch(
         F.col("corpus_match").isNull() & (F.col("batch_min") == F.col("doc_id"))
     ).select("doc_id")
     hd_new = hash_docs(batch).join(survivors, "doc_id", "semi").localCheckpoint()
+    # the STORE stays uncapped (occupancy must be cumulative, never
+    # per-batch); the QUERY side applies the module's LSH skew guard —
+    # over the accumulated index relation and within the batch — so
+    # ingest semantics track d20's under any LSH_BUCKET_CAP setting
+    # (review finding)
     bands_new = banded_sigs(hd_new, bucket_cap=None).localCheckpoint()
-    idx_bands = spark.read.parquet(os.path.join(path, BANDS_DIR))
+    bands_new_q = cap_band_rows(bands_new)
+    idx_bands = cap_band_rows(spark.read.parquet(os.path.join(path, BANDS_DIR)))
 
-    bn, bo = bands_new.alias("bn"), idx_bands.alias("bo")
+    bn, bo = bands_new_q.alias("bn"), idx_bands.alias("bo")
     cand_oc = (
         bn.join(
             bo,
@@ -121,7 +133,7 @@ def ingest_batch(
         .dropDuplicates(["doc_a", "doc_b"])
         .withColumn("src", F.lit("corpus"))
     )
-    b1, b2 = bands_new.alias("b1"), bands_new.alias("b2")
+    b1, b2 = bands_new_q.alias("b1"), bands_new_q.alias("b2")
     cand_nn = (
         b1.join(
             b2,

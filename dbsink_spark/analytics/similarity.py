@@ -2725,8 +2725,10 @@ def nn_descent_converge(
     the n×n space, so the loop's total cost is
     rounds × O(n·k·fanout) at any corpus size.
 
-    ``stats`` (optional) receives ``rounds`` (the stopping round) and
-    ``adopted`` (new-edge count per round, r=2 onward).
+    ``stats`` (optional) receives ``rounds`` (the stopping round),
+    ``adopted`` (new-edge count per round, r=2 onward), and ``base``
+    (the materialized two-view seed graph, so callers needing it —
+    s22's new_edge marking — don't pay the base-graph job twice).
     """
     v = _vectors(spark, sf_dir)
     vu = v.select(
@@ -2785,6 +2787,7 @@ def nn_descent_converge(
     if stats is not None:
         stats["rounds"] = stopped_at
         stats["adopted"] = adopted_per_round
+        stats["base"] = base
     return g
 
 
@@ -2831,14 +2834,17 @@ def nn_descent_sampled_recall(
 def s22_nn_descent_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered convergence loop: the final kNN graph with
     ``new_edge`` marking neighbors the descent recovered beyond the
-    two-view LSH base, plus the convergence round (min r ≥ 2 with
-    g_r == g_{r-1}) — the oracle unrolls the identical round as
-    chained CTEs (the q92 fixed-unroll pattern; extra rounds past the
-    fixpoint are provable no-ops) and computes the same round count
-    from pairwise CTE diffs."""
+    two-view LSH base, plus the stopping round — the first r ≥ 2
+    whose adopted-edge count satisfies the integer update-rate rule
+    (NOT the exact fixpoint; see ``nn_descent_converge``). The oracle
+    unrolls the identical round as chained MATERIALIZED CTEs (the q92
+    fixed-unroll pattern) and computes the SAME stopping round from
+    pairwise CTE gain counts, then selects that round's graph."""
     stats: dict = {}
     g = nn_descent_converge(spark, sf_dir, stats=stats)
-    base = _nn_base_graph(spark, sf_dir).select(
+    # the seed graph was already materialized inside the loop — reuse
+    # it instead of re-running the LSH + per-bucket kNN job (review)
+    base = stats["base"].select(
         F.col("vec_id").alias("bu"), F.col("neighbor_id").alias("bc")
     )
     out = g.join(

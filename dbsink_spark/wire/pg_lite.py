@@ -142,15 +142,21 @@ def _convert(oid: int, text: str):
             raise PgLiteError(
                 "bytea_output is not 'hex'; pg_lite only decodes hex bytea"
             )
-        return bytes.fromhex(text[2:])
+        try:
+            return bytes.fromhex(text[2:])
+        except ValueError as e:  # corrupt/odd-length hex: keep the
+            raise PgLiteError(f"malformed hex bytea: {e}")  # module's contract
     return text
 
 
 def _parameter_status(payload: bytes) -> tuple[str, str]:
     """ParameterStatus ('S') payload: name\\0value\\0."""
-    end = payload.index(b"\x00")
-    name = payload[:end].decode("utf-8", "replace")
-    vend = payload.index(b"\x00", end + 1)
+    try:
+        end = payload.index(b"\x00")
+        name = payload[:end].decode("utf-8", "replace")
+        vend = payload.index(b"\x00", end + 1)
+    except ValueError:
+        raise PgLiteError(f"malformed ParameterStatus payload {payload!r}")
     return name, payload[end + 1 : vend].decode("utf-8", "replace")
 
 
@@ -248,6 +254,12 @@ class Cursor:
     def _run(self, sql: str) -> None:
         self._reset()
         conn = self._conn
+        # a previous statement may have flipped the setting off (the
+        # drained scs_error below); later queries emit no
+        # ParameterStatus, so the connection must stay poisoned by an
+        # entry check until a rollback reverts the GUC (SET is
+        # transactional — _end_tx parses the revert notification)
+        _check_scs(conn._params)
         if not conn._in_tx:
             # open an explicit transaction on the same round trip: the
             # simple protocol would otherwise commit at message end,
@@ -259,6 +271,7 @@ class Cursor:
         cols: list[tuple[str, int]] = []
         rows: list[tuple] = []
         error: dict[str, str] | None = None
+        scs_error: PgLiteError | None = None
         rowcount = -1
         while True:
             mtype, payload = proto.read_message()
@@ -298,14 +311,23 @@ class Cursor:
                 # a mid-session `SET standard_conforming_strings` (or a
                 # pooler splice) reports here — re-check, don't discard
                 # (advisor finding: quote-doubling rendering is only
-                # safe while the setting stays on)
+                # safe while the setting stays on). The violation must
+                # NOT raise mid-loop: unread messages up to Z would
+                # desync the protocol and hand the NEXT query this
+                # statement's stale results — drain first, raise after
+                # (review finding; same discipline as the 'E' path).
                 name, value = _parameter_status(payload)
                 conn._params[name] = value
-                _check_scs(conn._params)
+                try:
+                    _check_scs(conn._params)
+                except PgLiteError as e:
+                    scs_error = e
             elif mtype in (b"K", b"N", b"I"):
                 continue
             else:
                 raise PgLiteError(f"unexpected message {mtype!r}")
+        if scs_error is not None:
+            raise scs_error
         if error is not None:
             raise PgLiteError(
                 f"{error.get('S', 'ERROR')} {error.get('C', '')}: "
@@ -353,6 +375,13 @@ class Connection:
                 break
             if mtype == b"E":
                 error = _error_fields(payload)
+            if mtype == b"S":
+                # SET is transactional: a ROLLBACK of a transaction
+                # that flipped a GUC reports the REVERT here — track
+                # it so a poisoned connection (scs flipped off) heals
+                # when the offending transaction rolls back
+                name, value = _parameter_status(payload)
+                self._params[name] = value
         if error is not None and verb == "COMMIT":
             raise PgLiteError(error.get("M", "commit failed"))
 

@@ -131,21 +131,36 @@ def _pg_connect(timeout: float = 2):
 
 
 def _live_degraded_ok() -> str | None:
-    """None when the live degraded tier can run; otherwise skip reason."""
+    """None when the live degraded tier can run; otherwise skip reason.
+
+    Detection must be FUNCTIONAL (would the sink's own probe end up
+    with PostGIS?) but side-effect-free: CREATE EXTENSION runs inside
+    a transaction that is always ROLLED BACK, with the pg_extension
+    check issued inside that same transaction so it observes the
+    attempted install without persisting it (review: the previous
+    probe committed the extension into the shared test database)."""
     try:
         con = _pg_connect()
     except Exception:
         return f"no live Postgres at {PG_DSN}"
     try:
+        installable = False
         try:
-            con.cursor().execute("CREATE EXTENSION IF NOT EXISTS postgis")
-            con.commit()
+            cur = con.cursor()
+            cur.execute("CREATE EXTENSION IF NOT EXISTS postgis")
+            cur.execute(
+                "SELECT count(*) FROM pg_extension WHERE extname = 'postgis'"
+            )
+            installable = bool(cur.fetchall()[0][0])
         except Exception:
+            pass
+        finally:
             con.rollback()
-        cur = con.cursor()
-        cur.execute("SELECT count(*) FROM pg_extension WHERE extname = 'postgis'")
-        if cur.fetchall()[0][0]:
-            return "PostGIS installed: degraded mode never engages here"
+        if installable:
+            return (
+                "PostGIS installed/installable: the sink's probe would "
+                "use full-fidelity mode, degraded mode never engages here"
+            )
         return None
     finally:
         con.close()

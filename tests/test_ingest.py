@@ -39,6 +39,27 @@ def test_ingest_single_batch_equals_d20(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_ingest_equals_d20_under_bucket_cap(spark, tmp_path, monkeypatch):
+    """The LSH skew guard must bind on the ingest path too (review:
+    the band join previously bypassed it): with LSH_BUCKET_CAP set,
+    ingest's decisions still equal d20's — the store stays uncapped
+    but the query side applies the same cumulative-occupancy cap."""
+    from dbsink_spark.analytics import dedup as _dedup
+
+    monkeypatch.setattr(_dedup, "LSH_BUCKET_CAP", 1)
+    corpus, batch = _split(spark)
+    path = str(tmp_path / "idx")
+    build_dedup_index(spark, path, corpus)
+    got = [tuple(r) for r in ingest_batch(spark, path, batch, append=False).collect()]
+    want = [tuple(r) for r in d20_incremental_dedup(spark, SF_DIR).collect()]
+    assert got == want
+    # the cap actually changed something vs the uncapped run (else this
+    # test proves nothing): compare against default-cap decisions
+    monkeypatch.setattr(_dedup, "LSH_BUCKET_CAP", None)
+    uncapped = [tuple(r) for r in d20_incremental_dedup(spark, SF_DIR).collect()]
+    assert got != uncapped, "cap=1 did not alter any decision at this SF"
+
+
 def test_ingest_two_batches_compose(spark, tmp_path):
     """Day N+1 then day N+2: sequentially ingesting two id-ordered
     batches must reproduce the one-shot run's keep/discard partition

@@ -124,6 +124,30 @@ def test_live_handshake_captures_parameter_status():
         con.close()
 
 
+def test_live_scs_flip_poisons_until_rollback():
+    """Flipping standard_conforming_strings off mid-session must (a)
+    raise AFTER draining to ReadyForQuery (no protocol desync — review
+    finding: a mid-loop raise left unread messages that fed the NEXT
+    query stale results), (b) keep the connection poisoned for later
+    queries, and (c) heal on rollback, whose ParameterStatus revert
+    notification _end_tx now parses."""
+    con = _live_conn()
+    try:
+        cur = con.cursor()
+        with pytest.raises(PgLiteError, match="standard_conforming_strings"):
+            cur.execute("SET standard_conforming_strings TO off")
+        # poisoned: the entry check fires before sending anything
+        with pytest.raises(PgLiteError, match="standard_conforming_strings"):
+            cur.execute("SELECT 1")
+        con.rollback()  # SET is transactional: the GUC reverts to on
+        assert con._params.get("standard_conforming_strings") == "on"
+        cur.execute("SELECT 41 + 1")
+        # and the protocol is in sync: this is OUR result, not a stale one
+        assert cur.fetchall() == [(42,)]
+    finally:
+        con.close()
+
+
 def test_live_fetchone_advances_and_fetchall_consumes():
     con = _live_conn()
     try:

@@ -82,8 +82,6 @@ def test_pinned_by_names_resolve():
     a renamed/deleted test would silently orphan the knob's guarantee."""
     sources = {}
     for k in scale_knobs.KNOBS:
-        for ref in re.findall(r"(?:tests/([a-z_]+\.py))?::(test_[a-z0-9_]+)", k.pinned_by):
-            pass
         # extract "tests/<file>.py::test_<name>" pairs (file carries over ::-chains)
         cur_file = None
         for tok in re.split(r",\s*", k.pinned_by):
