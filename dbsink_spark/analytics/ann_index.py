@@ -97,19 +97,28 @@ def ivf_query(
     """
     cent = spark.read.parquet(os.path.join(path, CENTROIDS_DIR))
     probe_w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cent_label"))
+    # norms project ONCE per probe/index row (s01's discipline — the
+    # per-pair fold recomputed both norms per scored pair, review);
+    # localCheckpoint because the probe plan feeds BOTH the driver-side
+    # cell collect and the broadcast join — unmaterialized it would run
+    # twice, re-reading the centroids dir (review)
     probes = (
         queries.join(F.broadcast(cent))
         .select("query_id", "qv", "cent_label", _d2(F.col("qv"), F.col("cv")).alias("d2"))
         .withColumn("rn", F.row_number().over(probe_w))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", F.col("cent_label").alias("cell"))
+        .select(
+            "query_id", "qv", _norm(F.col("qv")).alias("qn"),
+            F.col("cent_label").alias("cell"),
+        )
+        .localCheckpoint()
     )
     probe_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
 
     index = spark.read.parquet(os.path.join(path, VECTORS_DIR)).filter(
         F.col("cell").isin(probe_cells)
     )
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * _norm(F.col("v")))
     scored = index.join(F.broadcast(probes), "cell").select(
         "query_id", F.col("vec_id").alias("corpus_id"), cos.alias("cosine")
     )
@@ -123,21 +132,31 @@ def ivf_query(
 
 
 def _cell_centroids(assigned: DataFrame) -> DataFrame:
-    """(cent_label, cv) codebook from the CURRENT cell members: mean
-    vector per cell — one Lloyd refinement step over the stored
-    assignment (posexplode -> avg per (cell, pos) -> re-assemble)."""
-    dims = assigned.select(F.col("cell").alias("cent_label"), F.posexplode("v").alias("pos", "x"))
-    return (
-        dims.groupBy("cent_label", "pos")
-        .agg(F.avg("x").alias("c"))
-        .groupBy("cent_label")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("cv")
-        )
-        .select("cent_label", "cv")
-    )
+    """(cent_label, cv) codebook from the CURRENT cell members — one
+    Lloyd refinement step over the stored assignment. Delegates to
+    similarity._centroids (cell relabeled as the key) so the two
+    codebook folds can never drift apart (review: they were verbatim
+    copies differing only in the key column)."""
+    return _centroids(assigned.select(F.col("cell").alias("label"), "v"))
+
+
+def _swap_in(staged: str, live: str) -> None:
+    """Swap a staged rewrite into place with the smallest possible
+    no-live-dir window: rename the live dir ASIDE, rename staged in,
+    then delete the old data. The previous rmtree-then-rename left a
+    crash window with NO vectors dir at all and the old data already
+    destroyed (review); after this sequence a crash leaves either the
+    old dir live, or the new dir live with `_old` still on disk —
+    recoverable either way. Local-filesystem semantics (os.rename);
+    an object-store-backed lake needs a manifest swap instead."""
+    import shutil
+
+    old_dir = live + "_old"
+    if os.path.exists(old_dir):
+        shutil.rmtree(old_dir)
+    os.rename(live, old_dir)
+    os.rename(staged, live)
+    shutil.rmtree(old_dir)
 
 
 def retrain_index(spark: SparkSession, path: str) -> None:
@@ -171,10 +190,7 @@ def retrain_index(spark: SparkSession, path: str) -> None:
     # feeds the running plan
     staged = os.path.join(path, VECTORS_DIR + "_retrain")
     reassigned.write.mode("overwrite").partitionBy("cell").parquet(staged)
-    import shutil
-
-    shutil.rmtree(vdir)
-    os.rename(staged, vdir)
+    _swap_in(staged, vdir)
 
 
 def compact_index(
@@ -202,10 +218,7 @@ def compact_index(
         .partitionBy("cell")
         .parquet(staged)
     )
-    import shutil
-
-    shutil.rmtree(vdir)
-    os.rename(staged, vdir)
+    _swap_in(staged, vdir)
 
 
 def maxsim_query(
@@ -226,9 +239,9 @@ def maxsim_query(
     row-identical over the same store — pinned by
     tests/test_ann_index.py).
 
-    ``queries`` is (query_id, qv). Output matches s12's shape minus
-    the in-query-only rounding: (query_id, corpus_id, cell, maxsim,
-    rank).
+    ``queries`` is (query_id, qv). Output matches s12's shape,
+    including the 4-decimal maxsim rounding: (query_id, corpus_id,
+    cell, maxsim, rank).
     """
     from .similarity import _maxsim_parts, _maxsim_score
 
@@ -244,6 +257,7 @@ def maxsim_query(
         .withColumn("rn", F.row_number().over(probe_w))
         .filter(F.col("rn") <= n_probe)
         .select("query_id", F.col("cent_label").alias("cell"))
+        .localCheckpoint()  # feeds the cell collect AND the join (review)
     )
     probe_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
     index = spark.read.parquet(os.path.join(path, VECTORS_DIR)).filter(

@@ -100,9 +100,32 @@ def apply_batch_once(connect, dialect: str, table: str, sql: str, rows,
         conn.close()
 
 
+def _exec_ddl(connect, dialect: str, sql: str) -> None:
+    """Run one DDL statement on either DBAPI shape: duckdb connections
+    execute directly; postgres (psycopg2/pg_lite) goes through a
+    cursor + commit. ensure_table previously called conn.execute
+    unconditionally, which raised AttributeError on the very postgres
+    dialect the maintainers support (live-test finding)."""
+    conn = connect()
+    try:
+        if dialect == "postgres":
+            conn.cursor().execute(sql)
+            conn.commit()
+        else:
+            conn.execute(sql)
+    finally:
+        conn.close()
+
+
 def batch_grid(df: DataFrame, item_col: str) -> DataFrame:
-    """(d, bucket, cnt) partial grid for one batch of items."""
-    wh = df.select(h64(F.col(item_col)).alias("h"))
+    """(d, bucket, cnt) partial grid for one batch of items.
+
+    NULL items are dropped, not counted: h64(NULL) is NULL, so a NULL
+    row would land a NULL-bucket partial that violates the sink's
+    (d, bucket) primary key — and under at-least-once replay the same
+    poisoned batch fails forever (review finding). Count-min counts
+    items; a NULL is the absence of one."""
+    wh = df.select(h64(F.col(item_col)).alias("h")).filter(F.col("h").isNotNull())
     buckets = F.array(
         *[
             F.struct(
@@ -129,14 +152,12 @@ class CountMinMaintainer:
         self.dialect = dialect
 
     def ensure_table(self) -> None:
-        conn = self.connect()
-        try:
-            conn.execute(
-                f"CREATE TABLE IF NOT EXISTS {quoted(self.table)} ("
-                "d INTEGER, bucket INTEGER, cnt BIGINT, PRIMARY KEY (d, bucket))"
-            )
-        finally:
-            conn.close()
+        _exec_ddl(
+            self.connect,
+            self.dialect,
+            f"CREATE TABLE IF NOT EXISTS {quoted(self.table)} ("
+            "d INTEGER, bucket INTEGER, cnt BIGINT, PRIMARY KEY (d, bucket))",
+        )
 
     def merge_batch(self, grid_df: DataFrame, batch_id: int | None = None) -> None:
         rows = [(r["d"], r["bucket"], r["cnt"]) for r in grid_df.collect()]
@@ -144,7 +165,7 @@ class CountMinMaintainer:
             return
         sql = (
             f"INSERT INTO {quoted(self.table)} (d, bucket, cnt) VALUES (?, ?, ?) "
-            "ON CONFLICT (d, bucket) DO UPDATE SET cnt = cnt + excluded.cnt"
+            f"ON CONFLICT (d, bucket) DO UPDATE SET cnt = {quoted(self.table)}.cnt + excluded.cnt"
         )
         if self.dialect == "postgres":
             sql = sql.replace("?", "%s")
@@ -152,15 +173,23 @@ class CountMinMaintainer:
 
     def estimate_sql(self, item_hash: int) -> str:
         """SQL that serves the point estimate for one item (by its h64
-        hash) straight from the maintained grid: min over rows of the
-        item's bucket count."""
+        hash) straight from the maintained grid: min over the item's
+        CM_D cells, where an ABSENT grid row counts as ZERO — a plain
+        `min(cnt) WHERE (d,bucket) IN (...)` sees only rows that exist,
+        so an item whose d=0 bucket collides with a hot item while its
+        other cells are empty would serve the hot count, and a
+        never-streamed item with no collisions at all would serve NULL
+        (review finding). One COALESCEd scalar subquery per cell keeps
+        the missing-row-is-zero semantics in both dialects."""
         from ..functions.hashing import AFFINE_MOD, REDUCE_MOD
 
-        cells = " OR ".join(
-            f"(d = {i} AND bucket = {(item_hash % REDUCE_MOD * a + b) % AFFINE_MOD % CM_W})"
+        cells = ", ".join(
+            "COALESCE((SELECT cnt FROM "
+            f"{quoted(self.table)} WHERE d = {i} AND "
+            f"bucket = {(item_hash % REDUCE_MOD * a + b) % AFFINE_MOD % CM_W}), 0)"
             for i, (a, b) in enumerate(MINHASH_COEFFS[:CM_D])
         )
-        return f"SELECT min(cnt) FROM {quoted(self.table)} WHERE {cells}"
+        return f"SELECT least({cells})"
 
     def run(
         self,
@@ -201,22 +230,32 @@ def batch_bitmap(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
     Rather than mis-count, a negative id fails the batch loudly: the
     word-index expression raises inside the projection (embedded in the
     used column so the optimizer cannot prune the check away)."""
-    word_idx = F.when(F.col(id_col) >= 0, F.shiftright(F.col(id_col), 6)).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "batch_bitmap: negative id violates the non-negative "
-                    "id-domain contract: "
-                ),
-                F.col(id_col).cast("string"),
+    def _word_idx(c: str):
+        return F.when(F.col(c) >= 0, F.shiftright(F.col(c), 6)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "batch_bitmap: negative id violates the non-negative "
+                        "id-domain contract: "
+                    ),
+                    F.col(c).cast("string"),
+                )
             )
         )
-    )
     return (
-        df.select(
-            F.col(group_col).alias("grp"),
-            word_idx.alias("word_idx"),
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({id_col} % 64 AS INT))").alias(
+        # NULL ids are dropped (not an id; a NULL word_idx would both
+        # dodge the negative-id tripwire — NULL >= 0 is NULL — and
+        # poison the sink PK under replay, the batch_grid rule).
+        # The id is re-aliased to a FIXED internal name before the
+        # F.expr shift (shiftleft's amount must be a literal in the
+        # column API), so an id column whose name needs quoting can't
+        # break or mis-resolve inside the interpolated SQL (review).
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), F.col(id_col).alias("_id"))
+        .select(
+            "grp",
+            _word_idx("_id").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_id % 64 AS INT))").alias(
                 "bit"
             ),
         )
@@ -248,15 +287,13 @@ class BitmapMaintainer:
         self.dialect = dialect
 
     def ensure_table(self) -> None:
-        conn = self.connect()
-        try:
-            conn.execute(
-                f"CREATE TABLE IF NOT EXISTS {quoted(self.table)} ("
-                "grp VARCHAR, word_idx BIGINT, bits BIGINT, "
-                "PRIMARY KEY (grp, word_idx))"
-            )
-        finally:
-            conn.close()
+        _exec_ddl(
+            self.connect,
+            self.dialect,
+            f"CREATE TABLE IF NOT EXISTS {quoted(self.table)} ("
+            "grp VARCHAR, word_idx BIGINT, bits BIGINT, "
+            "PRIMARY KEY (grp, word_idx))",
+        )
 
     def merge_batch(self, bitmap_df: DataFrame, batch_id: int | None = None) -> None:
         rows = [(r["grp"], r["word_idx"], r["bits"]) for r in bitmap_df.collect()]
@@ -264,7 +301,7 @@ class BitmapMaintainer:
             return
         sql = (
             f"INSERT INTO {quoted(self.table)} (grp, word_idx, bits) VALUES (?, ?, ?) "
-            "ON CONFLICT (grp, word_idx) DO UPDATE SET bits = bits | excluded.bits"
+            f"ON CONFLICT (grp, word_idx) DO UPDATE SET bits = {quoted(self.table)}.bits | excluded.bits"
         )
         if self.dialect == "postgres":
             sql = sql.replace("?", "%s")
@@ -281,9 +318,17 @@ class BitmapMaintainer:
 
     def distinct_sql(self) -> str:
         """SQL serving the exact per-group distinct count from the
-        maintained bitmaps."""
+        maintained bitmaps. Dialect-aware popcount: PostgreSQL defines
+        bit_count only for bit/bytea (PG14+), not bigint — the plain
+        form raised 'function bit_count(bigint) does not exist' on the
+        very dialect merge_batch explicitly supports (review)."""
+        pop = (
+            "bit_count(bits::bit(64))"
+            if self.dialect == "postgres"
+            else "bit_count(bits)"
+        )
         return (
-            f"SELECT grp, sum(bit_count(bits))::BIGINT AS n_distinct "
+            f"SELECT grp, sum({pop})::BIGINT AS n_distinct "
             f"FROM {quoted(self.table)} GROUP BY grp ORDER BY grp"
         )
 
@@ -354,14 +399,12 @@ class HLLMaintainer:
         self.dialect = dialect
 
     def ensure_table(self) -> None:
-        conn = self.connect()
-        try:
-            conn.execute(
-                f"CREATE TABLE IF NOT EXISTS {quoted(self.table)} ("
-                "bucket BIGINT, m_j BIGINT, PRIMARY KEY (bucket))"
-            )
-        finally:
-            conn.close()
+        _exec_ddl(
+            self.connect,
+            self.dialect,
+            f"CREATE TABLE IF NOT EXISTS {quoted(self.table)} ("
+            "bucket BIGINT, m_j BIGINT, PRIMARY KEY (bucket))",
+        )
 
     def merge_batch(self, regs_df: DataFrame, batch_id: int | None = None) -> None:
         rows = [(r["bucket"], r["m_j"]) for r in regs_df.collect()]
@@ -369,7 +412,7 @@ class HLLMaintainer:
             return
         sql = (
             f"INSERT INTO {quoted(self.table)} (bucket, m_j) VALUES (?, ?) "
-            "ON CONFLICT (bucket) DO UPDATE SET m_j = greatest(m_j, excluded.m_j)"
+            f"ON CONFLICT (bucket) DO UPDATE SET m_j = greatest({quoted(self.table)}.m_j, excluded.m_j)"
         )
         if self.dialect == "postgres":
             sql = sql.replace("?", "%s")
@@ -429,9 +472,12 @@ def batch_histogram(df: DataFrame, value_col: str,
                     bin_width: float = HIST_BIN_WIDTH) -> DataFrame:
     """(bin, cnt) partial histogram for one batch — the same
     floor(value/width) binning as analytics.advanced.q27_histogram,
-    map-side combinable."""
+    map-side combinable. NULL values are dropped (a NULL bin would
+    violate the sink's PK and brick the stream under replay — the
+    batch_grid rule)."""
     return (
         df.select(F.floor(F.col(value_col) / bin_width).cast("long").alias("bin"))
+        .filter(F.col("bin").isNotNull())
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -460,14 +506,12 @@ class HistogramMaintainer:
         self.bin_width = bin_width
 
     def ensure_table(self) -> None:
-        conn = self.connect()
-        try:
-            conn.execute(
-                f"CREATE TABLE IF NOT EXISTS {quoted(self.table)} ("
-                "bin BIGINT, cnt BIGINT, PRIMARY KEY (bin))"
-            )
-        finally:
-            conn.close()
+        _exec_ddl(
+            self.connect,
+            self.dialect,
+            f"CREATE TABLE IF NOT EXISTS {quoted(self.table)} ("
+            "bin BIGINT, cnt BIGINT, PRIMARY KEY (bin))",
+        )
 
     def merge_batch(self, hist_df: DataFrame, batch_id: int | None = None) -> None:
         rows = [(r["bin"], r["cnt"]) for r in hist_df.collect()]
@@ -475,7 +519,7 @@ class HistogramMaintainer:
             return
         sql = (
             f"INSERT INTO {quoted(self.table)} (bin, cnt) VALUES (?, ?) "
-            "ON CONFLICT (bin) DO UPDATE SET cnt = cnt + excluded.cnt"
+            f"ON CONFLICT (bin) DO UPDATE SET cnt = {quoted(self.table)}.cnt + excluded.cnt"
         )
         if self.dialect == "postgres":
             sql = sql.replace("?", "%s")
@@ -487,10 +531,12 @@ class HistogramMaintainer:
         reaches q · total (error ≤ one bin width)."""
         t = quoted(self.table)
         return (
-            f"SELECT CAST(min(bin) * {self.bin_width} AS DOUBLE) AS q_approx FROM ("
+            # DOUBLE PRECISION, not DOUBLE: Postgres has no bare DOUBLE type
+            # (live-test finding); DuckDB accepts both spellings
+            f"SELECT CAST(min(bin) * {self.bin_width} AS DOUBLE PRECISION) AS q_approx FROM ("
             f"  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,"
             f"         (SELECT sum(cnt) FROM {t}) AS total"
-            f"  FROM {t}) WHERE cum >= {q} * total"
+            f"  FROM {t}) AS cumhist WHERE cum >= {q} * total"
         )
 
     def run(
