@@ -51,15 +51,20 @@ class RollupMaintainer:
         self.max_partial_rows = max_partial_rows
 
     def ensure_table(self) -> None:
-        conn = self.connect()
-        try:
-            conn.execute(
-                f"CREATE TABLE IF NOT EXISTS {quoted(self.table)} ("
-                "bucket TIMESTAMP, key VARCHAR, n BIGINT, sv DOUBLE, "
-                "PRIMARY KEY (bucket, key))"
-            )
-        finally:
-            conn.close()
+        from .sketches import _exec_ddl
+
+        # DOUBLE PRECISION + dialect-aware DDL execution + qualified
+        # upsert below: the same postgres-dialect fixes the sketch
+        # maintainers needed (live-test findings — conn.execute is
+        # duckdb-only, bare DOUBLE is not a postgres type, and
+        # unqualified columns in DO UPDATE SET are ambiguous)
+        _exec_ddl(
+            self.connect,
+            self.dialect,
+            f"CREATE TABLE IF NOT EXISTS {quoted(self.table)} ("
+            "bucket TIMESTAMP, key VARCHAR, n BIGINT, sv DOUBLE PRECISION, "
+            "PRIMARY KEY (bucket, key))",
+        )
 
     def partials(self, df: DataFrame, ts_col: str, key: str, value: str) -> DataFrame:
         return (
@@ -88,8 +93,9 @@ class RollupMaintainer:
         sql = (
             f"INSERT INTO {quoted(self.table)} (bucket, key, n, sv) "
             "VALUES (?, ?, ?, ?) "
-            "ON CONFLICT (bucket, key) DO UPDATE SET "
-            "n = n + excluded.n, sv = sv + excluded.sv"
+            f"ON CONFLICT (bucket, key) DO UPDATE SET "
+            f"n = {quoted(self.table)}.n + excluded.n, "
+            f"sv = {quoted(self.table)}.sv + excluded.sv"
         )
         if self.dialect == "postgres":
             sql = sql.replace("?", "%s")

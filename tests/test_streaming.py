@@ -1668,6 +1668,25 @@ def test_maintainer_serving_sql_runs_on_live_postgres(spark):
         xh = int(hashlib.md5(b"x").hexdigest()[:15], 16)
         cur.execute(cm.estimate_sql(xh))
         assert cur.fetchall()[0][0] >= 5
+
+        from dbsink_spark.streaming.rollup import RollupMaintainer
+
+        rm = RollupMaintainer(factory, table=f"rm_{sfx}", dialect="postgres")
+        rm.ensure_table()
+        import datetime as _dt
+
+        ev = spark.createDataFrame(
+            [(_dt.datetime(2026, 1, 1, 10, 30), "a", 2.0)] * 3
+            + [(_dt.datetime(2026, 1, 1, 11, 15), "a", 1.0)],
+            "ts timestamp, k string, v double",
+        )
+        rm.merge_batch(rm.partials(ev, "ts", "k", "v"))
+        rm.merge_batch(rm.partials(ev, "ts", "k", "v"))  # additive upsert path
+        cur.execute(
+            f'SELECT sum(n), sum(sv) FROM "rm_{sfx}"'
+        )
+        n, sv = cur.fetchall()[0]
+        assert (n, float(sv)) == (8, 14.0)
     finally:
         # CLOSE the reading connection BEFORE dropping: its implicit
         # transaction holds ACCESS SHARE locks on every table it
@@ -1675,7 +1694,7 @@ def test_maintainer_serving_sql_runs_on_live_postgres(spark):
         # forever behind them (observed live: 'idle in transaction'
         # reader + DROP waiting on a relation lock)
         con.close()
-        for t in (f"bm_{sfx}", f"hm_{sfx}", f"cm_{sfx}"):
+        for t in (f"bm_{sfx}", f"hm_{sfx}", f"cm_{sfx}", f"rm_{sfx}"):
             try:
                 c2 = factory()
                 c2.cursor().execute(f'DROP TABLE IF EXISTS "{t}"')
