@@ -1,0 +1,102 @@
+"""Contract tests for tools/fuzz_oracle.py's dataset builder.
+
+The fuzzer's value rests on three invariants: the derived dataset has
+IDENTICAL schemas to the driver testdata (so every operator and oracle
+runs unmodified), the derivation is deterministic per seed (so a
+failure reproduces), and dimension tables survive whole (so FK joins
+keep hitting and a fuzz failure means operator divergence, not a
+degenerate empty join). These are duckdb-only checks — no Spark — so
+they stay cheap.
+"""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tools.fuzz_oracle import SAMPLE_PCT, SRC_SF, TABLES, _pct, build_dataset
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SRC_SF), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def seeded_dir():
+    return build_dataset(991)
+
+
+def test_all_tables_present_with_identical_schema(seeded_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        src = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{SRC_SF}/{t}.parquet')"
+        ).fetchall()
+        dst = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{seeded_dir}/{t}.parquet')"
+        ).fetchall()
+        assert [(c, ty) for c, ty, *_ in src] == [(c, ty) for c, ty, *_ in dst], t
+
+
+def test_dimensions_whole_facts_sampled(seeded_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        n_src = con.execute(
+            f"SELECT count(*) FROM read_parquet('{SRC_SF}/{t}.parquet')"
+        ).fetchone()[0]
+        n_dst = con.execute(
+            f"SELECT count(*) FROM read_parquet('{seeded_dir}/{t}.parquet')"
+        ).fetchone()[0]
+        lo, hi = SAMPLE_PCT[t]
+        if lo == hi == 100:
+            assert n_dst == n_src, f"{t}: dimension table must stay whole"
+        else:
+            # seeded hash sampling: expect within +-12 points of target
+            assert 0 < n_dst < n_src, f"{t}: fact table must shrink but not empty"
+            frac = 100.0 * n_dst / n_src
+            assert lo - 12 <= frac <= hi + 12, f"{t}: {frac:.0f}% outside band"
+
+
+def test_rows_are_subset_and_order_shuffled(seeded_dir):
+    con = duckdb.connect()
+    src = [
+        r[0]
+        for r in con.execute(
+            f"SELECT l_orderkey * 10 + l_linenumber FROM read_parquet('{SRC_SF}/lineitem.parquet')"
+        ).fetchall()
+    ]
+    dst = [
+        r[0]
+        for r in con.execute(
+            f"SELECT l_orderkey * 10 + l_linenumber FROM read_parquet('{seeded_dir}/lineitem.parquet')"
+        ).fetchall()
+    ]
+    assert set(dst) <= set(src)
+    # shuffle check: the surviving rows must NOT appear in source order
+    src_pos = {k: i for i, k in enumerate(src)}
+    positions = [src_pos[k] for k in dst]
+    assert positions != sorted(positions), "row order must be perturbed"
+
+
+def test_deterministic_per_seed(seeded_dir):
+    con = duckdb.connect()
+    before = con.execute(
+        f"SELECT count(*), sum(hash(doc_id)) FROM read_parquet('{seeded_dir}/documents.parquet')"
+    ).fetchone()
+    rebuilt = build_dataset(991, rebuild=True)
+    after = con.execute(
+        f"SELECT count(*), sum(hash(doc_id)) FROM read_parquet('{rebuilt}/documents.parquet')"
+    ).fetchone()
+    assert before == after
+
+
+def test_pct_is_seed_and_table_dependent():
+    vals = {(_pct("orders", s), _pct("lineitem", s)) for s in range(1, 30)}
+    assert len(vals) > 5, "fractions must vary across seeds"
+    for s in range(1, 30):
+        for t in TABLES:
+            lo, hi = SAMPLE_PCT[t]
+            assert lo <= _pct(t, s) <= hi

@@ -1,0 +1,147 @@
+"""Randomized-data oracle fuzzer.
+
+The 5-sweep trust matrix re-runs every operator against the SAME
+driver-generated parquet at three SFs; an operator (or its DuckDB
+oracle) that is accidentally overfit to that fixed data — a constant
+tuned to its row count, a tie broken by its incidental row order, a
+threshold that only one dataset ever crosses — stays green forever.
+This tool breaks that blind spot: it derives NEW datasets from
+``/root/testdata/sf0.01`` by seeded per-table row subsampling plus a
+row-order shuffle (schemas and referential shape preserved; contents
+the operators were never tuned on), then replays the full
+``check_oracle`` comparison (Spark vs DuckDB, rowcount + columns +
+value hash) on each derived dataset.
+
+Both engines read the same perturbed parquet, so a hash mismatch here
+is a REAL divergence — overfit constant, order-sensitive output, or
+import-time data snooping — never fuzz noise.
+
+Usage:
+
+    python tools/fuzz_oracle.py --seed 1 [--keep] [name ...]
+    python tools/fuzz_oracle.py --seeds 1,2,3          # full sweep x3
+
+Datasets land in ``/root/repo/.fuzzdata/seed{N}/`` (gitignored) and are
+reused if present (delete the dir or pass --rebuild to regenerate).
+Exit code is the number of failing (seed, query) pairs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC_SF = os.environ.get("FUZZ_SRC_SF_DIR", "/root/testdata/sf0.01")
+FUZZ_ROOT = os.path.join(REPO, ".fuzzdata")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# Keep-fraction ranges per table (percent). Dimension tables stay whole
+# so FK joins keep hitting; fact/corpus tables are subsampled to a
+# seed-dependent fraction so row counts, group cardinalities, and every
+# count-derived constant shift between seeds.
+SAMPLE_PCT = {
+    "region": (100, 100),
+    "nation": (100, 100),
+    "customer": (70, 95),
+    "supplier": (70, 95),
+    "part": (70, 95),
+    "orders": (55, 90),
+    "lineitem": (55, 90),
+    "events": (55, 90),
+    "documents": (60, 95),
+    "embeddings": (60, 95),
+}
+
+# Knuth multiplicative constant — spreads small seeds into unrelated
+# per-table fractions and shuffle keys.
+MIX = 2654435761
+
+
+def _pct(table: str, seed: int) -> int:
+    lo, hi = SAMPLE_PCT[table]
+    if lo == hi:
+        return lo
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.sha256(f"{table}:{seed}".encode()).digest()[:4], "big"
+    )
+    return lo + h % (hi - lo + 1)
+
+
+def build_dataset(seed: int, rebuild: bool = False) -> str:
+    out = os.path.join(FUZZ_ROOT, f"seed{seed}")
+    marker = os.path.join(out, ".complete")
+    if os.path.exists(marker) and not rebuild:
+        return out
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    con = duckdb.connect()
+    for t in TABLES:
+        pct = _pct(t, seed)
+        src = f"{SRC_SF}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        # row_number over the source order gives a stable per-row id to
+        # hash; the outer ORDER BY destroys the original row order so
+        # order-sensitive operators diverge visibly.
+        con.execute(
+            f"""
+            COPY (
+              SELECT * EXCLUDE (_rn) FROM (
+                SELECT *, row_number() OVER () AS _rn
+                FROM read_parquet('{src}')
+              )
+              WHERE hash(_rn * {MIX} + {seed}) % 100 < {pct}
+              ORDER BY hash(_rn + {seed} * 7919)
+            ) TO '{dst}' (FORMAT PARQUET)
+            """
+        )
+        n_src = con.execute(f"SELECT count(*) FROM read_parquet('{src}')").fetchone()[0]
+        n_dst = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+        print(f"  {t}: {n_src} -> {n_dst} rows (target {pct}%)", flush=True)
+    con.close()
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out
+
+
+def run_seed(seed: int, names: list[str], rebuild: bool) -> int:
+    print(f"== fuzz seed {seed}: building dataset", flush=True)
+    sf_dir = build_dataset(seed, rebuild)
+    env = dict(os.environ, ORACLE_SF_DIR=sf_dir)
+    cmd = [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"), *names]
+    print(f"== fuzz seed {seed}: running oracle sweep at {sf_dir}", flush=True)
+    proc = subprocess.run(cmd, env=env, cwd=REPO)
+    return proc.returncode
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--seeds", type=str, default=None, help="comma list")
+    ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+    seeds = (
+        [int(s) for s in args.seeds.split(",")]
+        if args.seeds
+        else [args.seed if args.seed is not None else 1]
+    )
+    rc = 0
+    for s in seeds:
+        rc += run_seed(s, args.names, args.rebuild)
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
