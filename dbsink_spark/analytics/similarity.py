@@ -2427,8 +2427,18 @@ def s20_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel, so driver floats equal oracle doubles bit-for-bit.
     """
     v = _vectors(spark, sf_dir)
-    q = v.filter(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv"), _norm(F.col("v")).alias("qn")
+    # Anchor on the SMALLEST PRESENT query-block id, never a hardcoded
+    # vec_id 0: the randomized oracle fuzzer (tools/fuzz_oracle.py)
+    # sampled the 0-row away and the greedy loop crashed on the empty
+    # pool. min(vec_id<N_QUERIES) == 0 on the driver testdata, so gate
+    # hashes are unchanged; on an arbitrary subset both engines now
+    # make the identical anchor choice (or return 0 rows if the whole
+    # query block is absent).
+    q = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .limit(1)
+        .select(F.col("v").alias("qv"), _norm(F.col("v")).alias("qn"))
     )
     corpus = v.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("corpus_id"), F.col("v").alias("cv"), _norm(F.col("v")).alias("cn")
@@ -2460,6 +2470,8 @@ def s20_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             score = MMR_LAMBDA * rel_rows[cid] - (1 - MMR_LAMBDA) * penalty
             if best is None or score > best[0]:
                 best = (score, cid)
+        if best is None:  # pool exhausted before MMR_K — oracle's step
+            break  # CTE goes empty at the same k, so rows still match
         selected.append((step, best[1], best[0], rel_rows[best[1]]))
         chosen.append(best[1])
     out = spark.createDataFrame(
@@ -2498,7 +2510,9 @@ def _s20_oracle() -> str:
         SELECT vec_id, embedding::DOUBLE[] AS v,
                sqrt(list_sum([x*x for x in embedding::DOUBLE[]])) AS vn
         FROM embeddings
-    ), q AS (SELECT v, vn FROM v WHERE vec_id = 0),
+    ), q AS (SELECT v, vn FROM v
+             WHERE vec_id = (SELECT min(vec_id) FROM v
+                             WHERE vec_id < {N_QUERIES})),
     rel AS MATERIALIZED (
         SELECT z.vec_id AS corpus_id,
                list_sum([q.v[i] * z.v[i] for i in generate_series(1, {DIM})])
@@ -2553,8 +2567,17 @@ def s21_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine, so the oracle hash-matches bit-for-bit.
     """
     v = _vectors(spark, sf_dir).select("vec_id", "v").persist()
-    seed = v.filter(F.col("vec_id") == 0).collect()[0]
-    centers: list[tuple[int, list[float], float | None]] = [(0, list(seed.v), None)]
+    # Seed with the SMALLEST PRESENT vec_id (fuzzer-proofed like s20:
+    # a hardcoded 0 crashed when subsampling dropped that row; the min
+    # is 0 on the driver testdata, so gate hashes are unchanged).
+    seed_rows = v.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:  # empty corpus — oracle's c1 is empty too
+        v.unpersist()
+        return spark.createDataFrame([], "step int, vec_id long, min_dist_sq double")
+    seed = seed_rows[0]
+    centers: list[tuple[int, list[float], float | None]] = [
+        (int(seed.vec_id), list(seed.v), None)
+    ]
 
     def dist_to(cv: list[float]):
         carr = F.array(*[F.lit(float(x)) for x in cv])
@@ -2574,6 +2597,8 @@ def s21_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
             .m
         )
+        if best is None:  # fewer than KCENTER_K vectors — oracle's
+            break  # c{k} CTE is empty at the same k, rows still match
         centers.append((int(-best.nid), list(best.v), float(best.d)))
 
     v.unpersist()  # the returned frame is driver-built; don't pin the cache
@@ -2592,7 +2617,10 @@ def _s21_oracle() -> str:
         f"for i in generate_series(1, {DIM})])"
     )
     ctes, prev = [], ["c1"]
-    ctes.append("c1 AS MATERIALIZED (SELECT vec_id, v FROM v WHERE vec_id = 0)")
+    ctes.append(
+        "c1 AS MATERIALIZED (SELECT vec_id, v FROM v "
+        "WHERE vec_id = (SELECT min(vec_id) FROM v))"
+    )
     for k in range(2, KCENTER_K + 1):
         dists = ", ".join(dist.format(c=c) for c in prev)
         mind = f"least({dists})" if len(prev) > 1 else dists

@@ -93,6 +93,75 @@ def test_deterministic_per_seed(seeded_dir):
     assert before == after
 
 
+def test_s20_s21_total_when_anchor_row_absent(spark, tmp_path):
+    """Regression for the fuzzer's first catch (round 9): s20/s21
+    anchored on a hardcoded ``vec_id = 0`` and crashed driver-side
+    (``NoneType``/``IndexError``) whenever subsampling dropped that
+    row. Both now anchor on the smallest PRESENT id, on both engines:
+    run them against an embeddings subset with vec_id 0 and 1 removed
+    and assert Spark still hash-matches the oracle and the anchor is
+    the min surviving query id."""
+    from dbsink_spark import analytics
+    from dbsink_spark.analytics.similarity import N_QUERIES
+
+    con = duckdb.connect()
+    dst = tmp_path / "embeddings.parquet"
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{SRC_SF}/embeddings.parquet')
+          WHERE vec_id NOT IN (0, 1) AND hash(vec_id * 31) % 10 < 8
+          ORDER BY hash(vec_id + 7)
+        ) TO '{dst}' (FORMAT PARQUET)
+        """
+    )
+    present = {
+        r[0]
+        for r in con.execute(f"SELECT vec_id FROM read_parquet('{dst}')").fetchall()
+    }
+    assert 0 not in present and len(present) > 20
+    min_query = min(i for i in present if i < N_QUERIES)
+    assert min_query >= 2
+
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{dst}')")
+
+    def norm_key(row, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return [_pnorm(row[i]) for i in order]
+
+    for name in ("s20_mmr_diversify", "s21_kcenter_select"):
+        sdf = analytics.ALL_QUERIES[name](spark, str(tmp_path))
+        srows = [tuple(r) for r in sdf.collect()]
+        cur = con.execute(analytics.ALL_ORACLE[name])
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+        assert sorted(sdf.columns) == sorted(ocols), name
+        assert sorted(norm_key(r, sdf.columns) for r in srows) == sorted(
+            norm_key(r, ocols) for r in orows
+        ), name
+        assert srows, name
+    # s21 seeds with the global min surviving id (a query-block id here)
+    s21 = analytics.ALL_QUERIES["s21_kcenter_select"](spark, str(tmp_path))
+    first = s21.orderBy("step").collect()[0]
+    assert first.vec_id == min(present)
+
+
+def _pnorm(v):
+    import math
+
+    if v is None:
+        return "␀"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return "%.12g" % v
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
 def test_pct_is_seed_and_table_dependent():
     vals = {(_pct("orders", s), _pct("lineitem", s)) for s in range(1, 30)}
     assert len(vals) > 5, "fractions must vary across seeds"
