@@ -660,11 +660,21 @@ def _knn_block_apply(b: DataFrame, keys: tuple[str, ...] = ("bucket",)) -> DataF
             )
         m = np.array(list(pdf["v"]), dtype=np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
+        # Collapse bit-identical vectors to ONE gram column and expand
+        # scores by lookup: the tie fuzzer (tools/fuzz_oracle.py --mode
+        # tie) caught N-T dgemm producing last-ulp-DIFFERENT columns
+        # for identical neighbor vectors, which silently voided the
+        # stable-argsort id tie-break (duplicate vectors are exact
+        # cosine ties on the oracle side and must rank id-ascending on
+        # both engines). Lookup-shared scores make clone equality hold
+        # by construction, independent of BLAS kernel/summation order.
+        uniq, inv = np.unique(m, axis=0, return_inverse=True)
         k = min(KNN_K, n - 1)
         outs = []
         for s0 in range(0, n, S07_TILE_ROWS):
             s1 = min(s0 + S07_TILE_ROWS, n)
-            tile = m[s0:s1] @ m.T  # (t, n)
+            g = m[s0:s1] @ uniq.T  # (t, n_unique)
+            tile = g[:, inv]  # (t, n) — clone columns equal bit-for-bit
             rows = np.arange(s0, s1)
             tile[rows - s0, rows] = -np.inf  # mask self
             order = np.argsort(-tile, axis=1, kind="stable")[:, :k]

@@ -162,6 +162,57 @@ def _pnorm(v):
     return str(v)
 
 
+def test_tie_mode_duplicates_under_fresh_ids():
+    """tie mode must (a) actually create exact value ties — duplicated
+    embeddings/documents — while (b) keeping every re-keyed id column
+    unique, so the only thing it stresses is ordering totality."""
+    con = duckdb.connect()
+    d = build_dataset(977, mode="tie")
+    dup_vecs = con.execute(
+        f"""SELECT count(*) FROM (SELECT embedding FROM
+        read_parquet('{d}/embeddings.parquet')
+        GROUP BY embedding HAVING count(*) > 1)"""
+    ).fetchone()[0]
+    assert dup_vecs > 0, "no duplicated vectors — tie stress is a no-op"
+    dup_texts = con.execute(
+        f"""SELECT count(*) FROM (SELECT text FROM
+        read_parquet('{d}/documents.parquet')
+        GROUP BY text HAVING count(*) > 1)"""
+    ).fetchone()[0]
+    assert dup_texts > 0
+    for t, idc in (("embeddings", "vec_id"), ("documents", "doc_id"), ("orders", "o_orderkey")):
+        n, nd = con.execute(
+            f"SELECT count(*), count(DISTINCT {idc}) FROM read_parquet('{d}/{t}.parquet')"
+        ).fetchone()
+        assert n == nd, f"{t}: duplicated ids leaked"
+
+
+def test_s07_clone_vectors_rank_id_ascending(spark):
+    """Regression for the tie fuzzer's second catch (round 9): N-T
+    dgemm gives last-ulp-DIFFERENT gram columns for bit-identical
+    neighbor vectors, so duplicated embeddings (exact cosine ties on
+    the DuckDB side, broken id-ascending) ranked in BLAS-noise order on
+    Spark — s07/s19/s22 all hash-mismatched on tie-mode fuzz data. The
+    kernel now collapses identical vectors to one gram column and
+    expands by lookup; verify the full spark-vs-oracle compare on a
+    tie-stressed dataset."""
+    from dbsink_spark import analytics
+
+    d = build_dataset(977, mode="tie")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet')"
+    )
+    # the dataset must actually contain a clone pair (guarded by the
+    # tie-mode invariant test above); now the ranking must match
+    sdf = analytics.ALL_QUERIES["s07_knn_graph"](spark, d)
+    srows = sorted(tuple(r) for r in sdf.collect())
+    orows = sorted(
+        tuple(r) for r in con.execute(analytics.ALL_ORACLE["s07_knn_graph"]).fetchall()
+    )
+    assert srows == orows
+
+
 def test_pct_is_seed_and_table_dependent():
     vals = {(_pct("orders", s), _pct("lineitem", s)) for s in range(1, 30)}
     assert len(vals) > 5, "fractions must vary across seeds"

@@ -16,14 +16,24 @@ Both engines read the same perturbed parquet, so a hash mismatch here
 is a REAL divergence — overfit constant, order-sensitive output, or
 import-time data snooping — never fuzz noise.
 
+A second mode, ``--mode tie``, targets under-specified orderings: on
+top of the subsample+shuffle it DUPLICATES a fraction of each fact
+table's rows under fresh unique ids (composite keys re-keyed so
+uniqueness holds). Duplicate embeddings make exact cosine/distance
+ties; duplicate documents make exact score ties — any ranking that
+lacks a total tie-break (the id column) picks different rows on Spark
+vs DuckDB and the value hash diverges. This is the failure class the
+plan tripwires can't see: real 100 TB data is full of tied values.
+
 Usage:
 
-    python tools/fuzz_oracle.py --seed 1 [--keep] [name ...]
+    python tools/fuzz_oracle.py --seed 1 [--rebuild] [name ...]
     python tools/fuzz_oracle.py --seeds 1,2,3          # full sweep x3
+    python tools/fuzz_oracle.py --seed 11 --mode tie   # tie stress
 
-Datasets land in ``/root/repo/.fuzzdata/seed{N}/`` (gitignored) and are
-reused if present (delete the dir or pass --rebuild to regenerate).
-Exit code is the number of failing (seed, query) pairs.
+Datasets land in ``/root/repo/.fuzzdata/{mode-}seed{N}/`` (gitignored)
+and are reused if present (delete the dir or pass --rebuild to
+regenerate). Exit code is the number of failing (seed, query) pairs.
 """
 
 from __future__ import annotations
@@ -65,6 +75,22 @@ SAMPLE_PCT = {
 # per-table fractions and shuffle keys.
 MIX = 2654435761
 
+# tie mode: fraction of surviving rows duplicated under a fresh id
+TIE_DUP_PCT = 10
+# table -> the id column re-keyed (max_id + row_number) so duplicated
+# rows stay unique-keyed; dims and composite parents keep uniqueness
+# because each duplicated row gets its OWN fresh key.
+TIE_REKEY = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
 
 def _pct(table: str, seed: int) -> int:
     lo, hi = SAMPLE_PCT[table]
@@ -78,8 +104,9 @@ def _pct(table: str, seed: int) -> int:
     return lo + h % (hi - lo + 1)
 
 
-def build_dataset(seed: int, rebuild: bool = False) -> str:
-    out = os.path.join(FUZZ_ROOT, f"seed{seed}")
+def build_dataset(seed: int, rebuild: bool = False, mode: str = "sample") -> str:
+    prefix = "" if mode == "sample" else f"{mode}-"
+    out = os.path.join(FUZZ_ROOT, f"{prefix}seed{seed}")
     marker = os.path.join(out, ".complete")
     if os.path.exists(marker) and not rebuild:
         return out
@@ -92,35 +119,57 @@ def build_dataset(seed: int, rebuild: bool = False) -> str:
         src = f"{SRC_SF}/{t}.parquet"
         dst = f"{out}/{t}.parquet"
         # row_number over the source order gives a stable per-row id to
-        # hash; the outer ORDER BY destroys the original row order so
+        # hash; the final ORDER BY destroys the original row order so
         # order-sensitive operators diverge visibly.
         con.execute(
             f"""
+            CREATE OR REPLACE TEMP TABLE base AS
+            SELECT * EXCLUDE (_rn) FROM (
+              SELECT *, row_number() OVER () AS _rn
+              FROM read_parquet('{src}')
+            )
+            WHERE hash(_rn * {MIX} + {seed}) % 100 < {pct}
+            """
+        )
+        if mode == "tie" and t in TIE_REKEY:
+            # duplicate a slice of rows under fresh unique ids: every
+            # value column (scores, vectors, timestamps, text) now has
+            # exact ties, so any ranking without a total tie-break
+            # diverges between engines.
+            idc = TIE_REKEY[t]
+            con.execute(
+                f"""
+                INSERT INTO base
+                SELECT * REPLACE (
+                  (SELECT max({idc}) FROM base)
+                    + row_number() OVER () AS {idc})
+                FROM base
+                WHERE hash({idc} * 131 + {seed * 13}) % 100 < {TIE_DUP_PCT}
+                """
+            )
+        con.execute(
+            f"""
             COPY (
-              SELECT * EXCLUDE (_rn) FROM (
-                SELECT *, row_number() OVER () AS _rn
-                FROM read_parquet('{src}')
-              )
-              WHERE hash(_rn * {MIX} + {seed}) % 100 < {pct}
-              ORDER BY hash(_rn + {seed} * 7919)
+              SELECT * FROM base
+              ORDER BY hash(rowid + {seed} * 7919)
             ) TO '{dst}' (FORMAT PARQUET)
             """
         )
         n_src = con.execute(f"SELECT count(*) FROM read_parquet('{src}')").fetchone()[0]
         n_dst = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
-        print(f"  {t}: {n_src} -> {n_dst} rows (target {pct}%)", flush=True)
+        print(f"  {t}: {n_src} -> {n_dst} rows (target {pct}%, mode={mode})", flush=True)
     con.close()
     with open(marker, "w") as f:
         f.write("ok\n")
     return out
 
 
-def run_seed(seed: int, names: list[str], rebuild: bool) -> int:
-    print(f"== fuzz seed {seed}: building dataset", flush=True)
-    sf_dir = build_dataset(seed, rebuild)
+def run_seed(seed: int, names: list[str], rebuild: bool, mode: str = "sample") -> int:
+    print(f"== fuzz {mode}-seed {seed}: building dataset", flush=True)
+    sf_dir = build_dataset(seed, rebuild, mode)
     env = dict(os.environ, ORACLE_SF_DIR=sf_dir)
     cmd = [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"), *names]
-    print(f"== fuzz seed {seed}: running oracle sweep at {sf_dir}", flush=True)
+    print(f"== fuzz {mode}-seed {seed}: running oracle sweep at {sf_dir}", flush=True)
     proc = subprocess.run(cmd, env=env, cwd=REPO)
     return proc.returncode
 
@@ -129,6 +178,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--seeds", type=str, default=None, help="comma list")
+    ap.add_argument("--mode", choices=("sample", "tie"), default="sample")
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
@@ -139,7 +189,7 @@ def main() -> int:
     )
     rc = 0
     for s in seeds:
-        rc += run_seed(s, args.names, args.rebuild)
+        rc += run_seed(s, args.names, args.rebuild, args.mode)
     return rc
 
 
