@@ -178,7 +178,12 @@ def q29_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = t.orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.approx_count_distinct("o_custkey", rsd=0.05).alias("_hll"),
+        # rsd 0.02 against the 10% assertion band = a >=5-sigma margin.
+        # At rsd 0.05 the band was only 2 sigma, and the randomized
+        # fuzzer (seed 6) caught a resampled dataset where one group's
+        # estimate legitimately missed 10% — the tolerance boolean must
+        # hold for ANY dataset, not just the canonical one.
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_hll"),
         F.expr("approx_percentile(o_totalprice, 0.5)").alias("_p50"),
         F.min("o_totalprice").alias("_lo"),
         F.max("o_totalprice").alias("_hi"),
