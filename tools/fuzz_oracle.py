@@ -30,6 +30,9 @@ Usage:
     python tools/fuzz_oracle.py --seed 1 [--rebuild] [name ...]
     python tools/fuzz_oracle.py --seeds 1,2,3          # full sweep x3
     python tools/fuzz_oracle.py --seed 11 --mode tie   # tie stress
+    python tools/fuzz_oracle.py --seed 21 --mode skew  # hot-key stress
+    # (skew replicates a ~2% slice 15x under fresh ids: hot users, hot
+    # LSH buckets, dominant join keys — exercises cap/fanout paths)
 
 Datasets land in ``/root/repo/.fuzzdata/{mode-}seed{N}/`` (gitignored)
 and are reused if present (delete the dir or pass --rebuild to
@@ -77,6 +80,11 @@ MIX = 2654435761
 
 # tie mode: fraction of surviving rows duplicated under a fresh id
 TIE_DUP_PCT = 10
+# skew mode: a small slice replicated many times — hot users, hot LSH
+# buckets, dominant join keys — drives operators into their cap/fanout
+# paths (bucket caps, drill brackets, salting) on BOTH engines at once.
+SKEW_PCT = 2
+SKEW_COPIES = 15
 # table -> the id column re-keyed (max_id + row_number) so duplicated
 # rows stay unique-keyed; dims and composite parents keep uniqueness
 # because each duplicated row gets its OWN fresh key.
@@ -131,6 +139,18 @@ def build_dataset(seed: int, rebuild: bool = False, mode: str = "sample") -> str
             WHERE hash(_rn * {MIX} + {seed}) % 100 < {pct}
             """
         )
+        if mode == "skew" and t in TIE_REKEY:
+            idc = TIE_REKEY[t]
+            con.execute(
+                f"""
+                INSERT INTO base
+                SELECT base.* REPLACE (
+                  (SELECT max({idc}) FROM base)
+                    + row_number() OVER () AS {idc})
+                FROM base, generate_series(1, {SKEW_COPIES})
+                WHERE hash({idc} * 131 + {seed * 13}) % 100 < {SKEW_PCT}
+                """
+            )
         if mode == "tie" and t in TIE_REKEY:
             # duplicate a slice of rows under fresh unique ids: every
             # value column (scores, vectors, timestamps, text) now has
@@ -178,7 +198,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--seeds", type=str, default=None, help="comma list")
-    ap.add_argument("--mode", choices=("sample", "tie"), default="sample")
+    ap.add_argument("--mode", choices=("sample", "tie", "skew"), default="sample")
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
