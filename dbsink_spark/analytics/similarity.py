@@ -669,12 +669,17 @@ def _knn_block_apply(b: DataFrame, keys: tuple[str, ...] = ("bucket",)) -> DataF
         # both engines). Lookup-shared scores make clone equality hold
         # by construction, independent of BLAS kernel/summation order.
         uniq, inv = np.unique(m, axis=0, return_inverse=True)
+        inv = np.asarray(inv).reshape(-1)  # numpy 2.0.0 returned (n,1)
+        has_clones = len(uniq) < n
         k = min(KNN_K, n - 1)
         outs = []
         for s0 in range(0, n, S07_TILE_ROWS):
             s1 = min(s0 + S07_TILE_ROWS, n)
-            g = m[s0:s1] @ uniq.T  # (t, n_unique)
-            tile = g[:, inv]  # (t, n) — clone columns equal bit-for-bit
+            if has_clones:
+                g = m[s0:s1] @ uniq.T  # (t, n_unique)
+                tile = g[:, inv]  # (t, n) — clone columns equal bit-for-bit
+            else:  # clone-free block: skip the expansion copy
+                tile = m[s0:s1] @ m.T  # (t, n)
             rows = np.arange(s0, s1)
             tile[rows - s0, rows] = -np.inf  # mask self
             order = np.argsort(-tile, axis=1, kind="stable")[:, :k]
@@ -2557,7 +2562,7 @@ KCENTER_K = 5  # centers selected (seed + 4 greedy rounds)
 
 def s21_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-center greedy selection (Gonzalez 1985 farthest-point
-    traversal): seed with vec_id 0, then repeatedly pick the vector
+    traversal): seed with the smallest present vec_id, then repeatedly pick the vector
     FARTHEST from its nearest already-selected center — the classic
     2-approximation for k-center and the standard diversity/coreset
     selector a training pipeline uses to pick maximally-spread

@@ -3,10 +3,11 @@
 The fuzzer's value rests on three invariants: the derived dataset has
 IDENTICAL schemas to the driver testdata (so every operator and oracle
 runs unmodified), the derivation is deterministic per seed (so a
-failure reproduces), and dimension tables survive whole (so FK joins
-keep hitting and a fuzz failure means operator divergence, not a
-degenerate empty join). These are duckdb-only checks — no Spark — so
-they stay cheap.
+failure reproduces), and the tiny enum dims (region/nation) survive
+whole so no join is fully degenerate — the TPC-H dimensions
+customer/supplier/part ARE subsampled, deliberately leaving some fact
+FKs dangling (both engines must drop them identically). These are
+duckdb-only checks — no Spark — so they stay cheap.
 """
 
 import os
@@ -52,7 +53,7 @@ def test_dimensions_whole_facts_sampled(seeded_dir):
         ).fetchone()[0]
         lo, hi = SAMPLE_PCT[t]
         if lo == hi == 100:
-            assert n_dst == n_src, f"{t}: dimension table must stay whole"
+            assert n_dst == n_src, f"{t}: enum dim (region/nation) must stay whole"
         else:
             # seeded hash sampling: expect within +-12 points of target
             assert 0 < n_dst < n_src, f"{t}: fact table must shrink but not empty"
@@ -81,16 +82,30 @@ def test_rows_are_subset_and_order_shuffled(seeded_dir):
     assert positions != sorted(positions), "row order must be perturbed"
 
 
+def _ordered_fingerprint(con, d):
+    """Order-SENSITIVE content hash over every table: a rebuild that
+    shuffles differently or assigns different fresh ids must change it
+    (the reproducibility the fuzzer promises is byte-level)."""
+    fps = []
+    for t in TABLES:
+        fps.append(
+            con.execute(
+                f"""SELECT count(*), sum(hash(_rn * 1000003 + hash(s))) FROM (
+                  SELECT t::VARCHAR AS s, row_number() OVER () AS _rn
+                  FROM read_parquet('{d}/{t}.parquet') t)"""
+            ).fetchone()
+        )
+    return fps
+
+
 def test_deterministic_per_seed(seeded_dir):
     con = duckdb.connect()
-    before = con.execute(
-        f"SELECT count(*), sum(hash(doc_id)) FROM read_parquet('{seeded_dir}/documents.parquet')"
-    ).fetchone()
+    before = _ordered_fingerprint(con, seeded_dir)
     rebuilt = build_dataset(991, rebuild=True)
-    after = con.execute(
-        f"SELECT count(*), sum(hash(doc_id)) FROM read_parquet('{rebuilt}/documents.parquet')"
-    ).fetchone()
-    assert before == after
+    assert _ordered_fingerprint(con, rebuilt) == before
+    tie = build_dataset(977, mode="tie")
+    fp = _ordered_fingerprint(con, tie)
+    assert _ordered_fingerprint(con, build_dataset(977, mode="tie", rebuild=True)) == fp
 
 
 def test_s20_s21_total_when_anchor_row_absent(spark, tmp_path):
@@ -125,9 +140,11 @@ def test_s20_s21_total_when_anchor_row_absent(spark, tmp_path):
 
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{dst}')")
 
+    from tools.check_oracle import norm_cell
+
     def norm_key(row, cols):
         order = sorted(range(len(cols)), key=lambda i: cols[i])
-        return [_pnorm(row[i]) for i in order]
+        return [norm_cell(row[i]) for i in order]
 
     for name in ("s20_mmr_diversify", "s21_kcenter_select"):
         sdf = analytics.ALL_QUERIES[name](spark, str(tmp_path))
@@ -144,22 +161,6 @@ def test_s20_s21_total_when_anchor_row_absent(spark, tmp_path):
     s21 = analytics.ALL_QUERIES["s21_kcenter_select"](spark, str(tmp_path))
     first = s21.orderBy("step").collect()[0]
     assert first.vec_id == min(present)
-
-
-def _pnorm(v):
-    import math
-
-    if v is None:
-        return "␀"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return "%.12g" % v
-    if isinstance(v, bool):
-        return str(int(v))
-    return str(v)
 
 
 def test_tie_mode_duplicates_under_fresh_ids():
@@ -211,6 +212,26 @@ def test_s07_clone_vectors_rank_id_ascending(spark):
         tuple(r) for r in con.execute(analytics.ALL_ORACLE["s07_knn_graph"]).fetchall()
     )
     assert srows == orows
+
+
+def test_skew_mode_replicates_hot_slice_under_fresh_ids():
+    """skew mode: a small slice replicated SKEW_COPIES times under
+    fresh unique ids — verify hot groups actually exist (some text
+    duplicated > TIE_DUP-style pair counts) and id uniqueness holds."""
+    from tools.fuzz_oracle import SKEW_COPIES
+
+    con = duckdb.connect()
+    d = build_dataset(967, mode="skew")
+    hot = con.execute(
+        f"""SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM
+        read_parquet('{d}/documents.parquet') GROUP BY text)"""
+    ).fetchone()[0]
+    assert hot >= SKEW_COPIES + 1, "no hot slice — skew stress is a no-op"
+    for t, idc in (("documents", "doc_id"), ("events", "event_id"), ("embeddings", "vec_id")):
+        n, nd = con.execute(
+            f"SELECT count(*), count(DISTINCT {idc}) FROM read_parquet('{d}/{t}.parquet')"
+        ).fetchone()
+        assert n == nd, f"{t}: duplicated ids leaked"
 
 
 def test_pct_is_seed_and_table_dependent():

@@ -36,7 +36,9 @@ Usage:
 
 Datasets land in ``/root/repo/.fuzzdata/{mode-}seed{N}/`` (gitignored)
 and are reused if present (delete the dir or pass --rebuild to
-regenerate). Exit code is the number of failing (seed, query) pairs.
+regenerate). Exit code is the number of seeds with at least one
+failing query (check_oracle exits 0/1 per run); per-query detail is in
+the printed FAIL lines.
 """
 
 from __future__ import annotations
@@ -50,17 +52,20 @@ import sys
 import duckdb
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.check_oracle import TABLES  # single source of the table list
+
 SRC_SF = os.environ.get("FUZZ_SRC_SF_DIR", "/root/testdata/sf0.01")
 FUZZ_ROOT = os.path.join(REPO, ".fuzzdata")
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
-
-# Keep-fraction ranges per table (percent). Dimension tables stay whole
-# so FK joins keep hitting; fact/corpus tables are subsampled to a
-# seed-dependent fraction so row counts, group cardinalities, and every
-# count-derived constant shift between seeds.
+# Keep-fraction ranges per table (percent). The tiny enum-like dims
+# (region/nation) stay whole; everything else — including the TPC-H
+# dimensions customer/supplier/part — is subsampled to a
+# seed-dependent fraction, so row counts, group cardinalities, and
+# every count-derived constant shift between seeds. Subsampled
+# dimensions mean some fact FKs dangle; that is deliberate (inner
+# joins must drop them IDENTICALLY on both engines).
 SAMPLE_PCT = {
     "region": (100, 100),
     "nation": (100, 100),
