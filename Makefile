@@ -23,6 +23,12 @@ test:
 oracle:
 	python tools/check_oracle.py
 
+# randomized-data oracle sweeps: one of each mode (see tools/fuzz_oracle.py)
+fuzz:
+	python tools/fuzz_oracle.py --seed 1
+	python tools/fuzz_oracle.py --seed 11 --mode tie
+	python tools/fuzz_oracle.py --seed 21 --mode skew
+
 bench:
 	python bench.py
 

@@ -126,19 +126,19 @@ def m02_media_meta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE: dict[str, str] = {
     "m01_media_features": f"""
         SELECT doc_id,
-               octet_length(text::BLOB)                       AS n_bytes,
+               octet_length(encode(text))                       AS n_bytes,
                {h64_sql('text')}                              AS content_hash,
-               CASE WHEN octet_length(text::BLOB) = 0 THEN 0
-                    ELSE ceil(octet_length(text::BLOB) / {FRAME_BYTES}.0)::BIGINT END AS n_frames
+               CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                    ELSE ceil(octet_length(encode(text)) / {FRAME_BYTES}.0)::BIGINT END AS n_frames
         FROM documents
     """,
     "m02_media_meta_join": f"""
         SELECT source,
                count(*)                 AS n_media,
-               sum(octet_length(text::BLOB))::BIGINT  AS total_bytes,
-               sum(CASE WHEN octet_length(text::BLOB) = 0 THEN 0
-                        ELSE ceil(octet_length(text::BLOB) / {FRAME_BYTES}.0)::BIGINT END)::BIGINT AS total_frames,
-               sum((octet_length(text::BLOB) = n_chars)::INT)::BIGINT AS n_len_match
+               sum(octet_length(encode(text)))::BIGINT  AS total_bytes,
+               sum(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                        ELSE ceil(octet_length(encode(text)) / {FRAME_BYTES}.0)::BIGINT END)::BIGINT AS total_frames,
+               sum((octet_length(encode(text)) = n_chars)::INT)::BIGINT AS n_len_match
         FROM documents
         GROUP BY source
         ORDER BY source
@@ -174,7 +174,13 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rows["doc_id"].append(doc_id)
                 rows["frame_idx"].append(i)
                 rows["frame_len"].append(len(chunk))
-                rows["frame_hash"].append(int(hashlib.md5(chunk).hexdigest()[:15], 16))
+                # hash the UPPERCASE-hex form of the frame bytes — the
+                # m05 convention: DuckDB has no md5(BLOB), so both
+                # engines hash the hex string (value-identical to
+                # hashing the bytes, at 2x hashed length)
+                rows["frame_hash"].append(
+                    int(hashlib.md5(chunk.hex().upper().encode()).hexdigest()[:15], 16)
+                )
         yield pd.DataFrame(rows)
         rows = {k: [] for k in rows}
 
@@ -187,18 +193,26 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "blob").mapInPandas(_frame_batches, FRAMES_SCHEMA)
 
 
+# frames are BYTE slices of the payload (the spark kernel chunks the
+# raw blob), so the oracle slices the hex encoding at 2x offsets and
+# unhexes back to a BLOB for hashing — character substring diverged on
+# multi-byte text (text-mode fuzz catch, round 9; m05's hex treatment)
 ORACLE["m03_frame_sample"] = f"""
-    WITH frames AS (
-        SELECT doc_id, i.i AS frame_idx,
-               substring(text, i.i * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS chunk
+    WITH hx AS (
+        SELECT doc_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n
         FROM documents
+    ), frames AS (
+        SELECT doc_id, i.i AS frame_idx,
+               substring(h, i.i * {FRAME_BYTES} * 2 + 1, {FRAME_BYTES} * 2) AS chunkhex
+        FROM hx
         CROSS JOIN (SELECT unnest(generate_series(0, 4000)) AS i) i
-        WHERE i.i * {FRAME_BYTES} < length(text)
+        WHERE i.i * {FRAME_BYTES} < n
           AND i.i % {FRAME_SAMPLE_EVERY} = 0
     )
     SELECT doc_id, frame_idx,
-           length(chunk)::BIGINT AS frame_len,
-           {h64_sql('chunk')}    AS frame_hash
+           (length(chunkhex) // 2)::BIGINT AS frame_len,
+           {h64_sql('chunkhex')} AS frame_hash
     FROM frames
 """
 
@@ -597,7 +611,13 @@ def m06_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte-ish (doc_id, symbol) — no wide rows move.
     """
     media = media_table(spark, sf_dir)
-    txt = media.select("doc_id", F.decode(F.col("blob"), "utf-8").alias("t"))
+    # empty payloads carry nothing to triage — and must be SKIPPED
+    # explicitly: Spark's split("", "") yields [""] (one phantom
+    # symbol) while the oracle's generate_series(1, 0) unnests to zero
+    # rows (text-mode fuzz catch, round 9)
+    txt = media.filter(F.octet_length("blob") > 0).select(
+        "doc_id", F.decode(F.col("blob"), "utf-8").alias("t")
+    )
     grp = (
         txt.select("doc_id", F.explode(F.split("t", "")).alias("ch"))
         .groupBy("doc_id", "ch")

@@ -1149,7 +1149,11 @@ def t19_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    seg = F.concat(F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 "))
+    # (?s): Java's bare `.` skips ALL line terminators (\r included)
+    # while RE2's skips only \n — a word containing \r\n spaced
+    # differently per engine until DOTALL made both match everything
+    # (text-mode fuzz catch, round 9)
+    seg = F.concat(F.lit(" "), F.regexp_replace(F.col("word"), "(?s)(.)", "$1 "))
     for p in merges:
         seg = F.replace(seg, F.lit(f" {p[0]} {p[1]} "), F.lit(f" {p} "))
     tok = wf.select(
@@ -1180,7 +1184,7 @@ def _t19_oracle() -> str:
         f"max(CASE WHEN rn = {i} THEN pair END) AS p{i}"
         for i in range(1, BPE_N_MERGES + 1)
     )
-    seg = "' ' || regexp_replace(wf.word, '(.)', '\\1 ', 'g')"
+    seg = "' ' || regexp_replace(wf.word, '(?s)(.)', '\\1 ', 'g')"
     for i in range(1, BPE_N_MERGES + 1):
         seg = (
             f"replace({seg}, ' ' || substr(m.p{i}, 1, 1) || ' ' || "

@@ -90,6 +90,35 @@ TIE_DUP_PCT = 10
 # paths (bucket caps, drill brackets, salting) on BOTH engines at once.
 SKEW_PCT = 2
 SKEW_COPIES = 15
+
+# text mode: adversarial-but-legitimate documents appended under fresh
+# ids — exotic unicode (CJK, RTL, emoji, combining marks, NFC vs NFD),
+# empty/whitespace-only bodies, kilotoken words, embedded control
+# whitespace, quotes/backslashes. The t-family and shingle dedup are
+# regex/codepoint-level logic where Spark and DuckDB string semantics
+# can genuinely diverge; real 100 TB corpora contain all of these.
+TEXT_ADVERSARIAL = [
+    "",
+    " ",
+    "\t\n  \n\t",
+    "a",
+    "naïve café résumé — déjà vu",
+    "étude vs étude (NFD vs NFC)",
+    "日本語のテキストと中文文本が混在する文書です。形態素解析は空白に依存できない。",
+    "مرحبا بالعالم هذا نص عربي من اليمين إلى اليسار",
+    "Привет мир это русский текст для теста",
+    "🚀🔥💯 emoji only doc 🎉🎊✨ plus 👨‍👩‍👧‍👦 ZWJ family",
+    "word " * 200,
+    "supercalifragilistic" * 100,
+    'quotes "double" \'single\' and \\backslashes\\ and `ticks`',
+    "tabs\tand\nnewlines\r\nand\x0bvertical\x0ctabs",
+    "HTML <b>tags</b> &amp; entities &#x1F600; <script>alert(1)</script>",
+    "http://example.com/path?q=1&r=2#frag plus user@example.com emails",
+    "1234567890 42.5e-3 0xDEADBEEF -17 3.14159",
+    "ALL CAPS SHOUTING DOCUMENT WITH EXCLAMATIONS!!!",
+    "repeated repeated repeated repeated repeated repeated repeated",
+    "Ünïcödé wïth umläüts ünd ßharp s",
+]
 # table -> the id column re-keyed (max_id + row_number) so duplicated
 # rows stay unique-keyed; dims and composite parents keep uniqueness
 # because each duplicated row gets its OWN fresh key.
@@ -156,6 +185,32 @@ def build_dataset(seed: int, rebuild: bool = False, mode: str = "sample") -> str
                 WHERE hash({idc} * 131 + {seed * 13}) % 100 < {SKEW_PCT}
                 """
             )
+        if mode == "text" and t == "documents":
+            con.execute("CREATE OR REPLACE TEMP TABLE adv (j BIGINT, txt VARCHAR)")
+            con.executemany(
+                "INSERT INTO adv VALUES (?, ?)",
+                list(enumerate(TEXT_ADVERSARIAL)),
+            )
+            # fresh ids; lang/source cycle through the existing domains
+            # so per-language/per-source groupings stay intact;
+            # n_chars keeps the generator's n_chars == length(text) law
+            con.execute(
+                """
+                INSERT INTO base
+                SELECT (SELECT max(doc_id) FROM base) + 1 + adv.j,
+                       adv.txt,
+                       l.lang,
+                       s.source,
+                       length(adv.txt)
+                FROM adv
+                JOIN (SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS li
+                      FROM (SELECT DISTINCT lang FROM base)) l
+                  ON l.li = adv.j % (SELECT count(DISTINCT lang) FROM base)
+                JOIN (SELECT source, row_number() OVER (ORDER BY source) - 1 AS si
+                      FROM (SELECT DISTINCT source FROM base)) s
+                  ON s.si = adv.j % (SELECT count(DISTINCT source) FROM base)
+                """
+            )
         if mode == "tie" and t in TIE_REKEY:
             # duplicate a slice of rows under fresh unique ids: every
             # value column (scores, vectors, timestamps, text) now has
@@ -203,7 +258,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--seeds", type=str, default=None, help="comma list")
-    ap.add_argument("--mode", choices=("sample", "tie", "skew"), default="sample")
+    ap.add_argument(
+        "--mode", choices=("sample", "tie", "skew", "text"), default="sample"
+    )
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
