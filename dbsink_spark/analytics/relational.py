@@ -373,8 +373,12 @@ def q20_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     column and aggregate — mirrors the reference's JSONB payload column
     (reference: dbsink/maps.py:103)."""
     e = Tables(spark, sf_dir).events
+    # try_cast, NEVER cast: under Spark 4's default ANSI mode a single
+    # event whose k is non-integral ('3.25', 'n/a') ABORTS the whole
+    # job — at 100 TB one malformed record must degrade to NULL, not
+    # kill the query (text-mode fuzz catch, round 9)
     return (
-        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        e.withColumn("k", F.get_json_object("props", "$.k").try_cast("long"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -586,11 +590,25 @@ ORACLE: dict[str, str] = {
         ORDER BY user_id
     """,
     "q20_events_json": """
+        -- guarded twin of spark's get_json_object + try_cast(long):
+        -- json_valid() because json_extract_string RAISES on malformed
+        -- JSON where spark returns NULL; the integer regex because
+        -- duckdb TRY_CAST('3.25' AS BIGINT) ROUNDS to 3 where spark
+        -- try_cast yields NULL
+        WITH kx AS (
+            SELECT event_type,
+                   CASE WHEN json_valid(props)
+                             AND trim(json_extract_string(props, '$.k'))
+                                 ~ '^[+-]?[0-9]+$'
+                        THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   END AS k
+            FROM events
+        )
         SELECT event_type,
                count(*)                                  AS n_events,
-               sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT   AS sum_k,
-               ((10000 * sum(json_extract_string(props, '$.k')::BIGINT)) // count(*))::BIGINT AS avg_k_e4
-        FROM events
+               sum(k)::BIGINT                            AS sum_k,
+               ((10000 * sum(k)) // count(*))::BIGINT    AS avg_k_e4
+        FROM kx
         GROUP BY event_type
         ORDER BY event_type
     """,

@@ -37,7 +37,9 @@ def q31_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation / covariance / stddev of value vs the JSON prop k,
     per event type."""
     e = Tables(spark, sf_dir).events
-    k = F.get_json_object("props", "$.k").cast("double")
+    # try_cast: ANSI-mode crash-proofing against malformed props (q20's
+    # treatment — one bad event must not abort the aggregate)
+    k = F.get_json_object("props", "$.k").try_cast("double")
     return (
         e.select("event_type", F.col("value"), k.alias("k"))
         .groupBy("event_type")
@@ -152,9 +154,15 @@ ORACLE: dict[str, str] = {
         ORDER BY t.o_orderpriority
     """,
     "q31_corr_stats": """
+        -- json_valid guard: json_extract_string raises on malformed
+        -- JSON where spark's get_json_object returns NULL; TRY_CAST
+        -- matches spark try_cast(double) (corr/covar skip NULL pairs
+        -- identically on both engines)
         SELECT event_type,
-               round(corr(value, json_extract_string(props,'$.k')::DOUBLE), 4)       AS corr_vk,
-               round(covar_samp(value, json_extract_string(props,'$.k')::DOUBLE), 4) AS covar_vk,
+               round(corr(value, CASE WHEN json_valid(props) THEN
+                   TRY_CAST(json_extract_string(props,'$.k') AS DOUBLE) END), 4)       AS corr_vk,
+               round(covar_samp(value, CASE WHEN json_valid(props) THEN
+                   TRY_CAST(json_extract_string(props,'$.k') AS DOUBLE) END), 4) AS covar_vk,
                round(stddev_samp(value), 4)                                          AS std_value,
                round(var_samp(value), 4)                                             AS var_value
         FROM events

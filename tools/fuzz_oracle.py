@@ -119,6 +119,26 @@ TEXT_ADVERSARIAL = [
     "repeated repeated repeated repeated repeated repeated repeated",
     "Ünïcödé wïth umläüts ünd ßharp s",
 ]
+
+# text mode, events side: adversarial-but-realistic props payloads —
+# extra keys, string-typed / float / non-numeric / missing / null k,
+# malformed JSON, unicode values, a non-object document. Spark's
+# get_json_object + try_cast degrade each to NULL; the oracles must
+# make the IDENTICAL decision (json_valid guard + integer-regex cast).
+EVENTS_ADVERSARIAL_PROPS = [
+    '{"k": 42, "extra": {"nested": [1, 2, 3], "flag": true}}',
+    '{"k": "87"}',
+    '{"msg": "he said \\"hi\\" \\u2014 \\u00fcn\\u00efc\\u00f6d\\u00e9 \\ud83d\\ude80", "k": 7}',
+    "{}",
+    '{"k": null}',
+    '{"K": 99}',
+    '{"k": 3.25}',
+    '{"k": "not-a-number"}',
+    "not json at all {",
+    '{"k": 123456789012345}',
+    "[1, 2, 3]",
+    '""',
+]
 # table -> the id column re-keyed (max_id + row_number) so duplicated
 # rows stay unique-keyed; dims and composite parents keep uniqueness
 # because each duplicated row gets its OWN fresh key.
@@ -209,6 +229,25 @@ def build_dataset(seed: int, rebuild: bool = False, mode: str = "sample") -> str
                 JOIN (SELECT source, row_number() OVER (ORDER BY source) - 1 AS si
                       FROM (SELECT DISTINCT source FROM base)) s
                   ON s.si = adv.j % (SELECT count(DISTINCT source) FROM base)
+                """
+            )
+        if mode == "text" and t == "events":
+            con.execute("CREATE OR REPLACE TEMP TABLE advp (j BIGINT, pr VARCHAR)")
+            con.executemany(
+                "INSERT INTO advp VALUES (?, ?)",
+                list(enumerate(EVENTS_ADVERSARIAL_PROPS)),
+            )
+            # clone the first rows' ts/user/type/value, fresh event_id,
+            # adversarial props
+            con.execute(
+                """
+                INSERT INTO base
+                SELECT (SELECT max(event_id) FROM base) + 1 + advp.j,
+                       b.ts, b.user_id, b.event_type, b.value, advp.pr
+                FROM advp
+                JOIN (SELECT *, row_number() OVER (ORDER BY event_id) - 1 AS rn
+                      FROM base) b
+                  ON b.rn = advp.j
                 """
             )
         if mode == "tie" and t in TIE_REKEY:
