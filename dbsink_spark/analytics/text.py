@@ -684,7 +684,10 @@ def _mixture_weight_expr():
     """Per-source keep-percentage: even-numbered sources 25%, odd 75%
     (a stand-in for the tuned per-domain mixture weights a training
     run ships)."""
-    num = F.substring("source", 4, 10).cast("int")
+    # try_cast: an unparseable source tag must fall to the otherwise
+    # branch (75), not ANSI-abort the job; the oracle's TRY_CAST +
+    # CASE..ELSE makes the identical decision
+    num = F.substring("source", 4, 10).try_cast("int")
     return F.when(num % 2 == 0, F.lit(25)).otherwise(F.lit(75))
 
 
@@ -720,7 +723,8 @@ ORACLE["t13_mixture"] = f"""
     WITH marked AS (
         SELECT source,
                ({h64_sql("'mix:' || doc_id::VARCHAR")} % 100 <
-                CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 25 ELSE 75 END
+                CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0
+                     THEN 25 ELSE 75 END
                )::INT AS kept
         FROM documents
     )

@@ -234,6 +234,44 @@ def test_skew_mode_replicates_hot_slice_under_fresh_ids():
         assert n == nd, f"{t}: duplicated ids leaked"
 
 
+def test_text_mode_injects_adversarial_docs_and_props():
+    """text mode must land every adversarial document (fresh ids, the
+    n_chars == length(text) generator law intact, lang/source from the
+    existing domains) and every adversarial props payload on events."""
+    from tools.fuzz_oracle import EVENTS_ADVERSARIAL_PROPS, TEXT_ADVERSARIAL
+
+    con = duckdb.connect()
+    d = build_dataset(955, mode="text")
+    docs = con.execute(
+        f"SELECT text, lang, source, n_chars FROM read_parquet('{d}/documents.parquet') "
+        f"ORDER BY doc_id DESC LIMIT {len(TEXT_ADVERSARIAL)}"
+    ).fetchall()
+    injected = {r[0] for r in docs}
+    assert injected == set(TEXT_ADVERSARIAL)
+    src_langs = {
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT lang FROM read_parquet('{SRC_SF}/documents.parquet')"
+        ).fetchall()
+    }
+    for text, lang, source, n_chars in docs:
+        assert n_chars == len(text), "n_chars == length(text) law broken"
+        assert lang in src_langs
+    props = {
+        r[0]
+        for r in con.execute(
+            f"SELECT props FROM read_parquet('{d}/events.parquet') "
+            f"ORDER BY event_id DESC LIMIT {len(EVENTS_ADVERSARIAL_PROPS)}"
+        ).fetchall()
+    }
+    assert props == set(EVENTS_ADVERSARIAL_PROPS)
+    for t, idc in (("documents", "doc_id"), ("events", "event_id")):
+        n, nd = con.execute(
+            f"SELECT count(*), count(DISTINCT {idc}) FROM read_parquet('{d}/{t}.parquet')"
+        ).fetchone()
+        assert n == nd, f"{t}: duplicated ids leaked"
+
+
 def test_pct_is_seed_and_table_dependent():
     vals = {(_pct("orders", s), _pct("lineitem", s)) for s in range(1, 30)}
     assert len(vals) > 5, "fractions must vary across seeds"
