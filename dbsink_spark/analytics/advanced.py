@@ -6758,8 +6758,14 @@ def q109_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     v = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    # abs() before the string slice: a negative amount's first char is
+    # '-', which ANSI-aborts the int cast — a ledger with refunds must
+    # not kill the audit (digit 0 falls off the 1..9 spine join, same
+    # as the oracle)
     obs = (
-        t.orders.select(F.substring(v.cast("string"), 1, 1).cast("int").alias("digit"))
+        t.orders.select(
+            F.substring(F.abs(v).cast("string"), 1, 1).cast("int").alias("digit")
+        )
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("obs"))
     )
@@ -6788,7 +6794,7 @@ def q109_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q109_benford"] = f"""
     WITH digits AS (
-        SELECT substr((floor(o_totalprice * 100 + 0.5)::BIGINT)::VARCHAR, 1, 1)::INT
+        SELECT substr(abs(floor(o_totalprice * 100 + 0.5)::BIGINT)::VARCHAR, 1, 1)::INT
                AS digit
         FROM orders
     ),
