@@ -2807,7 +2807,16 @@ def q73_clamped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    e = Tables(spark, sf_dir).events.select("user_id", "ts", "event_id", "value")
+    # NULL deltas are SKIPPED (the sum()/avg() null convention): a
+    # missing amount must neither poison the balance (the oracle's
+    # recursive CTE NULLs the reset count) nor silently count as a
+    # reset (the kernel's NaN comparisons) — null-mode fuzz catch,
+    # round 9. Users with only NULL events drop out on both engines.
+    e = (
+        Tables(spark, sf_dir)
+        .events.select("user_id", "ts", "event_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
 
     def run(batches):
         cur = None
@@ -2856,6 +2865,7 @@ ORACLE["q73_clamped_running_sum"] = f"""
         SELECT user_id, value,
                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         FROM events
+        WHERE value IS NOT NULL
     ),
     nev AS (SELECT user_id, max(rn) AS n_events FROM seq GROUP BY user_id),
     bal(user_id, rn, bal, resets) AS (

@@ -272,6 +272,27 @@ def test_text_mode_injects_adversarial_docs_and_props():
         assert n == nd, f"{t}: duplicated ids leaked"
 
 
+def test_null_mode_nulls_value_columns_only():
+    """null mode: ~NULL_PCT% of each configured value column goes
+    NULL; keys and unconfigured columns stay intact."""
+    from tools.fuzz_oracle import NULL_COLS, NULL_PCT
+
+    con = duckdb.connect()
+    d = build_dataset(941, mode="null")
+    for t, cols in NULL_COLS.items():
+        for col in cols:
+            n, nn = con.execute(
+                f"SELECT count(*), count({col}) FROM read_parquet('{d}/{t}.parquet')"
+            ).fetchone()
+            frac = 100.0 * (n - nn) / n
+            assert 1 <= frac <= NULL_PCT + 7, f"{t}.{col}: {frac:.1f}% nulls"
+    for t, idc in (("customer", "c_custkey"), ("events", "event_id")):
+        n, nk = con.execute(
+            f"SELECT count(*), count({idc}) FROM read_parquet('{d}/{t}.parquet')"
+        ).fetchone()
+        assert n == nk, f"{t}: key column must stay non-null"
+
+
 def test_pct_is_seed_and_table_dependent():
     vals = {(_pct("orders", s), _pct("lineitem", s)) for s in range(1, 30)}
     assert len(vals) > 5, "fractions must vary across seeds"

@@ -120,6 +120,20 @@ TEXT_ADVERSARIAL = [
     "Ünïcödé wïth umläüts ünd ßharp s",
 ]
 
+# null mode: NULL out ~5% of the numeric VALUE columns (never keys,
+# timestamps, or text). Canonical data is null-free, so every
+# null-skip, null-group, and null-ORDER decision is untested by the
+# fixed sweeps — and the engines DISAGREE by default on sort placement
+# (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST), so any row-level
+# ordering over a nullable value surfaces immediately.
+NULL_PCT = 5
+NULL_COLS = {
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice"],
+    "events": ["value"],
+}
+
 # text mode, events side: adversarial-but-realistic props payloads —
 # extra keys, string-typed / float / non-numeric / missing / null k,
 # malformed JSON, unicode values, a non-object document. Spark's
@@ -250,6 +264,14 @@ def build_dataset(seed: int, rebuild: bool = False, mode: str = "sample") -> str
                   ON b.rn = advp.j
                 """
             )
+        if mode == "null" and t in NULL_COLS:
+            for col in NULL_COLS[t]:
+                con.execute(
+                    f"""
+                    UPDATE base SET {col} = NULL
+                    WHERE hash({TIE_REKEY[t]} * 37 + {seed * 11}) % 100 < {NULL_PCT}
+                    """
+                )
         if mode == "tie" and t in TIE_REKEY:
             # duplicate a slice of rows under fresh unique ids: every
             # value column (scores, vectors, timestamps, text) now has
@@ -298,7 +320,7 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--seeds", type=str, default=None, help="comma list")
     ap.add_argument(
-        "--mode", choices=("sample", "tie", "skew", "text"), default="sample"
+        "--mode", choices=("sample", "tie", "skew", "text", "null"), default="sample"
     )
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("names", nargs="*")
