@@ -28,6 +28,8 @@ fuzz:
 	python tools/fuzz_oracle.py --seed 1
 	python tools/fuzz_oracle.py --seed 11 --mode tie
 	python tools/fuzz_oracle.py --seed 21 --mode skew
+	python tools/fuzz_oracle.py --seed 41 --mode text
+	python tools/fuzz_oracle.py --seed 51 --mode null
 
 bench:
 	python bench.py
