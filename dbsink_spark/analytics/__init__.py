@@ -29,10 +29,10 @@ UNGATED = frozenset(
         "d02_dedup_rate",
         # round-2 additions beyond the driver's 50-row gate — fully
         # oracle-verified locally (tools/check_oracle.py) + benched:
-        "s05_ivf_topk",
-        "t06_repetition",
+        # "s05_ivf_topk",  # PROMOTED to gate in round-10 rotation
+        # "t06_repetition",  # PROMOTED to gate in round-10 rotation
         # "t07_winnowing",  # PROMOTED to gate in round-5 rotation
-        "d07_phrase_dedup",
+        # "d07_phrase_dedup",  # PROMOTED to gate in round-10 rotation
         # "q37_time_gapfill",  # PROMOTED to gate in round-5 rotation
         # demoted round-2 session 2 to make gate room for headline ops
         # (each redundant with other gated rows: q21≈q18/q36 time aggs,
@@ -45,17 +45,17 @@ UNGATED = frozenset(
         # round-2 batch 2 (same policy — oracle-verified + benched,
         # beyond the 50-row driver gate; d08/d09/s06/q42 promoted INTO
         # the gate in place of the four demoted rows above):
-        "t08_quality_rules",
-        "t09_vocab_df",
+        # "t08_quality_rules",  # PROMOTED to gate in round-10 rotation
+        # "t09_vocab_df",  # PROMOTED to gate in round-10 rotation
         # "t10_chunk",  # PROMOTED to gate in round-5 rotation
-        "t11_pack",
+        # "t11_pack",  # PROMOTED to gate in round-10 rotation
         # "q38_range_join",  # PROMOTED to gate in round-5 rotation
         "q39_unpivot",
-        "t12_split",
+        # "t12_split",  # PROMOTED to gate in round-10 rotation
         # "q40_funnel",  # PROMOTED to gate in round-5 rotation
         # "q41_retention",  # PROMOTED to gate in round-5 rotation
         # "t13_mixture",  # PROMOTED to gate in round-5 rotation
-        "q43_regression_stats",
+        # "q43_regression_stats",  # PROMOTED to gate in round-10 rotation
         # "q44_range_frame",  # PROMOTED to gate in round-5 rotation
         # round-2 batch 3 (same policy). t14/s07/d10 are PROMOTED into
         # the gate as distinct capability classes (PII scrub, ANN graph,
@@ -66,15 +66,15 @@ UNGATED = frozenset(
         "q15_window_running",
         "q25_above_segment_avg",
         "q30_argmax",
-        "t15_common_token_score",
-        "q45_transitions",
-        "q46_mad_anomaly",
-        "m04_binary_near_dup",
+        # "t15_common_token_score",  # PROMOTED to gate in round-10 rotation
+        # "q45_transitions",  # PROMOTED to gate in round-10 rotation
+        # "q46_mad_anomaly",  # PROMOTED to gate in round-10 rotation
+        # "m04_binary_near_dup",  # PROMOTED to gate in round-10 rotation
         # round-2 batch 4 (same policy — oracle-verified + benched):
         # "q47_ohlc",  # PROMOTED to gate in round-5 rotation
         # "q48_interp_gapfill",  # PROMOTED to gate in round-5 rotation
         # "q50_scd2_intervals",  # PROMOTED to gate in round-5 rotation
-        "q52_quality_audit",
+        # "q52_quality_audit",  # PROMOTED to gate in round-10 rotation
         # "q53_hopping_window",  # PROMOTED to gate in round-5 rotation
         # "q54_kmv_distinct",  # PROMOTED to gate in round-5 rotation
         # "t18_top_terms",  # PROMOTED to gate in round-5 rotation
@@ -92,7 +92,7 @@ UNGATED = frozenset(
         "q10_agg_distinct",
         "q14_window_lag",
         "q16_topk_global",
-        "m02_media_meta_join",
+        # "m02_media_meta_join",  # PROMOTED to gate in round-10 rotation
         "t04_token_count",
         # round-4 additions beyond the 50-row driver gate (same policy
         # — oracle-verified locally + benched):
@@ -526,7 +526,7 @@ UNGATED = frozenset(
         #   s22 — VERDICT_r08 #3's sanctioned iterated NN-descent
         #   (convergence loop with fixpoint stopping rule + fail-loud
         #   round bound; q92-style unrolled oracle)
-        "s22_nn_descent_converge",
+        # "s22_nn_descent_converge",  # PROMOTED to gate in round-10 rotation
         "q64_column_profile",
         "q82_basket_pairs",
         "q84_histogram_quantiles",
@@ -557,6 +557,86 @@ UNGATED = frozenset(
         "s04_numpy_topk",
         "t07_winnowing",
         "t26_rake_keyphrases",
+        # ROUND-10 GATE ROTATION — requested by VERDICT_r09 "Next round
+        # #1": promote the GATE_DEBT r10 tranche (the 15 oldest
+        # never-gated rows: d07 s05 t06 t08 t09 t11 t12 t15 q43 q45
+        # q46 q52 m04 m02 — all uncommented above), with the ONE swap
+        # VERDICT_r09 #5 explicitly sanctions: s22 (the newest, only
+        # round-9 addition) promotes in place of q39_unpivot, capping
+        # new-code gate age at 2 rounds; q39 (already fuzz-hardened
+        # across all five modes) defers to the r14 tranche — rationale
+        # recorded in GATE_DEBT.md. These 15 previously-gated rows
+        # demote in exchange — they are the LONGEST-gated rows (5–9
+        # driver verifications each, vs 1–4 for everything that stays),
+        # so swapping them out maximizes never-faced-the-driver debt
+        # paydown per slot; each stays redundant with machinery that
+        # stays gated or promotes:
+        #   q01 pricing summary (9×) — pushed-filter scan + hash-agg
+        #       shape is inside nearly every gated plan; stays
+        #       plan-asserted (tests/test_plans.py) AND remains the
+        #       entry() flagship the driver smoke-runs every round
+        #   q05 multi join (9×) — broadcast-dim join-agg tree rides
+        #       promoted m02 media-meta join (same dim-broadcast
+        #       enrich-agg) + gated q125 join-IVM (two-sided join)
+        #   q12 cube (9×) — grouping-sets machinery ⊂ promoted q52
+        #       quality audit (multi-axis conditional agg) + gated t34
+        #       dataset card (per-source composition profile)
+        #   q20 events json (9×) — JSON path extraction + try_cast
+        #       guard machinery rides promoted q45/q46 (same events
+        #       props parsing) and stays fuzz-swept (text/null modes)
+        #   d01 exact dedup (9×) — hash-groupBy identity dedup is the
+        #       first stage of gated d20 incremental dedup (strict
+        #       superset: same identity key against a persisted index)
+        #   d03 minhash lsh (9×) — banded candidate generation stays
+        #       gated via promoted d07 phrase-dedup (same
+        #       shingle→band→equi-join→verify discipline) + gated d17
+        #   t02 quality score (9×) — stat-column scoring ⊂ promoted
+        #       t08 quality rules (rule-matrix superset) + promoted
+        #       t06 repetition (the remaining stat family)
+        #   q49 zorder index (8×) — bit-interleave locality clustering
+        #       ⊂ gated q102 grid containment (same cell-key
+        #       space-partitioning machinery, stronger verify)
+        #   t14 pii redact (8×) — regex scrub-and-count machinery ⊂
+        #       gated t33 boilerplate (same pattern-strip + df
+        #       accounting) + promoted t12 split's regex tokenization
+        #   d08 decontaminate (8×) — n-gram equi-join decontamination
+        #       ⊂ promoted d07 phrase dedup (same n-gram candidate
+        #       join) + promoted t15 common-token overlap scoring
+        #   t19 bpe apply (6×) — broadcast merge-table application ⊂
+        #       promoted t11 pack (same token-array explode/rebuild) +
+        #       gated t32 vocab estimate (same vocab accounting)
+        #   d13 editdist near-dup (6×) — length-banded candidate
+        #       blocking + verify ⊂ gated d19 sorted-neighborhood
+        #       (same blocking) + promoted m04 binary near-dup (same
+        #       banded near-dup class over a different modality)
+        #   q41 retention (5×) — cohort lag/sequence machinery ⊂
+        #       promoted q45 transitions (same event lag chains) +
+        #       gated q126 spearman monthly (same cohort time spine)
+        #   q48 interp gapfill (5×) — calendar-spine synthesis +
+        #       last-value-before carry stays gated via q89 bitemporal
+        #       as-of (same last-value join); interpolation arithmetic
+        #       ⊂ promoted q43 regression stats' slope algebra
+        #   q50 scd2 intervals (5×) — effective-dating interval
+        #       machinery ⊂ gated q89 bitemporal as-of (strict
+        #       superset: valid-time × transaction-time)
+        # Rotation policy unchanged: composition moves ONLY on external
+        # verdict sanction; demoted rows stay oracle-verified each
+        # pytest run (test_registry_parity) + tools/check_oracle.py.
+        "q01_pricing_summary",
+        "q05_multi_join",
+        "q12_cube",
+        "q20_events_json",
+        "d01_dedup_exact",
+        "d03_minhash_lsh",
+        "t02_quality_score",
+        "q49_zorder_index",
+        "t14_pii_redact",
+        "d08_decontaminate",
+        "t19_bpe_apply",
+        "d13_editdist_near_dup",
+        "q41_retention",
+        "q48_interp_gapfill",
+        "q50_scd2_intervals",
     }
 )
 

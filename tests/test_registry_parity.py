@@ -170,16 +170,14 @@ def test_headline_operators_are_gated():
     q61/q68/q73/q80/q83/q87/d09/s02/s04/t07/t26; round-9 rotation per
     VERDICT_r08 #1 promoted the full round-8 wave (q123-q127/t32-t34/
     s18-s21/d20/m05/m06) and demoted q64/q82/q84/q94/q106/q107/q114/
-    q119/t27/t28/m01/d15/d16/s09/s11 — each capability class stays
-    gated via the rows named in analytics.UNGATED's rationale)."""
+    q119/t27/t28/m01/d15/d16/s09/s11; round-10 rotation per
+    VERDICT_r09 #1 promoted the GATE_DEBT r10 tranche (d07/s05/t06/
+    t08/t09/t11/t12/t15/q43/q45/q46/q52/m04/m02 plus the #5-sanctioned
+    s22-for-q39 swap) and demoted the 15 longest-gated rows (q01/q05/
+    q12/q20/d01/d03/t02/q49/t14/d08/t19/d13/q41/q48/q50, each
+    driver-verified 5-9 rounds) — each capability class stays gated
+    via the rows named in analytics.UNGATED's rationale)."""
     headline = {
-        "d01_dedup_exact",
-        "d03_minhash_lsh",
-        "d13_editdist_near_dup",
-        "d08_decontaminate",
-        "t14_pii_redact",
-        "q49_zorder_index",
-        "t19_bpe_apply",
         "t21_bm25_rank",
         "t23_leakage_free_split",
         "q57_bloom_semi_prune",
@@ -215,6 +213,22 @@ def test_headline_operators_are_gated():
         "d20_incremental_dedup",
         "m05_cdc_chunks",
         "m06_payload_entropy",
+        # round-10 promotions (the GATE_DEBT r10 tranche + s22 swap):
+        "d07_phrase_dedup",
+        "s05_ivf_topk",
+        "t06_repetition",
+        "t08_quality_rules",
+        "t09_vocab_df",
+        "t11_pack",
+        "t12_split",
+        "t15_common_token_score",
+        "q43_regression_stats",
+        "q45_transitions",
+        "q46_mad_anomaly",
+        "q52_quality_audit",
+        "m04_binary_near_dup",
+        "m02_media_meta_join",
+        "s22_nn_descent_converge",
     }
     missing = headline - set(analytics.QUERIES)
     assert not missing, missing
