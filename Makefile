@@ -23,13 +23,26 @@ test:
 oracle:
 	python tools/check_oracle.py
 
-# randomized-data oracle sweeps: one of each mode (see tools/fuzz_oracle.py)
+# randomized-data oracle sweeps (see tools/fuzz_oracle.py).
+# Two seeds per mode: a PINNED regression seed (the round-9 campaign's
+# fixed list) plus a FRESH seed derived from the day-of-year so every
+# round exercises data no operator was ever tuned on — a frozen seed
+# list slowly re-acquires the overfit property the fuzzer exists to
+# kill. Log the fresh seed base (printed below) in BENCH_NOTES so any
+# failure reproduces. All sweeps run even if an early one fails; the
+# exit code aggregates the per-sweep failures instead of masking them.
+FUZZ_FRESH ?= $(shell date +%j)
 fuzz:
-	python tools/fuzz_oracle.py --seed 1
-	python tools/fuzz_oracle.py --seed 11 --mode tie
-	python tools/fuzz_oracle.py --seed 21 --mode skew
-	python tools/fuzz_oracle.py --seed 41 --mode text
-	python tools/fuzz_oracle.py --seed 51 --mode null
+	@echo "== make fuzz: fresh seed base $(FUZZ_FRESH) (pinned + fresh per mode)"; \
+	rc=0; \
+	for spec in 1:sample 11:tie 21:skew 41:text 51:null 61:degenerate \
+	            $(FUZZ_FRESH)0:sample $(FUZZ_FRESH)1:tie $(FUZZ_FRESH)2:skew \
+	            $(FUZZ_FRESH)3:text $(FUZZ_FRESH)4:null $(FUZZ_FRESH)5:degenerate; do \
+	  seed=$${spec%%:*}; mode=$${spec##*:}; \
+	  echo "== make fuzz: seed $$seed mode $$mode"; \
+	  python tools/fuzz_oracle.py --seed $$seed --mode $$mode || rc=$$((rc+1)); \
+	done; \
+	echo "== make fuzz: $$rc sweep(s) had failures"; exit $$rc
 
 bench:
 	python bench.py

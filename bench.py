@@ -31,7 +31,7 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not first-touch JIT/IO setup
-    analytics.QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+    analytics.ALL_QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 
@@ -158,18 +158,59 @@ def main() -> None:
     nwic["speedup"] = round(nwic["exact"] / max(nwic["fast"], 1e-9), 2)
     spark.catalog.clearCache()
 
+    # composed curation pipeline, end-to-end (VERDICT_r09 #6): the
+    # registry bench times operators in isolation; this times the
+    # COMPOSED scrub → quality → exact-dedup → near-dedup → split →
+    # partitioned-lake artifact (manifest collect + parquet write), so
+    # pipeline-level regressions are visible, not just per-operator.
+    import shutil
+    import tempfile
+
+    from dbsink_spark.analytics.curation import curate_corpus
+
+    lake_dir = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        t0 = time.time()
+        curated, manifest = curate_corpus(spark, sf_dir, out_path=lake_dir)
+        stage_counts = {r["stage"]: r["n_docs"] for r in manifest.collect()}
+        curate = {
+            "sec": round(time.time() - t0, 3),
+            "n_out": stage_counts.get("5_split_mixture"),
+            "n_raw": stage_counts.get("0_raw"),
+        }
+        curated.unpersist()
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+    spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
+    # Cal-normalized twins (VERDICT_r09 #7): host speed swung 1.19x
+    # r8->r9 and 1.4x within round 9 alone, so raw cross-round
+    # per-query ratios need hand-dividing by the calibration row.
+    # Record the division once here: norm = raw * CAL_REF_SEC/cal_min,
+    # where CAL_REF_SEC freezes the round-8 host's calibration min as
+    # the reference speed. Contract: BENCH_r{N}'s `queries_norm` arrays
+    # are directly comparable across rounds; `queries` stays raw.
+    CAL_REF_SEC = 0.4
+    norm_factor = CAL_REF_SEC / max(calibration["min_sec"], 1e-9)
+    queries_norm = {n: round(t * norm_factor, 3) for n, t in timings.items()}
     payload = {
         "metric": "total_wall_sec_all_queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        "queries_norm": queries_norm,
+        "cal_ref_sec": CAL_REF_SEC,
         # calibration sits TOP-LEVEL (not extras) so the driver-recorded
         # stdout line carries it into BENCH_r{N}.json — extras are
         # dropped from the line for byte budget
         "calibration": calibration,
-        "extras": {"d09_propagate": d09_propagate, "nwic_transform_100k": nwic},
+        "extras": {
+            "d09_propagate": d09_propagate,
+            "nwic_transform_100k": nwic,
+            "curate_corpus_e2e": curate,
+        },
         "sf": sf,
     }
     # The driver records only the LAST 2000 bytes of stdout (r03: the
@@ -200,6 +241,9 @@ def main() -> None:
     line = {
         **payload,
         "queries": [int(round(timings[n] * 10)) for n in names],
+        # cal-normalized decisec twin, same positional order — the
+        # cross-round-comparable numbers (see CAL_REF_SEC above)
+        "queries_norm": [int(round(queries_norm[n] * 10)) for n in names],
         "queries_unit": "decisec",
         "queries_key": "BENCH_MANIFEST.json",
         "nq": len(names),

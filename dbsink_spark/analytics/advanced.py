@@ -3845,6 +3845,13 @@ def q84_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for both the estimate and the drill-down bracket — an `o.count()`
     # here would rescan the table just to recompute Σn
     buckets = sorted(cum.collect(), key=lambda r: r["bucket_lb"])
+    if not buckets:
+        # degenerate: zero positive amounts — the oracle's est join
+        # also matches nothing, so the result is zero rows (degenerate-
+        # mode fuzz catch, round 10: buckets[-1] crashed the driver)
+        return spark.createDataFrame(
+            [], "q long, est_cents long, exact_cents long, err_bp long"
+        )
     total = buckets[-1]["cum"]
 
     targets = spark.createDataFrame(
@@ -4301,7 +4308,11 @@ def q87_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_cells",
         F.expr("(n_rows_dim - 1) * (n_cols_dim - 1)").alias("dof"),
-        F.round("chi2", 6).alias("chi2"),
+        # n_cells guard: over an empty table the statistic is
+        # undefined — the fold's 0.0 seed must not masquerade as a
+        # real chi2 of 0 (the oracle's list_sum over an empty list is
+        # NULL; degenerate-mode fuzz catch, round 10)
+        F.when(F.col("n_cells") > 0, F.round("chi2", 6)).alias("chi2"),
     )
 
 
@@ -4651,6 +4662,16 @@ def q90_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = monthly.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("tot")
     ).collect()[0]
+    if not g["n"]:
+        # degenerate: no months at all — zero rows, same as the
+        # oracle's empty recursive sweep (degenerate-mode fuzz catch,
+        # round 10: int(None) crashed the driver)
+        return spark.createDataFrame(
+            [],
+            "n_periods long, mean_cents long, slack_cents long, "
+            "threshold_cents long, n_alarms long, max_cusum long, "
+            "final_cusum long",
+        )
     n_periods, mean = int(g["n"]), int(g["tot"]) // int(g["n"])
     k = mean // Q90_SLACK_DIV
     hh = mean // Q90_H_DIV
@@ -6793,12 +6814,15 @@ def q109_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_tot))
     )
+    # nullif: an empty ledger has n=0 and the shares are undefined —
+    # NULL, not an ANSI divide-by-zero job abort (degenerate-mode fuzz
+    # catch, round 10); the oracle mirrors nullif
     return joined.select(
         "digit",
         "obs",
-        F.expr("obs * 1000000 div n").alias("obs_ppm"),
+        F.expr("obs * 1000000 div nullif(n, 0)").alias("obs_ppm"),
         "benford_ppm",
-        F.expr("obs * 1000000 div n - benford_ppm").alias("dev_ppm"),
+        F.expr("obs * 1000000 div nullif(n, 0) - benford_ppm").alias("dev_ppm"),
     ).orderBy("digit")
 
 
@@ -6820,8 +6844,9 @@ ORACLE["q109_benford"] = f"""
     ),
     tot AS (SELECT j.*, n FROM j
             CROSS JOIN (SELECT count(*)::BIGINT AS n FROM orders) nt)
-    SELECT digit, obs, (obs * 1000000 // n)::BIGINT AS obs_ppm, benford_ppm,
-           (obs * 1000000 // n - benford_ppm)::BIGINT AS dev_ppm
+    SELECT digit, obs,
+           (obs * 1000000 // nullif(n, 0))::BIGINT AS obs_ppm, benford_ppm,
+           (obs * 1000000 // nullif(n, 0) - benford_ppm)::BIGINT AS dev_ppm
     FROM tot ORDER BY digit
 """
 QUERIES["q109_benford"] = q109_benford
@@ -7102,6 +7127,15 @@ def q112_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("spend").alias("rev")
     ).collect()[0]
     n, rev = tot["n"], tot["rev"]
+    if not n:
+        # degenerate: no customers — zero rows, same as the oracle
+        # (degenerate-mode fuzz catch, round 10: the drill raised on a
+        # group with no rows and `div None` wouldn't even parse)
+        return spark.createDataFrame(
+            [],
+            "decile int, n_customers long, rev_cents long, "
+            "share_ppm long, cum_share_ppm long",
+        )
     sel = weighted_value_at(
         spend.withColumn("g1", F.lit(1)).withColumn(
             "one", F.lit(1).cast("long")
@@ -7357,10 +7391,18 @@ def q114_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = base.mapInPandas(
         _partials, schema="wv array<long>, ww array<long>, sv long, n long"
     )
+    # ww > 0 filter + nullif + try_element_at: on a degenerate input
+    # (empty/1-row orders) a replicate can draw zero total weight and
+    # the partials row still materializes with n=0 — the bare div was
+    # an ANSI divide-by-zero job abort (degenerate-mode fuzz catch,
+    # round 10). Zero-weight replicates DROP on both engines (oracle:
+    # HAVING sum(w) > 0), n_reps counts surviving replicates, and the
+    # CI ranks degrade to NULL when fewer than hi_rank survive.
     reps = (
         partials.select(F.posexplode(F.arrays_zip("wv", "ww")).alias("b", "z"))
         .groupBy("b")
         .agg(F.sum("z.wv").alias("wv"), F.sum("z.ww").alias("ww"))
+        .filter(F.col("ww") > 0)
         .select(F.expr("wv * 100 div ww").alias("mean_c100"))
     )
     pt = partials.agg(F.sum("sv").alias("sv"), F.sum("n").alias("n"))
@@ -7369,10 +7411,10 @@ def q114_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi_rank = (975 * Q114_B + 999) // 1000  # ceil(0.975·B) = 63
     return pt.crossJoin(F.broadcast(means)).select(
         "n",
-        F.lit(Q114_B).cast("long").alias("n_reps"),
-        F.expr("sv * 100 div n").alias("point_c100"),
-        F.element_at("ms", lo_rank).alias("ci_lo_c100"),
-        F.element_at("ms", hi_rank).alias("ci_hi_c100"),
+        F.size("ms").cast("long").alias("n_reps"),
+        F.expr("sv * 100 div nullif(n, 0)").alias("point_c100"),
+        F.try_element_at("ms", F.lit(lo_rank)).alias("ci_lo_c100"),
+        F.try_element_at("ms", F.lit(hi_rank)).alias("ci_hi_c100"),
     )
 
 
@@ -7407,6 +7449,7 @@ def _q114_oracle() -> str:
     reps AS (
         SELECT b, (sum(w * v) * 100 // sum(w))::BIGINT AS mean_c100
         FROM weighted GROUP BY b
+        HAVING sum(w) > 0
     ),
     dist AS (
         SELECT count(*)::BIGINT AS n_reps,
@@ -7417,7 +7460,7 @@ def _q114_oracle() -> str:
     pt AS (
         SELECT count(*)::BIGINT AS n,
                (sum(floor(o_totalprice * 100 + 0.5)::BIGINT) * 100
-                // count(*))::BIGINT AS point_c100
+                // nullif(count(*), 0))::BIGINT AS point_c100
         FROM orders
     )
     SELECT n, n_reps, point_c100, ci_lo_c100, ci_hi_c100
@@ -7874,9 +7917,13 @@ def _q118_pair(t: Tables, table: str, a: str, b: str) -> DataFrame:
             "mi_nats",
             F.col("h_a").alias("h_a_nats"),
             F.col("h_b").alias("h_b_nats"),
-            (F.col("mi_nats") / F.sqrt(F.col("h_a") * F.col("h_b"))).alias(
-                "nmi"
-            ),
+            # guard: a single-category column has H=0 and NMI is
+            # undefined — NULL, not an ANSI divide-by-zero job abort
+            # (degenerate-mode fuzz catch, round 10); oracle mirrors
+            F.when(
+                F.col("h_a") * F.col("h_b") > 0,
+                F.col("mi_nats") / F.sqrt(F.col("h_a") * F.col("h_b")),
+            ).alias("nmi"),
         )
     )
 
@@ -7915,7 +7962,8 @@ def q118_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q118_pair_sql(table: str, a: str, b: str) -> str:
     return f"""
     SELECT '{a}|{b}' AS pair, n_cells, mi_nats, h_a_nats, h_b_nats,
-           mi_nats / sqrt(h_a_nats * h_b_nats) AS nmi
+           CASE WHEN h_a_nats * h_b_nats > 0
+                THEN mi_nats / sqrt(h_a_nats * h_b_nats) END AS nmi
     FROM (
         WITH joint AS (
             SELECT {a} AS a, {b} AS b, count(*)::BIGINT AS nij

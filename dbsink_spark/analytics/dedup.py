@@ -1826,6 +1826,11 @@ def d20_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = Tables(spark, sf_dir).documents
     max_id = d.agg(F.max("doc_id").alias("m")).collect()[0].m  # scalar, bounded
+    if max_id is None:
+        # degenerate: empty corpus — no batch, no decisions, zero rows
+        # like the oracle (degenerate-mode fuzz catch, round 10:
+        # None+1 crashed the driver)
+        return spark.createDataFrame([], "doc_id long, decision string, match_id long")
     # ceiling via POSITIVE operands only: Python // floors but DuckDB //
     # truncates toward zero, so the negated-floor ceiling idiom diverges
     # between engine and oracle on any doc count not divisible by the

@@ -118,6 +118,11 @@ def weighted_value_at(
             .collect()
         }
         for k in need_bounds:
+            if k[0] not in bounds:
+                # group has no rows: the requested order statistic
+                # doesn't exist — omit the key instead of raising, and
+                # let the caller decide (degenerate-input discipline)
+                continue
             mn, mx = bounds[k[0]]
             state[k] = (mn, mx + 1, flat[k])
     for k, (lo, hi, below_mass) in brackets.items():

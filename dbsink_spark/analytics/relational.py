@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.casts import spark_try_int_sql
 from .tables import Tables
 
 
@@ -492,19 +493,29 @@ ORACLE: dict[str, str] = {
         ORDER BY o_orderpriority
     """,
     "q11_rollup": """
+        -- HAVING count(*) > 0: over an EMPTY input, standard SQL
+        -- grouping sets still emit the () grand-total row (count 0)
+        -- where Spark's rollup/cube emit nothing; on any non-empty
+        -- input every grouping-set row has count >= 1, so the guard
+        -- only equalizes the empty case (degenerate-mode fuzz catch,
+        -- round 10)
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
                count(*)                  AS n_rows
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        HAVING count(*) > 0
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
     "q12_cube": """
+        -- HAVING count(*) > 0: see q11_rollup's note (empty-input
+        -- grand-total row equalizer)
         SELECT o_orderstatus, o_orderpriority,
                round(sum(o_totalprice), 2) AS revenue,
                count(*)                    AS n_orders
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        HAVING count(*) > 0
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
     "q13_window_topk_per_group": """
@@ -589,18 +600,17 @@ ORACLE: dict[str, str] = {
         GROUP BY user_id
         ORDER BY user_id
     """,
-    "q20_events_json": """
+    "q20_events_json": f"""
         -- guarded twin of spark's get_json_object + try_cast(long):
         -- json_valid() because json_extract_string RAISES on malformed
-        -- JSON where spark returns NULL; the integer regex because
+        -- JSON where spark returns NULL; spark_try_int_sql because
         -- duckdb TRY_CAST('3.25' AS BIGINT) ROUNDS to 3 where spark
-        -- try_cast yields NULL
+        -- try_cast yields NULL, and spark's trimAll strips every char
+        -- <= 0x20 where trim() strips only spaces (round-10 advice)
         WITH kx AS (
             SELECT event_type,
                    CASE WHEN json_valid(props)
-                             AND trim(json_extract_string(props, '$.k'))
-                                 ~ '^[+-]?[0-9]+$'
-                        THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                        THEN {spark_try_int_sql("json_extract_string(props, '$.k')", "BIGINT")}
                    END AS k
             FROM events
         )

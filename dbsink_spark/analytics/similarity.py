@@ -275,6 +275,12 @@ def s04_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _vectors(spark, sf_dir)
     qrows = v.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    if not qrows:
+        # degenerate corpus with no query rows: zero result rows, same
+        # as the oracle's SQL (degenerate-mode fuzz catch, round 10 —
+        # np.array([]) is 1-D and the axis-1 normalize crashed the
+        # driver)
+        return spark.createDataFrame([], "query_id long, corpus_id long, rank int")
     q_ids = [r.vec_id for r in qrows]
     q_mat = np.array([r.v for r in qrows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -2176,6 +2182,13 @@ def s18_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _vectors(spark, sf_dir)
     qrows = v.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    if not qrows:
+        # degenerate corpus with no query rows: zero result rows, same
+        # as the oracle (degenerate-mode fuzz catch, round 10 — the
+        # s04 empty-q_mat driver crash, same kernel)
+        return spark.createDataFrame(
+            [], "query_id long, corpus_id long, rank int, in_postfilter int"
+        )
     q_ids = [r.vec_id for r in qrows]
     q_mat = np.array([r.v for r in qrows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.casts import guarded_double_sql, try_double_guarded
 from .tables import Tables
 
 
@@ -37,9 +38,12 @@ def q31_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation / covariance / stddev of value vs the JSON prop k,
     per event type."""
     e = Tables(spark, sf_dir).events
-    # try_cast: ANSI-mode crash-proofing against malformed props (q20's
-    # treatment — one bad event must not abort the aggregate)
-    k = F.get_json_object("props", "$.k").try_cast("double")
+    # try_double_guarded: ANSI-mode crash-proofing against malformed
+    # props (q20's treatment — one bad event must not abort the
+    # aggregate), narrowed to the finite-decimal accept-set BOTH
+    # engines parse identically — a bare try_cast diverges from the
+    # oracle on 'inf'/'NaN'/'1.5f'/overflow strings (casts.py)
+    k = try_double_guarded(F.get_json_object("props", "$.k"))
     return (
         e.select("event_type", F.col("value"), k.alias("k"))
         .groupBy("event_type")
@@ -153,16 +157,18 @@ ORACLE: dict[str, str] = {
           ON t.o_orderpriority = b.o_orderpriority AND t.rn_top = 1 AND b.rn_bot = 1
         ORDER BY t.o_orderpriority
     """,
-    "q31_corr_stats": """
+    "q31_corr_stats": f"""
         -- json_valid guard: json_extract_string raises on malformed
-        -- JSON where spark's get_json_object returns NULL; TRY_CAST
-        -- matches spark try_cast(double) (corr/covar skip NULL pairs
+        -- JSON where spark's get_json_object returns NULL;
+        -- guarded_double_sql is the exact twin of the spark side's
+        -- try_double_guarded — both engines admit only the shared
+        -- finite-decimal accept-set (corr/covar skip NULL pairs
         -- identically on both engines)
         SELECT event_type,
                round(corr(value, CASE WHEN json_valid(props) THEN
-                   TRY_CAST(json_extract_string(props,'$.k') AS DOUBLE) END), 4)       AS corr_vk,
+                   {guarded_double_sql("json_extract_string(props,'$.k')")} END), 4)       AS corr_vk,
                round(covar_samp(value, CASE WHEN json_valid(props) THEN
-                   TRY_CAST(json_extract_string(props,'$.k') AS DOUBLE) END), 4) AS covar_vk,
+                   {guarded_double_sql("json_extract_string(props,'$.k')")} END), 4) AS covar_vk,
                round(stddev_samp(value), 4)                                          AS std_value,
                round(var_samp(value), 4)                                             AS var_value
         FROM events
@@ -865,16 +871,28 @@ def q120_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = nad + nbd
     mu = nad * nbd / 2.0
     var = nad * nbd / 12.0 * ((nd + 1.0) - F.col("t3") / (nd * (nd - 1.0)))
+    # guards (degenerate-mode fuzz catch, round 10): with one group
+    # absent the AUC is undefined, and with n<2 or an all-tied pool
+    # var=0 — each previously an ANSI divide-by-zero job abort. The
+    # when-nesting matters: var's own formula divides by nd(nd-1), so
+    # it must not be EVALUATED until the outer n>1 guard holds. The
+    # oracle mirrors with nested CASE (DuckDB lazily NULLs float /0,
+    # so the match is NULL-for-NULL).
     return scored.select(
         "n_a",
         "n_b",
         "n_values",
-        F.floor(F.col("u") * 1000000.0 / (nad * nbd) + 0.5)
-        .cast("long")
-        .alias("auc_ppm"),
-        F.floor((F.col("u") - mu) / F.sqrt(var) * 1000.0 + 0.5)
-        .cast("long")
-        .alias("z_milli"),
+        F.when(
+            F.col("n_a") * F.col("n_b") > 0,
+            F.floor(F.col("u") * 1000000.0 / (nad * nbd) + 0.5).cast("long"),
+        ).alias("auc_ppm"),
+        F.when(
+            (F.col("n_a") * F.col("n_b") > 0) & (F.col("n_a") + F.col("n_b") > 1),
+            F.when(
+                var > 0,
+                F.floor((F.col("u") - mu) / F.sqrt(var) * 1000.0 + 0.5).cast("long"),
+            ),
+        ).alias("z_milli"),
     )
 
 
@@ -915,15 +933,23 @@ ORACLE["q120_mann_whitney"] = """
                    (p, q) -> p + q) AS t3
         FROM one
     )
-    SELECT n_a, n_b, n_values,
-           floor(u * 1000000.0 / (n_a::DOUBLE * n_b) + 0.5)::BIGINT
-               AS auc_ppm,
-           floor((u - n_a::DOUBLE * n_b / 2.0)
-                 / sqrt(n_a::DOUBLE * n_b / 12.0
-                        * (((n_a::DOUBLE + n_b) + 1.0)
-                           - t3 / ((n_a::DOUBLE + n_b)
-                                   * ((n_a::DOUBLE + n_b) - 1.0))))
-                 * 1000.0 + 0.5)::BIGINT AS z_milli
+    SELECT n_a, n_b, coalesce(n_values, 0)::BIGINT AS n_values,
+           CASE WHEN n_a * n_b > 0 THEN
+               floor(u * 1000000.0 / (n_a::DOUBLE * n_b) + 0.5)::BIGINT
+           END AS auc_ppm,
+           CASE WHEN n_a * n_b > 0 AND n_a + n_b > 1 THEN
+               CASE WHEN n_a::DOUBLE * n_b / 12.0
+                         * (((n_a::DOUBLE + n_b) + 1.0)
+                            - t3 / ((n_a::DOUBLE + n_b)
+                                    * ((n_a::DOUBLE + n_b) - 1.0))) > 0 THEN
+                   floor((u - n_a::DOUBLE * n_b / 2.0)
+                         / sqrt(n_a::DOUBLE * n_b / 12.0
+                                * (((n_a::DOUBLE + n_b) + 1.0)
+                                   - t3 / ((n_a::DOUBLE + n_b)
+                                           * ((n_a::DOUBLE + n_b) - 1.0))))
+                         * 1000.0 + 0.5)::BIGINT
+               END
+           END AS z_milli
     FROM scored
 """
 QUERIES["q120_mann_whitney"] = q120_mann_whitney
@@ -1037,16 +1063,28 @@ def q121_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     tau = (F.col("c") - F.col("dd")) / F.sqrt(
         (t_all - F.col("tx")) * (t_all - F.col("ty"))
     )
+    # guards (degenerate-mode fuzz catch, round 10): n<2 has no pairs
+    # (t_all=0) and an all-tied column zeroes the tau denominator —
+    # each previously an ANSI divide-by-zero job abort. DuckDB NULLs
+    # float /0 lazily, so the guarded NULLs here match the oracle's
+    # un-guarded NULLs case-for-case; the when-nesting keeps tau's own
+    # division unevaluated until its denominator is proven positive.
+    tau_den = (t_all - F.col("tx")) * (t_all - F.col("ty"))
     return scored.select(
         "n",
         "n_cells",
-        F.floor(F.col("c") * 1000000.0 / t_all + 0.5)
-        .cast("long")
-        .alias("concordant_ppm"),
-        F.floor(F.col("dd") * 1000000.0 / t_all + 0.5)
-        .cast("long")
-        .alias("discordant_ppm"),
-        F.floor(tau * 1000000.0 + 0.5).cast("long").alias("tau_micro"),
+        F.when(
+            F.col("n") > 1,
+            F.floor(F.col("c") * 1000000.0 / t_all + 0.5).cast("long"),
+        ).alias("concordant_ppm"),
+        F.when(
+            F.col("n") > 1,
+            F.floor(F.col("dd") * 1000000.0 / t_all + 0.5).cast("long"),
+        ).alias("discordant_ppm"),
+        F.when(
+            F.col("n") > 1,
+            F.when(tau_den > 0, F.floor(tau * 1000000.0 + 0.5).cast("long")),
+        ).alias("tau_micro"),
     )
 
 
@@ -1074,7 +1112,9 @@ ORACLE["q121_kendall_tau"] = """
         FROM dom
     ),
     folds AS (
-        SELECT len(a)::BIGINT AS n_cells,
+        -- coalesce: len(NULL list from an empty corpus) is NULL in
+        -- DuckDB where Spark's size([]) is 0 (degenerate-mode fuzz)
+        SELECT coalesce(len(a), 0)::BIGINT AS n_cells,
                list_reduce(list_prepend(0::BIGINT, [x.n FOR x IN a]),
                    (p, s) -> p + s) AS n,
                list_reduce(list_prepend(0.0::DOUBLE,
@@ -1141,15 +1181,20 @@ def q122_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy()
+    # nullif on the per-group totals (degenerate-mode fuzz catch,
+    # round 10): with one flag absent its CDF denominator is 0 —
+    # previously an ANSI divide-by-zero job abort; now every d_ppm is
+    # NULL and the whole statistic degrades to NULL identically on
+    # both engines.
     g = grid.select(
         "v",
         F.expr(
             "sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) * 1000000 "
-            "DIV sum(na) OVER ()"
+            "DIV nullif(sum(na) OVER (), 0)"
         ).alias("cdfa_ppm"),
         F.expr(
             "sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) * 1000000 "
-            "DIV sum(nb) OVER ()"
+            "DIV nullif(sum(nb) OVER (), 0)"
         ).alias("cdfb_ppm"),
         F.sum("na").over(w_all).alias("n_a"),
         F.sum("nb").over(w_all).alias("n_b"),
@@ -1160,6 +1205,12 @@ def q122_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks_scale = F.sqrt(nad * nbd / (nad + nbd)) * (
         F.col("d_ppm").cast("double") / 1000000.0
     )
+    # argmax-with-tiebreak as ONE integer encoding (max d_ppm, then
+    # min v): quantity is domain-bounded « 999, so enc = d_ppm*1000 +
+    # (999 - v) sorts exactly like (d_ppm DESC, v ASC). max() skips
+    # NULL encodings on both engines, so an all-NULL d_ppm column
+    # yields a NULL at_v instead of the engine-dependent row a min_by
+    # over NULL struct keys / a row_number over NULL orderings picks.
     return (
         g.select(
             "n_a", "n_b", d_ppm.alias("d_ppm"), F.col("v").alias("at_v")
@@ -1167,13 +1218,13 @@ def q122_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_a", "n_b")
         .agg(
             F.max("d_ppm").alias("d_ppm"),
-            F.expr("min_by(at_v, struct(-d_ppm, at_v))").alias("at_v"),
+            F.max(F.expr("d_ppm * 1000 + (999 - at_v)")).alias("enc"),
         )
         .select(
             "n_a",
             "n_b",
             "d_ppm",
-            "at_v",
+            F.expr("999 - enc % 1000").alias("at_v"),
             F.floor(ks_scale * 1000.0 + 0.5).cast("long").alias("ks_milli"),
         )
     )
@@ -1192,9 +1243,9 @@ ORACLE["q122_ks_test"] = """
     g AS (
         SELECT v,
                (sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
-                * 1000000 // sum(na) OVER ())::BIGINT AS cdfa_ppm,
+                * 1000000 // nullif(sum(na) OVER (), 0))::BIGINT AS cdfa_ppm,
                (sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
-                * 1000000 // sum(nb) OVER ())::BIGINT AS cdfb_ppm,
+                * 1000000 // nullif(sum(nb) OVER (), 0))::BIGINT AS cdfb_ppm,
                sum(na) OVER ()::BIGINT AS n_a,
                sum(nb) OVER ()::BIGINT AS n_b
         FROM grid
@@ -1204,15 +1255,17 @@ ORACLE["q122_ks_test"] = """
         FROM g
     ),
     best AS (
-        SELECT n_a, n_b, d_ppm, v AS at_v,
-               row_number() OVER (ORDER BY d_ppm DESC, v) AS rn
-        FROM scored
+        SELECT n_a, n_b,
+               max(d_ppm)::BIGINT AS d_ppm,
+               max(d_ppm * 1000 + (999 - v)) AS enc
+        FROM scored GROUP BY n_a, n_b
     )
-    SELECT n_a, n_b, d_ppm, at_v,
+    SELECT n_a, n_b, d_ppm,
+           (999 - enc % 1000)::BIGINT AS at_v,
            floor(sqrt(n_a::DOUBLE * n_b / (n_a::DOUBLE + n_b))
                  * (d_ppm::DOUBLE / 1000000.0) * 1000.0 + 0.5)::BIGINT
                AS ks_milli
-    FROM best WHERE rn = 1
+    FROM best
 """
 QUERIES["q122_ks_test"] = q122_ks_test
 
@@ -1294,6 +1347,11 @@ def q124_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "p_milli"
             ),
         )
+        # degenerate: with no paired units there are no permutation
+        # rows, and the grand agg would emit one all-NULL row where
+        # the oracle's CTE join emits none — drop it (degenerate-mode
+        # fuzz catch, round 10)
+        .filter(F.col("n_perms") > 0)
     )
 
 
@@ -1422,9 +1480,12 @@ def q126_spearman_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_months",
             "sum_d2_quarter",
+            # nullif: with <2 months rho is undefined — NULL, not an
+            # ANSI divide-by-zero abort (degenerate-mode fuzz catch,
+            # round 10); DuckDB's bare // 0 already NULLs, matching
             F.expr(
                 "1000 - (6000 * sum_d2_quarter)"
-                " DIV (4 * n_months * (n_months * n_months - 1))"
+                " DIV nullif(4 * n_months * (n_months * n_months - 1), 0)"
             ).alias("rho_milli"),
         )
     )

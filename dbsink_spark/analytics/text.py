@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.casts import spark_try_int_sql
 from ..functions.hashing import h64_sql
 from .tables import Tables
 
@@ -685,9 +686,10 @@ def _mixture_weight_expr():
     (a stand-in for the tuned per-domain mixture weights a training
     run ships)."""
     # try_cast: an unparseable source tag must fall to the otherwise
-    # branch (75), not ANSI-abort the job; the oracle's TRY_CAST +
-    # CASE..ELSE makes the identical decision
-    num = F.substring("source", 4, 10).try_cast("int")
+    # branch (75), not ANSI-abort the job. substr(...,4) unbounded, not
+    # substring(4,10): a >10-digit suffix must overflow to NULL on BOTH
+    # engines, not get silently truncated to a valid int here only.
+    num = F.expr("substr(source, 4)").try_cast("int")
     return F.when(num % 2 == 0, F.lit(25)).otherwise(F.lit(75))
 
 
@@ -720,10 +722,14 @@ def t13_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["t13_mixture"] = f"""
+    -- spark_try_int_sql, not bare TRY_CAST: duckdb TRY_CAST('3.7' AS
+    -- INT) ROUNDS to 4 where spark try_cast yields NULL, so a
+    -- non-integral source tag would pick the 25% branch here and the
+    -- 75% branch on spark (q20's divergence class, round-10 advice)
     WITH marked AS (
         SELECT source,
                ({h64_sql("'mix:' || doc_id::VARCHAR")} % 100 <
-                CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0
+                CASE WHEN {spark_try_int_sql("substr(source, 4)", "INT")} % 2 = 0
                      THEN 25 ELSE 75 END
                )::INT AS kept
         FROM documents
@@ -1746,9 +1752,13 @@ def t25_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
+            # nullif: with an EMPTY reference corpus (v=0, no unigrams)
+            # the smoothed probability is undefined — degrade to NULL
+            # instead of an ANSI divide-by-zero job abort (degenerate-
+            # mode fuzz catch, round 10); the oracle mirrors nullif
             F.expr(
                 f"((coalesce(c12, 0) + 1) * {T25_PPM})"
-                " div (coalesce(c1, 0) + v)"
+                " div nullif(coalesce(c1, 0) + v, 0)"
             ).alias("p_ppm"),
         )
     )
@@ -1795,7 +1805,7 @@ ORACLE["t25_lm_familiarity"] = f"""
     scored AS (
         SELECT bg.doc_id, bg.source,
                ((coalesce(lm2.c12, 0) + 1) * {T25_PPM})
-                 // (coalesce(lm1.c1, 0) + vocab.v) AS p_ppm
+                 // nullif(coalesce(lm1.c1, 0) + vocab.v, 0) AS p_ppm
         FROM bg
         LEFT JOIN lm2 ON bg.w1 = lm2.b1 AND bg.w2 = lm2.b2
         LEFT JOIN lm1 ON bg.w1 = lm1.u1
@@ -2014,10 +2024,22 @@ def t27_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, s: a + s["x"] * s["x"],
         ).alias("sxx"),
     )
-    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("k")) / (
+    # guards (degenerate-mode fuzz catch, round 10): an empty corpus
+    # has k=0 (every division aborts under ANSI) and a 1-term vocab
+    # has a zero OLS denominator. DuckDB NULLs float /0 lazily, so the
+    # guarded NULLs match the oracle case-for-case; the when-nesting
+    # keeps each division unevaluated until its denominator is proven
+    # nonzero.
+    slope_raw = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("k")) / (
         F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k")
     )
-    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k")
+    slope = F.when(
+        F.col("k") > 0,
+        F.when(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k") != 0.0, slope_raw),
+    )
+    intercept = F.when(
+        F.col("k") > 0, (F.col("sy") - slope * F.col("sx")) / F.col("k")
+    )
     return folded.crossJoin(F.broadcast(totals)).select(
         "n_tokens",
         "vocab_size",
@@ -2212,7 +2234,12 @@ def t29_overlap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(n).cast("long").alias("ngram_n"),
                 "n_test_docs",
                 "n_overlap_docs",
-                F.expr("n_overlap_docs * 10000 DIV n_test_docs").alias("overlap_bp"),
+                # nullif: zero test docs → NULL share, not an ANSI
+                # divide-by-zero abort (degenerate-mode fuzz catch,
+                # round 10); DuckDB's bare // 0 already NULLs, matching
+                F.expr("n_overlap_docs * 10000 DIV nullif(n_test_docs, 0)").alias(
+                    "overlap_bp"
+                ),
             )
         )
         out = row if out is None else out.unionAll(row)

@@ -433,8 +433,11 @@ class HLLMaintainer:
         same inlined numerator literal)."""
         from ..analytics.advanced import Q62_NUM, Q62_SHIFT
 
+        # ::INT on the shift amount: Postgres defines bigint << integer
+        # but NOT bigint << bigint (live-matrix finding, round 10);
+        # DuckDB accepts both forms identically
         return (
-            f"SELECT {Q62_NUM} / sum(1::BIGINT << ({Q62_SHIFT} - m_j)) AS est_distinct "
+            f"SELECT {Q62_NUM} / sum(1::BIGINT << ({Q62_SHIFT} - m_j)::INT) AS est_distinct "
             f"FROM {quoted(self.table)}"
         )
 

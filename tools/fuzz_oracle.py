@@ -33,6 +33,12 @@ Usage:
     python tools/fuzz_oracle.py --seed 21 --mode skew  # hot-key stress
     # (skew replicates a ~2% slice 15x under fresh ids: hot users, hot
     # LSH buckets, dominant join keys — exercises cap/fanout paths)
+    python tools/fuzz_oracle.py --seed 61 --mode degenerate
+    # (degenerate: each table independently reduced to 0 / 1 / 3 rows
+    # or kept tiny with its value columns ALL-NULL — the s20/s21
+    # "vec_id=0 anchor" bug class. At 100 TB a filter can legitimately
+    # leave an operator zero input rows; nothing may crash driver-side
+    # or pick a different empty-result shape per engine.)
 
 Datasets land in ``/root/repo/.fuzzdata/{mode-}seed{N}/`` (gitignored)
 and are reused if present (delete the dir or pass --rebuild to
@@ -134,6 +140,13 @@ NULL_COLS = {
     "events": ["value"],
 }
 
+# degenerate mode: per-(table, seed) row-count variants. 0 rows (the
+# empty-input path), 1 row (no pairs, no windows beyond the row, no
+# ties), 3 rows (minimal non-trivial), or 25 rows with every NULL_COLS
+# value column 100% NULL (all-NULL aggregates). The selector hashes
+# (table, seed) so different seeds zero out different tables.
+DEG_VARIANTS = (0, 1, 3, 25)
+
 # text mode, events side: adversarial-but-realistic props payloads —
 # extra keys, string-typed / float / non-numeric / missing / null k,
 # malformed JSON, unicode values, a non-object document. Spark's
@@ -194,19 +207,43 @@ def build_dataset(seed: int, rebuild: bool = False, mode: str = "sample") -> str
         pct = _pct(t, seed)
         src = f"{SRC_SF}/{t}.parquet"
         dst = f"{out}/{t}.parquet"
-        # row_number over the source order gives a stable per-row id to
-        # hash; the final ORDER BY destroys the original row order so
-        # order-sensitive operators diverge visibly.
-        con.execute(
-            f"""
-            CREATE OR REPLACE TEMP TABLE base AS
-            SELECT * EXCLUDE (_rn) FROM (
-              SELECT *, row_number() OVER () AS _rn
-              FROM read_parquet('{src}')
+        if mode == "degenerate":
+            import hashlib
+
+            h = int.from_bytes(
+                hashlib.sha256(f"deg:{t}:{seed}".encode()).digest()[:4], "big"
             )
-            WHERE hash(_rn * {MIX} + {seed}) % 100 < {pct}
-            """
-        )
+            n = DEG_VARIANTS[h % len(DEG_VARIANTS)]
+            # seed-hashed pick of WHICH rows survive, so a 1-row table
+            # is a different row per seed
+            con.execute(
+                f"""
+                CREATE OR REPLACE TEMP TABLE base AS
+                SELECT * EXCLUDE (_rn) FROM (
+                  SELECT *, row_number() OVER () AS _rn
+                  FROM read_parquet('{src}')
+                )
+                ORDER BY hash(_rn * {MIX} + {seed})
+                LIMIT {n}
+                """
+            )
+            if n == 25 and t in NULL_COLS:
+                for col in NULL_COLS[t]:
+                    con.execute(f"UPDATE base SET {col} = NULL")
+        else:
+            # row_number over the source order gives a stable per-row
+            # id to hash; the final ORDER BY destroys the original row
+            # order so order-sensitive operators diverge visibly.
+            con.execute(
+                f"""
+                CREATE OR REPLACE TEMP TABLE base AS
+                SELECT * EXCLUDE (_rn) FROM (
+                  SELECT *, row_number() OVER () AS _rn
+                  FROM read_parquet('{src}')
+                )
+                WHERE hash(_rn * {MIX} + {seed}) % 100 < {pct}
+                """
+            )
         if mode == "skew" and t in TIE_REKEY:
             idc = TIE_REKEY[t]
             con.execute(
@@ -228,9 +265,11 @@ def build_dataset(seed: int, rebuild: bool = False, mode: str = "sample") -> str
             # fresh ids; lang/source cycle through the existing domains
             # so per-language/per-source groupings stay intact;
             # n_chars keeps the generator's n_chars == length(text) law
+            # explicit column list: binding by parquet position would
+            # silently write text into lang/source on a schema reorder
             con.execute(
                 """
-                INSERT INTO base
+                INSERT INTO base (doc_id, text, lang, source, n_chars)
                 SELECT (SELECT max(doc_id) FROM base) + 1 + adv.j,
                        adv.txt,
                        l.lang,
@@ -253,9 +292,10 @@ def build_dataset(seed: int, rebuild: bool = False, mode: str = "sample") -> str
             )
             # clone the first rows' ts/user/type/value, fresh event_id,
             # adversarial props
+            # explicit column list (same schema-reorder guard as above)
             con.execute(
                 """
-                INSERT INTO base
+                INSERT INTO base (event_id, ts, user_id, event_type, value, props)
                 SELECT (SELECT max(event_id) FROM base) + 1 + advp.j,
                        b.ts, b.user_id, b.event_type, b.value, advp.pr
                 FROM advp
@@ -320,7 +360,9 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--seeds", type=str, default=None, help="comma list")
     ap.add_argument(
-        "--mode", choices=("sample", "tie", "skew", "text", "null"), default="sample"
+        "--mode",
+        choices=("sample", "tie", "skew", "text", "null", "degenerate"),
+        default="sample",
     )
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("names", nargs="*")
