@@ -12,7 +12,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import advanced, dedup, multimodal, quality, relational, similarity, spatial, stats, text
+from . import (
+    advanced,
+    curation,
+    dedup,
+    multimodal,
+    quality,
+    relational,
+    similarity,
+    spatial,
+    stats,
+    text,
+)
 
 # Queries kept out of the driver-facing registry: the r01 correctness
 # gate recorded exactly the first 50 registry entries, so the registry
@@ -622,6 +633,14 @@ UNGATED = frozenset(
         # Rotation policy unchanged: composition moves ONLY on external
         # verdict sanction; demoted rows stay oracle-verified each
         # pytest run (test_registry_parity) + tools/check_oracle.py.
+        # round-10 addition beyond the 50-row driver gate (freeze: ONE
+        # registry addition this round, within VERDICT_r09 #2's <= 5):
+        #   c01 — the composed curation pipeline's per-stage manifest,
+        #   hash-verified against a DuckDB twin of the full chain
+        #   (VERDICT_r09 #6 asked for the composition as a benched
+        #   artifact; this row adds cross-engine value verification on
+        #   top). Queued in GATE_DEBT.md for the r14 tranche.
+        "c01_curation_manifest",
         "q01_pricing_summary",
         "q05_multi_join",
         "q12_cube",
@@ -647,7 +666,18 @@ ALL_ORACLE: dict[str, str] = {}
 
 # multimodal merges mid-pack, NOT last: r01 cut the tail of the registry
 # and m01-m03 never reached the gate.
-for _mod in (relational, advanced, stats, text, multimodal, dedup, similarity, quality, spatial):
+for _mod in (
+    relational,
+    advanced,
+    stats,
+    text,
+    multimodal,
+    dedup,
+    similarity,
+    quality,
+    spatial,
+    curation,
+):
     ALL_QUERIES.update(_mod.QUERIES)
     ALL_ORACLE.update(_mod.ORACLE)
 

@@ -152,3 +152,97 @@ def curate_corpus(
             "overwrite"
         ).partitionBy("split").parquet(out_path)
     return d5, manifest
+
+
+# ---------------------------------------------------------------------------
+# c01: the composed pipeline as an oracle-checked registry row
+# ---------------------------------------------------------------------------
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def c01_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-stage manifest of the COMPOSED curation pipeline — the
+    registry proves each operator in isolation and the bench times the
+    composition; this row hash-verifies the composition itself: every
+    stage's doc count, char mass, and whitespace-token budget must
+    match a DuckDB twin of the full scrub → quality → exact-dedup →
+    near-dedup → split/mixture chain. A pass-ordering or keeper-rule
+    regression in ANY stage moves a downstream count and fails here,
+    even when each stage's own registry row still passes.
+    """
+    _, manifest = curate_corpus(spark, sf_dir)
+    return manifest.orderBy("stage")
+
+
+def _c01_oracle() -> str:
+    from ..functions.casts import spark_try_int_sql
+    from ..functions.hashing import h64_sql
+    from .dedup import ORACLE as DEDUP_ORACLE
+    from .text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    scrub = (
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{PII_IPV4}', '<IP>', 'g'), "
+        f"'{PII_PHONE}', '<PHONE>', 'g')"
+    )
+    mix_weight = (
+        f"CASE WHEN {spark_try_int_sql('substr(source, 4)', 'INT')} % 2 = 0 "
+        "THEN 25 ELSE 75 END"
+    )
+    stage = (
+        "SELECT '{name}' AS stage, count(*)::BIGINT AS n_docs, "
+        "sum(n_chars)::BIGINT AS n_chars, "
+        "sum(len(string_split(text, ' ')))::BIGINT AS n_tokens FROM {src}"
+    )
+    stages = "\n    UNION ALL ".join(
+        stage.format(name=name, src=src)
+        for name, src in [
+            ("0_raw", "documents"),
+            ("1_scrubbed", "scrub"),
+            ("2_quality", "quality"),
+            ("3_exact_dedup", "exact"),
+            ("4_near_dedup", "near"),
+            ("5_split_mixture", "mixed"),
+        ]
+    )
+    return f"""
+    WITH scrub AS (
+        SELECT doc_id, {scrub} AS text, lang, source, n_chars FROM documents
+    ),
+    quality AS (
+        SELECT * FROM scrub
+        WHERE len(string_split(text, ' ')) BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+          AND list_max(list_transform(
+                  list_distinct(string_split(text, ' ')),
+                  t -> len(list_filter(string_split(text, ' '), x -> x = t))
+              )) * 5 <= len(string_split(text, ' '))
+    ),
+    exact AS (
+        SELECT q.* FROM quality q
+        JOIN (SELECT {h64_sql('text')} AS h, min(doc_id) AS keep
+              FROM quality GROUP BY 1) k
+          ON {h64_sql('q.text')} = k.h AND q.doc_id = k.keep
+    ),
+    -- near-dup prune set: d03's verified pair list over the RAW corpus
+    -- (the engine calls d03_minhash_lsh(sf_dir) the same way)
+    prune AS (
+        SELECT DISTINCT doc_b FROM ({DEDUP_ORACLE["d03_minhash_lsh"]}) p
+    ),
+    near AS (
+        SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_b FROM prune)
+    ),
+    mixed AS (
+        SELECT * FROM near
+        WHERE {h64_sql("'mix:' || doc_id::VARCHAR")} % 100 < ({mix_weight})
+    )
+    SELECT * FROM (
+    {stages}
+    ) ORDER BY stage
+"""
+
+
+QUERIES["c01_curation_manifest"] = c01_curation_manifest
+ORACLE["c01_curation_manifest"] = _c01_oracle()
