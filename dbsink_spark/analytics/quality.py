@@ -60,9 +60,14 @@ def q74_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t.orders.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("o_orderkey").alias("nd_key"),
-        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")).alias(
-            "bad_status"
-        ),
+        # when/otherwise, not bare cast: a NULL value makes the bare
+        # predicate NULL and sum() of all-NULLs is NULL, while the
+        # oracle's CASE..ELSE 0 counts a NULL as a NON-violation
+        # (null-ness is the completeness check's job, not this one's)
+        # — degenerate-mode fuzz catch, round 10 (all-NULL c_acctbal)
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0).cast("long")
+        ).alias("bad_status"),
         F.sum(
             (F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)).cast(
                 "long"
@@ -87,7 +92,9 @@ def q74_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # never NULL even when its fields are, so both engines agree.
         F.count_distinct(F.struct("l_orderkey", "l_linenumber")).alias("nd_key"),
         F.sum(
-            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("long")
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+            .otherwise(0)
+            .cast("long")
         ).alias("bad_disc"),
     ).localCheckpoint(eager=False)
     li_checks = [
@@ -98,7 +105,9 @@ def q74_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer: business-rule range check (has real violations)
     cu = t.customer.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("c_acctbal") < 0).cast("long")).alias("neg_bal"),
+        F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0).cast("long")).alias(
+            "neg_bal"
+        ),
     )
     cu_checks = [row("customer.acctbal_nonneg", cu, F.col("neg_bal"))]
 

@@ -53,6 +53,7 @@ CASES = [
     (64, "q126_spearman_monthly"),
     (64, "t29_overlap_profile"),
     (64, "q121_kendall_tau"),  # 0-row lineitem: len(NULL) vs size([])
+    (67, "q74_constraint_audit"),  # all-NULL c_acctbal: sum(pred) NULL vs 0
 ]
 
 
