@@ -121,9 +121,16 @@ def curate_corpus(
     """
     d0 = Tables(spark, sf_dir).documents
     d1 = _scrubbed(d0)
-    d2 = _quality_pass(d1)
+    # localCheckpoint at the two expensive stage boundaries: the
+    # manifest materializes SIX per-stage aggregates, and without a
+    # lineage cut each one re-runs everything upstream — the quality
+    # HOF (O(distinct·n) per doc) would execute five times and the
+    # near-dup pair generation twice. At lake scale the same boundary
+    # is a parquet write (the docstring's resumability point); in the
+    # composed in-memory run the checkpoint is its stand-in.
+    d2 = _quality_pass(d1).localCheckpoint(eager=False)
     d3 = _exact_dedup(d2)
-    d4 = _near_dedup(spark, sf_dir, d3)
+    d4 = _near_dedup(spark, sf_dir, d3).localCheckpoint(eager=False)
     d5 = _assign_split(d4).persist()
 
     stages = [
