@@ -104,13 +104,13 @@ UNGATED = frozenset(
         "q14_window_lag",
         "q16_topk_global",
         # "m02_media_meta_join",  # PROMOTED to gate in round-10 rotation
-        "t04_token_count",
+        # "t04_token_count",  # PROMOTED to gate in round-11 rotation (VERDICT_r10 #1 swap: its only driver-faced result was the r01 FAIL)
         # round-4 additions beyond the 50-row driver gate (same policy
         # — oracle-verified locally + benched):
-        "s10_range_search",
-        # "q57_bloom_semi_prune",  # PROMOTED to gate in round-7 rotation
+        # "s10_range_search",  # PROMOTED to gate in round-11 rotation
+        # "q57_bloom_semi_prune",  # PROMOTED to gate in round-7 rotation; DEMOTED round-11 (see round-11 block)
         "t20_inverted_index",
-        "q58_table_diff",
+        # "q58_table_diff",  # PROMOTED to gate in round-11 rotation
         # round-4 gate reshuffle: four new capability classes promote
         # (q56 bitmap distinct, s09 ANN recall audit, d13 edit-distance
         # dedup, t19 tokenizer apply); these four demote, each redundant
@@ -168,7 +168,7 @@ UNGATED = frozenset(
         # sanctioned promotion as new capability classes: recursive
         # CTE, sampling-based AQP, BM25 retrieval scoring):
         # "q59_recursive_hierarchy",  # PROMOTED to gate in round-6 rotation
-        "q60_sample_estimate",
+        # "q60_sample_estimate",  # PROMOTED to gate in round-11 rotation
         # "t21_bm25_rank",  # PROMOTED to gate in round-6 rotation
         # round-5 session-2 additions (same policy — candidates for a
         # future sanctioned promotion as new capability classes:
@@ -178,25 +178,25 @@ UNGATED = frozenset(
         # "q61_pagerank",  # PROMOTED to gate in round-6 rotation
         # "q62_hll_distinct",  # PROMOTED to gate in round-6 rotation
         # "q63_triangle_count",  # PROMOTED to gate in round-6 rotation
-        "t22_pmi_collocations",
+        # "t22_pmi_collocations",  # PROMOTED to gate in round-11 rotation
         # "q64_column_profile",  # PROMOTED to gate in round-6 rotation
-        "q65_kmv_set_ops",
-        "q66_sequence_pattern",
-        "q67_weighted_sample",
+        # "q65_kmv_set_ops",  # PROMOTED to gate in round-11 rotation
+        # "q66_sequence_pattern",  # PROMOTED to gate in round-11 rotation
+        # "q67_weighted_sample",  # PROMOTED to gate in round-11 rotation
         # "q68_weighted_median",  # PROMOTED to gate in round-6 rotation
-        "q69_seasonal_anomaly",
-        "q70_gram_matrix",
-        "q71_time_travel",
-        "d14_source_overlap_matrix",
-        "q72_skew_profile",
+        # "q69_seasonal_anomaly",  # PROMOTED to gate in round-11 rotation
+        # "q70_gram_matrix",  # PROMOTED to gate in round-11 rotation
+        # "q71_time_travel",  # PROMOTED to gate in round-11 rotation
+        # "d14_source_overlap_matrix",  # PROMOTED to gate in round-11 rotation
+        # "q72_skew_profile",  # PROMOTED to gate in round-11 rotation
         # "t23_leakage_free_split",  # PROMOTED to gate in round-6 rotation
-        "t24_phrase_search",
+        # "t24_phrase_search",  # PROMOTED to gate in round-11 rotation
         # "q73_clamped_running_sum",  # PROMOTED to gate in round-6 rotation
         # round-5 session-3 additions (same policy — candidates for a
         # future sanctioned promotion as new capability classes:
         # Deequ-style constraint audit, materialized-rollup rewrite):
         # "q74_constraint_audit",  # PROMOTED to gate in round-6 rotation
-        "q75_mv_rewrite",
+        # "q75_mv_rewrite",  # PROMOTED to gate in round-11 rotation
         "t25_lm_familiarity",
         # "q76_join_size_profile",  # PROMOTED to gate in round-6 rotation
         "q77_bitmap_index_serve",
@@ -656,6 +656,94 @@ UNGATED = frozenset(
         "q41_retention",
         "q48_interp_gapfill",
         "q50_scd2_intervals",
+        # ROUND-11 GATE ROTATION — requested by VERDICT_r10 "Next round
+        # #1": promote the GATE_DEBT r11 tranche with the ONE sanctioned
+        # amendment — t04_token_count swaps in for the tranche's
+        # lowest-risk row. Builder's pick for the deferral:
+        # t20_inverted_index (single explode + hash-agg, no joins, no
+        # floats in the output, fuzz-hardened across all six modes —
+        # the q39-precedent risk profile); it defers to the r14 tranche,
+        # rationale recorded in GATE_DEBT.md. t04's only driver-faced
+        # result was the r01 FAIL (fixed that round, verified only
+        # locally since) — the least-driver-evidenced row in the
+        # registry, per VERDICT_r10's trust-accounting finding.
+        # Promoted (15): s10 q58 q60 t22 q65 q66 q67 q69 q70 q71 d14
+        # q72 t24 q75 t04 (all uncommented above). These 15
+        # previously-gated rows demote in exchange — the LONGEST-gated
+        # rows (3-6 driver verifications each, vs 1-2 for everything
+        # that stays except the five 3x family-anchors s12/q92/q102/
+        # q104/d17 kept so the two-stage-retrieval, iterative-graph and
+        # spatial families stay driver-gated); each stays redundant
+        # with machinery that stays gated or promotes:
+        #   q44 range frame (6x) — range-frame window machinery ⊂
+        #       gated q46 MAD anomaly (same partitioned window stats)
+        #       + gated q126 spearman's windowed rank transform
+        #   t23 leakage-free split (5x) — group-stable hash-split
+        #       discipline = gated t12 split (same salted-hash
+        #       assignment, r10-gated) + promoted q67's weighted
+        #       deterministic sampling
+        #   t21 bm25 rank (5x) — tf/df retrieval scoring ⊂ gated t09
+        #       vocab-df (the df machinery) + promoted t24 phrase
+        #       search (posting-list retrieval) + promoted t22 PMI
+        #       (log-ratio term statistics)
+        #   q57 bloom semi-prune (4x) — sketch-built semi-join pruning
+        #       ⊂ promoted q65 KMV set algebra (same mergeable-sketch
+        #       membership estimates) + gated m02's broadcast-dim join
+        #   q85 merge upsert (4x) — CDC MERGE delta-apply ⊂ gated q125
+        #       join-IVM (delta propagation through joins) + gated d20
+        #       incremental-lake appends (same persisted-state merge)
+        #   q86 skyline (4x) — dominance-pruning selection ⊂ gated s20
+        #       MMR diversify (iterative dominance/diversity selection)
+        #       + gated s21 k-center (max-min geometric selection)
+        #   q88 hll rollup (4x) — mergeable-register distinct algebra ⊂
+        #       promoted q65 KMV set ops (same mergeable-sketch union/
+        #       intersection estimates, re-aggregable) + the
+        #       pytest-pinned streaming HLL maintainer (batch ≡ stream)
+        #   q89 bitemporal asof (4x) — as-of interval reconstruction ⊂
+        #       promoted q71 time travel (same valid_from ≤ T < valid_to
+        #       snapshot filter + entity-keyed snapshot join)
+        #   q90 cusum (4x) — ordered-fold carry machinery stays via
+        #       gated s22's iterated convergence fold + promoted q69
+        #       seasonal anomaly (the series-anomaly class); the
+        #       repartition+sortWithinPartitions+carry pattern stays
+        #       pytest-pinned in the streaming stateful suite
+        #   q91 proration (4x) — interval-overlap allocation ⊂ gated
+        #       q127 peak concurrency (same interval boundary sweep) +
+        #       promoted q71's interval-filter arithmetic
+        #   q93 heavy hitters (3x) — hot-key frequency accounting =
+        #       promoted q72 skew profile (same top-key mass profiling);
+        #       the bounded-state sketch class stays via promoted q65
+        #   q95 digest diff (3x) — sketch-based reconciliation ⊂
+        #       promoted q58 table diff (same source-vs-replica audit,
+        #       exact) + promoted q65's sketch comparison algebra
+        #   t30 quantile norm (3x) — rank-transform order statistics =
+        #       gated q126 spearman's percent-rank machinery + promoted
+        #       q60's stratified sample-quantile estimates
+        #   s15 pq adc (3x) — PQ table-lookup scoring ⊂ gated s12
+        #       IVF→MaxSim (same IVF probe + re-rank pipeline) + gated
+        #       s05 IVF top-k (same codebook assignment kernel)
+        #   d19 sorted neighborhood (3x) — sorted-key blocking ⊂ gated
+        #       d07 phrase dedup (same candidate-block→verify
+        #       discipline) + gated m04 binary near-dup (banded
+        #       blocking over a different modality)
+        # Rotation policy unchanged: composition moves ONLY on external
+        # verdict sanction; demoted rows stay oracle-verified each
+        # pytest run (test_registry_parity) + tools/check_oracle.py.
+        "q44_range_frame",
+        "t23_leakage_free_split",
+        "t21_bm25_rank",
+        "q57_bloom_semi_prune",
+        "q85_merge_upsert",
+        "q86_skyline",
+        "q88_hll_rollup",
+        "q89_bitemporal_asof",
+        "q90_cusum",
+        "q91_proration",
+        "q93_heavy_hitters",
+        "q95_digest_diff",
+        "t30_quantile_norm",
+        "s15_pq_adc",
+        "d19_sorted_neighborhood",
     }
 )
 

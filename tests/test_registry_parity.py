@@ -107,6 +107,51 @@ def test_gate_debt_ledger_in_sync():
     assert m and int(m.group(1)) == len(never), (m, len(never))
 
 
+def test_faced_but_never_passed_ledger():
+    """VERDICT_r10 #1 ledger extension: a row whose only driver-faced
+    record is a FAIL has strictly LESS driver evidence than a
+    never-gated row, but GATE_DEBT's never-gated queue cannot see it
+    (t04_token_count sat in that blind spot r02-r10). Compute the
+    class — rows present in some committed CORRECTNESS_r*.json with
+    no driver-faced PASS anywhere, excluding the current gate — and
+    require GATE_DEBT.md's "Faced-but-never-passed" section to either
+    say "none" (when the class is empty) or name every member."""
+    import glob
+    import json
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    passed, faced = set(), set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            d = json.load(f)
+        for name, rec in d.items():
+            faced.add(name)
+            ok = (
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match") in (True, None)
+                and not rec.get("err")
+            )
+            if ok:
+                passed.add(name)
+    stuck = (faced - passed) & set(analytics.ALL_QUERIES) - set(analytics.QUERIES)
+    with open(os.path.join(root, "GATE_DEBT.md")) as f:
+        debt = f.read()
+    section = re.search(
+        r"## Faced-but-never-passed ledger.*?(?=\n## |\Z)", debt, re.S
+    )
+    assert section, "GATE_DEBT.md missing the faced-but-never-passed section"
+    body = section.group(0)
+    if stuck:
+        missing = {n for n in stuck if n not in body}
+        assert not missing, ("faced-FAIL rows not in ledger", sorted(missing))
+    else:
+        assert re.search(r"Current rows: \*\*none\*\*", body), (
+            "class is empty but the ledger does not say 'none'"
+        )
+
+
 def test_bench_manifest_keys_positional_stdout():
     """bench.py's stdout line is a positional decisec array (round-9
     byte diet); the committed BENCH_MANIFEST.json is the key. It must
@@ -175,28 +220,21 @@ def test_headline_operators_are_gated():
     t08/t09/t11/t12/t15/q43/q45/q46/q52/m04/m02 plus the #5-sanctioned
     s22-for-q39 swap) and demoted the 15 longest-gated rows (q01/q05/
     q12/q20/d01/d03/t02/q49/t14/d08/t19/d13/q41/q48/q50, each
-    driver-verified 5-9 rounds) — each capability class stays gated
-    via the rows named in analytics.UNGATED's rationale)."""
+    driver-verified 5-9 rounds); round-11 rotation per VERDICT_r10 #1
+    promoted the GATE_DEBT r11 tranche (s10/q58/q60/t22/q65/q66/q67/
+    q69/q70/q71/d14/q72/t24/q75 plus the #1-sanctioned t04-for-t20
+    swap — t04's only driver-faced result was the r01 FAIL) and
+    demoted the 15 longest-gated rows (q44/t23/t21/q57/q85/q86/q88/
+    q89/q90/q91/q93/q95/t30/s15/d19, each driver-verified 3-6 rounds;
+    the five 3x family-anchors s12/q92/q102/q104/d17 stay gated) —
+    each capability class stays gated via the rows named in
+    analytics.UNGATED's rationale)."""
     headline = {
-        "t21_bm25_rank",
-        "t23_leakage_free_split",
-        "q57_bloom_semi_prune",
-        "q85_merge_upsert",
-        "q86_skyline",
-        "q88_hll_rollup",
-        "q89_bitemporal_asof",
-        "q90_cusum",
-        "q91_proration",
         "q92_weighted_sssp",
-        "q93_heavy_hitters",
-        "q95_digest_diff",
         "q102_point_in_polygon",
         "q104_nn_join",
         "d17_cc_alternating",
-        "d19_sorted_neighborhood",
         "s12_ivf_maxsim",
-        "s15_pq_adc",
-        "t30_quantile_norm",
         # round-9 promotions (first-time gate rows):
         "q123_modularity",
         "q124_permutation_test",
@@ -229,6 +267,22 @@ def test_headline_operators_are_gated():
         "m04_binary_near_dup",
         "m02_media_meta_join",
         "s22_nn_descent_converge",
+        # round-11 promotions (the GATE_DEBT r11 tranche + t04 swap):
+        "s10_range_search",
+        "q58_table_diff",
+        "q60_sample_estimate",
+        "t22_pmi_collocations",
+        "q65_kmv_set_ops",
+        "q66_sequence_pattern",
+        "q67_weighted_sample",
+        "q69_seasonal_anomaly",
+        "q70_gram_matrix",
+        "q71_time_travel",
+        "d14_source_overlap_matrix",
+        "q72_skew_profile",
+        "t24_phrase_search",
+        "q75_mv_rewrite",
+        "t04_token_count",
     }
     missing = headline - set(analytics.QUERIES)
     assert not missing, missing
