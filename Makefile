@@ -14,8 +14,8 @@ KAFKA_PKG = org.apache.spark:spark-sql-kafka-0-10_2.13:4.0.0
 
 PG_DATA  = /tmp/pg_live/data
 
-.PHONY: test oracle bench integration integration-up integration-down \
-        integration-pg integration-pg-up integration-pg-down
+.PHONY: test oracle bench fuzz fuzz-combo integration integration-up \
+        integration-down integration-pg integration-pg-up integration-pg-down
 
 test:
 	python -m pytest tests/ -q
@@ -31,7 +31,12 @@ oracle:
 # kill. Log the fresh seed base (printed below) in BENCH_NOTES so any
 # failure reproduces. All sweeps run even if an early one fails; the
 # exit code aggregates the per-sweep failures instead of masking them.
-FUZZ_FRESH ?= $(shell date +%j)
+# Fresh base is offset out of the pinned range (ADVICE_r10: zero-padded
+# %j makes early-year bases like 001 collide with pinned seeds — day 1's
+# tie sweep would be int("0011") = 11, exactly the pinned tie seed,
+# silently losing the never-tuned-on-this-data property). 1000+%j can
+# never produce a 1-2 digit pinned seed: fresh seeds are always ≥ 10010.
+FUZZ_FRESH ?= $(shell expr 1000 + $$(date +%j))
 fuzz:
 	@echo "== make fuzz: fresh seed base $(FUZZ_FRESH) (pinned + fresh per mode)"; \
 	rc=0; \
@@ -43,6 +48,19 @@ fuzz:
 	  python tools/fuzz_oracle.py --seed $$seed --mode $$mode || rc=$$((rc+1)); \
 	done; \
 	echo "== make fuzz: $$rc sweep(s) had failures"; exit $$rc
+
+# Standing combo legs (VERDICT_r10 #5): degenerate data crossed with an
+# untuned session and with CPUS=200 — together they model the
+# 1000-executor cluster shape (empty partitions everywhere, no tuned
+# shuffle count) better than either axis alone; r10 ran them ad-hoc,
+# this target makes them part of the per-round matrix.
+fuzz-combo:
+	@rc=0; \
+	echo "== fuzz-combo: vanilla x degenerate (seed 61)"; \
+	ORACLE_VANILLA=1 python tools/fuzz_oracle.py --seed 61 --mode degenerate || rc=$$((rc+1)); \
+	echo "== fuzz-combo: CPUS=200 x degenerate (seed 62)"; \
+	SPARK_GRAFT_CPUS=200 python tools/fuzz_oracle.py --seed 62 --mode degenerate || rc=$$((rc+1)); \
+	echo "== fuzz-combo: $$rc leg(s) had failures"; exit $$rc
 
 bench:
 	python bench.py

@@ -171,14 +171,18 @@ def main() -> None:
     lake_dir = tempfile.mkdtemp(prefix="bench_lake_")
     try:
         t0 = time.time()
-        curated, manifest = curate_corpus(spark, sf_dir, out_path=lake_dir)
+        cleanup: list = []
+        curated, manifest = curate_corpus(
+            spark, sf_dir, out_path=lake_dir, cleanup=cleanup
+        )
         stage_counts = {r["stage"]: r["n_docs"] for r in manifest.collect()}
         curate = {
             "sec": round(time.time() - t0, 3),
             "n_out": stage_counts.get("5_split_mixture"),
             "n_raw": stage_counts.get("0_raw"),
         }
-        curated.unpersist()
+        for df in cleanup:
+            df.unpersist()
     finally:
         shutil.rmtree(lake_dir, ignore_errors=True)
     spark.catalog.clearCache()

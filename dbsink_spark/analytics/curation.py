@@ -14,6 +14,12 @@ keeper), so reruns are idempotent and the pipeline is resumable at
 any stage boundary — the property that matters when stage 4 of a
 100 TB run fails.
 
+The composition is LITERAL (VERDICT_r10 #3): each stage consumes the
+previous stage's output — in particular the near-dedup MinHash pass
+runs over stage 3's surviving SCRUBBED text, not the raw corpus
+(scrubbing changes text and therefore signatures; a raw-corpus pair
+list is a different pipeline).
+
 Scale: stages 1-2 are map-only; dedup stages shuffle 8-byte hashes
 (never bodies); the near-dup prune set is pairs-sized and broadcasts;
 the lake write partitions by split so trainers prune to one split.
@@ -25,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h64
-from .dedup import JACCARD_THRESHOLD, d03_minhash_lsh
+from .dedup import d03_pairs_sql, minhash_lsh_pairs
 from .tables import Tables
 from .text import (
     PII_EMAIL,
@@ -52,23 +58,44 @@ def _scrubbed(d: DataFrame) -> DataFrame:
     return d.withColumn("text", red)
 
 
+def _top_word_freq(w):
+    """Max token frequency as a sorted run-length fold: the count of
+    the most frequent token equals the longest run in the SORTED token
+    array, so one ``array_sort`` + one ``aggregate`` pass computes it
+    in O(n log n) per doc, map-only, whole-stage-codegen — replacing
+    the r10 O(distinct·n) HOF probe (VERDICT_r10 #3's flagged slowest
+    stage). This beats the docstring's suggested t09 vocab join too:
+    no token explode, no shuffle, no join — the per-doc fold shape
+    already gate-proven by t27/q87's array_sort+aggregate discipline.
+    """
+    return F.aggregate(
+        F.array_sort(w),
+        F.struct(
+            F.lit(None).cast("string").alias("p"),  # previous token
+            F.lit(0).alias("r"),  # current run length
+            F.lit(0).alias("b"),  # best run length so far
+        ),
+        lambda acc, x: F.struct(
+            x.alias("p"),
+            F.when(x == acc["p"], acc["r"] + F.lit(1)).otherwise(F.lit(1)).alias("r"),
+            F.greatest(
+                acc["b"],
+                F.when(x == acc["p"], acc["r"] + F.lit(1)).otherwise(F.lit(1)),
+            ).alias("b"),
+        ),
+        lambda acc: acc["b"],
+    )
+
+
 def _quality_pass(d: DataFrame) -> DataFrame:
     """Stage 2 — quality floor: word-count bounds + a repetition cap
     (top word ≤ 20% of tokens), integer arithmetic only (t08's
     rules)."""
     w = F.split(F.col("text"), " ")
-    top_freq = F.array_max(
-        F.transform(
-            F.array_distinct(w),
-            lambda t: F.size(F.filter(w, lambda x: x == t)),
-        )
-    )
-    # the HOF top-frequency probe is O(distinct·n) per doc — fine for
-    # harness docs; swap for the t09 vocab join at corpus scale
     return (
         d.withColumn("_n", F.size(w))
         .filter((F.col("_n") >= MIN_WORDS) & (F.col("_n") <= MAX_WORDS))
-        .withColumn("_top", top_freq)
+        .withColumn("_top", _top_word_freq(w))
         .filter(F.col("_top") * 5 <= F.col("_n"))
         .drop("_top")
     )
@@ -85,12 +112,13 @@ def _exact_dedup(d: DataFrame) -> DataFrame:
     )
 
 
-def _near_dedup(spark: SparkSession, sf_dir: str, d: DataFrame) -> DataFrame:
-    """Stage 4 — d03's MinHash+LSH pair list, applied SemDeDup-style:
-    prune the higher-id member of every verified near-dup pair."""
-    pairs = d03_minhash_lsh(spark, sf_dir).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
-    )
+def _near_dedup(d: DataFrame, persisted: list) -> DataFrame:
+    """Stage 4 — d03's MinHash+LSH pair list computed OVER THE STAGE-3
+    SURVIVORS' scrubbed text (the literal composition, VERDICT_r10
+    #3), applied SemDeDup-style: prune the higher-id member of every
+    verified near-dup pair. The pair list is survivor-sized, so the
+    prune set broadcasts."""
+    pairs = minhash_lsh_pairs(d, persisted=persisted)
     pruned = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return d.join(F.broadcast(pruned), "doc_id", "left_anti")
 
@@ -111,6 +139,7 @@ def curate_corpus(
     spark: SparkSession,
     sf_dir: str,
     out_path: str | None = None,
+    cleanup: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation pipeline over ``documents``.
 
@@ -118,20 +147,30 @@ def curate_corpus(
     ``split`` column) and the per-stage count manifest a pipeline
     writes next to the output. If ``out_path`` is given, the corpus
     lands as parquet partitioned by ``split``.
+
+    ``cleanup`` (a caller-supplied list) collects every internally
+    persisted frame so callers can ``unpersist()`` after materializing
+    — without it repeated invocations (fuzz sweeps, oracle replicas)
+    leak cached blocks for the session's lifetime (ADVICE_r10).
     """
+    if cleanup is None:
+        cleanup = []  # caller opted out; frames stay session-cached
     d0 = Tables(spark, sf_dir).documents
     d1 = _scrubbed(d0)
-    # localCheckpoint at the two expensive stage boundaries: the
-    # manifest materializes SIX per-stage aggregates, and without a
-    # lineage cut each one re-runs everything upstream — the quality
-    # HOF (O(distinct·n) per doc) would execute five times and the
-    # near-dup pair generation twice. At lake scale the same boundary
-    # is a parquet write (the docstring's resumability point); in the
-    # composed in-memory run the checkpoint is its stand-in.
-    d2 = _quality_pass(d1).localCheckpoint(eager=False)
+    # persist at the two expensive stage boundaries: the manifest
+    # materializes SIX per-stage aggregates, and without a cache each
+    # one re-runs everything upstream — the quality fold would execute
+    # five times and the near-dup pair generation twice. persist (not
+    # localCheckpoint) so the blocks are RELEASABLE via ``cleanup``;
+    # at lake scale the same boundary is a parquet write (the
+    # docstring's resumability point).
+    d2 = _quality_pass(d1).persist()
+    cleanup.append(d2)
     d3 = _exact_dedup(d2)
-    d4 = _near_dedup(spark, sf_dir, d3).localCheckpoint(eager=False)
+    d4 = _near_dedup(d3, persisted=cleanup).persist()
+    cleanup.append(d4)
     d5 = _assign_split(d4).persist()
+    cleanup.append(d5)
 
     stages = [
         ("0_raw", d0),
@@ -146,7 +185,10 @@ def curate_corpus(
         row = df.agg(
             F.lit(name).alias("stage"),
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("n_chars"),
+            # recomputed per stage (ADVICE_r10): the stored raw column
+            # ignores the PII replacements' length changes, so stage
+            # 1+ char mass would misstate what a training run consumes
+            F.sum(F.length(F.col("text"))).alias("n_chars"),
             # the number a training run actually consumes: whitespace
             # token budget per stage (t04's counter; a BPE-accurate
             # budget is t19 over the landed corpus)
@@ -178,15 +220,23 @@ def c01_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dedup → split/mixture chain. A pass-ordering or keeper-rule
     regression in ANY stage moves a downstream count and fails here,
     even when each stage's own registry row still passes.
+
+    Materializes the 6-row manifest, then unpersists every internal
+    cache (ADVICE_r10: the registry path used to leak cached blocks on
+    every fuzz/oracle invocation).
     """
-    _, manifest = curate_corpus(spark, sf_dir)
-    return manifest.orderBy("stage")
+    cleanup: list = []
+    _, manifest = curate_corpus(spark, sf_dir, cleanup=cleanup)
+    rows = manifest.orderBy("stage").collect()
+    out = spark.createDataFrame(rows, manifest.schema)
+    for df in cleanup:
+        df.unpersist()
+    return out
 
 
 def _c01_oracle() -> str:
     from ..functions.casts import spark_try_int_sql
     from ..functions.hashing import h64_sql
-    from .dedup import ORACLE as DEDUP_ORACLE
     from .text import PII_EMAIL, PII_IPV4, PII_PHONE
 
     scrub = (
@@ -201,7 +251,7 @@ def _c01_oracle() -> str:
     )
     stage = (
         "SELECT '{name}' AS stage, count(*)::BIGINT AS n_docs, "
-        "sum(n_chars)::BIGINT AS n_chars, "
+        "sum(length(text))::BIGINT AS n_chars, "
         "sum(len(string_split(text, ' ')))::BIGINT AS n_tokens FROM {src}"
     )
     stages = "\n    UNION ALL ".join(
@@ -233,10 +283,11 @@ def _c01_oracle() -> str:
               FROM quality GROUP BY 1) k
           ON {h64_sql('q.text')} = k.h AND q.doc_id = k.keep
     ),
-    -- near-dup prune set: d03's verified pair list over the RAW corpus
-    -- (the engine calls d03_minhash_lsh(sf_dir) the same way)
+    -- near-dup prune set: d03's verified pair spec over the STAGE-3
+    -- SURVIVORS' scrubbed text (the literal composition — the engine
+    -- runs minhash_lsh_pairs over the same survivor relation)
     prune AS (
-        SELECT DISTINCT doc_b FROM ({DEDUP_ORACLE["d03_minhash_lsh"]}) p
+        SELECT DISTINCT doc_b FROM ({d03_pairs_sql("exact")}) p
     ),
     near AS (
         SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_b FROM prune)

@@ -227,15 +227,24 @@ def cap_band_rows(bands: DataFrame, bucket_cap=_CAP_UNSET) -> DataFrame:
     )
 
 
-def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding near-dup detection, exact-Jaccard verified.
+def minhash_lsh_pairs(d: DataFrame, persisted: list | None = None) -> DataFrame:
+    """MinHash + LSH verified near-dup pairs over ANY (doc_id, text,
+    source) relation — the parameterized core: d03 runs it over the
+    raw ``documents`` table, the composed curation pipeline (c01) over
+    its stage-3 survivors' SCRUBBED text (VERDICT_r10 #3 — scrubbing
+    changes text and therefore signatures, so composing on the raw
+    corpus is not the same pipeline). ``persisted`` collects the
+    internal cache so composed callers can unpersist after
+    materializing.
 
     Candidate pairs come from an equi-join on (band_id, bucket) — the
     100 TB path (shuffle keyed by bucket, never a cross join) — then
     only the candidates pay the exact-Jaccard verification.
     """
     # cached: consumed three times (signatures + two verify join-backs)
-    docs = _hashed_docs(spark, sf_dir).persist()
+    docs = hash_docs(d).persist()
+    if persisted is not None:
+        persisted.append(docs)
     banded = banded_sigs(docs)
 
     a = banded.alias("a")
@@ -251,6 +260,12 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return _verify_jaccard(cand, docs)
+
+
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection over ``documents`` — see
+    :func:`minhash_lsh_pairs` for the plan shape."""
+    return minhash_lsh_pairs(Tables(spark, sf_dir).documents)
 
 
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,6 +506,47 @@ def _band_rows_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
+def d03_pairs_sql(source: str = "documents") -> str:
+    """The d03 oracle's pair-generation SQL, parameterized by source
+    relation — the DuckDB twin of :func:`minhash_lsh_pairs`, so the
+    c01 composed-pipeline oracle can run the IDENTICAL spec over its
+    stage-3 survivor CTE instead of the raw table."""
+    return """
+        WITH docs AS (
+            SELECT doc_id, {_SHINGLES_SQL} AS sh
+            FROM {source}
+            WHERE len(string_split(text,' ')) >= 3
+        ), hashed AS (
+            SELECT doc_id, sh, list_transform(sh, s -> {h64_s}) AS shh FROM docs
+        ), sigs AS (
+            SELECT doc_id, sh, {sig_sql} FROM hashed
+        ), banded AS (
+            {band_sql}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), verified AS (
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(da.sh, db.sh))::DOUBLE
+                         / len(list_distinct(da.sh || db.sh)), 4) AS jaccard
+            FROM cand
+            JOIN docs da ON da.doc_id = doc_a
+            JOIN docs db ON db.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b, jaccard FROM verified
+        WHERE jaccard >= {threshold}
+        ORDER BY doc_a, doc_b
+    """.format(
+        source=source,
+        threshold=JACCARD_THRESHOLD,
+        _SHINGLES_SQL=_SHINGLES_SQL,
+        h64_s=h64_sql("s"),
+        sig_sql=_minhash_sig_sql(),
+        band_sql=_band_rows_sql(),
+    )
+
+
 ORACLE: dict[str, str] = {
     "d01_dedup_exact": f"""
         WITH hashed AS (
@@ -512,33 +568,7 @@ ORACLE: dict[str, str] = {
         GROUP BY source
         ORDER BY source
     """,
-    "d03_minhash_lsh": f"""
-        WITH docs AS (
-            SELECT doc_id, {_SHINGLES_SQL} AS sh
-            FROM documents
-            WHERE len(string_split(text,' ')) >= 3
-        ), hashed AS (
-            SELECT doc_id, sh, list_transform(sh, s -> {h64_sql('s')}) AS shh FROM docs
-        ), sigs AS (
-            SELECT doc_id, sh, {_minhash_sig_sql()} FROM hashed
-        ), banded AS (
-            {_band_rows_sql()}
-        ), cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM banded a JOIN banded b
-              ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        ), verified AS (
-            SELECT doc_a, doc_b,
-                   round(len(list_intersect(da.sh, db.sh))::DOUBLE
-                         / len(list_distinct(da.sh || db.sh)), 4) AS jaccard
-            FROM cand
-            JOIN docs da ON da.doc_id = doc_a
-            JOIN docs db ON db.doc_id = doc_b
-        )
-        SELECT doc_a, doc_b, jaccard FROM verified
-        WHERE jaccard >= {JACCARD_THRESHOLD}
-        ORDER BY doc_a, doc_b
-    """,
+    "d03_minhash_lsh": d03_pairs_sql(),
     "d04_simhash": f"""
         WITH hashes AS (
             SELECT doc_id,

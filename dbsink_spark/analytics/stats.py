@@ -1211,6 +1211,16 @@ def q122_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL encodings on both engines, so an all-NULL d_ppm column
     # yields a NULL at_v instead of the engine-dependent row a min_by
     # over NULL struct keys / a row_number over NULL orderings picks.
+    # The domain assumption is GUARDED, not just commented (ADVICE_r10):
+    # v outside [0,999] would silently mis-decode the same way on both
+    # engines — the one corruption shape oracle parity cannot catch —
+    # so both the engine (raise_error) and the oracle (error()) abort
+    # loudly if a future dataset ever widens the quantity domain.
+    guarded_v = (
+        "CASE WHEN at_v BETWEEN 0 AND 999 THEN at_v ELSE "
+        "raise_error(concat('q122: at_v=', cast(at_v AS string), "
+        "' outside [0,999] breaks the tie-break encoding')) END"
+    )
     return (
         g.select(
             "n_a", "n_b", d_ppm.alias("d_ppm"), F.col("v").alias("at_v")
@@ -1218,7 +1228,7 @@ def q122_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_a", "n_b")
         .agg(
             F.max("d_ppm").alias("d_ppm"),
-            F.max(F.expr("d_ppm * 1000 + (999 - at_v)")).alias("enc"),
+            F.max(F.expr(f"d_ppm * 1000 + (999 - ({guarded_v}))")).alias("enc"),
         )
         .select(
             "n_a",
@@ -1257,7 +1267,10 @@ ORACLE["q122_ks_test"] = """
     best AS (
         SELECT n_a, n_b,
                max(d_ppm)::BIGINT AS d_ppm,
-               max(d_ppm * 1000 + (999 - v)) AS enc
+               max(d_ppm * 1000 + (999 - CASE
+                   WHEN v BETWEEN 0 AND 999 THEN v
+                   ELSE error('q122: v outside [0,999] breaks the tie-break encoding')
+               END)) AS enc
         FROM scored GROUP BY n_a, n_b
     )
     SELECT n_a, n_b, d_ppm,

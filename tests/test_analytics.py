@@ -2331,6 +2331,28 @@ def test_q122_ks_bruteforce(spark):
     assert 0 <= row["d_ppm"] <= 1_000_000
 
 
+def test_q122_domain_guard_fails_loudly(spark, tmp_path):
+    """ADVICE_r10: the at_v tie-break encoding (d_ppm*1000 + (999-v))
+    silently mis-decodes if v ever leaves [0,999], and because BOTH
+    engines share the encoding, oracle parity cannot catch it. The
+    guard must turn that silent corruption into a loud job abort on a
+    dataset whose quantity domain exceeds 999."""
+    import pandas as pd
+
+    from dbsink_spark.analytics.stats import q122_ks_test
+
+    sf_dir = tmp_path / "wide_domain"
+    sf_dir.mkdir()
+    pd.DataFrame(
+        {
+            "l_returnflag": ["A", "A", "R", "R"],
+            "l_quantity": [5.0, 5000.0, 7.0, 5000.0],
+        }
+    ).to_parquet(sf_dir / "lineitem.parquet")
+    with pytest.raises(Exception, match="q122"):
+        q122_ks_test(spark, str(sf_dir)).collect()
+
+
 def test_q126_half_ranks_are_average_ranks(spark):
     """q126's integer half-rank formula (2·|below| + |equal| + 1) must
     equal 2× the statistical average rank on tied data — pinned
