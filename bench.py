@@ -76,15 +76,29 @@ def main() -> None:
     # with a single number — min/median together classify it)
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    # Per-query Spark JOB counts (VERDICT_r10 #4): the calibration row
+    # is scan-throughput-shaped, so it under-corrects latency-bound
+    # rows — a query that runs 15 tiny jobs pays 15x the fixed per-job
+    # latency, and host job-latency swings move it independently of
+    # scan speed. Recording the count (warm run, via job-group
+    # attribution) lets cross-round analysis normalize job-latency-
+    # bound rows separately from throughput-bound ones.
+    job_counts: dict[str, int] = {}
+    sc = spark.sparkContext
     for name in sorted(analytics.ALL_QUERIES):
         fn = analytics.ALL_QUERIES[name]
         runs = []
-        for _ in range(3):
+        for i in range(3):
+            sc.setJobGroup(f"{name}#r{i}", name)
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
+        sc.setLocalProperty("spark.jobGroup.id", None)
         timings[name] = round(min(runs), 3)
         medians[name] = round(sorted(runs)[1], 3)
+        job_counts[name] = len(
+            sc.statusTracker().getJobIdsForGroup(f"{name}#r2")
+        )
         # several operators persist() shared relations (legitimate
         # within a query; reused across its repeat runs) — drop them
         # before the NEXT query so leaked cache blocks don't build
@@ -214,6 +228,8 @@ def main() -> None:
             "d09_propagate": d09_propagate,
             "nwic_transform_100k": nwic,
             "curate_corpus_e2e": curate,
+            # warm-run (3rd) job count per query — BENCH_LOCAL only
+            "job_counts": job_counts,
         },
         "sf": sf,
     }

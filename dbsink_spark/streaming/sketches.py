@@ -364,10 +364,19 @@ def batch_hll(df: DataFrame, item_col: str) -> DataFrame:
     """(bucket, m_j) partial HLL register table for one batch — the
     same bucket/rho algebra as the batch sketch
     (analytics.advanced.q62_hll_distinct), reduced per-batch by
-    map-side-combinable ``max``."""
+    map-side-combinable ``max``. NULL items are dropped (the
+    batch_grid rule — and SQL count-distinct semantics: a NULL is the
+    absence of an item): h64(NULL) is NULL, so a NULL row would land
+    a NULL-bucket register that violates the sink's PRIMARY KEY
+    (bucket), and under at-least-once replay the same poisoned batch
+    fails forever. Found by the degenerate dialect-matrix axis: every
+    OTHER maintainer's batch builder already filtered NULLs; HLL was
+    the one that crashed live on both dialects."""
     from ..analytics.advanced import Q62_M, Q62_SHIFT
 
-    d = df.select(h64(F.col(item_col)).alias("h")).select(
+    d = df.select(h64(F.col(item_col)).alias("h")).filter(
+        F.col("h").isNotNull()
+    ).select(
         (F.col("h") % Q62_M).alias("bucket"),
         F.expr(f"h DIV {Q62_M}").alias("w"),
     )

@@ -215,3 +215,160 @@ def test_surface_runs_live(spark, tmp_path, surface, dialect):
         _EXERCISE[surface](spark, factory, dialect, table)
     finally:
         _drop(factory, dialect, table)
+
+
+# ---------------------------------------------------------------------------
+# Degenerate axis (VERDICT_r10 #6): every (surface × dialect) pair must
+# survive an EMPTY batch and an ALL-NULL-values batch — the s04/s18
+# lesson applied to the sink surface. At 100 TB a filter (or a quiet
+# topic) legitimately hands foreachBatch zero rows, and a malformed
+# producer hands it rows whose value columns are all NULL; neither may
+# crash the writer, corrupt served state, or diverge by dialect. The
+# reference swallows truncate failures but its insert path never meets
+# an empty execute_values — this matrix probes exactly that.
+# ---------------------------------------------------------------------------
+
+
+def _sink_writer(spark, factory, dialect, table):
+    from dbsink_spark.mappings import resolve
+
+    mapping = resolve("GenericFloat", "matrix-topic")
+    mapping.table = table
+    writer = SinkWriter(mapping, factory, dialect=dialect)
+    writer.ensure_table(drop=True)
+    return mapping, writer
+
+
+def _degenerate_sink(spark, factory, dialect, table, shape):
+    mapping, writer = _sink_writer(spark, factory, dialect, table)
+    if shape == "empty":
+        df = spark.createDataFrame([], "key string, value string")
+    else:  # rows whose VALUE payloads are all NULL (keys stay valid)
+        msgs = [
+            {"uid": f"u{i}", "gid": "g", "time": "2020-01-01T00:00:00Z",
+             "lat": None, "lon": None, "z": None, "values": None}
+            for i in range(3)
+        ]
+        df = spark.createDataFrame(
+            [("k", json.dumps(m)) for m in msgs], ["key", "value"]
+        )
+    out = mapping.transform(df)
+    n = writer.write_batch(out)
+    # Both shapes land ZERO rows: an all-NULL GenericFloat payload is a
+    # MALFORMED message (float(None) position raises in convert, as in
+    # the reference's row conversion) and takes the F4 policy-drop path
+    # — the contract here is that neither shape crashes the writer,
+    # lands a partial row, or behaves differently by dialect.
+    assert n in (0, -1)
+    got = _fetch(factory, dialect, f'SELECT count(*) FROM "{table}"')[0][0]
+    assert got == 0
+
+
+def _degenerate_countmin(spark, factory, dialect, table, shape):
+    import hashlib
+
+    from dbsink_spark.streaming.sketches import CountMinMaintainer, batch_grid
+
+    cm = CountMinMaintainer(factory, table=table, dialect=dialect)
+    cm.ensure_table()
+    if shape == "empty":
+        items = spark.createDataFrame([], "item string")
+    else:
+        items = spark.createDataFrame([(None,)] * 3, "item string")
+    cm.merge_batch(batch_grid(items, "item"))
+    # served estimate for an unseen item stays 0 — no phantom counts
+    xh = int(hashlib.md5(b"unseen").hexdigest()[:15], 16)
+    assert _fetch(factory, dialect, cm.estimate_sql(xh))[0][0] in (0, None)
+
+
+def _degenerate_bitmap(spark, factory, dialect, table, shape):
+    from dbsink_spark.streaming.sketches import BitmapMaintainer, batch_bitmap
+
+    bm = BitmapMaintainer(factory, table=table, dialect=dialect)
+    bm.ensure_table()
+    if shape == "empty":
+        ids = spark.createDataFrame([], "event_type string, user_id long")
+    else:
+        ids = spark.createDataFrame(
+            [("click", None)] * 3, "event_type string, user_id long"
+        )
+    bm.merge_batch(batch_bitmap(ids, "event_type", "user_id"))
+    got = _fetch(factory, dialect, bm.distinct_sql())
+    assert got in ([], [("click", 0)])
+
+
+def _degenerate_hll(spark, factory, dialect, table, shape):
+    from dbsink_spark.streaming.sketches import HLLMaintainer, batch_hll
+
+    hm = HLLMaintainer(factory, table=table, dialect=dialect)
+    hm.ensure_table()
+    if shape == "empty":
+        items = spark.createDataFrame([], "item string")
+    else:
+        items = spark.createDataFrame([(None,)] * 3, "item string")
+    hm.merge_batch(batch_hll(items, "item"))
+    est = _fetch(factory, dialect, hm.estimate_sql())[0][0]
+    assert est is None or float(est) == 0.0
+
+
+def _degenerate_histogram(spark, factory, dialect, table, shape):
+    from dbsink_spark.streaming.sketches import HistogramMaintainer, batch_histogram
+
+    hm = HistogramMaintainer(factory, table=table, dialect=dialect)
+    hm.ensure_table()
+    if shape == "empty":
+        vals = spark.createDataFrame([], "v double")
+    else:
+        vals = spark.createDataFrame([(None,)] * 3, "v double")
+    hm.merge_batch(batch_histogram(vals, "v"))
+    got = _fetch(factory, dialect, hm.quantile_sql(0.5))
+    assert got == [] or got[0][0] is None
+
+
+def _degenerate_rollup(spark, factory, dialect, table, shape):
+    import datetime as dt
+
+    from dbsink_spark.streaming.rollup import RollupMaintainer
+
+    rm = RollupMaintainer(factory, table=table, dialect=dialect)
+    rm.ensure_table()
+    if shape == "empty":
+        ev = spark.createDataFrame([], "ts timestamp, k string, v double")
+    else:  # keys valid, value column all NULL
+        ev = spark.createDataFrame(
+            [(dt.datetime(2026, 1, 1, 10, 30), "a", None)] * 3,
+            "ts timestamp, k string, v double",
+        )
+    rm.merge_batch(rm.partials(ev, "ts", "k", "v"))
+    n, sv = _fetch(factory, dialect, f'SELECT sum(n), sum(sv) FROM "{table}"')[0]
+    if shape == "empty":
+        assert n is None  # no rows landed
+    else:
+        # NULL values contribute rows but no sum mass, same per dialect
+        assert (n is None and sv is None) or (sv is None or float(sv) == 0.0)
+
+
+_DEGENERATE = {
+    "sink": _degenerate_sink,
+    "countmin": _degenerate_countmin,
+    "bitmap": _degenerate_bitmap,
+    "hll": _degenerate_hll,
+    "histogram": _degenerate_histogram,
+    "rollup": _degenerate_rollup,
+}
+
+
+def test_degenerate_map_covers_surfaces():
+    assert set(_DEGENERATE) == set(SURFACES)
+
+
+@pytest.mark.parametrize("shape", ("empty", "all_null"))
+@pytest.mark.parametrize("dialect", DIALECTS)
+@pytest.mark.parametrize("surface", SURFACES)
+def test_surface_survives_degenerate_batch(spark, tmp_path, surface, dialect, shape):
+    factory = _factory(dialect, tmp_path)
+    table = f"mxd_{surface}_{uuid.uuid4().hex[:8]}"
+    try:
+        _DEGENERATE[surface](spark, factory, dialect, table, shape)
+    finally:
+        _drop(factory, dialect, table)
