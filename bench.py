@@ -70,6 +70,25 @@ def main() -> None:
         "median_sec": round(sorted(cal_runs)[2], 3),
     }
 
+    # Second calibration axis (VERDICT_r10 #4 follow-through): per-JOB
+    # fixed latency. The scan-shaped row above corrects throughput-
+    # bound queries; queries that run many tiny jobs (s09: 20/run, the
+    # iterative graph family) are bounded by scheduler/job fixed costs
+    # that move INDEPENDENTLY of scan speed across hosts — two rounds
+    # of phantom "risers" (q74; s09/s10/s11) were exactly this. 20
+    # empty single-stage noop jobs, min+median; with extras.job_counts
+    # a cross-round analysis can now normalize each query as
+    # norm2 = raw - jobs * (job_ms - JOB_REF_MS)/1000 before applying
+    # the scan factor.
+    lat_runs = []
+    empty_df = spark.createDataFrame([], "i long")
+    for _ in range(20):
+        t0 = time.time()
+        empty_df.write.format("noop").mode("overwrite").save()
+        lat_runs.append(time.time() - t0)
+    calibration["job_ms_min"] = round(min(lat_runs) * 1000, 1)
+    calibration["job_ms_median"] = round(sorted(lat_runs)[10] * 1000, 1)
+
     # three runs per query: the first pays JIT/codegen compilation; min
     # is the stable cross-round signal, median separates noise from
     # regression (round-4 review: a +0.16 s drift was unclassifiable
@@ -268,6 +287,12 @@ def main() -> None:
         "queries_key": "BENCH_MANIFEST.json",
         "nq": len(names),
         "cal": [calibration["min_sec"], calibration["median_sec"]],
+        # per-job fixed-latency calibration (ms, min/median) — the
+        # second normalization axis for job-count-bound queries
+        "cal_job_ms": [
+            calibration["job_ms_min"],
+            calibration["job_ms_median"],
+        ],
     }
     del line["queries_median"]
     del line["calibration"]

@@ -656,6 +656,18 @@ UNGATED = frozenset(
         "q41_retention",
         "q48_interp_gapfill",
         "q50_scd2_intervals",
+        # round-11 additions beyond the 50-row driver gate (freeze:
+        # registry growth ≤ 5/round per VERDICT_r08 #2, held at TWO
+        # this round; each oracle-verified locally + benched and queued
+        # in GATE_DEBT.md's r14 tranche):
+        #   s23 — 1-bit sign-quantized hamming search (xor+popcount
+        #   over packed BIGINT words; completes the PQ/SQ/binary
+        #   compression ladder with the 32x member)
+        #   t35 — Gopher repetition signals (top n-gram char mass +
+        #   duplicate 5-gram char mass as integer ppm, sorted
+        #   run-length folds, map-only; Rae et al. 2021 Table A1)
+        "s23_binary_hamming_search",
+        "t35_gopher_repetition",
         # ROUND-11 GATE ROTATION — requested by VERDICT_r10 "Next round
         # #1": promote the GATE_DEBT r11 tranche with the ONE sanctioned
         # amendment — t04_token_count swaps in for the tranche's

@@ -3001,3 +3001,134 @@ def _s22_oracle() -> str:
 
 ORACLE["s22_nn_descent_converge"] = _s22_oracle()
 QUERIES["s22_nn_descent_converge"] = s22_nn_descent_converge
+
+
+# ---------------------------------------------------------------------------
+# s23: 1-bit sign quantization + packed-word hamming search
+# ---------------------------------------------------------------------------
+
+S23_WORD_BITS = 32  # dims packed per BIGINT word (sign bit never used)
+S23_WORDS = DIM // S23_WORD_BITS
+
+
+def s23_binary_hamming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit) quantized nearest-neighbor search: every
+    dimension collapses to one bit — ``x_d > midrange_d`` — packed
+    into BIGINT words, candidates ranked by hamming distance computed
+    with xor + popcount. The third member of the compression ladder
+    production vector stores ship (PQ s08/s15 ≈ 8x, SQ s16 ≈ 4x,
+    binary ≈ 32x): 64 float32 → 8 bytes, and the scoring kernel is
+    two XORs + two POPCNTs per pair — the cheapest first-pass filter
+    that exists, re-ranked exactly the way s15's ADC story applies.
+
+    The threshold is the per-dimension MIDRANGE (mn+mx)/2, chosen over
+    the mean deliberately: min/max are order-independent SELECTIONS
+    (identical on any engine and any partitioning), while a float mean
+    depends on summation order — the cross-engine/cross-partitioning
+    divergence class the fuzz harness exists to catch. Everything
+    after the one comparison per dimension is pure BIGINT.
+
+    Plan shape at 100 TB: per-dimension min/max is one posexplode +
+    64-group map-side-combinable aggregate collapsed to ONE broadcast
+    stats row; packing fuses into the scan projection; the 10-row
+    query set broadcasts and the corpus never shuffles by content
+    (the s01/s16 discipline). Dims pack 32 per word into bits 0..31 —
+    the sign bit is never set, so the packed words survive engines
+    and file formats that disagree about BIGINT overflow.
+    """
+    v = _vectors(spark, sf_dir)
+    stats = (
+        v.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("mns"),
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("mxs"),
+        )
+        .select(
+            F.transform("mns", lambda s: s["mn"]).alias("mn"),
+            F.transform("mxs", lambda s: s["mx"]).alias("mx"),
+        )
+    )
+
+    def word(wi: int):
+        # bits 0..31 of word wi cover dims 32*wi .. 32*wi+31 (0-based
+        # Spark bracket subscript); x > (mn+mx)/2 is NULL-safe: a NULL
+        # dim (or missing stats on degenerate input) sets bit 0
+        off = S23_WORD_BITS * wi
+        return F.expr(
+            f"aggregate(sequence(0, {S23_WORD_BITS - 1}), CAST(0 AS BIGINT), "
+            f"(acc, j) -> acc + (CASE WHEN v[{off} + j] > "
+            f"(mn[{off} + j] + mx[{off} + j]) / 2 "
+            "THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END))"
+        )
+
+    coded = v.crossJoin(F.broadcast(stats)).select(
+        "vec_id", *[word(w).alias(f"w{w}") for w in range(S23_WORDS)]
+    )
+    queries = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"w{w}").alias(f"q{w}") for w in range(S23_WORDS)],
+    )
+    corpus = coded.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("corpus_id"),
+        *[F.col(f"w{w}") for w in range(S23_WORDS)],
+    )
+    hamming = F.expr(
+        " + ".join(f"bit_count(w{w} ^ q{w})" for w in range(S23_WORDS))
+    ).cast("long")
+    scored = corpus.join(F.broadcast(queries)).select(
+        "query_id", "corpus_id", hamming.alias("hamming")
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "corpus_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "corpus_id", "hamming", F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _s23_word_sql(table_alias: str, wi: int) -> str:
+    off = S23_WORD_BITS * wi
+    return (
+        "list_sum([CASE WHEN "
+        f"{table_alias}.v[{off} + j + 1] > (mn[{off} + j + 1] + mx[{off} + j + 1]) / 2 "
+        f"THEN (1::BIGINT << j) ELSE 0::BIGINT END "
+        f"for j in generate_series(0, {S23_WORD_BITS - 1})])::BIGINT"
+    )
+
+
+ORACLE["s23_binary_hamming_search"] = f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    dims AS (
+        SELECT p.p AS pos, min(v[p.p]) AS mn, max(v[p.p]) AS mx
+        FROM v CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS p) p
+        GROUP BY 1
+    ),
+    stats AS (
+        SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+        FROM dims
+    ),
+    coded AS (
+        SELECT vec_id,
+               {", ".join(f"{_s23_word_sql('v', w)} AS w{w}" for w in range(S23_WORDS))}
+        FROM v CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               ({" + ".join(f"bit_count(xor(q.w{w}, c.w{w}))" for w in range(S23_WORDS))})::BIGINT AS hamming
+        FROM coded q JOIN coded c
+          ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    )
+    SELECT query_id, corpus_id, hamming, rank FROM (
+        SELECT query_id, corpus_id, hamming,
+               (row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, corpus_id))::INT AS rank
+        FROM scored)
+    WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+"""
+QUERIES["s23_binary_hamming_search"] = s23_binary_hamming_search

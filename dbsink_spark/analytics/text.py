@@ -2823,3 +2823,210 @@ ORACLE["t34_dataset_card"] = f"""
     ORDER BY source
 """
 QUERIES["t34_dataset_card"] = t34_dataset_card
+
+
+# ---------------------------------------------------------------------------
+# t35: Gopher repetition signals (Rae et al. 2021, Table A1)
+# ---------------------------------------------------------------------------
+
+# ppm thresholds from the published Gopher repetition filters: a doc is
+# repetition-flagged when the top 2-gram exceeds 20% of its chars, the
+# top 3-gram 18%, or duplicated 5-grams 15%.
+T35_TOP2_PPM = 200_000
+T35_TOP3_PPM = 180_000
+T35_DUP5_PPM = 150_000
+
+
+def _t35_grams(words, n: int):
+    """Word n-grams (joined by spaces), [] when the doc has < n words.
+    The size guard matters: Spark's sequence() DESCENDS when stop <
+    start, so an unguarded sequence(1, size-n+1) fabricates grams for
+    short docs instead of none."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _t35_top_mass(grams):
+    """max over distinct n-grams of count(g)·len(g) — the char mass of
+    the dominant n-gram — as a sorted run-length fold (the c01 quality
+    fold's discipline): O(n log n) per doc, map-only, no explode, no
+    shuffle. Tracking the maximal count·len product instead of an
+    argmax gram needs NO tie-break at all: it is a pure integer max."""
+    return F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("p"),
+            F.lit(0).alias("r"),
+            F.lit(0).alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("p"),
+            F.when(x == acc["p"], acc["r"] + F.lit(1)).otherwise(F.lit(1)).alias("r"),
+            F.greatest(
+                acc["b"],
+                F.when(x == acc["p"], acc["r"] + F.lit(1)).otherwise(F.lit(1))
+                * F.length(x),
+            ).alias("b"),
+        ),
+        lambda acc: acc["b"],
+    )
+
+
+def _t35_dup_mass(grams):
+    """Σ over n-grams occurring ≥ 2 times of count(g)·len(g) — the
+    char mass inside duplicated n-grams — same sorted fold: when a run
+    reaches 2 the first occurrence is charged retroactively (2·len),
+    every further repeat adds len."""
+    return F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("p"),
+            F.lit(0).alias("r"),
+            F.lit(0).alias("s"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("p"),
+            F.when(x == acc["p"], acc["r"] + F.lit(1)).otherwise(F.lit(1)).alias("r"),
+            (
+                acc["s"]
+                + F.when(
+                    (x == acc["p"]) & (acc["r"] + F.lit(1) == F.lit(2)),
+                    F.length(x) * 2,
+                )
+                .when((x == acc["p"]) & (acc["r"] + F.lit(1) > F.lit(2)), F.length(x))
+                .otherwise(F.lit(0))
+            ).alias("s"),
+        ),
+        lambda acc: acc["s"],
+    )
+
+
+def t35_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher repetition-filter signals (Rae et al.
+    2021, "Scaling Language Models", Table A1), per source: char mass
+    of the dominant 2-gram and 3-gram, char mass inside duplicated
+    5-grams — each as an integer ppm of the doc's characters — plus
+    the count of docs breaching any published threshold. Extends t06
+    (top WORD dominance) with the n-gram family the paper actually
+    filters on; the signals are what a curation pipeline tunes before
+    committing to expensive near-dedup.
+
+    Everything is integer ppm (BIGINT multiply before an integral DIV
+    guarded by nullif) — the gate never sees a float. Per-doc signals
+    are sorted run-length folds over the gram arrays: map-only, no
+    explode, no shuffle; the only shuffle in the plan is the final
+    per-source hash aggregate. At 100 TB that is one pass over the
+    corpus with combinable partials — the same budget as t06.
+    """
+    d = Tables(spark, sf_dir).documents
+    # materialize the words array AND each gram array as real columns
+    # before the folds: a HOF lambda that captures a split()/transform
+    # EXPRESSION re-evaluates it per element access (the hash_docs
+    # rule) — with ~550 grams × 5 element_at accesses each, the
+    # unmaterialized version re-split the text O(n²) times per doc
+    # (first bench: 12.6 s, slowest row in the registry; materialized:
+    # sub-second)
+    w = F.col("w")
+    per_doc = (
+        d.withColumn("w", _words())
+        .withColumn("g2", _t35_grams(w, 2))
+        .withColumn("g3", _t35_grams(w, 3))
+        .withColumn("g5", _t35_grams(w, 5))
+        .select(
+            "source",
+            F.length(F.col("text")).alias("n_chars_txt"),
+            _t35_top_mass(F.col("g2")).alias("m2"),
+            _t35_top_mass(F.col("g3")).alias("m3"),
+            _t35_dup_mass(F.col("g5")).alias("m5"),
+        )
+    ).select(
+        "source",
+        F.expr(
+            "CAST(m2 AS BIGINT) * 1000000 DIV nullif(n_chars_txt, 0)"
+        ).alias("top2_ppm"),
+        F.expr(
+            "CAST(m3 AS BIGINT) * 1000000 DIV nullif(n_chars_txt, 0)"
+        ).alias("top3_ppm"),
+        F.expr(
+            "CAST(m5 AS BIGINT) * 1000000 DIV nullif(n_chars_txt, 0)"
+        ).alias("dup5_ppm"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(top2_ppm) DIV count(1)").alias("avg_top2_ppm"),
+            F.expr("sum(top3_ppm) DIV count(1)").alias("avg_top3_ppm"),
+            F.expr("sum(dup5_ppm) DIV count(1)").alias("avg_dup5_ppm"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN top2_ppm > {T35_TOP2_PPM} "
+                    f"OR top3_ppm > {T35_TOP3_PPM} "
+                    f"OR dup5_ppm > {T35_DUP5_PPM} THEN 1 ELSE 0 END"
+                )
+            ).cast("long").alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+def _t35_grams_sql(n: int) -> str:
+    joined = " || ' ' || ".join(f"ws[i+{k}]" for k in range(n))
+    return (
+        f"[{joined} for i in generate_series(1, len(ws) - {n - 1})]"
+    )
+
+
+ORACLE["t35_gopher_repetition"] = f"""
+    WITH docs AS (
+        SELECT source, length(text) AS n_chars_txt,
+               string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT source, n_chars_txt,
+               {_t35_grams_sql(2)} AS g2,
+               {_t35_grams_sql(3)} AS g3,
+               {_t35_grams_sql(5)} AS g5
+        FROM docs
+    ),
+    masses AS (
+        SELECT source, n_chars_txt,
+               coalesce(list_max(list_transform(list_distinct(g2),
+                   u -> len(list_filter(g2, x -> x = u)) * length(u))), 0) AS m2,
+               coalesce(list_max(list_transform(list_distinct(g3),
+                   u -> len(list_filter(g3, x -> x = u)) * length(u))), 0) AS m3,
+               coalesce(list_sum(list_transform(list_distinct(g5),
+                   u -> CASE WHEN len(list_filter(g5, x -> x = u)) >= 2
+                        THEN len(list_filter(g5, x -> x = u)) * length(u)
+                        ELSE 0 END)), 0) AS m5
+        FROM grams
+    ),
+    per_doc AS (
+        SELECT source,
+               m2::BIGINT * 1000000 // nullif(n_chars_txt, 0) AS top2_ppm,
+               m3::BIGINT * 1000000 // nullif(n_chars_txt, 0) AS top3_ppm,
+               m5::BIGINT * 1000000 // nullif(n_chars_txt, 0) AS dup5_ppm
+        FROM masses
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           (sum(top2_ppm) // count(*))::BIGINT AS avg_top2_ppm,
+           (sum(top3_ppm) // count(*))::BIGINT AS avg_top3_ppm,
+           (sum(dup5_ppm) // count(*))::BIGINT AS avg_dup5_ppm,
+           sum(CASE WHEN top2_ppm > {T35_TOP2_PPM}
+                    OR top3_ppm > {T35_TOP3_PPM}
+                    OR dup5_ppm > {T35_DUP5_PPM} THEN 1 ELSE 0 END)::BIGINT
+               AS n_flagged
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+"""
+QUERIES["t35_gopher_repetition"] = t35_gopher_repetition
