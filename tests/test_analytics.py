@@ -2870,3 +2870,95 @@ def test_s21_kcenter_matches_pure_python_greedy(spark):
     got = [tuple(r) for r in s21_kcenter_select(spark, SF_DIR).collect()]
     assert got == want
     assert len(set(c for _, c, _ in got)) == KCENTER_K  # all distinct
+
+
+def test_s23_hamming_equals_bruteforce(spark):
+    """s23's packed-word popcount hamming must equal the naive per-dim
+    bit-disagreement count against the same midrange thresholds, and
+    the served ranking must follow (hamming, corpus_id)."""
+    from collections import defaultdict
+
+    from dbsink_spark.analytics.similarity import (
+        N_QUERIES,
+        TOPK,
+        s23_binary_hamming_search,
+    )
+    from dbsink_spark.analytics.tables import Tables
+
+    rows = Tables(spark, SF_DIR).embeddings.collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    dim = len(next(iter(vecs.values())))
+    mn = [min(v[i] for v in vecs.values()) for i in range(dim)]
+    mx = [max(v[i] for v in vecs.values()) for i in range(dim)]
+    bits = {
+        vid: [1 if v[i] > (mn[i] + mx[i]) / 2 else 0 for i in range(dim)]
+        for vid, v in vecs.items()
+    }
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(bits[a], bits[b]))
+
+    want = defaultdict(list)
+    qids = sorted(v for v in vecs if v < N_QUERIES)
+    cids = sorted(v for v in vecs if v >= N_QUERIES)
+    for q in qids:
+        ranked = sorted(cids, key=lambda c: (ham(q, c), c))[:TOPK]
+        want[q] = [(c, ham(q, c)) for c in ranked]
+
+    got = defaultdict(list)
+    for r in s23_binary_hamming_search(spark, SF_DIR).collect():
+        got[r["query_id"]].append((r["corpus_id"], r["hamming"]))
+    assert dict(got) == dict(want)
+
+
+def test_t35_folds_equal_counter_bruteforce(spark):
+    """t35's sorted run-length folds (dominant-gram char mass,
+    duplicated-gram char mass) must equal a Counter-based brute force
+    per document, and the served per-source ppm aggregates must
+    follow."""
+    from collections import Counter, defaultdict
+
+    from dbsink_spark.analytics.tables import Tables
+    from dbsink_spark.analytics.text import (
+        T35_DUP5_PPM,
+        T35_TOP2_PPM,
+        T35_TOP3_PPM,
+        t35_gopher_repetition,
+    )
+
+    docs = Tables(spark, SF_DIR).documents.collect()
+
+    def grams(ws, n):
+        return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+    per_source = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, s2, s3, s5, flagged
+    for r in docs:
+        ws = r["text"].split(" ")
+        nc = len(r["text"])
+        c2, c3, c5 = (Counter(grams(ws, n)) for n in (2, 3, 5))
+        m2 = max((c * len(g) for g, c in c2.items()), default=0)
+        m3 = max((c * len(g) for g, c in c3.items()), default=0)
+        m5 = sum(c * len(g) for g, c in c5.items() if c >= 2)
+        p2, p3, p5 = (m * 1_000_000 // nc for m in (m2, m3, m5))
+        agg = per_source[r["source"]]
+        agg[0] += 1
+        agg[1] += p2
+        agg[2] += p3
+        agg[3] += p5
+        agg[4] += int(p2 > T35_TOP2_PPM or p3 > T35_TOP3_PPM or p5 > T35_DUP5_PPM)
+
+    want = {
+        src: (n, s2 // n, s3 // n, s5 // n, fl)
+        for src, (n, s2, s3, s5, fl) in per_source.items()
+    }
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["avg_top2_ppm"],
+            r["avg_top3_ppm"],
+            r["avg_dup5_ppm"],
+            r["n_flagged"],
+        )
+        for r in t35_gopher_repetition(spark, SF_DIR).collect()
+    }
+    assert got == want
