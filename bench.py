@@ -216,6 +216,18 @@ def main() -> None:
         }
         for df in cleanup:
             df.unpersist()
+        # BPE-accurate token budget of the landed lake (VERDICT_r11 #8
+        # stretch): the manifest's n_tokens is the whitespace counter;
+        # this is the budget a trainer actually consumes — t19's gated
+        # segmentation core applied to the curated parquet, per split.
+        from dbsink_spark.analytics.curation import bpe_token_budget
+
+        t0 = time.time()
+        curate["bpe_budget"] = {
+            r["split"]: {"bpe": r["bpe_tokens"], "ws": r["ws_tokens"]}
+            for r in bpe_token_budget(spark, sf_dir, lake_dir).collect()
+        }
+        curate["bpe_budget_sec"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(lake_dir, ignore_errors=True)
     spark.catalog.clearCache()
@@ -231,6 +243,25 @@ def main() -> None:
     CAL_REF_SEC = 0.4
     norm_factor = CAL_REF_SEC / max(calibration["min_sec"], 1e-9)
     queries_norm = {n: round(t * norm_factor, 3) for n, t in timings.items()}
+    # Two-axis normalization (VERDICT_r11 #2): the single scan-shaped
+    # calibration under-corrects LATENCY-bound queries — a row that
+    # runs J tiny jobs pays J× the host's fixed per-job latency, which
+    # moves independently of scan throughput across boots (the r10 q74
+    # and r11 t06-t22/s22 phantom-riser class, +23% normalized total
+    # on unchanged code). norm2 first removes the job-latency delta vs
+    # a FROZEN reference host (JOB_REF_MS, the r11 driver host's
+    # cal_job_ms floor), then applies the scan factor:
+    #     norm2 = max(raw − jobs × (job_ms_min − JOB_REF_MS)/1000, 0)
+    #             × CAL_REF_SEC/cal_min
+    # Contract: BENCH_r{N}'s norm2 values are comparable across rounds
+    # on BOTH axes; a query whose norm2 moves ≥2× IS a code/plan
+    # regression, no per-round host forensics needed.
+    JOB_REF_MS = 250.0
+    lat_delta = (calibration["job_ms_min"] - JOB_REF_MS) / 1000.0
+    queries_norm2 = {
+        n: round(max(t - job_counts[n] * lat_delta, 0.0) * norm_factor, 3)
+        for n, t in timings.items()
+    }
     payload = {
         "metric": "total_wall_sec_all_queries",
         "value": total,
@@ -238,7 +269,9 @@ def main() -> None:
         "queries": timings,
         "queries_median": medians,
         "queries_norm": queries_norm,
+        "queries_norm2": queries_norm2,
         "cal_ref_sec": CAL_REF_SEC,
+        "job_ref_ms": JOB_REF_MS,
         # calibration sits TOP-LEVEL (not extras) so the driver-recorded
         # stdout line carries it into BENCH_r{N}.json — extras are
         # dropped from the line for byte budget
@@ -283,6 +316,18 @@ def main() -> None:
         # cal-normalized decisec twin, same positional order — the
         # cross-round-comparable numbers (see CAL_REF_SEC above)
         "queries_norm": [int(round(queries_norm[n] * 10)) for n in names],
+        # two-axis (scan + job-latency) normalization, SPARSE: only the
+        # positions where norm2 differs from norm by ≥1 decisec, keyed
+        # by position index into BENCH_MANIFEST order — on a host whose
+        # job latency matches JOB_REF_MS this map is empty; elsewhere
+        # it overrides exactly the latency-bound rows. Full per-query
+        # map in BENCH_LOCAL.json's queries_norm2.
+        "queries_norm2": {
+            str(i): int(round(queries_norm2[n] * 10))
+            for i, n in enumerate(names)
+            if int(round(queries_norm2[n] * 10))
+            != int(round(queries_norm[n] * 10))
+        },
         "queries_unit": "decisec",
         "queries_key": "BENCH_MANIFEST.json",
         "nq": len(names),
@@ -301,6 +346,21 @@ def main() -> None:
     # the committed BENCH_LOCAL.json, so the stdout line drops them
     del line["extras"]
     out_line = json.dumps(line, separators=(",", ":"))
+    # byte-budget degradation for the sparse norm2 map: on a host whose
+    # job latency sits far from JOB_REF_MS many rows shift, and the
+    # map could threaten the 2000-byte stdout cap — raise the delta
+    # threshold until the line fits (the biggest corrections, i.e. the
+    # rows a cross-round analysis actually needs, are kept longest)
+    thresh = 1
+    while len(out_line) >= 1950 and line["queries_norm2"]:
+        thresh += 1
+        line["queries_norm2"] = {
+            i: v
+            for i, v in line["queries_norm2"].items()
+            if abs(v - line["queries_norm"][int(i)]) >= thresh
+        }
+        line["norm2_min_delta_ds"] = thresh
+        out_line = json.dumps(line, separators=(",", ":"))
     # the driver tail-captures the LAST 2000 bytes of stdout: a longer
     # line loses its leading '{' and parses as null (the r03 failure
     # class) — fail HERE, in local runs, not in a graded one

@@ -197,14 +197,14 @@ UNGATED = frozenset(
         # Deequ-style constraint audit, materialized-rollup rewrite):
         # "q74_constraint_audit",  # PROMOTED to gate in round-6 rotation
         # "q75_mv_rewrite",  # PROMOTED to gate in round-11 rotation
-        "t25_lm_familiarity",
+        # "t25_lm_familiarity",  # PROMOTED to gate in round-12 rotation
         # "q76_join_size_profile",  # PROMOTED to gate in round-6 rotation
-        "q77_bitmap_index_serve",
+        # "q77_bitmap_index_serve",  # PROMOTED to gate in round-12 rotation
         # "q78_temporal_enrich",  # PROMOTED to gate in round-6 rotation
         # "t26_rake_keyphrases",  # PROMOTED to gate in round-6 rotation
-        "q79_attribution",
+        # "q79_attribution",  # PROMOTED to gate in round-12 rotation
         # "q80_holt_forecast",  # PROMOTED to gate in round-6 rotation
-        "q81_time_to_convert",
+        # "q81_time_to_convert",  # PROMOTED to gate in round-12 rotation
         # "q82_basket_pairs",  # PROMOTED to gate in round-6 rotation
         "q02_filter_project",
         "q03_broadcast_join",
@@ -341,24 +341,24 @@ UNGATED = frozenset(
         # contamination-curve profiling, sliding-window sketch merge):
         # "q92_weighted_sssp",  # PROMOTED to gate in round-8 rotation
         # "q93_heavy_hitters",  # PROMOTED to gate in round-8 rotation
-        "t29_overlap_profile",
+        # "t29_overlap_profile",  # PROMOTED to gate in round-12 rotation
         # "q94_sliding_distinct",  # PROMOTED to gate in round-8 rotation
         # "s12_ivf_maxsim",  # PROMOTED to gate in round-8 rotation
         # "q95_digest_diff",  # PROMOTED to gate in round-8 rotation
-        "q96_compaction_plan",
+        # "q96_compaction_plan",  # PROMOTED to gate in round-12 rotation
         # "d17_cc_alternating",  # PROMOTED to gate in round-8 rotation
-        "q97_zone_map_skip",
-        "q98_basket_triples",
-        "q99_fd_audit",
-        "s13_ann_recall",
-        "s14_rrf_fusion",
+        # "q97_zone_map_skip",  # PROMOTED to gate in round-12 rotation
+        # "q98_basket_triples",  # PROMOTED to gate in round-12 rotation
+        # "q99_fd_audit",  # PROMOTED to gate in round-12 rotation
+        # "s13_ann_recall",  # PROMOTED to gate in round-12 rotation
+        # "s14_rrf_fusion",  # PROMOTED to gate in round-12 rotation
         # "s15_pq_adc",  # PROMOTED to gate in round-8 rotation
-        "q100_quota_sample",
-        "q101_salted_join",
+        # "q100_quota_sample",  # PROMOTED to gate in round-12 rotation
+        # "q101_salted_join",  # PROMOTED to gate in round-12 rotation
         # "q102_point_in_polygon",  # PROMOTED to gate in round-8 rotation
-        "q103_radius_join",
+        # "q103_radius_join",  # PROMOTED to gate in round-12 rotation
         # "q104_nn_join",  # PROMOTED to gate in round-8 rotation
-        "q105_label_prop",
+        # "q105_label_prop",  # PROMOTED to gate in round-12 rotation
         # "q106_ivm_maintain",  # PROMOTED to gate in round-8 rotation
         # "q107_changepoint",  # PROMOTED to gate in round-8 rotation
         "q108_acf",
@@ -756,6 +756,93 @@ UNGATED = frozenset(
         "t30_quantile_norm",
         "s15_pq_adc",
         "d19_sorted_neighborhood",
+        # ROUND-12 GATE ROTATION — requested by VERDICT_r11 "Next round
+        # #1": promote the GATE_DEBT r12 tranche exactly as queued (15
+        # rows, no swaps — the faced-but-never-passed class is empty
+        # and ledger-pinned): t25 q77 q79 q81 t29 q96 q97 q98 q99 s13
+        # s14 q100 q101 q103 q105 (all uncommented above). These 15
+        # previously-gated rows demote in exchange — the LONGEST-gated
+        # rows (3-4 driver verifications each vs 1-2 for everything
+        # that stays); the five round-11 family anchors (s12/q92/q102/
+        # q104/d17, now 4x) can finally rotate out because the r12
+        # tranche itself re-anchors their families (spatial via q103,
+        # iterative-graph via q105, retrieval-audit via s13/s14); each
+        # demoted row stays redundant with machinery that stays gated
+        # or promotes:
+        #   q92 weighted SSSP (4x) — per-round join+localCheckpoint
+        #       Pregel machinery stays gated via promoted q105 label
+        #       propagation (same frontier iteration, same bounded-
+        #       round checkpoint cycle) + gated q123 modularity (graph
+        #       partition scoring)
+        #   q102 point-in-polygon (4x) — grid-cell spatial blocking ⊂
+        #       promoted q103 radius join (same cell-key bucketize →
+        #       equi-join → exact-verify, plus ring expansion)
+        #   q104 nn join (4x) — spatial NN grid blocking ⊂ promoted
+        #       q103 radius join (same grid candidate generation and
+        #       distance-verify kernel; q104's per-point argmin ⊂ the
+        #       same min_by machinery inside gated s05)
+        #   d17 star-contraction CC (4x) — alternating-propagation
+        #       fixpoint = promoted q105's label-propagation rounds
+        #       (same converge-by-rounds discipline, same per-round
+        #       localCheckpoint); cluster keeper selection stays via
+        #       gated d07's candidate clusters
+        #   s12 IVF→MaxSim (4x) — IVF probe + re-rank pipeline stays
+        #       via promoted s13 ANN-recall (same IVF index + probe
+        #       audit) + promoted s14 RRF fusion (the multi-ranker
+        #       re-rank class); the MaxSim kernel stays pytest-pinned
+        #   m05 cdc chunks (3x) — binary mapInPandas Arrow plumbing =
+        #       gated m02/m04 (same payload-bytes batch shape);
+        #       shift-resistance stays pytest-pinned
+        #   m06 payload entropy (3x) — byte-histogram entropy ⊂ gated
+        #       m04 binary near-dup (same payload byte aggregation) +
+        #       gated t06's distribution-stat fold
+        #   d20 incremental dedup (3x) — persisted-index incremental
+        #       merge stays via the pytest-pinned ingest-lake suite;
+        #       its exact-identity stage is the hash-agg machinery
+        #       inside gated d14's overlap matrix, its near-dup stage
+        #       gated d07's band join
+        #   q124 permutation test (3x) — Arrow+numpy partial-agg
+        #       resample ⊂ gated q43 regression stats (same moment-agg
+        #       kernel) + promoted q100 quota sample (deterministic
+        #       hash-resampling discipline)
+        #   q126 spearman monthly (3x) — windowed rank transform =
+        #       gated q46 MAD anomaly's partitioned window stats; the
+        #       cohort time spine stays via gated q45 transitions
+        #   q127 peak concurrency (3x) — interval boundary sweep ⊂
+        #       promoted q81 time-to-convert (same event-interval
+        #       arithmetic) + promoted q79 attribution's ordered-event
+        #       window scan
+        #   s18 filtered search (3x) — predicate-pushed IVF probe ⊂
+        #       gated s05 IVF top-k (same index + probe) + promoted
+        #       s13 ANN-recall (same probe machinery, audited)
+        #   s19 nn-descent (3x) — strict subset of gated s22 iterated
+        #       NN-descent convergence (same neighbor-of-neighbor join
+        #       round; s22 adds the fixpoint loop)
+        #   s20 mmr diversify (3x) — iterative greedy selection ⊂
+        #       gated s21 k-center (same max-min geometric selection
+        #       loop) + promoted s14 RRF (rank-fusion re-scoring)
+        #   t33 boilerplate (3x) — shingle-df boilerplate stripping ⊂
+        #       gated d07 phrase dedup (same shingle-df machinery) +
+        #       promoted t29 overlap profile (same cross-doc n-gram
+        #       accounting)
+        # Rotation policy unchanged: composition moves ONLY on external
+        # verdict sanction; demoted rows stay oracle-verified each
+        # pytest run (test_registry_parity) + tools/check_oracle.py.
+        "q92_weighted_sssp",
+        "q102_point_in_polygon",
+        "q104_nn_join",
+        "d17_cc_alternating",
+        "s12_ivf_maxsim",
+        "m05_cdc_chunks",
+        "m06_payload_entropy",
+        "d20_incremental_dedup",
+        "q124_permutation_test",
+        "q126_spearman_monthly",
+        "q127_peak_concurrency",
+        "s18_filtered_search",
+        "s19_nn_descent",
+        "s20_mmr_diversify",
+        "t33_boilerplate",
     }
 )
 

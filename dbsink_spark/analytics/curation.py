@@ -203,6 +203,49 @@ def curate_corpus(
     return d5, manifest
 
 
+def bpe_token_budget(
+    spark: SparkSession, sf_dir: str, lake_path: str
+) -> DataFrame:
+    """BPE-accurate token budget of the LANDED lake, per split
+    (VERDICT_r11 #8): the manifest's ``n_tokens`` is deliberately
+    t04's whitespace counter (cheap, per-stage); the budget a trainer
+    actually consumes is tokenizer tokens over the text that actually
+    landed. This trains t16's merge rules on the raw corpus (the same
+    table t19 is gate-verified against), applies them to the curated
+    parquet via :func:`text.bpe_token_counts` — the exact gated t19
+    segmentation core — and returns one row per split with BPE and
+    whitespace totals side by side.
+
+    Scale: the merge table is k-sized literals; the only corpus-sized
+    work is a word count + an equi-join on the word — the same budget
+    as t19 itself, over the (smaller) curated corpus."""
+    from .text import BPE_N_MERGES, bpe_token_counts, t16_bpe_merge_step
+
+    merges = [
+        r["pair"]
+        for r in t16_bpe_merge_step(spark, sf_dir).collect()[:BPE_N_MERGES]
+    ]
+    lake = spark.read.parquet(lake_path)
+    counts = bpe_token_counts(lake.select("doc_id", "text"), merges)
+    return (
+        lake.select("doc_id", "split")
+        .join(counts, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # left join: a doc whose text has no non-empty words has no
+            # counts row — budget 0, not a dropped doc
+            F.sum(F.coalesce(F.col("n_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("bpe_tokens"),
+            F.sum(F.coalesce(F.col("n_words"), F.lit(0)))
+            .cast("long")
+            .alias("ws_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # c01: the composed pipeline as an oracle-checked registry row
 # ---------------------------------------------------------------------------
@@ -224,6 +267,16 @@ def c01_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Materializes the 6-row manifest, then unpersists every internal
     cache (ADVICE_r10: the registry path used to leak cached blocks on
     every fuzz/oracle invocation).
+
+    Plan-budget note (ADVICE_r11): because of that eager collect the
+    frame THIS function returns is a LocalRelation — its entry in
+    tests/plan_budget.json (0 exchanges) describes the returned frame,
+    not the pipeline. The REAL composed plan's shuffle shape is
+    budget-checked separately: tests/test_plans.py::
+    test_c01_internal_pipeline_plan compiles ``curate_corpus``'s
+    internal stages without collecting and asserts their exchange
+    count, so a pass-ordering or join regression inside the pipeline
+    still trips a budget even though c01's registry row is local.
     """
     cleanup: list = []
     _, manifest = curate_corpus(spark, sf_dir, cleanup=cleanup)
@@ -269,13 +322,28 @@ def _c01_oracle() -> str:
     WITH scrub AS (
         SELECT doc_id, {scrub} AS text, lang, source, n_chars FROM documents
     ),
+    -- top-word frequency as a SORTED RUN-LENGTH scan (VERDICT_r11 #6:
+    -- the same algorithm class as the engine's array_sort+aggregate
+    -- fold, replacing the O(distinct·n) list probe the engine side
+    -- retired in round 11): sort the tokens, find run-start indices,
+    -- max run = max gap between consecutive starts. O(n log n)/doc.
+    -- (A literal list_reduce struct fold is NOT usable here: DuckDB
+    -- 1.0's lambda evaluates struct fields sequentially with the
+    -- updated accumulator visible, so a prev/run/best struct fold
+    -- double-counts — verified against this build.)
+    runs AS (
+        SELECT *, [i FOR i IN generate_series(1, len(_w))
+                   IF i = 1 OR _w[i] <> _w[i-1]] AS _bs
+        FROM (SELECT *, list_sort(string_split(text, ' ')) AS _w FROM scrub)
+    ),
     quality AS (
-        SELECT * FROM scrub
+        SELECT doc_id, text, lang, source, n_chars FROM (
+            SELECT *, list_max(list_transform(generate_series(1, len(_bs)),
+                       j -> coalesce(_bs[j+1], len(_w) + 1) - _bs[j])) AS _top
+            FROM runs
+        )
         WHERE len(string_split(text, ' ')) BETWEEN {MIN_WORDS} AND {MAX_WORDS}
-          AND list_max(list_transform(
-                  list_distinct(string_split(text, ' ')),
-                  t -> len(list_filter(string_split(text, ' '), x -> x = t))
-              )) * 5 <= len(string_split(text, ' '))
+          AND _top * 5 <= len(string_split(text, ' '))
     ),
     exact AS (
         SELECT q.* FROM quality q

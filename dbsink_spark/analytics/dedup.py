@@ -227,6 +227,11 @@ def cap_band_rows(bands: DataFrame, bucket_cap=_CAP_UNSET) -> DataFrame:
     )
 
 
+# the single resident cache slot for untracked minhash_lsh_pairs
+# callers (see the function body) — released on the NEXT untracked call
+_UNTRACKED_CACHE: list[DataFrame] = []
+
+
 def minhash_lsh_pairs(d: DataFrame, persisted: list | None = None) -> DataFrame:
     """MinHash + LSH verified near-dup pairs over ANY (doc_id, text,
     source) relation — the parameterized core: d03 runs it over the
@@ -241,10 +246,23 @@ def minhash_lsh_pairs(d: DataFrame, persisted: list | None = None) -> DataFrame:
     100 TB path (shuffle keyed by bucket, never a cross join) — then
     only the candidates pay the exact-Jaccard verification.
     """
-    # cached: consumed three times (signatures + two verify join-backs)
+    # cached: consumed three times (signatures + two verify join-backs;
+    # measured +27% at sf0.1 without the cache, so the persist stays)
     docs = hash_docs(d).persist()
     if persisted is not None:
         persisted.append(docs)
+    else:
+        # ADVICE_r11: an untracked call (the plain d03 registry path)
+        # previously leaked one cached frame PER INVOCATION for the
+        # session's lifetime. Callers with a lifecycle (c01) pass
+        # ``persisted`` and release deterministically; for the rest,
+        # drop the PREVIOUS untracked cache here so at most one
+        # untracked frame is ever resident — the leak is now bounded
+        # by one, not by invocation count. A still-unmaterialized
+        # DataFrame returned by an earlier call simply recomputes.
+        while _UNTRACKED_CACHE:
+            _UNTRACKED_CACHE.pop().unpersist()
+        _UNTRACKED_CACHE.append(docs)
     banded = banded_sigs(docs)
 
     a = banded.alias("a")

@@ -820,8 +820,11 @@ def q120_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported number is scale-free (AUC ppm, z) or linear (group
     sizes); products are formed in double.
     """
+    # NULL quantities are excluded (rank statistics are over observed
+    # VALUES; a NULL grid group would also diverge cross-engine on the
+    # cumulative windows: Spark orders NULLS FIRST, DuckDB NULLS LAST)
     li = Tables(spark, sf_dir).lineitem.filter(
-        F.col("l_returnflag").isin("A", "R")
+        F.col("l_returnflag").isin("A", "R") & F.col("l_quantity").isNotNull()
     ).select(
         F.col("l_quantity").cast("long").alias("v"),
         (F.col("l_returnflag") == "A").cast("long").alias("is_a"),
@@ -900,7 +903,8 @@ ORACLE["q120_mann_whitney"] = """
     WITH li AS (
         SELECT l_quantity::BIGINT AS v,
                (l_returnflag = 'A')::BIGINT AS is_a
-        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        FROM lineitem
+        WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL
     ),
     grid AS (
         SELECT v, sum(is_a)::BIGINT AS na, sum(1 - is_a)::BIGINT AS nb
@@ -1170,8 +1174,16 @@ def q122_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     significance scale sqrt(nA·nB/(nA+nB))·D is double with fixed
     operand order.
     """
+    # NULL quantities are excluded from the distribution (a KS test is
+    # over observed VALUES; NULL carries no CDF position — and a NULL
+    # grid group would also diverge cross-engine: Spark's default
+    # window ORDER BY puts NULLS FIRST, DuckDB's NULLS LAST, silently
+    # shifting every cumulative count). ADVICE_r11: the tie-break
+    # guard below additionally carries an explicit NULL arm as
+    # defense-in-depth, so even an unexpected NULL degrades to a NULL
+    # encoding max() skips instead of a raise_error abort.
     li = Tables(spark, sf_dir).lineitem.filter(
-        F.col("l_returnflag").isin("A", "R")
+        F.col("l_returnflag").isin("A", "R") & F.col("l_quantity").isNotNull()
     ).select(
         F.col("l_quantity").cast("long").alias("v"),
         (F.col("l_returnflag") == "A").cast("long").alias("is_a"),
@@ -1216,8 +1228,15 @@ def q122_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines — the one corruption shape oracle parity cannot catch —
     # so both the engine (raise_error) and the oracle (error()) abort
     # loudly if a future dataset ever widens the quantity domain.
+    # Explicit NULL arm FIRST (ADVICE_r11): NULL BETWEEN 0 AND 999 is
+    # NULL, so without it a NULL at_v fell through to raise_error —
+    # aborting the job (with a NULL message: concat of a NULL cast)
+    # instead of degrading to a NULL encoding that max() skips, as the
+    # surrounding NULL design intends. The guard must only fire on a
+    # REAL out-of-domain value.
     guarded_v = (
-        "CASE WHEN at_v BETWEEN 0 AND 999 THEN at_v ELSE "
+        "CASE WHEN at_v IS NULL THEN NULL "
+        "WHEN at_v BETWEEN 0 AND 999 THEN at_v ELSE "
         "raise_error(concat('q122: at_v=', cast(at_v AS string), "
         "' outside [0,999] breaks the tie-break encoding')) END"
     )
@@ -1244,7 +1263,8 @@ ORACLE["q122_ks_test"] = """
     WITH li AS (
         SELECT l_quantity::BIGINT AS v,
                (l_returnflag = 'A')::BIGINT AS is_a
-        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        FROM lineitem
+        WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL
     ),
     grid AS (
         SELECT v, sum(is_a)::BIGINT AS na, sum(1 - is_a)::BIGINT AS nb
@@ -1268,6 +1288,7 @@ ORACLE["q122_ks_test"] = """
         SELECT n_a, n_b,
                max(d_ppm)::BIGINT AS d_ppm,
                max(d_ppm * 1000 + (999 - CASE
+                   WHEN v IS NULL THEN NULL
                    WHEN v BETWEEN 0 AND 999 THEN v
                    ELSE error('q122: v outside [0,999] breaks the tie-break encoding')
                END)) AS enc

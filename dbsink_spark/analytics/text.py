@@ -1151,8 +1151,20 @@ def t19_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [
         r["pair"] for r in t16_bpe_merge_step(spark, sf_dir).collect()[:BPE_N_MERGES]
     ]
+    return bpe_token_counts(Tables(spark, sf_dir).documents, merges).orderBy(
+        "doc_id"
+    )
 
-    d = Tables(spark, sf_dir).documents
+
+def bpe_token_counts(d: DataFrame, merges: list[str]) -> DataFrame:
+    """t19's merge-application core over ANY (doc_id, text) relation:
+    per-document BPE token counts under an already-trained merge list
+    — factored out (VERDICT_r11 #8) so the curation pipeline can
+    budget its LANDED lake output with the exact same segmentation
+    semantics the gated t19 row is verified under. Same scale shape:
+    merges apply over the DISTINCT-word table, documents join back on
+    the word; the merge table is k-sized and lives in the plan as
+    literals."""
     wf = (
         d.select(F.explode(_words()).alias("word"))
         .filter(F.col("word") != "")
@@ -1182,7 +1194,6 @@ def t19_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_tokens"),
             F.count(F.lit(1)).cast("long").alias("n_words"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -288,6 +288,51 @@ def test_curation_pipeline_composes(spark, tmp_path):
     }
 
 
+def test_bpe_token_budget_matches_python_twin(spark, tmp_path):
+    """VERDICT_r11 #8: the bench's lake BPE budget must carry t19's
+    exact gated segmentation semantics over the LANDED text — pinned
+    per split against a pure-python twin (word-spaced chars, ranked
+    merge rules applied left-to-right non-overlapping, token count =
+    spaces − 1), trained with the same t16 merge table."""
+    import collections
+
+    from dbsink_spark.analytics.curation import bpe_token_budget, curate_corpus
+    from dbsink_spark.analytics.text import BPE_N_MERGES, t16_bpe_merge_step
+
+    out = str(tmp_path / "lake")
+    cleanup: list = []
+    curate_corpus(spark, SF_DIR, out, cleanup=cleanup)
+    for df in cleanup:
+        df.unpersist()
+
+    got = {
+        r["split"]: (r["n_docs"], r["bpe_tokens"], r["ws_tokens"])
+        for r in bpe_token_budget(spark, SF_DIR, out).collect()
+    }
+
+    merges = [
+        r["pair"]
+        for r in t16_bpe_merge_step(spark, SF_DIR).collect()[:BPE_N_MERGES]
+    ]
+    exp: dict = collections.defaultdict(lambda: [0, 0, 0])
+    for r in spark.read.parquet(out).select("text", "split").collect():
+        exp[r["split"]][0] += 1
+        for w in r["text"].split(" "):
+            if not w:
+                continue
+            seg = " " + "".join(c + " " for c in w)
+            for p in merges:
+                seg = seg.replace(f" {p[0]} {p[1]} ", f" {p} ")
+            exp[r["split"]][1] += seg.count(" ") - 1
+            exp[r["split"]][2] += 1
+    assert got == {k: tuple(v) for k, v in exp.items()}
+    # sanity: every landed split is budgeted and BPE never exceeds the
+    # character count nor undercuts one token per word
+    assert got
+    for n, bpe, ws in got.values():
+        assert 0 < ws <= bpe
+
+
 def test_countmin_one_sided_error(spark):
     """q51: count-min estimates are NEVER below the true count, and
     the top word's estimate is within the sketch's additive bound
@@ -2351,6 +2396,93 @@ def test_q122_domain_guard_fails_loudly(spark, tmp_path):
     ).to_parquet(sf_dir / "lineitem.parquet")
     with pytest.raises(Exception, match="q122"):
         q122_ks_test(spark, str(sf_dir)).collect()
+
+
+@pytest.mark.parametrize("qname", ["q120_mann_whitney", "q122_ks_test"])
+def test_q120_q122_null_quantity_parity(spark, tmp_path, qname):
+    """ADVICE_r11: a NULL l_quantity previously (a) fell through
+    q122's domain guard to raise_error — NULL BETWEEN 0 AND 999 is
+    NULL — aborting the job with a NULL message, and (b) would have
+    formed a NULL grid group whose cumulative-window position DIVERGES
+    cross-engine (Spark orders NULLS FIRST, DuckDB NULLS LAST). Both
+    statistics now exclude NULL quantities (rank/CDF statistics are
+    over observed values), and q122's guard carries an explicit NULL
+    arm as defense. Pin: on a NULL-bearing dataset neither engine
+    aborts and both agree exactly."""
+    import pandas as pd
+
+    def _norm(v):
+        if v is None:
+            return "␀"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return "%.12g" % v
+        if isinstance(v, bool):
+            return str(int(v))
+        return str(v)
+
+    sf_dir = tmp_path / "null_qty"
+    sf_dir.mkdir()
+    pd.DataFrame(
+        {
+            "l_returnflag": ["A", "A", "A", "R", "R", "R", "N"],
+            "l_quantity": [5.0, None, 9.0, 7.0, None, 9.0, 1.0],
+        }
+    ).to_parquet(sf_dir / "lineitem.parquet")
+
+    sdf = analytics.ALL_QUERIES[qname](spark, str(sf_dir))
+    srows = [tuple(r) for r in sdf.collect()]  # must not abort
+    scols = sdf.columns
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    cur = con.execute(analytics.ALL_ORACLE[qname])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+
+    assert sorted(scols) == sorted(ocols)
+    key = lambda row, cols: [  # noqa: E731
+        _norm(row[i]) for i in sorted(range(len(cols)), key=lambda j: cols[j])
+    ]
+    assert sorted(key(r, scols) for r in srows) == sorted(
+        key(r, ocols) for r in orows
+    )
+    # the NULL rows must be excluded, not counted into either group
+    na = next(r[scols.index("n_a")] for r in srows)
+    nb = next(r[scols.index("n_b")] for r in srows)
+    assert (na, nb) == (2, 2)
+
+
+def test_d03_untracked_cache_is_bounded(spark):
+    """ADVICE_r11: minhash_lsh_pairs persists its hashed-docs frame;
+    untracked callers (the plain d03 registry path) used to leak one
+    cached frame PER INVOCATION for the session's lifetime. The fix
+    bounds the leak: each untracked call releases the previous
+    untracked cache, so repeated d03 invocations hold at most ONE
+    resident frame from this path."""
+    from dbsink_spark.analytics import dedup
+
+    def _n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = _n_cached()
+    for _ in range(3):
+        dedup.d03_minhash_lsh(spark, SF_DIR).count()
+    assert _n_cached() - base <= 1
+    # a tracked caller still owns its lifecycle
+    from dbsink_spark.analytics.tables import Tables
+
+    tracked: list = []
+    dedup.minhash_lsh_pairs(
+        Tables(spark, SF_DIR).documents, persisted=tracked
+    ).count()
+    for df in tracked:
+        df.unpersist()
 
 
 def test_q126_half_ranks_are_average_ranks(spark):

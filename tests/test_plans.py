@@ -316,6 +316,23 @@ def test_shuffle_budget_not_exceeded(spark):
     budget_path = os.path.join(os.path.dirname(__file__), "plan_budget.json")
     with open(budget_path) as f:
         budget = json.load(f)
+    # COMPLETENESS (VERDICT_r11 #3): the loop below iterates
+    # budget.items(), so a registry row ABSENT from plan_budget.json
+    # was silently never checked — exactly how s22/c01 dropped out of
+    # the tripwire until round 11. Every registry row except the two
+    # loop-constructed exemptions (named ONCE, in introspect.py) must
+    # have an entry; a new registry addition without a
+    # `python tools/plan_budget.py` run now fails loudly here.
+    from dbsink_spark.analytics.introspect import PLAN_BUDGET_EXEMPT
+
+    expected = set(analytics.ALL_QUERIES) - PLAN_BUDGET_EXEMPT
+    assert expected == set(budget), (
+        "plan_budget.json out of sync with the registry — run "
+        "tools/plan_budget.py. missing:",
+        sorted(expected - set(budget)),
+        "stale:",
+        sorted(set(budget) - expected),
+    )
     with open(os.path.join(os.path.dirname(__file__), "window_budget.json")) as f:
         window_budget = json.load(f)
     missing_rationale = set(window_budget) - set(UNPARTITIONED_WINDOW_RATIONALE)
@@ -370,6 +387,37 @@ def test_shuffle_budget_not_exceeded(spark):
         "re-run tools/plan_budget.py AND add a rationale to "
         "LOWCARD_WINDOW_RATIONALE"
     )
+
+
+def test_c01_internal_pipeline_plan(spark):
+    """c01's registry row eagerly collects its 6-row manifest (to
+    release the internal caches — ADVICE_r10), so its plan_budget.json
+    entry of 0 exchanges describes the returned LocalRelation, not the
+    pipeline (ADVICE_r11). This budgets the REAL composed plan:
+    compile ``curate_corpus``'s manifest and curated output WITHOUT
+    collecting and pin their exchange counts, so a pass-ordering or
+    join regression inside the pipeline still trips a budget even
+    though the registry row is local. (The persisted stage boundaries
+    are un-materialized here, so the rendered plan inlines each
+    InMemoryRelation's child plan — upstream exchanges stay visible.)"""
+    from dbsink_spark.analytics.curation import curate_corpus
+
+    cleanup: list = []
+    curated, manifest = curate_corpus(spark, SF_DIR, cleanup=cleanup)
+    try:
+        mplan = _plan(manifest)
+        cplan = _plan(curated)
+        assert "CartesianProduct" not in mplan
+        assert "CartesianProduct" not in cplan
+        assert mplan.count("Exchange hashpartitioning") <= 15, mplan.count(
+            "Exchange hashpartitioning"
+        )
+        assert cplan.count("Exchange hashpartitioning") <= 7, cplan.count(
+            "Exchange hashpartitioning"
+        )
+    finally:
+        for df in cleanup:
+            df.unpersist()
 
 
 def test_plan_stats_counts_known_shapes(spark):

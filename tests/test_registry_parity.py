@@ -65,9 +65,9 @@ def test_multimodal_not_registry_tail():
     # r01 lost m01-m03 to the gate's 50-row cut; they must sit well
     # inside the first 50 now.
     order = list(analytics.QUERIES)
-    # (m01/m03 demoted in rotations — m05/m06 carry the gated
-    # binary-payload capability class; m01/m03 parity-tested below.)
-    for name in ("m05_cdc_chunks", "m06_payload_entropy"):
+    # (m01/m03/m05/m06 demoted in rotations — m02/m04 carry the gated
+    # binary-payload capability class; the rest parity-tested below.)
+    for name in ("m02_media_meta_join", "m04_binary_near_dup"):
         assert order.index(name) < 45, (name, order.index(name))
 
 
@@ -226,31 +226,22 @@ def test_headline_operators_are_gated():
     swap — t04's only driver-faced result was the r01 FAIL) and
     demoted the 15 longest-gated rows (q44/t23/t21/q57/q85/q86/q88/
     q89/q90/q91/q93/q95/t30/s15/d19, each driver-verified 3-6 rounds;
-    the five 3x family-anchors s12/q92/q102/q104/d17 stay gated) —
-    each capability class stays gated via the rows named in
-    analytics.UNGATED's rationale)."""
+    the five 3x family-anchors s12/q92/q102/q104/d17 stay gated);
+    round-12 rotation per VERDICT_r11 #1 promoted the GATE_DEBT r12
+    tranche exactly as queued (t25/q77/q79/q81/t29/q96/q97/q98/q99/
+    s13/s14/q100/q101/q103/q105, no swaps) and demoted the 15
+    longest-gated rows (the five 4x round-11 family anchors s12/q92/
+    q102/q104/d17 — their families re-anchor via promoted q103/q105/
+    s13/s14 — plus ten 3x rows m05/m06/d20/q124/q126/q127/s18/s19/
+    s20/t33) — each capability class stays gated via the rows named
+    in analytics.UNGATED's rationale)."""
     headline = {
-        "q92_weighted_sssp",
-        "q102_point_in_polygon",
-        "q104_nn_join",
-        "d17_cc_alternating",
-        "s12_ivf_maxsim",
-        # round-9 promotions (first-time gate rows):
+        # round-9 promotions still gated:
         "q123_modularity",
-        "q124_permutation_test",
         "q125_join_ivm",
-        "q126_spearman_monthly",
-        "q127_peak_concurrency",
         "t32_vocab_estimate",
-        "t33_boilerplate",
         "t34_dataset_card",
-        "s18_filtered_search",
-        "s19_nn_descent",
-        "s20_mmr_diversify",
         "s21_kcenter_select",
-        "d20_incremental_dedup",
-        "m05_cdc_chunks",
-        "m06_payload_entropy",
         # round-10 promotions (the GATE_DEBT r10 tranche + s22 swap):
         "d07_phrase_dedup",
         "s05_ivf_topk",
@@ -283,6 +274,22 @@ def test_headline_operators_are_gated():
         "t24_phrase_search",
         "q75_mv_rewrite",
         "t04_token_count",
+        # round-12 promotions (the GATE_DEBT r12 tranche, no swaps):
+        "t25_lm_familiarity",
+        "q77_bitmap_index_serve",
+        "q79_attribution",
+        "q81_time_to_convert",
+        "t29_overlap_profile",
+        "q96_compaction_plan",
+        "q97_zone_map_skip",
+        "q98_basket_triples",
+        "q99_fd_audit",
+        "s13_ann_recall",
+        "s14_rrf_fusion",
+        "q100_quota_sample",
+        "q101_salted_join",
+        "q103_radius_join",
+        "q105_label_prop",
     }
     missing = headline - set(analytics.QUERIES)
     assert not missing, missing

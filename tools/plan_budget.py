@@ -47,10 +47,14 @@ def main() -> None:
     budget: dict[str, int] = {}
     windows: dict[str, int] = {}
     lowcard: dict[str, list[str]] = {}
+    from dbsink_spark.analytics.introspect import PLAN_BUDGET_EXEMPT
+
     for name in sorted(analytics.ALL_QUERIES):
-        if name in ("d09_dup_clusters", "q119_kcore"):
+        if name in PLAN_BUDGET_EXEMPT:
             # iterative driver loop during construction; per-round
-            # plans are covered by their own tests
+            # plans are covered by their own tests (the exemption set
+            # is defined ONCE in introspect.py and cross-checked by
+            # tests/test_plans.py's completeness assert)
             continue
         df = analytics.ALL_QUERIES[name](spark, SF_DIR)
         stats = plan_stats(df)
