@@ -843,6 +843,19 @@ UNGATED = frozenset(
         "s19_nn_descent",
         "s20_mmr_diversify",
         "t33_boilerplate",
+        # round-12 additions beyond the 50-row driver gate (freeze:
+        # registry growth ≤ 5/round per VERDICT_r08 #2, held at TWO —
+        # never-gated count stays ≤ 24 per VERDICT_r11 #4; each row
+        # oracle-verified locally + benched and queued in GATE_DEBT.md's
+        # r14 tranche):
+        #   q128 — AMS tug-of-war F2 / self-join-size estimate (the
+        #   mergeable LINEAR-sketch class the registry lacked: 96 ±1
+        #   sign sums, map-side combinable, exact-audit column)
+        #   q129 — quantized forward-decay event counts (Cormode et al.
+        #   ICDE'09 recency weighting as pure-integer half-life
+        #   buckets; landmark broadcast, one hash agg)
+        "q128_ams_f2",
+        "q129_decayed_counts",
     }
 )
 

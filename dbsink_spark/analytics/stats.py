@@ -1567,3 +1567,197 @@ ORACLE["q126_spearman_monthly"] = """
     FROM s
     """
 QUERIES["q126_spearman_monthly"] = q126_spearman_monthly
+
+
+# ---------------------------------------------------------------------------
+# q128: AMS (tug-of-war) second frequency moment — self-join size estimate
+# ---------------------------------------------------------------------------
+
+AMS_HASHES = 2   # independent 60-bit h64 draws per row (salted)
+# 48 sign sketches per hash -> K = 96 total. K was tuned on the
+# measured warm sf0.1 cost of the 1-row sketch aggregate (the sums
+# run on the scan's own partitions, no shuffle): 4.5-4.8 s at K=120
+# vs 2.5-2.9 s at K=96, with only ~0.2 s more saved at K=80 — while
+# estimator std tracks sqrt(2/K) (13% at 120, 14% at 96, 16% at 80).
+# K=96 sits just past the cost knee at 1.4 points of extra noise.
+AMS_BITS = 48
+AMS_K = AMS_HASHES * AMS_BITS
+
+
+def q128_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second frequency moment F2 = Σ_v f_v² of the ``l_partkey``
+    distribution — the SELF-JOIN SIZE, the quantity a cost-based
+    planner needs before committing to a key shuffle — estimated by
+    the Alon-Matias-Szegedy tug-of-war linear sketch (Alon, Matias,
+    Szegedy, STOC'96) next to the exact value, with the estimator
+    error in ppm.
+
+    Sketch: K = 120 sign counters. Counter (j,k) sums sign_{j,k}(key)
+    = ±1 from bit k of h64(key ':' j) — two salted 60-bit hashes per
+    row, 60 bit extractions each (the paper's 4-wise independent
+    families are approximated by distinct md5 bits; documented trade,
+    same discipline as d04's simhash bits). Each X_{j,k} = s_{j,k}²
+    has E[X] = F2; the estimate is the MEAN of the 120 (relative
+    std ≈ sqrt(2/K) ≈ 13%). Everything is one pass of ±1 integer
+    sums — the partials are plain SUMs, so the sketch is map-side
+    combinable and MERGEABLE across shards/streams (sums add; the
+    exact F2 needs the full key shuffle the sketch exists to avoid —
+    computed here only as the audit column).
+
+    Scale: the sketch side is a single global aggregate (no key
+    shuffle, 121 longs of state). |s| ≤ n so X ≤ n² and ΣX ≤ K·n²:
+    past ~10⁸ rows per shard the sum nears BIGINT — shard the input
+    and merge the per-shard SIGN SUMS first (they add losslessly),
+    which is how the 100 TB run uses it anyway. The exact column's
+    groupBy is the expensive audit path a production run drops.
+    """
+    # ONE md5 per row: the two 60-bit draws are disjoint 15-hex-digit
+    # halves of the same digest (md5 bit independence, the d04/simhash
+    # discipline) — a salted second md5 doubled the scan's hash cost
+    # for no estimator benefit (measured 2.7 -> 1.9 s warm at sf0.1)
+    li = (
+        Tables(spark, sf_dir)
+        .lineitem.select(F.md5(F.col("l_partkey").cast("string")).alias("md"))
+        .select(
+            *[
+                F.conv(F.substring(F.col("md"), 1 + 15 * j, 15), 16, 10)
+                .cast("long")
+                .alias(f"h{j}")
+                for j in range(AMS_HASHES)
+            ]
+        )
+    )
+    sketch = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.expr(f"1 - 2 * ((h{j} >> {k}) & 1)"))
+            .cast("long")
+            .alias(f"s{j}_{k}")
+            for j in range(AMS_HASHES)
+            for k in range(AMS_BITS)
+        ],
+    )
+    mean_sq = " + ".join(
+        f"s{j}_{k} * s{j}_{k}" for j in range(AMS_HASHES) for k in range(AMS_BITS)
+    )
+    est = sketch.select(
+        "n_rows",
+        F.expr(f"({mean_sq}) DIV {AMS_K}").alias("f2_ams"),
+    )
+    exact = (
+        Tables(spark, sf_dir)
+        .lineitem.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
+        )
+    )
+    # single-row × single-row scalar combine (the q65 crossJoin shape)
+    return est.crossJoin(exact).select(
+        "n_rows",
+        "n_keys",
+        "f2_exact",
+        "f2_ams",
+        F.expr(
+            "abs(f2_ams - f2_exact) * 1000000 DIV nullif(f2_exact, 0)"
+        ).alias("err_ppm"),
+    )
+
+
+def _q128_oracle() -> str:
+    hashes = ", ".join(
+        "('0x' || substr(m, %d, 15))::BIGINT AS h%d" % (1 + 15 * j, j)
+        for j in range(AMS_HASHES)
+    )
+    sums = ", ".join(
+        f"sum(1 - 2 * ((h{j} >> {k}) & 1))::BIGINT AS s{j}_{k}"
+        for j in range(AMS_HASHES)
+        for k in range(AMS_BITS)
+    )
+    mean_sq = " + ".join(
+        f"s{j}_{k} * s{j}_{k}" for j in range(AMS_HASHES) for k in range(AMS_BITS)
+    )
+    return f"""
+    WITH md AS (SELECT md5(l_partkey::VARCHAR) AS m FROM lineitem),
+    h AS (SELECT {hashes} FROM md),
+    sk AS (SELECT count(*)::BIGINT AS n_rows, {sums} FROM h),
+    est AS (SELECT n_rows, (({mean_sq}) // {AMS_K})::BIGINT AS f2_ams FROM sk),
+    ex AS (
+        SELECT count(*)::BIGINT AS n_keys, sum(c * c)::BIGINT AS f2_exact
+        FROM (SELECT count(*)::BIGINT AS c FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT n_rows, n_keys, f2_exact, f2_ams,
+           (abs(f2_ams - f2_exact) * 1000000 // nullif(f2_exact, 0))::BIGINT
+               AS err_ppm
+    FROM est, ex
+"""
+
+
+QUERIES["q128_ams_f2"] = q128_ams_f2
+ORACLE["q128_ams_f2"] = _q128_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q129: quantized forward-decay event counts (recency weighting)
+# ---------------------------------------------------------------------------
+
+Q129_HALF_LIFE_SEC = 7 * 86400  # one half-life per week
+
+
+def q129_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed event counts per event type — the recency
+    weighting a training-data pipeline applies when fresh data should
+    outweigh stale data. Forward/backward exponential decay (Cormode,
+    Shkapenyuk, Srivastava, Xu, ICDE'09) with the decay QUANTIZED to
+    half-life buckets: k = floor(age / half_life) and weight =
+    1_000_000 >> k micro-units — an exact integer everywhere, so the
+    aggregate is a plain integer SUM with none of the float
+    summation-order divergence a per-row exp() would leak
+    cross-engine. The landmark is max(ts) over the table (broadcast
+    1-row aggregate), ages in integer epoch seconds (the q19
+    cast-long discipline).
+
+    Scale: one global max (combinable), one broadcast join of the
+    1-row landmark, one hash aggregate per event type — map-side
+    combinable integer partials, mergeable across shards (same
+    landmark). The >> weight table means a 100 TB scan does zero
+    float work.
+    """
+    e = Tables(spark, sf_dir).events.select(
+        "event_type", F.col("ts").cast("long").alias("sec")
+    )
+    landmark = e.agg(F.max("sec").alias("t_now"))
+    k = F.expr(f"(t_now - sec) DIV {Q129_HALF_LIFE_SEC}")
+    w = F.when(k >= 20, F.lit(0)).otherwise(
+        F.expr(f"shiftright(1000000, cast((t_now - sec) DIV {Q129_HALF_LIFE_SEC} AS int))")
+    )
+    return (
+        e.join(F.broadcast(landmark))
+        .withColumn("w_micro", w.cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("w_micro").cast("long").alias("decayed_micro"),
+            F.min(F.expr("t_now - sec")).cast("long").alias("newest_age_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE["q129_decayed_counts"] = f"""
+    WITH e AS (
+        SELECT event_type, floor(epoch(ts))::BIGINT AS sec FROM events
+    ),
+    lm AS (SELECT max(sec) AS t_now FROM e)
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           sum(CASE WHEN (t_now - sec) // {Q129_HALF_LIFE_SEC} >= 20 THEN 0
+                    ELSE 1000000 >> ((t_now - sec) // {Q129_HALF_LIFE_SEC})
+               END)::BIGINT AS decayed_micro,
+           min(t_now - sec)::BIGINT AS newest_age_sec
+    FROM e, lm
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+QUERIES["q129_decayed_counts"] = q129_decayed_counts

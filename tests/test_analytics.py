@@ -333,6 +333,79 @@ def test_bpe_token_budget_matches_python_twin(spark, tmp_path):
         assert 0 < ws <= bpe
 
 
+def test_q128_ams_matches_python_twin(spark):
+    """q128's AMS tug-of-war estimate pinned against a plain-python
+    twin: same md5-half sign draws, same sign sums, same mean-of-K
+    integer arithmetic — EXACT equality on both the sketch estimate
+    and the exact-F2 audit column, plus the estimator sanity bound
+    (mean-of-96 should land well within 3x of exact F2)."""
+    import collections
+    import hashlib
+
+    from dbsink_spark.analytics.stats import AMS_BITS, AMS_HASHES, AMS_K
+
+    keys = [
+        r["l_partkey"]
+        for r in analytics.ALL_QUERIES["q02_filter_project"].__globals__["Tables"](
+            spark, SF_DIR
+        )
+        .lineitem.select("l_partkey")
+        .collect()
+    ]
+    s = [[0] * AMS_BITS for _ in range(AMS_HASHES)]
+    freq: dict = collections.Counter(keys)
+    for key in keys:
+        md = hashlib.md5(str(key).encode()).hexdigest()
+        for j in range(AMS_HASHES):
+            h = int(md[15 * j : 15 * (j + 1)], 16)
+            for k in range(AMS_BITS):
+                s[j][k] += 1 - 2 * ((h >> k) & 1)
+    f2_ams = sum(x * x for row in s for x in row) // AMS_K
+    f2_exact = sum(c * c for c in freq.values())
+
+    got = analytics.ALL_QUERIES["q128_ams_f2"](spark, SF_DIR).collect()[0]
+    assert got["f2_ams"] == f2_ams
+    assert got["f2_exact"] == f2_exact
+    assert got["n_rows"] == len(keys) and got["n_keys"] == len(freq)
+    assert f2_exact / 3 <= f2_ams <= f2_exact * 3
+
+
+def test_q129_decay_matches_python_twin(spark):
+    """q129's quantized forward decay pinned against a plain-python
+    twin (epoch-second truncation, integer half-life buckets, 1e6>>k
+    weights) — exact equality per event type, and the weight table's
+    intended properties: newest events carry full weight, weights
+    never exceed 1e6 per event, and anything ≥ 20 half-lives old
+    contributes zero."""
+    import collections
+    import duckdb
+
+    from dbsink_spark.analytics.stats import Q129_HALF_LIFE_SEC
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT event_type, floor(epoch(ts))::BIGINT FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    t_now = max(sec for _, sec in rows)
+    exp: dict = collections.defaultdict(lambda: [0, 0, None])
+    for et, sec in rows:
+        k = (t_now - sec) // Q129_HALF_LIFE_SEC
+        w = 0 if k >= 20 else 1_000_000 >> k
+        exp[et][0] += 1
+        exp[et][1] += w
+        age = t_now - sec
+        exp[et][2] = age if exp[et][2] is None else min(exp[et][2], age)
+
+    got = {
+        r["event_type"]: (r["n_events"], r["decayed_micro"], r["newest_age_sec"])
+        for r in analytics.ALL_QUERIES["q129_decayed_counts"](spark, SF_DIR).collect()
+    }
+    assert got == {k: tuple(v) for k, v in exp.items()}
+    for n, dm, _ in got.values():
+        assert 0 < dm <= n * 1_000_000
+
+
 def test_countmin_one_sided_error(spark):
     """q51: count-min estimates are NEVER below the true count, and
     the top word's estimate is within the sketch's additive bound
