@@ -21,6 +21,16 @@ from dbsink_spark import analytics
 # Every flagged oracle needs a magnitude story: at what corpus size
 # does the product-sum stay inside int64, and what happens above it.
 PRODUCT_SUM_RATIONALE = {
+    "q128_ams_f2": (
+        "sum(c*c) IS F2, the self-join size — the quantity the row "
+        "exists to report. Bounded by n² (worst case one key): int64-"
+        "safe below ~3e9 rows per shard, the SAME bound as the sign-"
+        "sum squares on the sketch side; the docstring's 100 TB "
+        "recipe is shard-then-merge-sign-sums, with the exact audit "
+        "column dropped (it is the expensive path the sketch avoids). "
+        "DuckDB raises loudly beyond; Spark's long wraps are guarded "
+        "by the oracle gate at harness SFs."
+    ),
     "q32_zscore_anomaly": (
         "sum(w*w) accumulates in an explicit ::HUGEINT intermediate "
         "(DuckDB 128-bit, never wraps); the BIGINT output is the "
