@@ -34,9 +34,14 @@ oracle:
 # Fresh base is offset out of the pinned range (ADVICE_r10: zero-padded
 # %j makes early-year bases like 001 collide with pinned seeds — day 1's
 # tie sweep would be int("0011") = 11, exactly the pinned tie seed,
-# silently losing the never-tuned-on-this-data property). 1000+%j can
-# never produce a 1-2 digit pinned seed: fresh seeds are always ≥ 10010.
-FUZZ_FRESH ?= $(shell expr 1000 + $$(date +%j))
+# silently losing the never-tuned-on-this-data property). The base
+# also folds in the HOUR (x24 + %H): rounds are ~6h apart, so two
+# rounds on the SAME calendar day previously got IDENTICAL "fresh"
+# seeds (rounds 11 and 12 both landed on day 228 → base 1228; round
+# 12 had to offset manually to 2228). 24000+day*24+hour ≥ 24024, so
+# a fresh base can never collide with a pinned seed or with the old
+# 1000+%j bases, and stays deterministic within the hour.
+FUZZ_FRESH ?= $(shell expr 24000 + $$(date +%j) \* 24 + $$(date +%H))
 fuzz:
 	@echo "== make fuzz: fresh seed base $(FUZZ_FRESH) (pinned + fresh per mode)"; \
 	rc=0; \
