@@ -14,8 +14,9 @@ KAFKA_PKG = org.apache.spark:spark-sql-kafka-0-10_2.13:4.0.0
 
 PG_DATA  = /tmp/pg_live/data
 
-.PHONY: test oracle bench fuzz fuzz-combo integration integration-up \
-        integration-down integration-pg integration-pg-up integration-pg-down
+.PHONY: test oracle bench scaling-probe fuzz fuzz-combo integration \
+        integration-up integration-down integration-pg integration-pg-up \
+        integration-pg-down
 
 test:
 	python -m pytest tests/ -q
@@ -69,6 +70,20 @@ fuzz-combo:
 
 bench:
 	python bench.py
+
+# measured growth-exponent probe (SCALE.md §Round-12 scaling-curve
+# probe): bench at sf0.01 and sf0.1 back-to-back on an otherwise-idle
+# host, then dual-axis per-query growth ratios. bench.py overwrites
+# BENCH_LOCAL.json/BENCH_MANIFEST.json, so both are restored after.
+scaling-probe:
+	@set -e; \
+	SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py >/dev/null; \
+	cp BENCH_LOCAL.json /tmp/scaling_small.json; \
+	git checkout -- BENCH_LOCAL.json BENCH_MANIFEST.json; \
+	python bench.py >/dev/null; \
+	cp BENCH_LOCAL.json /tmp/scaling_big.json; \
+	git checkout -- BENCH_LOCAL.json BENCH_MANIFEST.json; \
+	python tools/scaling_curve.py /tmp/scaling_small.json /tmp/scaling_big.json
 
 integration-up:
 	docker compose -f docker-compose.integration.yml up -d --wait
