@@ -332,7 +332,7 @@ def build_dataset(seed: int, rebuild: bool = False, mode: str = "sample") -> str
             f"""
             COPY (
               SELECT * FROM base
-              ORDER BY hash(rowid + {seed} * 7919)
+              ORDER BY hash(rowid + {seed}::BIGINT * 7919)
             ) TO '{dst}' (FORMAT PARQUET)
             """
         )
