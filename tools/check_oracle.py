@@ -83,12 +83,20 @@ def main() -> int:
         # driver's own session
         from pyspark.sql import SparkSession
 
-        spark = (
+        builder = (
             SparkSession.builder.master("local[8]")
             .config("spark.ui.enabled", "false")
             .appName("oracle-check-vanilla")
-            .getOrCreate()
         )
+        # ORACLE_ANSI=false sweeps the legacy-cast mode a user who
+        # opts out of Spark 4's ANSI default would run: try_cast and
+        # the guarded divisions are mode-agnostic by design, and this
+        # knob lets a sweep PROVE it (round-12 bonus leg)
+        if os.environ.get("ORACLE_ANSI"):
+            builder = builder.config(
+                "spark.sql.ansi.enabled", os.environ["ORACLE_ANSI"]
+            )
+        spark = builder.getOrCreate()
     else:
         from dbsink_spark.session import get_spark
 
