@@ -2634,7 +2634,7 @@ def q71_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs streaming state stores that can only answer "now".
     """
     dim = q50_scd2_intervals(spark, sf_dir)
-    dim = dim.localCheckpoint(eager=True)  # two snapshot scans + build
+    dim = dim.localCheckpoint(eager=False)  # two snapshot scans + build
 
     def snapshot(t: str, alias: str) -> DataFrame:
         return dim.filter(
@@ -3605,7 +3605,10 @@ def q83_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("s_suppkey") * 2 + 1).alias("node"))
         .distinct()
     )
-    dist = bfs_hops(edges, seeds, Q83_HOPS)
+    # early_exit=False: Q83_HOPS is the query's semantics (<=3-hop
+    # reach), so the bounded loop compiles into ONE action — no
+    # per-round driver sync (r12; see graph.bfs_hops)
+    dist = bfs_hops(edges, seeds, Q83_HOPS, early_exit=False)
     return (
         dist.groupBy(
             "hops",
@@ -3724,7 +3727,9 @@ def q92_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("s_suppkey") * 2 + 1).alias("node"))
         .distinct()
     )
-    dist = sssp_bounded(edges, seeds, Q92_ROUNDS)
+    # early_exit=False: Q92_ROUNDS is the query's semantics (<=4-hop
+    # latency paths) — one action, no per-round sync (r12)
+    dist = sssp_bounded(edges, seeds, Q92_ROUNDS, early_exit=False)
     return (
         dist.groupBy(
             F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -3840,7 +3845,7 @@ def q84_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = o.groupBy(lb.alias("bucket_lb")).agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy("bucket_lb").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("n").over(w)).localCheckpoint(eager=True)
+    cum = hist.withColumn("cum", F.sum("n").over(w)).localCheckpoint(eager=False)
     # the checkpointed ≤171-row bucket frame IS the driver-side state
     # for both the estimate and the drill-down bracket — an `o.count()`
     # here would rescan the table just to recompute Σn
@@ -3991,7 +3996,7 @@ def q85_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("cents"),
     )
     cls = (h64(F.col("key").cast("string")) % Q85_MOD).alias("cls")
-    base = snap.select("key", "status", "cents", cls).localCheckpoint(eager=True)
+    base = snap.select("key", "status", "cents", cls).localCheckpoint(eager=False)
     max_key = base.agg(F.max("key").alias("mx"))
     delta = (
         base.filter(F.col("cls") == 0)
@@ -4134,7 +4139,7 @@ def q86_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # paying it twice. The checkpoint hides the agg from the shuffle-
     # budget harness, so its un-checkpointed shape is pinned separately
     # (tests/test_plans.py::test_checkpointed_aggregates_keep_plan_shape).
-    pts = _q86_grid(t).localCheckpoint(eager=True)
+    pts = _q86_grid(t).localCheckpoint(eager=False)
     pruned = skyline_sample_prune(pts, "price_cents", "order_date")
     return skyline_min2d(pruned, "price_cents", "order_date").orderBy("price_cents")
 
@@ -4658,7 +4663,7 @@ def q90_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nothing could unpersist it after materialization. The checkpoint
     # hides the agg from the shuffle-budget harness; its shape is
     # pinned via _q90_monthly in test_plans.py.
-    monthly = _q90_monthly(t).localCheckpoint(eager=True)
+    monthly = _q90_monthly(t).localCheckpoint(eager=False)
     g = monthly.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("tot")
     ).collect()[0]
@@ -4959,7 +4964,7 @@ def q93_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame({"w": counts.index.astype(str)})
 
     cands = (
-        d.mapInPandas(mg_summaries, "w string").distinct().localCheckpoint(eager=True)
+        d.mapInPandas(mg_summaries, "w string").distinct().localCheckpoint(eager=False)
     )
     # ONE corpus scan for pass 2: a left broadcast join marks candidate
     # tokens, and a conditional groupBy folds every non-candidate into
@@ -4969,7 +4974,7 @@ def q93_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame-level CTE reuse). The ≤ K·partitions+1-row result is
     # checkpointed so the total and the filter don't re-run the scan.
     toks = d.select(F.explode(F.split("text", " ")).alias("w"))
-    per_key = _q93_pass2(toks, cands).localCheckpoint(eager=True)
+    per_key = _q93_pass2(toks, cands).localCheckpoint(eager=False)
     total = per_key.agg(F.sum("cnt").alias("n"))
     return (
         per_key.filter(F.col("k").isNotNull())
@@ -5049,7 +5054,7 @@ def q94_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         d.groupBy("day", "bucket")
         .agg(F.max(rho).alias("m_j"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     spine = daily.select("day").distinct()
     in_window = (F.col("r_day") <= F.col("day")) & (
@@ -6247,10 +6252,10 @@ def q123_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint the one corpus join+agg instead of re-planning it
     # seven times (round-8 review; un-checkpointed shape pinned in
     # test_checkpointed_aggregates_keep_plan_shape)
-    pairs = _q105_pairs(t).localCheckpoint(eager=True)
+    pairs = _q105_pairs(t).localCheckpoint(eager=False)
     edges = _q105_edges(pairs)
     # the label table feeds three joins — materialize LPA once
-    labels = label_propagation(edges, Q105_ROUNDS).localCheckpoint(eager=True)
+    labels = label_propagation(edges, Q105_ROUNDS).localCheckpoint(eager=False)
     lc = labels.select(F.col("node").alias("c"), F.col("label").alias("lbl_c"))
     ls = labels.select(F.col("node").alias("s"), F.col("label").alias("lbl_s"))
     intra = (
@@ -6378,7 +6383,7 @@ def q106_ivm_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state = _agg(base)
     delta = _agg(inserts)
-    affected = deletes.select("o_custkey").distinct().localCheckpoint(eager=True)
+    affected = deletes.select("o_custkey").distinct().localCheckpoint(eager=False)
     combined = (
         state.join(delta, "o_custkey", "full_outer")
         .join(affected, "o_custkey", "left_anti")
@@ -7119,7 +7124,7 @@ def q112_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
             .alias("spend")
         )
-        .localCheckpoint(eager=True)  # reused by the drill's counting
+        .localCheckpoint(eager=False)  # reused by the drill's counting
         # rounds AND the bucketed aggregate — without it each drill
         # round re-runs the orders scan + hash agg
     )
@@ -7512,7 +7517,7 @@ def q115_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.year("month") * 12 + F.month("month")).alias("ti"),
             F.col("x"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a, b = monthly.alias("a"), monthly.alias("b")
     pairs = a.join(b, F.col("b.ti") > F.col("a.ti")).select(
@@ -7857,42 +7862,48 @@ Q118_PAIRS = (
 
 def _q118_pair(t: Tables, table: str, a: str, b: str) -> DataFrame:
     """One corpus aggregate (the joint grid); margins, N, entropies and
-    the MI fold all run on the grid (≤ |a|·|b| cells)."""
+    the MI fold all run on the grid (≤ |a|·|b| cells).
+
+    Optimization round 12 (guide §2.4): margins/total now come from
+    WINDOW sums over the tiny grid instead of three separate aggregate
+    subtrees joined back — the previous plan evaluated the corpus-sized
+    ``joint`` aggregation FOUR times per pair (once each under cells /
+    ma / mb / tot) plus six broadcast-build jobs; this one scans the
+    corpus once and runs three grid-sized exchanges. Values are
+    bit-identical: integer margin sums are order-free, the per-cell
+    ``term`` expression is unchanged, and both entropy folds run over
+    the same sorted (key, e) sets as before (``array_distinct`` of the
+    per-cell copies — duplicates carry identical doubles — then the
+    same ``array_sort`` + left fold)."""
     joint = getattr(t, table).groupBy(
         F.col(a).alias("a"), F.col(b).alias("b")
     ).agg(F.count(F.lit(1)).alias("nij"))
-    ma = joint.groupBy("a").agg(F.sum("nij").alias("na"))
-    mb = joint.groupBy("b").agg(F.sum("nij").alias("nb"))
-    tot = joint.agg(F.sum("nij").alias("n"))
-    cells = (
-        joint.join(F.broadcast(ma), "a")
-        .join(F.broadcast(mb), "b")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "a",
-            "b",
-            (
-                (F.col("nij") / F.col("n"))
-                * F.log(
-                    (F.col("nij").cast("double") * F.col("n"))
-                    / (F.col("na").cast("double") * F.col("nb"))
-                )
-            ).alias("term"),
-        )
-    )
-    mi = cells.agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("a", "b", "term"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["term"],
-        ).alias("mi_nats"),
-        F.count(F.lit(1)).alias("n_cells"),
+    cells = joint.select(
+        "a",
+        "b",
+        "nij",
+        F.sum("nij").over(Window.partitionBy("a")).alias("na"),
+        F.sum("nij").over(Window.partitionBy("b")).alias("nb"),
+        F.sum("nij").over(Window.partitionBy()).alias("n"),
+    ).select(
+        "a",
+        "b",
+        "na",
+        "nb",
+        "n",
+        (
+            (F.col("nij") / F.col("n"))
+            * F.log(
+                (F.col("nij").cast("double") * F.col("n"))
+                / (F.col("na").cast("double") * F.col("nb"))
+            )
+        ).alias("term"),
     )
 
-    def _entropy(m: DataFrame, key: str, cnt: str):
-        return m.crossJoin(F.broadcast(tot)).agg(
-            F.aggregate(
-                F.array_sort(
+    def _entropy_fold(key: str, cnt: str):
+        return F.aggregate(
+            F.array_sort(
+                F.array_distinct(
                     F.collect_list(
                         F.struct(
                             F.col(key).alias("k"),
@@ -7902,29 +7913,34 @@ def _q118_pair(t: Tables, table: str, a: str, b: str) -> DataFrame:
                             ).alias("e"),
                         )
                     )
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x["e"],
-            ).alias(f"h_{key}")
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["e"],
         )
 
-    return (
-        mi.crossJoin(F.broadcast(_entropy(ma, "a", "na")))
-        .crossJoin(F.broadcast(_entropy(mb, "b", "nb")))
-        .select(
-            F.lit(f"{a}|{b}").alias("pair"),
-            "n_cells",
-            "mi_nats",
-            F.col("h_a").alias("h_a_nats"),
-            F.col("h_b").alias("h_b_nats"),
-            # guard: a single-category column has H=0 and NMI is
-            # undefined — NULL, not an ANSI divide-by-zero job abort
-            # (degenerate-mode fuzz catch, round 10); oracle mirrors
-            F.when(
-                F.col("h_a") * F.col("h_b") > 0,
-                F.col("mi_nats") / F.sqrt(F.col("h_a") * F.col("h_b")),
-            ).alias("nmi"),
-        )
+    return cells.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("a", "b", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("mi_nats"),
+        F.count(F.lit(1)).alias("n_cells"),
+        _entropy_fold("a", "na").alias("h_a"),
+        _entropy_fold("b", "nb").alias("h_b"),
+    ).select(
+        F.lit(f"{a}|{b}").alias("pair"),
+        "n_cells",
+        "mi_nats",
+        F.col("h_a").alias("h_a_nats"),
+        F.col("h_b").alias("h_b_nats"),
+        # guard: a single-category column has H=0 and NMI is
+        # undefined — NULL, not an ANSI divide-by-zero job abort
+        # (degenerate-mode fuzz catch, round 10); oracle mirrors
+        F.when(
+            F.col("h_a") * F.col("h_b") > 0,
+            F.col("mi_nats") / F.sqrt(F.col("h_a") * F.col("h_b")),
+        ).alias("nmi"),
     )
 
 
@@ -8206,7 +8222,7 @@ def q125_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # materialized view state (the table an IVM system would persist)
-    state = gamma(o_old, c_old).localCheckpoint(eager=True)
+    state = gamma(o_old, c_old).localCheckpoint(eager=False)
     delta = (
         gamma(o_new, c_old)
         .unionByName(gamma(o_old, F.broadcast(c_new)))

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .similarity import TOPK, _centroids, _dot, _norm
+from .similarity import TOPK, _centroids, _dot, _l2, _norm
 
 VECTORS_DIR = "vectors"
 CENTROIDS_DIR = "centroids"
@@ -41,11 +41,7 @@ N_PROBE = 2
 
 
 def _d2(v_col, c_col):
-    return F.aggregate(
-        F.zip_with(v_col, c_col, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    return _l2(v_col, c_col)
 
 
 def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:

@@ -61,7 +61,7 @@ def grouped_running_sum(
     part = (
         df.repartitionByRange(group_col, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     totals = part.groupBy("_pid", group_col).agg(
         F.sum(value_col).cast("long").alias("_c")

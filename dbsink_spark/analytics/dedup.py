@@ -1358,7 +1358,7 @@ def d13_editdist_near_dup(
     # justifies. Under the cap a coalesce(1) in-task sort is cheapest
     # (no exchange at all — measured 0.96s vs 1.6s at sf0.1); over it,
     # a range-partitioned global orderBy keeps every task bounded.
-    survivors = survivors.localCheckpoint(eager=True)
+    survivors = survivors.localCheckpoint(eager=False)
     if survivors.count() <= single_part_max_pairs:
         return survivors.coalesce(1).sortWithinPartitions("doc_id_a", "doc_id_b")
     return survivors.orderBy("doc_id_a", "doc_id_b")

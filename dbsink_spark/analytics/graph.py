@@ -43,10 +43,13 @@ def pagerank_ranks(edges: DataFrame, iters: int) -> DataFrame:
     documented at the call sites).
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # loop-invariant: materialize once (see module docstring)
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    # loop-invariant: checkpoint once; eager=False so materialization
+    # rides the first consuming action instead of paying two extra
+    # up-front jobs (r12 job-fusion pass — the s22 discipline; values
+    # are identical either way, the checkpoint only cuts lineage)
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
     nodes = (
-        edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
     )
     ranks = nodes.select("node", F.lit(PR_UNIT).cast("long").alias("pr"))
     for it in range(iters):
@@ -57,7 +60,7 @@ def pagerank_ranks(edges: DataFrame, iters: int) -> DataFrame:
         # rounds to reset lineage (eager, so the cut is real); values
         # are bit-identical either way (BIGINT fixed-point).
         if it > 0 and it % PR_CHECKPOINT_EVERY == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
         contrib = (
             edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), F.expr("pr DIV outdeg").alias("share"))
@@ -87,7 +90,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     (n_nodes, n_edges, n_paths2, n_triangles, clustering_bp) — the
     coefficient is integer basis points (3·T·10⁴ DIV paths₂).
     """
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False)
     und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # ordk = deg·BASE + id is injective ONLY for ids in [0, TRI_ORD_BASE);
@@ -115,7 +118,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.least("ord_u", "ord_v").alias("ord_src"),
             F.greatest("ord_u", "ord_v").alias("ord_dst"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     e1, e2 = ej.alias("e1"), ej.alias("e2")
     wedges = e1.join(
@@ -146,7 +149,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
 
 
-def sssp_bounded(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
+def sssp_bounded(
+    edges: DataFrame, seeds: DataFrame, rounds: int, early_exit: bool = True
+) -> DataFrame:
     """Multi-source weighted shortest path over a DIRECTED edge list
     ``(src, dst, w)`` with non-negative BIGINT weights: returns
     (node, dist) — the MINIMUM total weight from any seed over paths
@@ -173,9 +178,9 @@ def sssp_bounded(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
     REBUILT (min-merged) each round and its lineage would otherwise
     deepen per round.
     """
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False)
     dist = seeds.select("node", F.lit(0).cast("long").alias("dist")).localCheckpoint(
-        eager=True
+        eager=False
     )
     frontier = dist
     for i in range(1, rounds + 1):
@@ -189,21 +194,34 @@ def sssp_bounded(edges: DataFrame, seeds: DataFrame, rounds: int) -> DataFrame:
             cand.join(dist, "node", "left")
             .filter(F.col("dist").isNull() | (F.col("d") < F.col("dist")))
             .select("node", F.col("d").alias("dist"))
-            .localCheckpoint(eager=True)
+            # eager=False + count(): ONE job materializes the round's
+            # frontier AND answers the convergence test (isEmpty on an
+            # eager checkpoint cost a checkpoint job + a take(1) job)
+            .localCheckpoint(eager=False)
         )
-        if improved.isEmpty():
+        # early_exit=False (r12): callers whose round BOUND is the
+        # semantics (q92: distances over <=4-hop paths) skip the
+        # per-round driver sync entirely — the whole loop then compiles
+        # into ONE action. Results are identical by induction: once no
+        # node improves, every later round's improved set is empty and
+        # dist is row-identical; AQE's empty-relation propagation
+        # prunes the overrun rounds' joins at runtime, so the overrun
+        # costs stage metadata, not an edge-list shuffle, at any scale.
+        if early_exit and improved.count() == 0:
             break
         dist = (
             dist.join(improved.select("node"), "node", "left_anti")
             .unionAll(improved)
         )
         if i % PR_CHECKPOINT_EVERY == 0:
-            dist = dist.localCheckpoint(eager=True)
+            dist = dist.localCheckpoint(eager=False)
         frontier = improved
     return dist
 
 
-def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, max_hops: int, early_exit: bool = True
+) -> DataFrame:
     """Multi-source BFS over a DIRECTED edge list ``(src, dst)``:
     returns (node, hops) — the MINIMUM hop count from any seed node,
     for every node within ``max_hops`` (seeds at 0). Nodes not reached
@@ -224,9 +242,9 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     """
     # loop-invariant: materialize once (module rule) — every round's
     # frontier join would otherwise replay the full edge-derivation plan
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False)
     settled = seeds.select("node", F.lit(0).cast("long").alias("hops")).localCheckpoint(
-        eager=True
+        eager=False
     )
     frontier = settled
     for i in range(1, max_hops + 1):
@@ -238,8 +256,12 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
         new = reached.join(settled.select("node"), "node", "left_anti").select(
             "node", F.lit(i).cast("long").alias("hops")
         )
-        new = new.localCheckpoint(eager=True)
-        if new.isEmpty():
+        # eager=False + count(): one job per round for materialize +
+        # convergence test; early_exit=False collapses the bounded loop
+        # into one action (see sssp_bounded — same empty-round
+        # induction + AQE empty-relation argument)
+        new = new.localCheckpoint(eager=False)
+        if early_exit and new.count() == 0:
             break
         # NO checkpoint on settled: it is a union of frames that are
         # ALL already checkpointed, so its lineage stays K-shallow —
@@ -292,22 +314,24 @@ def cc_alternating(
         )
         .filter("u <> v")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         E.select(F.explode(F.array("u", "v")).alias("doc_id"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev = None
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
         # large-star: attach every strictly-larger neighbor of u to
-        # m = min(Γ(u) ∪ {u})
-        s = E.unionAll(
-            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        # m = min(Γ(u) ∪ {u}). No ``distinct`` on the symmetric
+        # closure (r12, guide §2.4): both consumers are dup-safe — the
+        # min aggregate ignores duplicates and the round's edge set is
+        # distinct-ed once at the end — so the two extra exchanges the
+        # intermediate dedups cost bought nothing.
+        s = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = (
             s.groupBy("u")
             .agg(F.min("v").alias("mn"))
@@ -322,12 +346,11 @@ def cc_alternating(
         )
         # small-star: orient edges larger->smaller; attach u and its
         # not-larger neighbors to m = min(Γ⁻(u) ∪ {u}) (= min neighbor,
-        # since every Γ⁻ member is < u)
-        s2 = (
-            E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .filter(F.col("v") < F.col("u"))
-            .distinct()
-        )
+        # since every Γ⁻ member is < u). Same dup-safety argument: no
+        # intermediate distinct.
+        s2 = E.unionAll(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).filter(F.col("v") < F.col("u"))
         m2 = s2.groupBy("u").agg(F.min("v").alias("mn"))
         leaves = (
             s2.join(m2, "u")
@@ -335,7 +358,9 @@ def cc_alternating(
             .filter("u <> v")
         )
         centers = m2.select("u", F.col("mn").alias("v"))
-        E = leaves.unionAll(centers).distinct().localCheckpoint(eager=True)
+        # eager=False: the digest agg below is the materializing action
+        # (one job per round instead of checkpoint + digest)
+        E = leaves.unionAll(centers).distinct().localCheckpoint(eager=False)
         d = E.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
@@ -390,13 +415,15 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
     discipline).
     """
     nodes = (
-        edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
     )
     edges = edges.localCheckpoint(eager=False)
     labels = nodes.select("node", F.col("node").alias("label"))
     for it in range(rounds):
         if it > 0 and it % LP_CHECKPOINT_EVERY == 0:
-            labels = labels.localCheckpoint(eager=True)
+            # eager=False: the final action materializes every cut —
+            # the logical plan is truncated either way (r12 job fusion)
+            labels = labels.localCheckpoint(eager=False)
         counts = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"), "label")
@@ -429,7 +456,9 @@ def kcore_members(
     without an off-by-one. Raises if the peel hasn't converged within
     that — a silent partial peel must never masquerade as the core.
     """
-    und = edges.localCheckpoint(eager=True)
+    # eager=False + count(): each round's materialization rides its
+    # convergence-test job (r12 job-fusion pass; values unchanged)
+    und = edges.localCheckpoint(eager=False)
     n_edges = und.count()
     rounds = 0
     for _ in range(max_rounds + 1):
@@ -443,7 +472,7 @@ def kcore_members(
             und.join(alive.select(F.col("node").alias("src")), "src")
             .join(alive.select(F.col("node").alias("dst")), "dst")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n = und.count()
         if n == n_edges:

@@ -121,7 +121,7 @@ class AggView:
         if batch_id is not None and self._batch_applied(batch_id):
             return {"buckets_rewritten": 0, "groups_touched": 0, "skipped": True}
         delta = self.delta_partials(changes, group_col, value_col, op_col)
-        delta = delta.localCheckpoint(eager=True)  # tiny; read 3×
+        delta = delta.localCheckpoint(eager=False)  # tiny; read 3×
         buckets = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
         if not buckets:
             if batch_id is not None:
@@ -148,7 +148,7 @@ class AggView:
         # one batch's deletions — and unlike an fs delete, this works
         # identically on any filesystem (s3a/hdfs/local) and is atomic
         # with the state write itself.
-        merged = merged.localCheckpoint(eager=True)
+        merged = merged.localCheckpoint(eager=False)
         (
             merged.repartition(max(1, len(buckets)), "bucket")
             .write.mode("overwrite")

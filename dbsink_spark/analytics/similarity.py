@@ -52,6 +52,10 @@ def hyperplane_weights() -> list[list[int]]:
     ]
 
 
+def _as_col(a):
+    return F.col(a) if isinstance(a, str) else a
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -59,6 +63,24 @@ def _dot(a, b):
 def _norm(a):
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def _l2(a, b):
+    """Σ (a_i − b_i)² as the same sequential zip_with fold both engines
+    compute bit-identically (shared by every L2 site).
+
+    NOTE (r12 measurement, guide §1.1): an "ideal" rewrite of these
+    folds as explicit 64-term codegen chains was tried and MEASURED
+    SLOWER on the per-pair scoring loops (s11 3.9→9.5 s, s12 4.4→13.5 s
+    at sf0.1 — the generated per-pair method goes huge and the JIT
+    refuses it), so the interpreted HOF fold stays.
+    """
+    a, b = _as_col(a), _as_col(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
 
 
@@ -136,11 +158,7 @@ def centroid_cells(
     v = _vectors(spark, sf_dir)
     if cent is None:
         cent = _centroids(v)
-    dist2 = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dist2 = _l2("v", "cv")
     scored = v.join(F.broadcast(cent)).select(
         "vec_id", "label", "cent_label", dist2.alias("d2")
     )
@@ -348,16 +366,12 @@ def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocks are reclaimed by the ContextCleaner once this DataFrame
     # goes out of scope, so repeated s05/s09 calls in a long-lived
     # session don't accumulate cached blocks (round-4 advice item).
-    cent = _centroids(v).localCheckpoint(eager=True)
+    cent = _centroids(v).localCheckpoint(eager=False)
     cells = centroid_cells(spark, sf_dir, cent=cent).select("vec_id", "cell")
     queries = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    d2 = _l2("qv", "cv")
     probe_w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cent_label"))
     probes = (
         queries.join(F.broadcast(cent))
@@ -574,11 +588,7 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, n_iters: int = 3):
     assign = None
     for _ in range(n_iters):
         cdf = spark.createDataFrame(cents, ["cid", "cv"])
-        d2 = F.aggregate(
-            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        d2 = _l2("v", "cv")
         scored = v.join(F.broadcast(cdf)).select("vec_id", "v", "cid", d2.alias("d2"))
         assign = scored.groupBy("vec_id").agg(
             F.expr("min_by(cid, struct(d2, cid))").alias("cell"),
@@ -794,11 +804,7 @@ def _pq_sub_cent(v: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def _pq_d2():
-    return F.aggregate(
-        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    return _l2("sv", "cv")
 
 
 def _pq_codes(sub: DataFrame, cent: DataFrame) -> DataFrame:
@@ -1157,16 +1163,12 @@ def s12_ivf_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per query, the top-k candidates by MaxSim with their cell.
     """
     v = _vectors(spark, sf_dir)
-    cent = _centroids(v).localCheckpoint(eager=True)
+    cent = _centroids(v).localCheckpoint(eager=False)
     cells = centroid_cells(spark, sf_dir, cent=cent).select("vec_id", "cell")
     q_raw = v.filter(F.col("vec_id") < S11_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    d2 = _l2("qv", "cv")
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("d2").asc(), F.col("cent_label")
     )
@@ -1320,18 +1322,14 @@ def s13_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     level), scan_bp (cand_rows·10⁴ div (|queries|·|corpus|)).
     """
     v = _vectors(spark, sf_dir)
-    cent = _centroids(v).localCheckpoint(eager=True)
+    cent = _centroids(v).localCheckpoint(eager=False)
     cells = centroid_cells(spark, sf_dir, cent=cent).select("vec_id", "cell")
     queries = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         _norm(F.col("v")).alias("qn"),
     )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    d2 = _l2("qv", "cv")
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("d2").asc(), F.col("cent_label")
     )
@@ -2227,7 +2225,7 @@ def s18_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.filter(F.col("vec_id") >= N_QUERIES)
         .select("vec_id", "label", "v")
         .mapInPandas(score, out_schema)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id"))
     pre = (
@@ -2609,11 +2607,7 @@ def s21_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def dist_to(cv: list[float]):
         carr = F.array(*[F.lit(float(x)) for x in cv])
-        return F.aggregate(
-            F.zip_with(F.col("v"), carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        return _l2(F.col("v"), carr)
 
     for _ in range(KCENTER_K - 1):
         mind = F.least(*[dist_to(cv) for _, cv, _ in centers]) if len(centers) > 1 else dist_to(centers[0][1])

@@ -358,7 +358,7 @@ def q104_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expanding-ring search, the third canonical spatial-join strategy
     after q102's containment blocking and q103's fixed radius: round r
     probes the (2r+1)^2 cell block around each UNRESOLVED point
-    (r doubles: 1, 2, 4, 16). Exactness invariant: any point outside
+    (schedule r=1 then r=ncell). Exactness invariant: any point outside
     the block is > r*CELL away from anywhere in the center cell, so a
     candidate at d <= r*CELL is provably the global nearest; at
     r >= ncell the block is the whole grid and the minimum is global
@@ -404,7 +404,16 @@ def q104_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * (F.col("y") - F.col("sy"))
     remaining = cust
     resolved = []
-    for r in (1, 2, 4, 16):
+    # Ring schedule (r12, guide §2.4): r=1 then straight to the global
+    # round. Expected cell occupancy ≥ 1 resolves nearly every point at
+    # r=1, so the old intermediate r=2/r=4 rounds each paid a full
+    # join+agg+anti-join round (~10 AQE stage jobs) to resolve a
+    # near-empty remainder. Per-customer results are schedule-
+    # independent: any candidate within r·CELL of a point's cell is
+    # provably its global nearest (ring invariant), and the final
+    # r ≥ ncell round is exact by construction — the brute-force
+    # oracle pins this.
+    for r in (1, ncell):
         offs = spark.createDataFrame(
             [(dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)],
             "dx long, dy long",

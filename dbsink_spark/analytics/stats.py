@@ -592,7 +592,7 @@ def q65_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.explode(F.split("text", " ")).alias("word"))
         .select("source", h64(F.col("word")).alias("h"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a = hashes.filter(F.col("source") == Q65_SRC_A).select("h")
     b = hashes.filter(F.col("source") == Q65_SRC_B).select("h")
@@ -601,7 +601,7 @@ def q65_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("h")
         .limit(Q65_K)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     t_k = union_k.agg(F.max("h").alias("t_k"))
     p = (
@@ -720,7 +720,7 @@ def d14_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sort_array(F.collect_list("h")).alias("sk"), F.max("h").alias("t_k"))
         .withColumn("est", F.round(F.lit((D14_K - 1) * D14_U) / F.col("t_k"), 2))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a = sketches.select(
         F.col("source").alias("src_a"),
@@ -1337,7 +1337,7 @@ def q124_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # permutation explode — checkpoint the one corpus aggregate
     # rather than paying the orders scan twice (un-checkpointed shape
     # pinned in test_plans::test_checkpointed_aggregates_keep_plan_shape)
-    d = _q124_diffs(Tables(spark, sf_dir).orders).localCheckpoint(eager=True)
+    d = _q124_diffs(Tables(spark, sf_dir).orders).localCheckpoint(eager=False)
     obs = d.agg(
         F.count(F.lit(1)).alias("n_units"),
         F.sum("d").alias("t_obs_cents"),

@@ -1540,7 +1540,7 @@ def t23_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("eval"))
             .alias("split"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     pairs = d03_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     leak = (
@@ -1633,7 +1633,7 @@ def t24_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = (
         d.select("doc_id", F.posexplode(_words()).alias("pos", "term"))
         .filter(F.col("term") != "")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     out = None

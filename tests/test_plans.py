@@ -183,6 +183,11 @@ UNPARTITIONED_WINDOW_RATIONALE = {
     "q87_chi_square":
         "global frame over the |status|×|priority| contingency grid — "
         "~15 cells after the map-side-combinable count",
+    "q118_mutual_info":
+        "margin/total window sums run over the ≤ |a|·|b|-cell joint "
+        "grid (tens of cells; both columns are catalog-cardinality by "
+        "construction) after the corpus-side map-combinable count — "
+        "replaced the four separate corpus-aggregation subtrees (r12)",
     "q91_proration":
         "all frames run over the per-nation revenue aggregate — ≤ 25 rows "
         "(nation is the grouping key) after the corpus-side hash agg",

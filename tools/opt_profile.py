@@ -42,13 +42,20 @@ def main() -> None:
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--json-out", default="")
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        help="extra spark conf as key=value (repeatable) for A/B runs",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from dbsink_spark import analytics
     from dbsink_spark.session import get_spark
 
-    spark = get_spark("opt-profile")
+    extra = dict(kv.split("=", 1) for kv in args.conf)
+    spark = get_spark("opt-profile", extra_conf=extra)
     sc = spark.sparkContext
     names = args.names or sorted(analytics.ALL_QUERIES)
     os.makedirs(args.plans_dir, exist_ok=True)
