@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .tables import Tables, load
+from .litdf import local_df
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -2154,7 +2155,7 @@ def q66_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("journey")
         )
     )
-    pats = spark.createDataFrame([(p,) for p in Q66_PATTERNS], ["pattern"])
+    pats = local_df(spark, [(p,) for p in Q66_PATTERNS], "pattern string")
     return (
         j.crossJoin(F.broadcast(pats))
         .groupBy("pattern")
@@ -2368,7 +2369,8 @@ def q68_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         brackets={(r["l_returnflag"], "_"): (r["mn"], r["mx"] + 1, 0)
                   for r in counts},
     )
-    picked = spark.createDataFrame(
+    picked = local_df(
+        spark,
         [
             (g, v, below, targets[g], totals[g])
             for g, (v, below) in sel.items()
@@ -3854,13 +3856,13 @@ def q84_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # degenerate: zero positive amounts — the oracle's est join
         # also matches nothing, so the result is zero rows (degenerate-
         # mode fuzz catch, round 10: buckets[-1] crashed the driver)
-        return spark.createDataFrame(
-            [], "q long, est_cents long, exact_cents long, err_bp long"
+        return local_df(
+            spark, [], "q long, est_cents long, exact_cents long, err_bp long"
         )
     total = buckets[-1]["cum"]
 
-    targets = spark.createDataFrame(
-        [(q, (q * total + 99) // 100) for q in Q84_QS], "q long, target long"
+    targets = local_df(
+        spark, [(q, (q * total + 99) // 100) for q in Q84_QS], "q long, target long"
     )
     est = (
         targets.join(cum, F.col("cum") >= F.col("target"))
@@ -3897,8 +3899,8 @@ def q84_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw_scale=100,
         brackets=brackets,
     )
-    exact = spark.createDataFrame(
-        [(q, sel[(1, q)][0]) for q in Q84_QS], "q long, exact_cents long"
+    exact = local_df(
+        spark, [(q, sel[(1, q)][0]) for q in Q84_QS], "q long, exact_cents long"
     )
     return (
         est.join(exact, "q")
@@ -4671,7 +4673,8 @@ def q90_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         # degenerate: no months at all — zero rows, same as the
         # oracle's empty recursive sweep (degenerate-mode fuzz catch,
         # round 10: int(None) crashed the driver)
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [],
             "n_periods long, mean_cents long, slack_cents long, "
             "threshold_cents long, n_alarms long, max_cusum long, "
@@ -7136,7 +7139,8 @@ def q112_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # degenerate: no customers — zero rows, same as the oracle
         # (degenerate-mode fuzz catch, round 10: the drill raised on a
         # group with no rows and `div None` wouldn't even parse)
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [],
             "decile int, n_customers long, rev_cents long, "
             "share_ppm long, cum_share_ppm long",

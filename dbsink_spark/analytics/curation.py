@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import h64
 from .dedup import d03_pairs_sql, minhash_lsh_pairs
 from .tables import Tables
+from .litdf import local_df
 from .text import (
     PII_EMAIL,
     PII_IPV4,
@@ -281,7 +282,7 @@ def c01_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleanup: list = []
     _, manifest = curate_corpus(spark, sf_dir, cleanup=cleanup)
     rows = manifest.orderBy("stage").collect()
-    out = spark.createDataFrame(rows, manifest.schema)
+    out = local_df(spark, rows, manifest.schema)
     for df in cleanup:
         df.unpersist()
     return out

@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 
 from ..functions.hashing import MINHASH_COEFFS, affine, affine_sql, h64, h64_sql
 from .tables import Tables
+from .litdf import local_df
 
 MINHASH_K = 8
 BANDS = 4  # rows-per-band = MINHASH_K // BANDS = 2
@@ -875,7 +876,8 @@ def d09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         sizes: dict = {}
         for lbl in comp.values():
             sizes[lbl] = sizes.get(lbl, 0) + 1
-        out = spark.createDataFrame(
+        out = local_df(
+            spark,
             [(n, lbl, sizes[lbl]) for n, lbl in comp.items()],
             "doc_id long, cluster_id long, cluster_size long",
         )
@@ -1470,7 +1472,8 @@ def d15_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     n_truth, n_cand, n_hit = row["t"], row["c"], row["h"]
     sample.unpersist()
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 n_docs,
@@ -1878,7 +1881,7 @@ def d20_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # degenerate: empty corpus — no batch, no decisions, zero rows
         # like the oracle (degenerate-mode fuzz catch, round 10:
         # None+1 crashed the driver)
-        return spark.createDataFrame([], "doc_id long, decision string, match_id long")
+        return local_df(spark, [], "doc_id long, decision string, match_id long")
     # ceiling via POSITIVE operands only: Python // floors but DuckDB //
     # truncates toward zero, so the negated-floor ceiling idiom diverges
     # between engine and oracle on any doc count not divisible by the

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .litdf import local_df
+
 FANOUT = 1000  # sub-ranges per round; 8-digit ranges pin in ~3 rounds
 
 # The ONE windowed-vs-drill gate threshold (q68 median, q55 ntile):
@@ -134,7 +136,8 @@ def weighted_value_at(
             for (g, lbl), (lo, hi, _) in state.items()
             if hi - lo > 1
         ]
-        ranges = spark.createDataFrame(
+        ranges = local_df(
+            spark,
             [
                 (g, str(lbl), lo, hi, (hi - lo + FANOUT - 1) // FANOUT)
                 for g, lbl, lo, hi in active

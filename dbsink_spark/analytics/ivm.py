@@ -250,8 +250,10 @@ class AggView:
             df = self.spark.read.parquet(self.path)
         except AnalysisException:
             # path missing / empty — store never maintained
-            return self.spark.createDataFrame(
-                [], "grp string, bucket int, n long, s double, s2 double"
+            from .litdf import local_df
+
+            return local_df(
+                self.spark, [], "grp string, bucket int, n long, s double, s2 double"
             )
         # OUTSIDE the try: a readable path whose files lack the state
         # columns (schema drift, foreign parquet) is NOT an empty store

@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 
 from ..functions.casts import spark_try_int_sql
 from .tables import Tables
+from .litdf import local_df
 
 
 # --------------------------------------------------------------------------
@@ -933,7 +934,8 @@ def q55_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for g, tl in tiles.items()
         for k, s in tl
     ]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "o_orderpriority string, quartile int, n_orders bigint, "
         "min_price double, max_price double",

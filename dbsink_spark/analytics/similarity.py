@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .tables import Tables
+from .litdf import local_df
 
 TOPK = 5
 N_QUERIES = 10  # vec_id < N_QUERIES form the query set
@@ -298,7 +299,7 @@ def s04_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # as the oracle's SQL (degenerate-mode fuzz catch, round 10 —
         # np.array([]) is 1-D and the axis-1 normalize crashed the
         # driver)
-        return spark.createDataFrame([], "query_id long, corpus_id long, rank int")
+        return local_df(spark, [], "query_id long, corpus_id long, rank int")
     q_ids = [r.vec_id for r in qrows]
     q_mat = np.array([r.v for r in qrows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -587,7 +588,7 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, n_iters: int = 3):
     inertia_history: list[float] = []
     assign = None
     for _ in range(n_iters):
-        cdf = spark.createDataFrame(cents, ["cid", "cv"])
+        cdf = local_df(spark, cents, "cid bigint, cv array<double>")
         d2 = _l2("v", "cv")
         scored = v.join(F.broadcast(cdf)).select("vec_id", "v", "cid", d2.alias("d2"))
         assign = scored.groupBy("vec_id").agg(
@@ -1574,7 +1575,7 @@ def s14_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("n_docs", "sdl", "e.term", "e.df")
-    qt = spark.createDataFrame(_s14_query_terms(), "query_id long, term string")
+    qt = local_df(spark, _s14_query_terms(), "query_id long, term string")
     avgdl = F.col("sdl") * 1.0 / F.col("n_docs")
     idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     term_score = (
@@ -2184,8 +2185,8 @@ def s18_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # degenerate corpus with no query rows: zero result rows, same
         # as the oracle (degenerate-mode fuzz catch, round 10 — the
         # s04 empty-q_mat driver crash, same kernel)
-        return spark.createDataFrame(
-            [], "query_id long, corpus_id long, rank int, in_postfilter int"
+        return local_df(
+            spark, [], "query_id long, corpus_id long, rank int, in_postfilter int"
         )
     q_ids = [r.vec_id for r in qrows]
     q_mat = np.array([r.v for r in qrows], dtype=np.float64)
@@ -2500,8 +2501,8 @@ def s20_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             break  # CTE goes empty at the same k, so rows still match
         selected.append((step, best[1], best[0], rel_rows[best[1]]))
         chosen.append(best[1])
-    out = spark.createDataFrame(
-        selected, "step int, corpus_id long, mmr_score double, relevance double"
+    out = local_df(
+        spark, selected, "step int, corpus_id long, mmr_score double, relevance double"
     )
     return out.select(
         "step",
@@ -2599,7 +2600,7 @@ def s21_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_rows = v.orderBy("vec_id").limit(1).collect()
     if not seed_rows:  # empty corpus — oracle's c1 is empty too
         v.unpersist()
-        return spark.createDataFrame([], "step int, vec_id long, min_dist_sq double")
+        return local_df(spark, [], "step int, vec_id long, min_dist_sq double")
     seed = seed_rows[0]
     centers: list[tuple[int, list[float], float | None]] = [
         (int(seed.vec_id), list(seed.v), None)
@@ -2628,8 +2629,8 @@ def s21_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         (step + 1, cid, None if d is None else round(d, 4))
         for step, (cid, _, d) in enumerate(centers)
     ]
-    return spark.createDataFrame(
-        rows, "step int, vec_id long, min_dist_sq double"
+    return local_df(
+        spark, rows, "step int, vec_id long, min_dist_sq double"
     ).orderBy("step")
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import h64, h64_sql
 from .tables import Tables
+from .litdf import local_df
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -157,8 +158,9 @@ def q102_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pts.withColumn(
         "cell", (F.col("x") / CELL).cast("long") * ncell + (F.col("y") / CELL).cast("long")
     )
-    zc = spark.createDataFrame(_zone_cells(), "zone_id int, cell long")
-    zv = spark.createDataFrame(
+    zc = local_df(spark, _zone_cells(), "zone_id int, cell long")
+    zv = local_df(
+        spark,
         [
             (z, v[0][0], v[0][1], v[1][0], v[1][1], v[2][0], v[2][1])
             for z, v in ZONES
@@ -268,8 +270,8 @@ def q103_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "pid",
     )
-    offsets = spark.createDataFrame(
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    offsets = local_df(
+        spark, [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
     )
     sgrid = (
         supp.crossJoin(F.broadcast(offsets))
@@ -414,7 +416,8 @@ def q104_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r ≥ ncell round is exact by construction — the brute-force
     # oracle pins this.
     for r in (1, ncell):
-        offs = spark.createDataFrame(
+        offs = local_df(
+            spark,
             [(dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)],
             "dx long, dy long",
         )
