@@ -1334,8 +1334,10 @@ def q57_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # t19 merge table). An ARRAY literal gives O(1) element_at per
     # probe — a map literal would linear-scan its entries per lookup.
     wmap = {r["word"]: r["bits"] for r in words.collect()}
-    bloom = F.array(
-        *[F.lit(wmap.get(w, 0)) for w in range(BLOOM_M // 32)]
+    # ONE parsed array literal instead of BLOOM_M/32 = 512 py4j lit()
+    # round trips (r12, guide §7.3) — the analyzed tree is identical
+    bloom = F.expr(
+        "array(" + ", ".join(f"{wmap.get(w, 0)}L" for w in range(BLOOM_M // 32)) + ")"
     )
 
     def bloom_test(hash_col):
@@ -7879,72 +7881,55 @@ def _q118_pair(t: Tables, table: str, a: str, b: str) -> DataFrame:
     the same sorted (key, e) sets as before (``array_distinct`` of the
     per-cell copies — duplicates carry identical doubles — then the
     same ``array_sort`` + left fold)."""
+    # expression trees emitted as SQL strings (r12, guide §7.3):
+    # identical analyzed plan, no per-node py4j round trips (~700
+    # driver calls per pair × the pair list, measured ~0.8 s/construct)
     joint = getattr(t, table).groupBy(
         F.col(a).alias("a"), F.col(b).alias("b")
     ).agg(F.count(F.lit(1)).alias("nij"))
-    cells = joint.select(
+    cells = joint.selectExpr(
         "a",
         "b",
         "nij",
-        F.sum("nij").over(Window.partitionBy("a")).alias("na"),
-        F.sum("nij").over(Window.partitionBy("b")).alias("nb"),
-        F.sum("nij").over(Window.partitionBy()).alias("n"),
-    ).select(
+        "sum(nij) OVER (PARTITION BY a) AS na",
+        "sum(nij) OVER (PARTITION BY b) AS nb",
+        "sum(nij) OVER () AS n",
+    ).selectExpr(
         "a",
         "b",
         "na",
         "nb",
         "n",
-        (
-            (F.col("nij") / F.col("n"))
-            * F.log(
-                (F.col("nij").cast("double") * F.col("n"))
-                / (F.col("na").cast("double") * F.col("nb"))
-            )
-        ).alias("term"),
+        "(nij / n) * ln((CAST(nij AS DOUBLE) * n)"
+        " / (CAST(na AS DOUBLE) * nb)) AS term",
     )
 
-    def _entropy_fold(key: str, cnt: str):
-        return F.aggregate(
-            F.array_sort(
-                F.array_distinct(
-                    F.collect_list(
-                        F.struct(
-                            F.col(key).alias("k"),
-                            (
-                                -(F.col(cnt) / F.col("n"))
-                                * F.log(F.col(cnt) / F.col("n"))
-                            ).alias("e"),
-                        )
-                    )
-                )
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x["e"],
+    def _entropy_fold(key: str, cnt: str) -> str:
+        return (
+            f"aggregate(array_sort(array_distinct(collect_list("
+            f"struct({key} AS k, -({cnt} / n) * ln({cnt} / n) AS e)))),"
+            f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.e)"
         )
 
     return cells.agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("a", "b", "term"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["term"],
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(a, b, term))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
         ).alias("mi_nats"),
         F.count(F.lit(1)).alias("n_cells"),
-        _entropy_fold("a", "na").alias("h_a"),
-        _entropy_fold("b", "nb").alias("h_b"),
-    ).select(
-        F.lit(f"{a}|{b}").alias("pair"),
+        F.expr(_entropy_fold("a", "na")).alias("h_a"),
+        F.expr(_entropy_fold("b", "nb")).alias("h_b"),
+    ).selectExpr(
+        f"'{a}|{b}' AS pair",
         "n_cells",
         "mi_nats",
-        F.col("h_a").alias("h_a_nats"),
-        F.col("h_b").alias("h_b_nats"),
+        "h_a AS h_a_nats",
+        "h_b AS h_b_nats",
         # guard: a single-category column has H=0 and NMI is
         # undefined — NULL, not an ANSI divide-by-zero job abort
         # (degenerate-mode fuzz catch, round 10); oracle mirrors
-        F.when(
-            F.col("h_a") * F.col("h_b") > 0,
-            F.col("mi_nats") / F.sqrt(F.col("h_a") * F.col("h_b")),
-        ).alias("nmi"),
+        "CASE WHEN h_a * h_b > 0"
+        " THEN mi_nats / sqrt(h_a * h_b) END AS nmi",
     )
 
 

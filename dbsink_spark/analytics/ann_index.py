@@ -259,16 +259,18 @@ def maxsim_query(
     index = spark.read.parquet(os.path.join(path, VECTORS_DIR)).filter(
         F.col("cell").isin(probe_cells)
     )
-    cparts = index.select(
-        F.col("vec_id").alias("corpus_id"), "cell", *_maxsim_parts("c")
+    cparts = index.selectExpr(
+        "vec_id AS corpus_id", "cell", *_maxsim_parts("c")
     )
     qparts = queries.select(
         "query_id", F.col("qv").alias("v")
-    ).select("query_id", *_maxsim_parts("q"))
+    ).selectExpr("query_id", *_maxsim_parts("q"))
     scored = (
         cparts.join(F.broadcast(probes), "cell")
         .join(F.broadcast(qparts), "query_id")
-        .select("query_id", "corpus_id", "cell", _maxsim_score().alias("maxsim"))
+        .selectExpr(
+            "query_id", "corpus_id", "cell", _maxsim_score() + " AS maxsim"
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("maxsim").desc(), F.col("corpus_id")

@@ -106,18 +106,32 @@ def d02_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _one_minhash(shingle_hashes, a: int, b: int):
-    # single-arg lambda on purpose: pyspark derives HOF arity from the
-    # python signature, so coefficients must come in via closure
-    return F.array_min(F.transform(shingle_hashes, lambda h: affine(h, a, b)))
+def _one_minhash_sql(shingle_hashes: str, a: int, b: int) -> str:
+    return (
+        f"array_min(transform({shingle_hashes},"
+        f" h -> {affine_sql('h', a, b)}))"
+    )
 
 
-def _minhash_sig(shingle_hashes):
-    """K minhash values from an array of shingle hashes."""
+def _minhash_sig(shingle_hashes: str) -> list[str]:
+    """K minhash values (selectExpr strings) from an array of shingle
+    hashes — SQL strings, not Columns (r12, guide §7.3): the 8 HOF
+    transforms built py4j-call-by-call cost ~0.2 s per plan
+    construction across every minhash caller; one JVM parse is
+    milliseconds and integer arithmetic is tree-shape-exact."""
     return [
-        _one_minhash(shingle_hashes, a, b).alias(f"mh{i}")
+        f"{_one_minhash_sql(shingle_hashes, a, b)} AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_COEFFS[:MINHASH_K])
     ]
+
+
+_SHINGLES_EXPR = (
+    "array_distinct(transform(sequence(1, size(w) - 2),"
+    " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
+    " element_at(w, i + 2))))"
+)
+
+_H64_S = "CAST(conv(substring(md5(CAST(s AS STRING)), 1, 15), 16, 10) AS BIGINT)"
 
 
 def hash_docs(d: DataFrame) -> DataFrame:
@@ -125,21 +139,18 @@ def hash_docs(d: DataFrame) -> DataFrame:
     (doc_id, text, source) relation — the shared input for every
     shingle-based dedup operator, batch or incremental. Hashing
     shingles to longs once keeps all downstream joins/set-ops on
-    8-byte keys instead of ~30-byte strings."""
+    8-byte keys instead of ~30-byte strings. Built as SQL strings
+    (r12, guide §7.3): identical expression tree, no per-node py4j
+    round trips across the many callers."""
     # materialize the words array as a column first: HOF lambdas that
     # capture a split() expression re-evaluate it per element access,
     # which triples the shingling cost
     dw = d.withColumn("w", _words()).filter(F.size("w") >= 3)
-    return (
-        dw.select(
-            "doc_id",
-            "source",
-            F.array_distinct(
-                F.transform(_shingles(F.col("w")), lambda s: h64(s))
-            ).alias("shh"),
-        )
-        .withColumn("n_sh", F.size("shh"))
-    )
+    return dw.selectExpr(
+        "doc_id",
+        "source",
+        f"array_distinct(transform({_SHINGLES_EXPR}, s -> {_H64_S})) AS shh",
+    ).withColumn("n_sh", F.size("shh"))
 
 
 def _hashed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,18 +204,17 @@ def banded_sigs(docs: DataFrame, bucket_cap=_CAP_UNSET) -> DataFrame:
     downstream join needs, so it adds no new shuffle shape."""
     if bucket_cap is _CAP_UNSET:
         bucket_cap = LSH_BUCKET_CAP
-    sigs = docs.select("doc_id", *_minhash_sig(F.col("shh")))
+    sigs = docs.selectExpr("doc_id", *_minhash_sig("shh"))
     rows_per_band = MINHASH_K // BANDS
-    band_cols = []
+    band_structs = []
     for b in range(BANDS):
-        bucket = F.lit(0).cast("long")
+        bucket = "CAST(0 AS BIGINT)"
         for r in range(rows_per_band):
-            bucket = bucket * F.lit(1000000007) + F.col(f"mh{b * rows_per_band + r}")
-        band_cols.append(F.struct(F.lit(b).alias("band_id"), bucket.alias("bucket")))
-    out = (
-        sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
-        .select("doc_id", "bb.band_id", "bb.bucket")
-    )
+            bucket = f"({bucket} * 1000000007 + mh{b * rows_per_band + r})"
+        band_structs.append(f"struct({b} AS band_id, {bucket} AS bucket)")
+    out = sigs.selectExpr(
+        "doc_id", f"explode(array({', '.join(band_structs)})) AS bb"
+    ).select("doc_id", "bb.band_id", "bb.bucket")
     return cap_band_rows(out, bucket_cap)
 
 
@@ -306,47 +316,40 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = Tables(spark, sf_dir).documents
     # explode distinct words, then build the 48 majority-vote bits as
-    # literal-shift aggregate expressions in ONE groupBy (shift amounts
-    # must be python ints for shiftright/shiftleft)
+    # literal-shift aggregate expressions in ONE groupBy. All the wide
+    # integer trees below are emitted as SQL STRINGS, not Column
+    # objects (r12, guide §7.3): built column-by-column the 48 votes +
+    # 48-term signature + band explode cost ~1.9 s of py4j round trips
+    # per plan construction; one JVM-side parse is milliseconds, and
+    # integer arithmetic is tree-shape-exact either way.
     exploded = d.select(
         "doc_id", F.explode(F.array_distinct(_words())).alias("w")
     ).withColumn("h", h64(F.col("w")))
     bit_aggs = [
-        F.sum(
-            F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
-        ).alias(f"vote{j}")
+        F.expr(
+            f"sum((CAST((shiftright(h, {j}) & 1) AS INT) * 2) - 1) AS vote{j}"
+        )
         for j in range(SIMHASH_BITS)
     ]
     votes = exploded.groupBy("doc_id").agg(*bit_aggs)
-    sig = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"vote{j}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(term, j)
-        sig = term if sig is None else sig + term
+    sig_sql = " + ".join(
+        f"shiftleft(CASE WHEN vote{j} > 0 THEN CAST(1 AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END, {j})"
+        for j in range(SIMHASH_BITS)
+    )
     # persist: both sides of the band self-join read the signatures;
     # without it the explode + 48-vote aggregation runs twice
-    sigs = votes.select("doc_id", sig.alias("simhash")).persist()
+    sigs = votes.selectExpr("doc_id", f"{sig_sql} AS simhash").persist()
 
     width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << width) - 1
-    banded = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_id"),
-                        F.shiftright("simhash", j * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for j in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
+    bands_sql = ", ".join(
+        f"struct(CAST({j} AS INT) AS band_id,"
+        f" shiftright(simhash, {j * width}) & {mask} AS band_val)"
+        for j in range(SIMHASH_BANDS)
+    )
+    banded = sigs.selectExpr(
+        "doc_id", "simhash", f"explode(array({bands_sql})) AS bb"
     ).select("doc_id", "simhash", "bb.band_id", "bb.band_val")
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -364,22 +367,20 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # emit each pair exactly once WITHOUT a dedup shuffle: keep the pair
     # only on its FIRST matching band (map-side bit check on the carried
-    # signatures — cheaper than dropDuplicates over the candidate set)
-    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    # signatures — cheaper than dropDuplicates over the candidate set);
     # band j is the first match iff bands 0..j-1 all differ
+    xor_sql = "(sig_a ^ sig_b)"
     conds = []
     for j in range(SIMHASH_BANDS):
-        c = F.lit(True)
-        for i in range(j):
-            c = c & (F.shiftright(xor, i * width).bitwiseAND(F.lit(mask)) != 0)
-        conds.append((F.col("band_id") == j) & c)
-    first_match = conds[0]
-    for c in conds[1:]:
-        first_match = first_match | c
-    hamming = F.bit_count(xor)
+        differ = [
+            f"(shiftright({xor_sql}, {i * width}) & {mask}) <> 0" for i in range(j)
+        ]
+        c = " AND ".join(["true"] + differ)
+        conds.append(f"(band_id = {j} AND ({c}))")
+    first_match = " OR ".join(conds)
     return (
         joined.filter(first_match)
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .selectExpr("doc_a", "doc_b", f"bit_count({xor_sql}) AS hamming")
         .filter(F.col("hamming") <= SIMHASH_RADIUS)
     )
 

@@ -188,15 +188,8 @@ def s03_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes a real ANN query would probe)."""
     v = _vectors(spark, sf_dir)
     planes = hyperplane_weights()
-    bucket = None
-    for p, wts in enumerate(planes):
-        wcol = F.array(*[F.lit(float(x)) for x in wts])
-        dot = _dot(F.col("v"), wcol)
-        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, p)
-        bucket = term if bucket is None else bucket + term
     return (
-        v.select(bucket.alias("bucket"))
+        v.selectExpr(_view_bucket(planes) + " AS bucket")
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("bucket")
@@ -646,7 +639,7 @@ def s07_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     v = _vectors(spark, sf_dir)
     planes = hyperplane_weights()[:N_GRAPH_PLANES]
-    b = v.select("vec_id", "v", _view_bucket(planes).alias("bucket"))
+    b = v.selectExpr("vec_id", "v", _view_bucket(planes) + " AS bucket")
     return _knn_block_apply(b).orderBy("vec_id", "rank")
 
 
@@ -1017,32 +1010,44 @@ S11_DSUB = DIM // S11_SUBS   # dims per sub-vector
 S11_QUERIES = 3              # vec_id < 3 form the query set
 
 
-def _maxsim_parts(col_prefix: str):
+def _maxsim_parts(col_prefix: str) -> list[str]:
     """Project an embedding column ``v`` into S11_SUBS sub-vectors and
     their norms — the once-per-row layout both MaxSim ops (s11 full
-    scan, s12 IVF-prefiltered re-rank) score from."""
+    scan, s12 IVF-prefiltered re-rank) score from.
+
+    Emitted as ``selectExpr`` strings, not Column objects (r12, guide
+    §7.3): the 16-slice/norm projection built column-by-column cost a
+    py4j round trip per operator node — ~1.9 s of driver time per s11
+    plan construction, measured — while one SQL string parses JVM-side
+    in milliseconds into the IDENTICAL expression tree (verified: the
+    analyzed plans and the collected results are byte-equal)."""
     cols = []
     for i in range(S11_SUBS):
-        sub = F.slice(F.col("v"), 1 + i * S11_DSUB, S11_DSUB)
-        cols.append(sub.alias(f"{col_prefix}s{i}"))
-        cols.append(_norm(sub).alias(f"{col_prefix}n{i}"))
+        sub = f"slice(v, {1 + i * S11_DSUB}, {S11_DSUB})"
+        cols.append(f"{sub} AS {col_prefix}s{i}")
+        cols.append(
+            f"sqrt(aggregate(transform({sub}, x -> x * x), 0.0D,"
+            f" (acc, x) -> acc + x)) AS {col_prefix}n{i}"
+        )
     return cols
 
 
-def _maxsim_score():
+def _maxsim_score() -> str:
     """Σ_i max_j cos(q_i, d_j) over the projected q*/c* part columns,
-    written with identical left-association to the SQL oracle."""
+    written with identical left-association to the SQL oracle — as one
+    SQL string (see :func:`_maxsim_parts` for why strings)."""
 
-    def cos(i: int, j: int):
-        return _dot(F.col(f"qs{i}"), F.col(f"cs{j}")) / (
-            F.col(f"qn{i}") * F.col(f"cn{j}")
+    def cos(i: int, j: int) -> str:
+        return (
+            f"(aggregate(zip_with(qs{i}, cs{j}, (x, y) -> x * y), 0.0D,"
+            f" (acc, x) -> acc + x) / (qn{i} * cn{j}))"
         )
 
-    score = None
+    maxes = []
     for i in range(S11_SUBS):
-        m = F.greatest(*[cos(i, j) for j in range(S11_SUBS)])
-        score = m if score is None else score + m
-    return score
+        cs = ", ".join(cos(i, j) for j in range(S11_SUBS))
+        maxes.append(f"greatest({cs})")
+    return " + ".join(maxes)
 
 
 def s11_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1065,14 +1070,14 @@ def s11_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-association in both engines.
     """
     v = _vectors(spark, sf_dir)
-    queries = v.filter(F.col("vec_id") < S11_QUERIES).select(
-        F.col("vec_id").alias("query_id"), *_maxsim_parts("q")
+    queries = v.filter(F.col("vec_id") < S11_QUERIES).selectExpr(
+        "vec_id AS query_id", *_maxsim_parts("q")
     )
-    corpus = v.filter(F.col("vec_id") >= S11_QUERIES).select(
-        F.col("vec_id").alias("corpus_id"), *_maxsim_parts("c")
+    corpus = v.filter(F.col("vec_id") >= S11_QUERIES).selectExpr(
+        "vec_id AS corpus_id", *_maxsim_parts("c")
     )
-    scored = corpus.join(F.broadcast(queries)).select(
-        "query_id", "corpus_id", _maxsim_score().alias("maxsim")
+    scored = corpus.join(F.broadcast(queries)).selectExpr(
+        "query_id", "corpus_id", _maxsim_score() + " AS maxsim"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("maxsim").desc(), F.col("corpus_id")
@@ -1185,16 +1190,18 @@ def s12_ivf_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("corpus_id") >= S11_QUERIES)
         .join(F.broadcast(probes), "cell")
     )
-    qparts = v.filter(F.col("vec_id") < S11_QUERIES).select(
-        F.col("vec_id").alias("query_id"), *_maxsim_parts("q")
+    qparts = v.filter(F.col("vec_id") < S11_QUERIES).selectExpr(
+        "vec_id AS query_id", *_maxsim_parts("q")
     )
-    cparts = v.filter(F.col("vec_id") >= S11_QUERIES).select(
-        F.col("vec_id").alias("corpus_id"), *_maxsim_parts("c")
+    cparts = v.filter(F.col("vec_id") >= S11_QUERIES).selectExpr(
+        "vec_id AS corpus_id", *_maxsim_parts("c")
     )
     scored = (
         cand.join(cparts, "corpus_id")
         .join(F.broadcast(qparts), "query_id")
-        .select("query_id", "corpus_id", "cell", _maxsim_score().alias("maxsim"))
+        .selectExpr(
+            "query_id", "corpus_id", "cell", _maxsim_score() + " AS maxsim"
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("maxsim").desc(), F.col("corpus_id")
@@ -2298,17 +2305,25 @@ QUERIES["s18_filtered_search"] = s18_filtered_search
 # ---------------------------------------------------------------------------
 
 
-def _view_bucket(planes: list[list[int]]):
-    """LSH bucket id column from an explicit plane slice (the s07
-    bucketing generalized so s19 can build several independent views)."""
-    bucket = None
+def _view_bucket(planes: list[list[int]]) -> str:
+    """LSH bucket id over column ``v`` from an explicit plane slice
+    (the s07 bucketing generalized so s19 can build several independent
+    views) — as ONE SQL string (r12, guide §7.3): per plane the ±1
+    weight array alone was 64 py4j ``lit`` round trips, ~0.5 s of
+    driver time per 8-plane bucket built as Column objects; the string
+    parses JVM-side into the identical expression tree."""
+    terms = []
     for p, wts in enumerate(planes):
-        wcol = F.array(*[F.lit(float(x)) for x in wts])
-        dot = _dot(F.col("v"), wcol)
-        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, p)
-        bucket = term if bucket is None else bucket + term
-    return bucket
+        arr = "array(" + ", ".join(f"{float(x)}D" for x in wts) + ")"
+        dot = (
+            f"aggregate(zip_with(v, {arr}, (x, y) -> x * y), 0.0D,"
+            f" (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"shiftleft(CASE WHEN {dot} > 0 THEN CAST(1 AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END, {p})"
+        )
+    return " + ".join(terms)
 
 
 def s19_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2606,16 +2621,23 @@ def s21_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(seed.vec_id), list(seed.v), None)
     ]
 
-    def dist_to(cv: list[float]):
-        carr = F.array(*[F.lit(float(x)) for x in cv])
-        return _l2(F.col("v"), carr)
+    def dist_to(cv: list[float]) -> str:
+        # SQL string, not 64 py4j lit() calls (r12, guide §7.3): repr
+        # round-trips doubles bit-exactly (the litdf precedent, pinned
+        # by tests/test_litdf.py), and the parsed tree is identical
+        carr = "array(" + ", ".join(f"{float(x)!r}D" for x in cv) + ")"
+        return (
+            f"aggregate(zip_with(v, {carr}, (x, y) -> (x - y) * (x - y)),"
+            f" 0.0D, (acc, x) -> acc + x)"
+        )
 
     for _ in range(KCENTER_K - 1):
-        mind = F.least(*[dist_to(cv) for _, cv, _ in centers]) if len(centers) > 1 else dist_to(centers[0][1])
+        dists = [dist_to(cv) for _, cv, _ in centers]
+        mind = f"least({', '.join(dists)})" if len(dists) > 1 else dists[0]
         chosen_ids = [cid for cid, _, _ in centers]
         best = (
             v.filter(~F.col("vec_id").isin(chosen_ids))
-            .select("vec_id", "v", mind.alias("d"))
+            .selectExpr("vec_id", "v", f"{mind} AS d")
             .agg(F.max(F.struct(F.col("d"), (-F.col("vec_id")).alias("nid"), F.col("v"))).alias("m"))
             .collect()[0]
             .m
@@ -2706,15 +2728,13 @@ def _nn_base_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         hyperplane_weights()[N_GRAPH_PLANES : 2 * N_GRAPH_PLANES],
     ]
     vv = _vectors(spark, sf_dir)
-    vb = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(i).alias("view"), _view_bucket(pl).alias("bucket"))
-                for i, pl in enumerate(views)
-            ]
-        )
+    vb_sql = ", ".join(
+        f"struct({i} AS view, {_view_bucket(pl)} AS bucket)"
+        for i, pl in enumerate(views)
     )
-    b = vv.select("vec_id", "v", vb.alias("vb")).select(
+    b = vv.selectExpr(
+        "vec_id", "v", f"explode(array({vb_sql})) AS vb"
+    ).select(
         "vec_id", "v", F.col("vb.view").alias("view"), F.col("vb.bucket").alias("bucket")
     )
     return _knn_block_apply(b, keys=("view", "bucket")).dropDuplicates(

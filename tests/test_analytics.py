@@ -2759,7 +2759,7 @@ def test_s19_nn_descent_improves_recall(spark):
     for lo, hi in ((0, N_GRAPH_PLANES), (N_GRAPH_PLANES, 2 * N_GRAPH_PLANES)):
         planes = hyperplane_weights()[lo:hi]
         base = _knn_block_apply(
-            vv.select("vec_id", "v", _view_bucket(planes).alias("bucket"))
+            vv.selectExpr("vec_id", "v", _view_bucket(planes) + " AS bucket")
         ).collect()
         base_n = {}
         for r in base:
