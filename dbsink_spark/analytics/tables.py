@@ -8,6 +8,8 @@ column pruning + predicate pushdown into the parquet scans, so loading
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = (
@@ -23,12 +25,47 @@ TABLE_NAMES = (
     "embeddings",
 )
 
+# (session id, path, mtime) -> parquet schema. Schema INFERENCE
+# (footer read + merge) cost ~100 ms of driver time per `read.parquet`
+# call on this host vs ~20-30 ms with an explicit schema — at ~3 table
+# loads per timed query run that was tens of seconds per full bench
+# pass spent re-deriving byte-identical schemas (r12, guide §6:
+# metadata work is driver-side and repeated; a real lake solves this
+# with catalog/manifest metadata, which this loader stands in for).
+# ONLY the schema is cached: every load still creates a FRESH Dataset
+# (self-joins of a table need distinct dataset ids — a shared
+# DataFrame object made q78's planner flag an ambiguous self join)
+# and every action lists, plans, and reads the parquet itself, so no
+# result or data is ever reused across runs. Keyed on (session,
+# mtime) so a new session or a rewritten dataset (fuzz harness temp
+# dirs, regenerated testdata) re-infers.
+_SCHEMA_CACHE: dict[tuple[int, str, float], object] = {}
+
+# sessions whose UTC pin has been applied (py4j conf round trips are
+# ~0.5 ms each; two per load added up across a bench pass)
+_TZ_PINNED: set[int] = set()
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        key = (id(spark), path, os.path.getmtime(path))
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # defensively pin UTC: the harness may hand us a session without it,
     # and every timestamp-rendering query (date_format/date_trunc)
     # assumes UTC to match the DuckDB oracle
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if id(spark) not in _TZ_PINNED:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _TZ_PINNED.add(id(spark))
     if name == "events":
         # Harness generations have shipped events.ts as either
         # TIMESTAMP(NANOS) (which Spark's parquet reader rejects — read
@@ -39,7 +76,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read(spark, f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             # integral div, not float /: nanos exceed double's 53-bit
             # exact integer range, so float division drifts the
@@ -53,7 +90,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # BIGINT, which Spark only allows on LTZ timestamps
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read(spark, f"{sf_dir}/{name}.parquet")
 
 
 class Tables:

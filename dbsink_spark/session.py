@@ -44,6 +44,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # r12 (guide §7.3, driver-side plan cost): by default EVERY
+        # pyspark Column/DataFrame call captures its Python call site
+        # (inspect.stack) and ships it over THREE extra py4j round
+        # trips (PySparkCurrentOrigin set/get/clear) purely to enrich
+        # error messages. Measured here: ~7 ms per Column op with the
+        # capture vs ~1 ms without — tens of seconds per full bench
+        # pass spent labeling expressions that never fail. Scale-
+        # neutral (driver-side only, identical plans/results at any
+        # data size); flip back on when debugging a query's lineage.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("DBSINK_SPARK_DRIVER_MEM", "8g"))
     )
