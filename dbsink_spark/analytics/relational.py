@@ -670,94 +670,91 @@ def q52_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and value-range rules, each emitted as (table, constraint,
     n_checked, n_violations, passed).
 
-    Every check is one aggregate or one anti-join — map-side
-    combinable or broadcast-able — so the full audit is a handful of
-    independent linear scans that Spark runs concurrently; no check
-    shuffles more than the key column it validates. At 100 TB the
-    report is the gate a landing pipeline writes next to each batch
-    (and the anti-join FK checks broadcast the dimension keys).
+    All per-table checks FUSE into one aggregate pass per table
+    (r12, guide §2.3: aggregate before you shuffle / scan once): the
+    orders pass computes the PK-uniqueness, not-null and range rules'
+    violation counts in a single wide aggregation and ``stack``s the
+    one scalar row into the three report rows; the lineitem pass
+    likewise. That cuts the audit from 7 table scans (3× orders, 3×
+    lineitem, 1 FK join) to 3 (orders, lineitem, FK join) — at 100 TB
+    each avoided scan is a full pass over the fact table. The FK check
+    keeps its own scan (it needs the broadcast join, and fusing a join
+    into an aggregate-only pass would shuffle the fact side); every
+    remaining check is map-side combinable or broadcast-able. Row
+    values are IDENTICAL to the per-check formulation — same counts,
+    same rule names, same ordering (oracle-verified).
     """
     t = Tables(spark, sf_dir)
     orders, lineitem, customer = t.orders, t.lineitem, t.customer
 
-    def report(table, constraint, n_checked, n_violations):
-        return (
+    def stacked(table, wide, rules):
+        # one scalar row of violation counters -> one report row per
+        # rule; passed is derived per row exactly as before
+        stack_sql = ", ".join(f"'{rule}', {col}" for rule, col in rules)
+        return wide.select(
             F.lit(table).alias("tbl"),
-            F.lit(constraint).alias("rule"),
-            n_checked.alias("n_checked"),
-            n_violations.alias("n_violations"),
-            (n_violations == 0).cast("int").alias("passed"),
+            F.expr(
+                f"stack({len(rules)}, {stack_sql}) AS (rule, n_violations)"
+            ),
+            F.col("n").alias("n_checked"),
+        ).select(
+            "tbl",
+            "rule",
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).cast("int").alias("passed"),
         )
 
-    pk_orders = orders.agg(
-        *report(
-            "orders",
-            "pk_unique_orderkey",
-            F.count(F.lit(1)),
-            F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
-        )
+    ord_wide = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_pk"),
+        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("v_nn"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("v_rng"),
     )
-    nn_orders = orders.agg(
-        *report(
-            "orders",
-            "not_null_orderdate",
-            F.count(F.lit(1)),
-            F.sum(F.col("o_orderdate").isNull().cast("long")),
-        )
-    )
-    rng_orders = orders.agg(
-        *report(
-            "orders",
-            "range_totalprice_positive",
-            F.count(F.lit(1)),
-            F.sum((F.col("o_totalprice") <= 0).cast("long")),
-        )
+    ord_rows = stacked(
+        "orders",
+        ord_wide,
+        [
+            ("pk_unique_orderkey", "v_pk"),
+            ("not_null_orderdate", "v_nn"),
+            ("range_totalprice_positive", "v_rng"),
+        ],
     )
     fk = orders.join(
         F.broadcast(customer.select("c_custkey")),
         orders["o_custkey"] == customer["c_custkey"],
         "left",
     ).agg(
-        *report(
-            "orders",
-            "fk_custkey_in_customer",
-            F.count(F.lit(1)),
-            F.sum(F.col("c_custkey").isNull().cast("long")),
-        )
+        F.lit("orders").alias("tbl"),
+        F.lit("fk_custkey_in_customer").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.col("c_custkey").isNull().cast("long")).alias("n_violations"),
+        (F.sum(F.col("c_custkey").isNull().cast("long")) == 0)
+        .cast("int")
+        .alias("passed"),
     )
-    pk_li = lineitem.agg(
-        *report(
-            "lineitem",
-            "pk_unique_orderkey_linenumber",
-            F.count(F.lit(1)),
-            F.count(F.lit(1))
-            - F.countDistinct("l_orderkey", "l_linenumber"),
-        )
+    li_wide = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.count(F.lit(1)) - F.countDistinct("l_orderkey", "l_linenumber")
+        ).alias("v_pk"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+        ).alias("v_q"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("long")
+        ).alias("v_d"),
     )
-    rng_li = lineitem.agg(
-        *report(
-            "lineitem",
-            "range_quantity_1_50",
-            F.count(F.lit(1)),
-            F.sum(
-                ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
-            ),
-        )
+    li_rows = stacked(
+        "lineitem",
+        li_wide,
+        [
+            ("pk_unique_orderkey_linenumber", "v_pk"),
+            ("range_quantity_1_50", "v_q"),
+            ("range_discount_0_0p1", "v_d"),
+        ],
     )
-    rng_disc = lineitem.agg(
-        *report(
-            "lineitem",
-            "range_discount_0_0p1",
-            F.count(F.lit(1)),
-            F.sum(
-                ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("long")
-            ),
-        )
-    )
-    out = pk_orders
-    for df in (nn_orders, rng_orders, fk, pk_li, rng_li, rng_disc):
-        out = out.unionAll(df)
-    return out.orderBy("tbl", "rule")
+    return ord_rows.unionAll(fk).unionAll(li_rows).orderBy("tbl", "rule")
 
 
 ORACLE["q52_quality_audit"] = """
