@@ -47,16 +47,21 @@ MIN_WORDS = 30  # quality floor (t08's lower Gopher bound)
 MAX_WORDS = 100_000
 
 
-def _scrubbed(d: DataFrame) -> DataFrame:
-    """Stage 1 — PII scrub (t14's redaction, applied in place)."""
-    red = F.regexp_replace(
+def _scrub_expr():
+    """The stage-1 redaction as a bare Column over ``text`` — shared by
+    :func:`_scrubbed` and the fused stage-0/1 manifest scan."""
+    return F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
         ),
         PII_PHONE,
         "<PHONE>",
     )
-    return d.withColumn("text", red)
+
+
+def _scrubbed(d: DataFrame) -> DataFrame:
+    """Stage 1 — PII scrub (t14's redaction, applied in place)."""
+    return d.withColumn("text", _scrub_expr())
 
 
 def _top_word_freq(w):
@@ -173,29 +178,137 @@ def curate_corpus(
     d5 = _assign_split(d4).persist()
     cleanup.append(d5)
 
-    stages = [
-        ("0_raw", d0),
-        ("1_scrubbed", d1),
-        ("2_quality", d2),
-        ("3_exact_dedup", d3),
-        ("4_near_dedup", d4),
-        ("5_split_mixture", d5),
-    ]
-    manifest = None
-    for name, df in stages:
-        row = df.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-            # recomputed per stage (ADVICE_r10): the stored raw column
-            # ignores the PII replacements' length changes, so stage
-            # 1+ char mass would misstate what a training run consumes
-            F.sum(F.length(F.col("text"))).alias("n_chars"),
-            # the number a training run actually consumes: whitespace
-            # token budget per stage (t04's counter; a BPE-accurate
-            # budget is t19 over the landed corpus)
-            F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    # Stage-0/1 manifest rows FUSED into one corpus scan (r12, the q52
+    # scan-fusion pattern, guide §2.3): the scrub drops no rows, so the
+    # raw and scrubbed char/token masses aggregate in a single pass
+    # (regexes evaluated once per row) and a 2-element explode re-emits
+    # them as the same two rows — one full-corpus subtree instead of
+    # two. Values are the identical aggregates, verified vs the
+    # unchanged DuckDB oracle.
+    st = _scrub_expr()
+    head = (
+        d0.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length(F.col("text"))).alias("c0"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("t0"),
+            # recomputed, not read from the stored n_chars column
+            # (ADVICE_r10): the PII replacements change text length
+            F.sum(F.length(st)).alias("c1"),
+            F.sum(F.size(F.split(st, " "))).alias("t1"),
         )
-        manifest = row if manifest is None else manifest.unionAll(row)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("0_raw").alias("stage"),
+                        F.col("n").alias("n_docs"),
+                        F.col("c0").alias("n_chars"),
+                        F.col("t0").alias("n_tokens"),
+                    ),
+                    F.struct(
+                        F.lit("1_scrubbed").alias("stage"),
+                        F.col("n").alias("n_docs"),
+                        F.col("c1").alias("n_chars"),
+                        F.col("t1").alias("n_tokens"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+    # Stage-2 AND stage-3 rows from ONE pass over the cached stage-2
+    # frame (r12): the stage-3 keeper is the min-doc_id row per content
+    # hash, so a single groupBy(hash) computes the per-group totals
+    # (stage-2 mass) alongside min_by of the keeper's stats (stage-3
+    # mass — equivalent to the join-back even under a hash collision),
+    # and one global fold emits both rows. The join-based d3 still
+    # materializes once as d4's input; the manifest no longer
+    # re-executes its shuffle-join. Empty-input semantics preserved
+    # exactly: the n_docs counts coalesce to 0 (count() semantics) and
+    # the char/token sums stay NULL, matching the per-stage agg rows
+    # and the DuckDB oracle on degenerate corpora.
+    mid = (
+        d2.groupBy(h64(F.col("text")).alias("_h"))
+        .agg(
+            F.count(F.lit(1)).alias("gn"),
+            F.sum(F.length(F.col("text"))).alias("gc"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("gt"),
+            F.min_by(
+                F.struct(
+                    F.length(F.col("text")).alias("c"),
+                    F.size(F.split(F.col("text"), " ")).alias("t"),
+                ),
+                F.col("doc_id"),
+            ).alias("k"),
+        )
+        .agg(
+            F.coalesce(F.sum("gn"), F.lit(0).cast("long")).alias("n2"),
+            F.sum("gc").alias("c2"),
+            F.sum("gt").alias("t2"),
+            F.count(F.lit(1)).alias("n3"),
+            F.sum("k.c").alias("c3"),
+            F.sum("k.t").alias("t3"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("2_quality").alias("stage"),
+                        F.col("n2").alias("n_docs"),
+                        F.col("c2").alias("n_chars"),
+                        F.col("t2").alias("n_tokens"),
+                    ),
+                    F.struct(
+                        F.lit("3_exact_dedup").alias("stage"),
+                        F.col("n3").alias("n_docs"),
+                        F.col("c3").alias("n_chars"),
+                        F.col("t3").alias("n_tokens"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+    # Stage-4 AND stage-5 rows from ONE pass over the cached stage-4
+    # frame (r12): stage 5 is stage 4 filtered by the deterministic
+    # mixture hash, so its mass aggregates as conditional sums in the
+    # same scan (count() of a conditional is 0 on empty, matching the
+    # old filtered-count; conditional sums stay NULL). The d5 the
+    # caller receives is unchanged — only the manifest stops scanning
+    # its cache separately.
+    mixp = h64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100 < (
+        _mixture_weight_expr()
+    )
+    tail = (
+        d4.agg(
+            F.count(F.lit(1)).alias("n4"),
+            F.sum(F.length(F.col("text"))).alias("c4"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("t4"),
+            F.count(F.when(mixp, F.lit(1))).alias("n5"),
+            F.sum(F.when(mixp, F.length(F.col("text")))).alias("c5"),
+            F.sum(F.when(mixp, F.size(F.split(F.col("text"), " ")))).alias("t5"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("4_near_dedup").alias("stage"),
+                        F.col("n4").alias("n_docs"),
+                        F.col("c4").alias("n_chars"),
+                        F.col("t4").alias("n_tokens"),
+                    ),
+                    F.struct(
+                        F.lit("5_split_mixture").alias("stage"),
+                        F.col("n5").alias("n_docs"),
+                        F.col("c5").alias("n_chars"),
+                        F.col("t5").alias("n_tokens"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+    manifest = head.unionAll(mid).unionAll(tail)
 
     if out_path is not None:
         d5.select("doc_id", "text", "lang", "source", "n_chars", "split").write.mode(
