@@ -339,6 +339,16 @@ def main() -> None:
             calibration["job_ms_median"],
         ],
     }
+    # Named per-query map (VERDICT_r12 #2): the positional decisec
+    # arrays are complete but the driver's PERF comparison doesn't key
+    # them against BENCH_MANIFEST.json, so per_query came back empty
+    # two rounds running. Carry the TOP-N slowest rows as a plain
+    # name→seconds dict — exactly the rows a cross-round regression
+    # check needs — sized to the remaining byte budget (addition-only:
+    # the positional arrays, totals and methodology are unchanged).
+    TOP_N = 25
+    slowest = sorted(timings, key=lambda n: (-timings[n], n))[:TOP_N]
+    line["queries_top"] = {n: timings[n] for n in slowest}
     del line["queries_median"]
     del line["calibration"]
     # round-7: 153 queries put the line within ~35 B of the cap with
@@ -360,6 +370,12 @@ def main() -> None:
             if abs(v - line["queries_norm"][int(i)]) >= thresh
         }
         line["norm2_min_delta_ds"] = thresh
+        out_line = json.dumps(line, separators=(",", ":"))
+    # last resort if norm2 degradation alone cannot fit the line: shed
+    # queries_top entries fastest-row-first (the slowest rows — the
+    # ones a regression check needs most — are kept longest)
+    while len(out_line) >= 1950 and line["queries_top"]:
+        line["queries_top"].pop(min(line["queries_top"], key=lambda n: (line["queries_top"][n], n)))
         out_line = json.dumps(line, separators=(",", ":"))
     # the driver tail-captures the LAST 2000 bytes of stdout: a longer
     # line loses its leading '{' and parses as null (the r03 failure

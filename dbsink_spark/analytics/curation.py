@@ -107,9 +107,18 @@ def _quality_pass(d: DataFrame) -> DataFrame:
     )
 
 
+def _content_hash_expr():
+    """The stage-3 content-hash key as a bare Column over ``text`` —
+    shared by :func:`_exact_dedup` and the fused stage-2/3 manifest
+    aggregate (ADVICE_r12: the two sites must never drift apart, or
+    the manifest's 3_exact_dedup row silently diverges from the d3
+    the caller receives)."""
+    return h64(F.col("text"))
+
+
 def _exact_dedup(d: DataFrame) -> DataFrame:
     """Stage 3 — d01's keeper rule: min doc_id per content hash."""
-    hashed = d.withColumn("_h", h64(F.col("text")))
+    hashed = d.withColumn("_h", _content_hash_expr())
     keep = hashed.groupBy("_h").agg(F.min("doc_id").alias("_keep"))
     return (
         hashed.join(keep, "_h")
@@ -129,6 +138,16 @@ def _near_dedup(d: DataFrame, persisted: list) -> DataFrame:
     return d.join(F.broadcast(pruned), "doc_id", "left_anti")
 
 
+def _mix_keep_expr():
+    """The stage-5 mixture keep-predicate as a bare BooleanType Column
+    over ``doc_id`` — shared by :func:`_assign_split` and the fused
+    stage-4/5 manifest aggregate (ADVICE_r12: a future edit to either
+    site must not desync the manifest's 5_split_mixture row from the
+    d5 the caller receives)."""
+    mix = h64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
+    return mix < _mixture_weight_expr()
+
+
 def _assign_split(d: DataFrame) -> DataFrame:
     """Stage 5 — t12's hash split + t13's mixture keep-flag."""
     b = h64(F.col("doc_id").cast("string")) % 100
@@ -137,8 +156,7 @@ def _assign_split(d: DataFrame) -> DataFrame:
         .when(b < SPLIT_VAL_PCT, "val")
         .otherwise("test")
     )
-    mix = h64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
-    return d.withColumn("split", split).filter(mix < _mixture_weight_expr())
+    return d.withColumn("split", split).filter(_mix_keep_expr())
 
 
 def curate_corpus(
@@ -227,8 +245,20 @@ def curate_corpus(
     # exactly: the n_docs counts coalesce to 0 (count() semantics) and
     # the char/token sums stay NULL, matching the per-stage agg rows
     # and the DuckDB oracle on degenerate corpora.
+    #
+    # Assumption (ADVICE_r12, documented): doc_id is unique and
+    # non-null — the corpus' primary key, guaranteed by ingest and by
+    # every upstream stage here (stages 1-2 are row-filters/maps; they
+    # never duplicate or null the key). Under that invariant the
+    # min_by keeper below is exactly _exact_dedup's join-back keeper
+    # and n3 = count-of-hash-groups = |d3|. A corpus with duplicate or
+    # all-NULL doc_ids would make the join-back keep both/zero rows
+    # per degenerate group while n3 reports one; if ingest ever drops
+    # the invariant, this fusion must revert to aggregating d3 itself.
+    # The hash key is _content_hash_expr() — the SAME expression
+    # _exact_dedup keys on, factored so the two sites cannot drift.
     mid = (
-        d2.groupBy(h64(F.col("text")).alias("_h"))
+        d2.groupBy(_content_hash_expr().alias("_h"))
         .agg(
             F.count(F.lit(1)).alias("gn"),
             F.sum(F.length(F.col("text"))).alias("gc"),
@@ -276,9 +306,7 @@ def curate_corpus(
     # old filtered-count; conditional sums stay NULL). The d5 the
     # caller receives is unchanged — only the manifest stops scanning
     # its cache separately.
-    mixp = h64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100 < (
-        _mixture_weight_expr()
-    )
+    mixp = _mix_keep_expr()  # the SAME predicate _assign_split filters on
     tail = (
         d4.agg(
             F.count(F.lit(1)).alias("n4"),
