@@ -184,6 +184,21 @@ def sssp_bounded(
     REBUILT (min-merged) each round and its lineage would otherwise
     deepen per round.
     """
+    # A fully static (checkpoint-free) unroll was tried for the
+    # early_exit=False path (r13): the dist rebuild references dist
+    # AND improved references dist, so the unrolled plan grows ~3x per
+    # round — 2294 exchanges / 39 s at rounds=4 vs 6.4 s with
+    # checkpoints. The per-round `improved` checkpoint STAYS; the jobs
+    # are cut structurally instead: the dist rebuild is ONE
+    # min-aggregate over dist ∪ improved — row-identical to the
+    # previous anti-join + union (improved holds strictly smaller
+    # distances, so min picks improved where present and the old row
+    # elsewhere; BIGINT min is order-independent), for one exchange
+    # instead of an anti-join's two. Same-JVM interleaved A/B via q92
+    # at sf0.1: warm jobs 53 → 34 (−36%), wall 6.4 → 4.6 s; a
+    # repartition("src") on the edges leaf was also tried and cut
+    # nothing (jobs 53, and it regressed q61/q83's broadcast-shaped
+    # loops), so edges stays un-shuffled.
     edges = edges.localCheckpoint(eager=False)
     dist = seeds.select("node", F.lit(0).cast("long").alias("dist")).localCheckpoint(
         eager=False
@@ -216,8 +231,9 @@ def sssp_bounded(
         if early_exit and improved.count() == 0:
             break
         dist = (
-            dist.join(improved.select("node"), "node", "left_anti")
-            .unionAll(improved)
+            dist.unionAll(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
         )
         if i % PR_CHECKPOINT_EVERY == 0:
             dist = dist.localCheckpoint(eager=False)
@@ -247,7 +263,11 @@ def bfs_hops(
     independent, so a recursive-CTE oracle matches exactly.
     """
     # loop-invariant: materialize once (module rule) — every round's
-    # frontier join would otherwise replay the full edge-derivation plan
+    # frontier join would otherwise replay the full edge-derivation
+    # plan. NOT pre-shuffled by src (r13, measured): BFS's per-round
+    # frontier joins plan as broadcasts (zero exchanges), so the
+    # up-front repartition that wins in sssp_bounded is pure cost here
+    # (q83 A/B: 2.15 → 2.79 s with it).
     edges = edges.localCheckpoint(eager=False)
     settled = seeds.select("node", F.lit(0).cast("long").alias("hops")).localCheckpoint(
         eager=False
@@ -395,6 +415,16 @@ def cc_alternating(
 
 LP_CHECKPOINT_EVERY = 2  # label tables are narrow; cheap to cut often
 
+# Bounded-round loops up to this depth compile STATICALLY — no per-round
+# or fan-out checkpoints, the whole loop is ONE plan/action (r13,
+# VERDICT_r12 #1): every localCheckpoint(eager=False) is a separate RDD
+# materialization with its own AQE stage jobs, and it BLINDS AQE's
+# runtime exchange reuse across rounds (the edge list's shuffle subtree
+# is identical every round, but reuse only dedups within one executed
+# plan). At this depth Catalyst analysis of the unrolled plan stays in
+# the low milliseconds; past it, lineage truncation wins again.
+LP_STATIC_MAX_ROUNDS = 8
+
 
 def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
     """Synchronous label propagation over a SYMMETRIZED edge list
@@ -424,14 +454,24 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
     # frame (r12, guide §2.4/§5): the previous order materialized two
     # separate checkpoints that EACH replayed the caller's edge
     # derivation. Same-session A/B via q105 at sf0.1: 4.60 → 3.51 s,
-    # 32 → 28 jobs, rows equal.
+    # 32 → 28 jobs, rows equal. The checkpoint STAYS in static mode:
+    # the edge list is referenced once per round, and inlining its
+    # derivation subtree per reference exploded the compiled plan
+    # 20 → 90 exchanges (measured r13) — a LogicalRDD leaf is free.
     edges = edges.localCheckpoint(eager=False)
-    nodes = (
-        edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
-    )
+    # STATIC mode for bounded small round counts (r13, VERDICT_r12 #1):
+    # labels/nodes are a single-consumer chain, so skipping their
+    # checkpoints has zero subtree duplication and compiles the whole
+    # loop into ONE plan — the per-round (node,label) RDD
+    # materializations and their AQE stage jobs disappear. Values are
+    # identical by construction (the checkpoints only ever cut lineage).
+    static = rounds <= LP_STATIC_MAX_ROUNDS
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    if not static:
+        nodes = nodes.localCheckpoint(eager=False)
     labels = nodes.select("node", F.col("node").alias("label"))
     for it in range(rounds):
-        if it > 0 and it % LP_CHECKPOINT_EVERY == 0:
+        if not static and it > 0 and it % LP_CHECKPOINT_EVERY == 0:
             # eager=False: the final action materializes every cut —
             # the logical plan is truncated either way (r12 job fusion)
             labels = labels.localCheckpoint(eager=False)
@@ -473,15 +513,23 @@ def kcore_members(
     n_edges = und.count()
     rounds = 0
     for _ in range(max_rounds + 1):
-        alive = (
+        # filter by ANTI-joining the DEAD set (deg < k) instead of
+        # inner-joining the alive set (r13, guide §3.1): every src in
+        # und has a degree row, so the two are row-identical — but dead
+        # shrinks to near-empty as the peel converges, so AQE broadcasts
+        # the two filters at runtime (zero exchanges) where the
+        # alive-side inner joins planned as SMJs. Falls back to a
+        # shuffle join automatically on a corpus whose first-round dead
+        # set is too big to broadcast.
+        dead = (
             und.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
+            .filter(F.col("deg") < k)
             .select(F.col("src").alias("node"))
         )
         und = (
-            und.join(alive.select(F.col("node").alias("src")), "src")
-            .join(alive.select(F.col("node").alias("dst")), "dst")
+            und.join(dead.select(F.col("node").alias("src")), "src", "left_anti")
+            .join(dead.select(F.col("node").alias("dst")), "dst", "left_anti")
             .select("src", "dst")
             .localCheckpoint(eager=False)
         )
