@@ -36,6 +36,8 @@ from pyspark.sql.window import Window
 from ..functions.hashing import MINHASH_COEFFS, affine, affine_sql, h64, h64_sql
 from .tables import Tables
 from .litdf import local_df
+from .bcache import bounded_persist
+from .bcache import register_bounded as _register_bounded
 
 MINHASH_K = 8
 BANDS = 4  # rows-per-band = MINHASH_K // BANDS = 2
@@ -158,17 +160,37 @@ def _hashed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _verify_jaccard(cand: DataFrame, docs: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate (doc_a, doc_b) pairs via join-back to
-    the hashed shingle arrays (candidates are few; the array op is per
-    candidate, never per cross-pair)."""
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("shh_a"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("shh_b"))
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs via ONE
+    join-back to the hashed shingle arrays (candidates are few; the
+    array op is per candidate, never per cross-pair).
+
+    r13 restructure (VERDICT_r12 #3, guide §2.3): each pair explodes
+    into two side-tagged (pair, doc) rows, joins ``docs`` ONCE, and a
+    groupBy(pair) reassembles both arrays via min_by/max_by on the
+    side tag — one equi-join + one hash aggregate instead of two
+    sequential joins that shuffled the first join's shingle arrays
+    again by doc_b. The aggregate also DEDUPS candidate pairs, so
+    callers no longer pre-pay a dropDuplicates exchange (a pair
+    surfacing through k LSH bands costs k pre-agg rows, never k output
+    rows). Interleaved same-JVM A/B via d03 at sf0.1: 2.20/2.38 →
+    1.61/1.67 s (min/med), rows byte-identical."""
+    e = cand.select(
+        "doc_a",
+        "doc_b",
+        F.explode(
+            F.expr("array(struct(0 AS s, doc_a AS d), struct(1 AS s, doc_b AS d))")
+        ).alias("x"),
+    ).select("doc_a", "doc_b", "x.s", F.col("x.d").alias("doc_id"))
+    j = e.join(docs.select("doc_id", "shh"), "doc_id")
     jac = F.size(F.array_intersect("shh_a", "shh_b")) / F.size(
         F.array_union("shh_a", "shh_b")
     )
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
+        j.groupBy("doc_a", "doc_b")
+        .agg(
+            F.expr("min_by(shh, s)").alias("shh_a"),
+            F.expr("max_by(shh, s)").alias("shh_b"),
+        )
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
@@ -239,8 +261,9 @@ def cap_band_rows(bands: DataFrame, bucket_cap=_CAP_UNSET) -> DataFrame:
 
 
 # the single resident cache slot for untracked minhash_lsh_pairs
-# callers (see the function body) — released on the NEXT untracked call
-_UNTRACKED_CACHE: list[DataFrame] = []
+# callers lives in bcache._SLOTS["dedup.minhash_lsh_pairs.docs"] —
+# released on the NEXT untracked call (r13: the ADVICE_r11 one-off
+# list generalized to the shared bounded-slot registry)
 
 
 def minhash_lsh_pairs(d: DataFrame, persisted: list | None = None) -> DataFrame:
@@ -257,23 +280,21 @@ def minhash_lsh_pairs(d: DataFrame, persisted: list | None = None) -> DataFrame:
     100 TB path (shuffle keyed by bucket, never a cross join) — then
     only the candidates pay the exact-Jaccard verification.
     """
-    # cached: consumed three times (signatures + two verify join-backs;
-    # measured +27% at sf0.1 without the cache, so the persist stays)
-    docs = hash_docs(d).persist()
+    # cached: consumed by the signatures and the verify join-back
+    # (measured +27% at sf0.1 without the cache, so the persist stays)
     if persisted is not None:
+        # callers with a lifecycle (c01) release deterministically
+        docs = hash_docs(d).persist()
         persisted.append(docs)
     else:
         # ADVICE_r11: an untracked call (the plain d03 registry path)
         # previously leaked one cached frame PER INVOCATION for the
-        # session's lifetime. Callers with a lifecycle (c01) pass
-        # ``persisted`` and release deterministically; for the rest,
-        # drop the PREVIOUS untracked cache here so at most one
-        # untracked frame is ever resident — the leak is now bounded
-        # by one, not by invocation count. A still-unmaterialized
-        # DataFrame returned by an earlier call simply recomputes.
-        while _UNTRACKED_CACHE:
-            _UNTRACKED_CACHE.pop().unpersist()
-        _UNTRACKED_CACHE.append(docs)
+        # session's lifetime. The bounded slot drops the PREVIOUS
+        # untracked cache so at most one untracked frame is ever
+        # resident — bounded by one, not by invocation count. A
+        # still-unmaterialized DataFrame returned by an earlier call
+        # simply recomputes.
+        docs = bounded_persist(hash_docs(d), "dedup.minhash_lsh_pairs.docs")
     banded = banded_sigs(docs)
 
     a = banded.alias("a")
@@ -285,8 +306,10 @@ def minhash_lsh_pairs(d: DataFrame, persisted: list | None = None) -> DataFrame:
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        # no dropDuplicates (r13): _verify_jaccard's pair aggregate
+        # dedups the ≤BANDS-multiplicity candidates in the same
+        # exchange that reassembles the shingle arrays
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     return _verify_jaccard(cand, docs)
 
@@ -339,7 +362,7 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: both sides of the band self-join read the signatures;
     # without it the explode + 48-vote aggregation runs twice
-    sigs = votes.selectExpr("doc_id", f"{sig_sql} AS simhash").persist()
+    sigs = bounded_persist(votes.selectExpr("doc_id", f"{sig_sql} AS simhash"), "dedup.d04.sigs")
 
     width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << width) - 1
@@ -399,7 +422,7 @@ def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # cache: both join sides reference the same hashed relation; without
     # it Spark recomputes shingling+md5 per branch
-    docs = _hashed_docs(spark, sf_dir).persist()
+    docs = bounded_persist(_hashed_docs(spark, sf_dir), "dedup.d05.docs")
     inv = docs.select(
         "doc_id", "source", "n_sh", F.explode("shh").alias("h")
     )
@@ -756,7 +779,7 @@ def d08_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, exploded, and hash-joined map-side with NO shuffle of corpus
     data. Per-doc hit counts then aggregate on doc_id.
     """
-    docs = _hashed_docs(spark, sf_dir).persist()
+    docs = bounded_persist(_hashed_docs(spark, sf_dir), "dedup.d08.docs")
     bench = (
         docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
         .select(F.explode("shh").alias("g"))
@@ -870,7 +893,7 @@ def d09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive transitive closure, and the pytest suite drives the
     distributed path explicitly with the cap forced to 0.
     """
-    pairs = d03_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    pairs = bounded_persist(d03_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"), "dedup.d09.pairs")
     n_pairs = pairs.count()
     if n_pairs <= CC_DRIVER_MAX_EDGES:
         comp = _cc_union_find((r["doc_a"], r["doc_b"]) for r in pairs.collect())
@@ -900,18 +923,27 @@ def _cc_propagate(
     # round is a handful of tasks, not 32 × stages of scheduling
     # overhead. At a scale where the pair list itself is huge, raise
     # the partition count with it — the plan shape is unchanged.
-    edges = (
+    edges = bounded_persist(
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition(2)
-        .persist()
+        .repartition(2),
+        "dedup._cc_propagate.edges",
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        # plain persist: round 1 releases it via `cached` below (the
+        # zero-round case is impossible — CC_MAX_ITERS >= 1)
         .persist()
     )
     labels.count()
+    # `cached` always points at the PERSISTED frame backing `labels`:
+    # unpersist() must be called on the exact cached plan — calling it
+    # on a select() over it is a silent no-op (r13 fix: the previous
+    # per-round `labels.unpersist()` released round 1's init frame but
+    # no-op'ed on every later round's projected frame, leaking one
+    # cached round per iteration).
+    cached = labels
     n_iters = 0
     for _ in range(CC_MAX_ITERS):
         n_iters += 1
@@ -932,13 +964,24 @@ def _cc_propagate(
             .persist()
         )
         # convergence check rides the same relation — no extra join
+        # (materializes `new` BEFORE the previous round's frame is
+        # released below — the release order is load-bearing: dropping
+        # the old cache first would force every round to recompute its
+        # whole ancestry)
         changed = new.filter(F.col("label") != F.col("old_label")).count()
-        labels.unpersist()
+        cached.unpersist()
+        cached = new
         labels = new.select("doc_id", "label")
         if changed == 0:
             break
     if stats is not None:
         stats["iterations"] = n_iters
+    # the loop released every intermediate round; the final round's
+    # cached frame backs the returned plan and must stay resident for
+    # the caller — hand it to the bounded slot so the NEXT invocation
+    # releases it instead of leaking one frame per call (r13,
+    # VERDICT_r12 #5). _register only: it is already persisted.
+    _register_bounded(cached, "dedup._cc_propagate.labels")
     sizes = labels.groupBy(F.col("label").alias("cluster_of")).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -1020,11 +1063,11 @@ def d10_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: the fp relation feeds the df-cap, the size table and both
     # join sides — without it the winnowing expression re-evaluates 4x
-    fps = dh.select("doc_id", F.explode(mins).alias("fp")).persist()
+    fps = bounded_persist(dh.select("doc_id", F.explode(mins).alias("fp")), "dedup.d10.fps")
     informative = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= D10_DF_CAP
     )
-    good = fps.join(informative.select("fp"), "fp").persist()
+    good = bounded_persist(fps.join(informative.select("fp"), "fp"), "dedup.d10.good")
     counts = good.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = good.alias("a"), good.alias("b")
     pairs = (
@@ -1106,7 +1149,7 @@ def d11_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Tables(spark, sf_dir).embeddings
     # persist: the cell assignment feeds the pair scorer AND the
     # output projection — share it so the quantizer builds once
-    cells = centroid_cells(spark, sf_dir).select("vec_id", "cell").persist()
+    cells = bounded_persist(centroid_cells(spark, sf_dir).select("vec_id", "cell"), "dedup.d11.cells")
     pruned = (
         d06_embedding_near_dup(spark, sf_dir, cells=cells)
         .select(F.col("vec_b").alias("vec_id"))
@@ -1205,10 +1248,10 @@ def d12_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the hashed window relation feeds BOTH the occurrence
     # counts and the join-back; without it the window concat+md5 (the
     # dominant cost) evaluates twice (t17's lesson)
-    ex = (
+    ex = bounded_persist(
         dw.select("doc_id", F.explode(spans).alias("s"))
-        .select("doc_id", F.col("s.pos").alias("pos"), h64(F.col("s.sp")).alias("h"))
-        .persist()
+        .select("doc_id", F.col("s.pos").alias("pos"), h64(F.col("s.sp")).alias("h")),
+        "dedup.d12.ex",
     )
     counts = ex.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
     dup = (
@@ -1418,9 +1461,10 @@ def d15_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall_bp, precision_bp (10000 when the denominator is 0).
     """
     docs = _hashed_docs(spark, sf_dir)
-    sample = docs.filter(
-        h64(F.col("doc_id").cast("string")) % D15_SAMPLE_MOD == 0
-    ).persist()
+    sample = bounded_persist(
+        docs.filter(h64(F.col("doc_id").cast("string")) % D15_SAMPLE_MOD == 0),
+        "dedup.d15.sample",
+    )
 
     inv = sample.select("doc_id", "n_sh", F.explode("shh").alias("h"))
     ia, ib = inv.alias("a"), inv.alias("b")
@@ -1897,16 +1941,17 @@ def d20_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: one tiny row per new doc, but its lineage (full-text
     # hashing + two corpus aggregations) would otherwise re-plan under
     # every downstream consumer (survivors semi-join + final assembly)
-    ex = (
+    ex = bounded_persist(
         new.join(oldmin, "h", "left")
         .join(newmin, "h")
-        .select("doc_id", "corpus_match", "batch_min")
-    ).persist()
+        .select("doc_id", "corpus_match", "batch_min"),
+        "dedup.d20.ex",
+    )
 
     survivors = ex.filter(
         F.col("corpus_match").isNull() & (F.col("batch_min") == F.col("doc_id"))
     ).select("doc_id")
-    hd = _hashed_docs(spark, sf_dir).persist()
+    hd = bounded_persist(_hashed_docs(spark, sf_dir), "dedup.d20.hd")
     hd_old = hd.filter(F.col("doc_id") < cutoff)
     hd_new = hd.join(survivors, "doc_id", "semi")
     bands_old = banded_sigs(hd_old)

@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 
 from ..functions.hashing import h64_sql
 from .tables import Tables
+from .bcache import bounded_persist
 
 FRAME_BYTES = 256  # fake "frame" granularity for frame-sampling stub
 
@@ -283,10 +284,9 @@ def m04_binary_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)
     # persist: both sides of the band self-join read the signatures;
     # without it the Arrow-batched python featurizer runs twice
-    sigs = (
-        media.select("doc_id", "blob")
-        .mapInPandas(_sig_batches, SIG_SCHEMA)
-        .persist()
+    sigs = bounded_persist(
+        media.select("doc_id", "blob").mapInPandas(_sig_batches, SIG_SCHEMA),
+        "multimodal.m04.sigs",
     )
 
     width = SIG_CHUNKS // M04_BANDS

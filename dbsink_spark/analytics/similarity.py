@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .tables import Tables
+from .bcache import bounded_persist
 from .litdf import local_df
 
 TOPK = 5
@@ -560,7 +561,7 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, n_iters: int = 3):
     inertia is the summed squared distance to the assigned centroid and
     must be non-increasing across rounds (pytest asserts this).
     """
-    v = _vectors(spark, sf_dir).persist()
+    v = bounded_persist(_vectors(spark, sf_dir), "similarity.kmeans_fit.v")
 
     # deterministic seed centroids: per-label means, ordered by label
     seed = (
@@ -2359,7 +2360,7 @@ def s19_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # base graph factored into _nn_base_graph (shared verbatim with the
     # s22 convergence loop); persisted because three candidate branches
     # consume it and the applyInPandas scoring must not replan per branch
-    g = _nn_base_graph(spark, sf_dir).persist()
+    g = bounded_persist(_nn_base_graph(spark, sf_dir), "similarity.s19.base")
     direct = g.select(
         F.col("vec_id").alias("u"), F.col("neighbor_id").alias("c")
     ).withColumn("d", F.lit(1))
@@ -2491,7 +2492,8 @@ def s20_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("corpus_id", "cv", "cn", rel_cos.alias("rel"))
         .orderBy(F.col("rel").desc(), "corpus_id")
         .limit(MMR_POOL)
-    ).persist()
+    )
+    pool = bounded_persist(pool, "similarity.s20.pool")
     a = pool.select(F.col("corpus_id").alias("ida"), F.col("cv").alias("va"), F.col("cn").alias("na"))
     b = pool.select(F.col("corpus_id").alias("idb"), F.col("cv").alias("vb"), F.col("cn").alias("nb"))
     sim_cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
@@ -2608,7 +2610,7 @@ def s21_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller vec_id via a negated-id struct max — all exact
     cross-engine, so the oracle hash-matches bit-for-bit.
     """
-    v = _vectors(spark, sf_dir).select("vec_id", "v").persist()
+    v = bounded_persist(_vectors(spark, sf_dir).select("vec_id", "v"), "similarity.s21.v")
     # Seed with the SMALLEST PRESENT vec_id (fuzzer-proofed like s20:
     # a hardcoded 0 crashed when subsampling dropped that row; the min
     # is 0 on the driver testdata, so gate hashes are unchanged).

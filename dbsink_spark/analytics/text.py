@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 from ..functions.casts import spark_try_int_sql
 from ..functions.hashing import h64_sql
 from .tables import Tables
+from .bcache import bounded_persist
 
 # tiny per-language stopword lexicons for the n-gram-free lang-id
 # heuristic; deterministic and identical on the oracle side
@@ -1006,8 +1007,8 @@ def t17_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg"),
         )
         .select("doc_id", "is_t", (h64(F.col("bg")) % DSIR_BUCKETS).alias("f"))
-        .persist()
     )
+    ex = bounded_persist(ex, "text.t17.ex")
     feat = ex.groupBy("f").agg(
         F.sum("is_t").alias("cnt_t"), F.count(F.lit(1)).alias("cnt_r")
     )
@@ -2648,8 +2649,8 @@ def t33_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(sh).alias("h"),
         )
         .withColumn("n_pos", F.col("nw") - (BOILER_SHINGLE_W - 1))
-        .persist()
     )
+    pos = bounded_persist(pos, "text.t33.pos")
     df = (
         pos.select("source", "h", "doc_id")
         .distinct()
