@@ -133,7 +133,7 @@ def _near_dedup(d: DataFrame, persisted: list) -> DataFrame:
     #3), applied SemDeDup-style: prune the higher-id member of every
     verified near-dup pair. The pair list is survivor-sized, so the
     prune set broadcasts."""
-    pairs = minhash_lsh_pairs(d, persisted=persisted)
+    pairs = minhash_lsh_pairs(d, persisted=persisted, ordered=False)
     pruned = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return d.join(F.broadcast(pruned), "doc_id", "left_anti")
 

@@ -159,7 +159,9 @@ def _hashed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_docs(Tables(spark, sf_dir).documents)
 
 
-def _verify_jaccard(cand: DataFrame, docs: DataFrame) -> DataFrame:
+def _verify_jaccard(
+    cand: DataFrame, docs: DataFrame, ordered: bool = True
+) -> DataFrame:
     """Exact Jaccard for candidate (doc_a, doc_b) pairs via ONE
     join-back to the hashed shingle arrays (candidates are few; the
     array op is per candidate, never per cross-pair).
@@ -185,7 +187,7 @@ def _verify_jaccard(cand: DataFrame, docs: DataFrame) -> DataFrame:
     jac = F.size(F.array_intersect("shh_a", "shh_b")) / F.size(
         F.array_union("shh_a", "shh_b")
     )
-    return (
+    out = (
         j.groupBy("doc_a", "doc_b")
         .agg(
             F.expr("min_by(shh, s)").alias("shh_a"),
@@ -193,8 +195,12 @@ def _verify_jaccard(cand: DataFrame, docs: DataFrame) -> DataFrame:
         )
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
     )
+    # ordered=False (r13): consumers that re-aggregate or collect the
+    # pair list (d09/d17's connected components, c01's prune set) skip
+    # the global sort — a range exchange PLUS the range-partitioner's
+    # sampling pass of the whole verify subtree. Row set identical.
+    return out.orderBy("doc_a", "doc_b") if ordered else out
 
 
 # Skew guard for the LSH band self-join (SCALE.md "cap bucket size
@@ -266,7 +272,9 @@ def cap_band_rows(bands: DataFrame, bucket_cap=_CAP_UNSET) -> DataFrame:
 # list generalized to the shared bounded-slot registry)
 
 
-def minhash_lsh_pairs(d: DataFrame, persisted: list | None = None) -> DataFrame:
+def minhash_lsh_pairs(
+    d: DataFrame, persisted: list | None = None, ordered: bool = True
+) -> DataFrame:
     """MinHash + LSH verified near-dup pairs over ANY (doc_id, text,
     source) relation — the parameterized core: d03 runs it over the
     raw ``documents`` table, the composed curation pipeline (c01) over
@@ -311,7 +319,7 @@ def minhash_lsh_pairs(d: DataFrame, persisted: list | None = None) -> DataFrame:
         # exchange that reassembles the shingle arrays
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    return _verify_jaccard(cand, docs)
+    return _verify_jaccard(cand, docs, ordered=ordered)
 
 
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -893,7 +901,12 @@ def d09_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive transitive closure, and the pytest suite drives the
     distributed path explicitly with the cap forced to 0.
     """
-    pairs = bounded_persist(d03_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"), "dedup.d09.pairs")
+    pairs = bounded_persist(
+        minhash_lsh_pairs(Tables(spark, sf_dir).documents, ordered=False).select(
+            "doc_a", "doc_b"
+        ),
+        "dedup.d09.pairs",
+    )
     n_pairs = pairs.count()
     if n_pairs <= CC_DRIVER_MAX_EDGES:
         comp = _cc_union_find((r["doc_a"], r["doc_b"]) for r in pairs.collect())
@@ -1667,7 +1680,9 @@ def d17_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .graph import cc_alternating
 
-    pairs = d03_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(
+        Tables(spark, sf_dir).documents, ordered=False
+    ).select("doc_a", "doc_b")
     labels = cc_alternating(pairs)
     sizes = labels.groupBy(F.col("label").alias("cluster_of")).agg(
         F.count(F.lit(1)).alias("cluster_size")
