@@ -2816,38 +2816,51 @@ def nn_descent_converge(
     base = _nn_base_graph(spark, sf_dir).localCheckpoint(eager=False)
     g = base
     prev: DataFrame | None = None
-    prev_edges = 0
     adopted_per_round: list[int] = []
     stopped_at: int | None = None
     for r in range(1, max_rounds + 1):
         nxt = _nn_descent_round(g, vu, vc).localCheckpoint(eager=False)
         if prev is None:
+            # round 1 runs NO action (r13): |g_1| rides round 2's rule
+            # aggregate below, so the loop costs one job per RULE
+            # evaluation, not one extra count up front
             prev = nxt
-            prev_edges = nxt.count()
             g = nxt
             continue
-        # one job returns BOTH rule inputs: |g_r| and |g_r \ g_{r-1}|
+        # one job returns ALL rule inputs — |g_{r-1}|, |g_r| and the
+        # adopted count |g_r \ g_{r-1}| — via a full-outer tag join
+        # (the identical integer rule decision as the old
+        # count-then-left-join pair, one action earlier)
         row = (
-            nxt.select("vec_id", "neighbor_id")
+            prev.select("vec_id", "neighbor_id")
+            .withColumn("_old", F.lit(1))
             .join(
-                prev.select("vec_id", "neighbor_id").withColumn("_old", F.lit(1)),
+                nxt.select("vec_id", "neighbor_id").withColumn("_new", F.lit(1)),
                 ["vec_id", "neighbor_id"],
-                "left",
+                "full_outer",
             )
             .agg(
-                F.count(F.lit(1)).alias("edges"),
-                F.sum(F.when(F.col("_old").isNull(), 1).otherwise(0)).alias("gained"),
+                F.sum(F.when(F.col("_old").isNotNull(), 1).otherwise(0)).alias(
+                    "edges_prev"
+                ),
+                F.sum(F.when(F.col("_new").isNotNull(), 1).otherwise(0)).alias(
+                    "edges"
+                ),
+                F.sum(
+                    F.when(F.col("_old").isNull() & F.col("_new").isNotNull(), 1)
+                    .otherwise(0)
+                ).alias("gained"),
             )
             .collect()[0]
         )
         gained = int(row["gained"] or 0)
+        prev_edges = int(row["edges_prev"] or 0)
         adopted_per_round.append(gained)
         if gained * S22_DELTA_DEN <= prev_edges * S22_DELTA_NUM:
             stopped_at = r
             g = nxt
             break
         prev = nxt
-        prev_edges = int(row["edges"])
         g = nxt
     if stopped_at is None:
         raise RuntimeError(
