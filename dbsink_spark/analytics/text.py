@@ -1522,7 +1522,7 @@ def t23_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-list-sized — corpus cost is one broadcast-joined projection.
     """
     from ..functions.hashing import h64
-    from .dedup import d03_minhash_lsh, d09_dup_clusters
+    from .dedup import d09_dup_clusters, minhash_lsh_pairs
 
     d = Tables(spark, sf_dir).documents.select("doc_id")
     clusters = d09_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
@@ -1543,7 +1543,13 @@ def t23_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    pairs = d03_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # unordered pairs (r13): the leak join needs no order, and this is
+    # the EXACT plan d09 just persisted for its own cluster pass — the
+    # cache manager serves it from that slot, so the d03 pipeline runs
+    # once per t23 invocation, not twice
+    pairs = minhash_lsh_pairs(
+        Tables(spark, sf_dir).documents, ordered=False
+    ).select("doc_a", "doc_b")
     leak = (
         pairs.join(
             assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
